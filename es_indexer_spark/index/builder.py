@@ -1,0 +1,450 @@
+"""Inverted-index build: the Spark-native replacement for the reference's
+scan -> transform -> tokenize -> bulk-load-into-Elasticsearch pipeline
+(reference lifecycle: indexer/.../IndexerMetadataServiceImpl.java:476-662; the
+index/postings/BM25 internals are delegated to Lucene there and rebuilt natively
+here — SURVEY.md §0, §7).
+
+Dataflow (one build)::
+
+    src ──tokenize (Arrow pandas UDF)──► docs table (docid, doc_len, sha256, meta)
+        └─explode──► (term, docid, tf, doc_len)          [partial+final hash agg]
+              └─ bucket = xxhash64(term) % n_buckets     [the salt: term-hash bucketing
+                                                          defuses stop-word df skew —
+                                                          north_rule's "salted
+                                                          repartition-by-term"]
+              └─ raw postings parquet, partitioned by bucket   [ckpt stage "raw"]
+    dict  = raw groupBy term -> (df, cf, bucket)               [ckpt stage "dict"]
+    postings = per bucket-batch: sortWithinPartitions(bucket, term, docid)
+               -> mapInPandas streaming block encoder           [ckpt per batch]
+    finalize = count reconciliation gate -> atomic CURRENT publish
+
+Scale notes (designed for 1000 executors / 100 TB, tested on local[32]):
+
+- The encoder is *streaming*: it never materializes a whole term's postings. State
+  carried across Arrow batches is at most one partial block (<= block_size rows), so a
+  stop-word term with ~N postings costs O(block_size) memory, not O(N).
+- Blocks are cut at shard boundaries (shard = docid // shard_size), so every block is
+  shard-local and the query engine can score shards independently with one narrow
+  shuffle (document-sharded index, the same scaling design as ES shards).
+- Checkpointing is per bucket-batch with lineage + metrics (docs indexed, postings
+  emitted, bytes compressed — north_rule), mirroring the reference's `-running` alias
+  + `beginWithUuid` resume (IndexerMetadataServiceImpl.java:478-523) and its >=90%
+  count-reconciliation publish gate (:639-655).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from es_indexer_spark.analysis.tokenizer import get_tokenizer_udf
+from es_indexer_spark.index import catalog
+from es_indexer_spark.index.codec import (
+    BLOCK_SIZE,
+    bm25_tf_factor,
+    delta_encode,
+    encode_varints,
+)
+
+BLOCK_SCHEMA = (
+    "bucket int, term string, shard long, block_id int, n int, "
+    "first_docid long, last_docid long, gaps binary, tfs binary, dls binary, "
+    "max_tf int, max_score_free double"
+)
+
+
+def assign_docids(df: DataFrame, order_cols: Sequence[str], num_partitions: int | None = None) -> DataFrame:
+    """Deterministic global docid = row_number over ORDER BY order_cols, without a
+    single-partition window (SURVEY.md §2.5): range-repartition on the order key,
+    sort within partitions, then add per-partition offsets (two passes).
+
+    Determinism: given the same input, range boundaries and in-partition order are
+    input-derived, so docids are stable across runs/resumes (required for resume +
+    rank-identity; SURVEY.md §7.3 hard part (c))."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = df.repartitionByRange(parts, *order_cols).sortWithinPartitions(*order_cols)
+    ordered = ordered.withColumn("__pid", F.spark_partition_id())
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ordered.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    fields = ordered.schema.fieldNames()
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in ordered.schema.fields if f.name != "__pid"
+    ) + ", docid long"
+
+    def add_ids(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            base = offsets[pid] + local
+            pdf = pdf.drop(columns="__pid")
+            pdf["docid"] = np.arange(base, base + len(pdf), dtype=np.int64)
+            local += len(pdf)
+            yield pdf
+
+    return ordered.mapInPandas(add_ids, schema=out_schema)
+
+
+def _make_encoder(block_size: int, shard_size: int, avgdl: float, k1: float, b: float):
+    """Streaming block encoder for mapInPandas over rows sorted by
+    (bucket, term, docid) within each partition. Carries at most one partial
+    block across Arrow batches; cuts blocks at shard boundaries."""
+
+    def encode_partition(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pend: dict | None = None  # {bucket, term, block_id, d, t, l}
+        out_rows: list[tuple] = []
+
+        def emit(bucket: int, term: str, block_id: int, d: np.ndarray, t: np.ndarray, l: np.ndarray) -> int:
+            """Encode full blocks (and shard-boundary cuts) from d/t/l; returns the
+            number of leading postings consumed (the rest stays pending)."""
+            consumed = 0
+            bid = block_id
+            while True:
+                remaining = d.size - consumed
+                if remaining <= 0:
+                    break
+                first = d[consumed]
+                shard = int(first) // shard_size
+                # end of this shard within the array
+                shard_end = np.searchsorted(d, (shard + 1) * shard_size, side="left")
+                span = min(int(shard_end) - consumed, block_size)
+                if span == remaining and span < block_size and int(shard_end) == d.size:
+                    break  # tail partial block — keep pending (may grow next batch)
+                dd = d[consumed : consumed + span]
+                tt = t[consumed : consumed + span]
+                ll = l[consumed : consumed + span]
+                out_rows.append(
+                    (
+                        bucket,
+                        term,
+                        shard,
+                        bid,
+                        int(dd.size),
+                        int(dd[0]),
+                        int(dd[-1]),
+                        encode_varints(delta_encode(dd, base=int(dd[0]))),
+                        encode_varints(tt),
+                        encode_varints(ll),
+                        int(tt.max()),
+                        float(bm25_tf_factor(tt, ll, avgdl, k1, b).max()),
+                    )
+                )
+                bid += 1
+                consumed += span
+            return consumed, bid
+
+        def flush_pending_final():
+            nonlocal pend
+            if pend is None:
+                return
+            d, t, l = pend["d"], pend["t"], pend["l"]
+            if d.size:
+                consumed, bid = emit(pend["bucket"], pend["term"], pend["block_id"], d, t, l)
+                # force the tail out too
+                if consumed < d.size:
+                    dd, tt, ll = d[consumed:], t[consumed:], l[consumed:]
+                    shard = int(dd[0]) // shard_size
+                    out_rows.append(
+                        (
+                            pend["bucket"],
+                            pend["term"],
+                            shard,
+                            bid,
+                            int(dd.size),
+                            int(dd[0]),
+                            int(dd[-1]),
+                            encode_varints(delta_encode(dd, base=int(dd[0]))),
+                            encode_varints(tt),
+                            encode_varints(ll),
+                            int(tt.max()),
+                            float(bm25_tf_factor(tt, ll, avgdl, k1, b).max()),
+                        )
+                    )
+            pend = None
+
+        cols = [
+            "bucket", "term", "shard", "block_id", "n", "first_docid", "last_docid",
+            "gaps", "tfs", "dls", "max_tf", "max_score_free",
+        ]
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for (bucket, term), g in pdf.groupby(["bucket", "term"], sort=False):
+                d = g["docid"].to_numpy(np.uint64)
+                t = g["tf"].to_numpy(np.uint64)
+                l = g["doc_len"].to_numpy(np.uint64)
+                bid = 0
+                if pend is not None:
+                    if pend["bucket"] == bucket and pend["term"] == term:
+                        d = np.concatenate([pend["d"], d])
+                        t = np.concatenate([pend["t"], t])
+                        l = np.concatenate([pend["l"], l])
+                        bid = pend["block_id"]
+                        pend = None
+                    else:
+                        flush_pending_final()
+                consumed, bid = emit(int(bucket), str(term), bid, d, t, l)
+                pend = {
+                    "bucket": int(bucket),
+                    "term": str(term),
+                    "block_id": bid,
+                    "d": d[consumed:],
+                    "t": t[consumed:],
+                    "l": l[consumed:],
+                }
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=cols)
+                out_rows = []
+        flush_pending_final()
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=cols)
+
+    return encode_partition
+
+
+def build_index(
+    spark: SparkSession,
+    src: DataFrame,
+    out_root: str,
+    *,
+    content_col: str = "content",
+    id_col: str | None = None,
+    order_cols: Sequence[str] = ("repo", "path", "commit"),
+    meta_cols: Sequence[str] = (),
+    tokenizer: str = "standard",
+    lang_col: str | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 32,
+    shard_size: int = 1 << 16,
+    block_size: int = BLOCK_SIZE,
+    n_ckpt_batches: int = 4,
+    resume: bool = True,
+    publish_gate: float = 1.0,
+    fail_after_batch: int | None = None,
+) -> str:
+    """Build (or resume) an index version under ``out_root`` and publish it.
+
+    Returns the version dir path. ``fail_after_batch`` injects a crash after that
+    posting batch commits — used by the resume test (the analog of the reference's
+    kill-mid-index integration test, IndexerServiceIT.java:282-310).
+    """
+    os.makedirs(out_root, exist_ok=True)
+    version = None
+    if resume:
+        # reuse the newest unpublished version dir (the `-running` index analog)
+        published = catalog.current_version(out_root)
+        for v in reversed(catalog.version_dirs(out_root)):
+            if v != published:
+                version = v
+                break
+    if version is None:
+        version = catalog.next_version(out_root)
+    vdir = os.path.join(out_root, version)
+    os.makedirs(vdir, exist_ok=True)
+
+    tok_udf = get_tokenizer_udf(tokenizer)
+    if tokenizer == "code":
+        lang = F.col(lang_col) if lang_col else F.lit("")
+        tokens = tok_udf(F.col(content_col), lang)
+    else:
+        tokens = tok_udf(F.col(content_col))
+
+    # docids first (cheap columns only through the range shuffle), tokenize after;
+    # persist so docs + raw stages tokenize once.
+    if id_col is not None:
+        with_ids = src.withColumn("docid", F.col(id_col).cast("long"))
+    else:
+        with_ids = assign_docids(src, list(order_cols))
+    base = (
+        with_ids.withColumn("tokens", tokens)
+        .withColumn("doc_len", F.size("tokens").cast("long"))
+        .persist()
+    )
+
+    # ---- stage: docs (docid, doc_len, sha256 invariant, metadata) ----------------
+    docs_path = os.path.join(vdir, "docs")
+    if not (resume and catalog.ckpt_done(vdir, "docs")):
+        t0 = time.time()
+        docs = base.select(
+            "docid",
+            "doc_len",
+            F.sha2(F.col(content_col), 256).alias("sha256"),
+            *[c for c in meta_cols if c != "docid"],
+        )
+        (
+            docs.repartitionByRange(max(4, n_ckpt_batches), "docid")
+            .sortWithinPartitions("docid")
+            .write.mode("overwrite")
+            .parquet(docs_path)
+        )
+        agg = spark.read.parquet(docs_path).agg(
+            F.count("*").alias("n"), F.sum("doc_len").alias("sum_dl")
+        ).collect()[0]
+        catalog.ckpt_write(
+            vdir,
+            "docs",
+            {
+                "stage": "docs",
+                "n_docs": agg["n"],
+                "sum_doc_len": int(agg["sum_dl"] or 0),
+                "elapsed_sec": round(time.time() - t0, 3),
+            },
+        )
+    docs_meta = catalog.ckpt_read(vdir, "docs")
+    n_docs = docs_meta["n_docs"]
+    avgdl = (docs_meta["sum_doc_len"] / n_docs) if n_docs else 1.0
+
+    # ---- stage: raw postings (term, docid, tf, doc_len) bucketed by term hash ----
+    raw_path = os.path.join(vdir, "raw")
+    if not (resume and catalog.ckpt_done(vdir, "raw")):
+        t0 = time.time()
+        raw = (
+            base.select("docid", "doc_len", F.explode("tokens").alias("term"))
+            .groupBy("term", "docid")  # partial+final hash agg — Catalyst combines map-side
+            .agg(F.count("*").alias("tf"), F.first("doc_len").alias("doc_len"))
+            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+        )
+        raw.write.mode("overwrite").partitionBy("bucket").parquet(raw_path)
+        catalog.ckpt_write(
+            vdir, "raw", {"stage": "raw", "elapsed_sec": round(time.time() - t0, 3)}
+        )
+
+    # ---- stage: dictionary + stats ------------------------------------------------
+    dict_path = os.path.join(vdir, "dict")
+    if not (resume and catalog.ckpt_done(vdir, "dict")):
+        t0 = time.time()
+        d = (
+            spark.read.parquet(raw_path)
+            .groupBy("term")
+            .agg(
+                F.count("*").alias("df"),
+                F.sum("tf").alias("cf"),
+                F.first("bucket").alias("bucket"),
+            )
+        )
+        d.repartitionByRange(max(4, n_ckpt_batches), "term").sortWithinPartitions(
+            "term"
+        ).write.mode("overwrite").parquet(dict_path)
+        n_terms = spark.read.parquet(dict_path).count()
+        catalog.ckpt_write(
+            vdir,
+            "dict",
+            {"stage": "dict", "n_terms": n_terms, "elapsed_sec": round(time.time() - t0, 3)},
+        )
+    catalog.write_stats(
+        vdir,
+        {
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "k1": k1,
+            "b": b,
+            "tokenizer": tokenizer,
+            "n_buckets": n_buckets,
+            "shard_size": shard_size,
+            "block_size": block_size,
+        },
+    )
+
+    # ---- stage: encoded postings, per bucket-batch checkpoints -------------------
+    postings_path = os.path.join(vdir, "postings")
+    encoder = _make_encoder(block_size, shard_size, avgdl, k1, b)
+    for batch in range(n_ckpt_batches):
+        stage = f"postings_batch_{batch}"
+        if resume and catalog.ckpt_done(vdir, stage):
+            continue
+        t0 = time.time()
+        batch_buckets = [bk for bk in range(n_buckets) if bk % n_ckpt_batches == batch]
+        if not batch_buckets:
+            catalog.ckpt_write(
+                vdir, stage,
+                {"stage": stage, "buckets": [], "blocks": 0, "postings_emitted": 0,
+                 "bytes_compressed": 0, "terms": 0, "elapsed_sec": 0.0},
+            )
+            continue
+        # a crash between data commit and manifest write leaves orphan bucket dirs;
+        # re-running the batch must not double-append — clear its buckets first
+        for bk in batch_buckets:
+            bdir = os.path.join(postings_path, f"bucket={bk}")
+            if os.path.isdir(bdir):
+                shutil.rmtree(bdir)
+        part = (
+            spark.read.parquet(raw_path)
+            .filter(F.col("bucket").isin(batch_buckets))
+            .repartitionByRange(len(batch_buckets), "bucket")
+            .sortWithinPartitions("bucket", "term", "docid")
+        )
+        enc = part.mapInPandas(encoder, schema=BLOCK_SCHEMA)
+        enc.write.mode("append").partitionBy("bucket").parquet(postings_path)
+        # metrics from the committed files (lineage evidence per partition-batch)
+        m = (
+            spark.read.parquet(postings_path)
+            .filter(F.col("bucket").isin(batch_buckets))
+            .agg(
+                F.count("*").alias("blocks"),
+                F.sum("n").alias("postings"),
+                F.sum(
+                    F.octet_length("gaps")
+                    + F.octet_length("tfs")
+                    + F.octet_length("dls")
+                ).alias("bytes"),
+                F.countDistinct("term").alias("terms"),
+            )
+            .collect()[0]
+        )
+        catalog.ckpt_write(
+            vdir,
+            stage,
+            {
+                "stage": stage,
+                "buckets": batch_buckets,
+                "blocks": m["blocks"],
+                "postings_emitted": int(m["postings"] or 0),
+                "bytes_compressed": int(m["bytes"] or 0),
+                "terms": m["terms"],
+                "elapsed_sec": round(time.time() - t0, 3),
+            },
+        )
+        if fail_after_batch is not None and batch >= fail_after_batch:
+            raise RuntimeError(f"injected failure after posting batch {batch}")
+
+    # ---- finalize: reconcile + atomic publish (alias-swap analog) -----------------
+    src_count = src.count()
+    indexed = spark.read.parquet(docs_path).count()
+    if src_count and indexed / src_count < publish_gate:
+        raise RuntimeError(
+            f"publish gate failed: indexed {indexed}/{src_count} < {publish_gate}"
+        )
+    total_postings = sum(
+        catalog.ckpt_read(vdir, f"postings_batch_{i}")["postings_emitted"]
+        for i in range(n_ckpt_batches)
+    )
+    catalog.ckpt_write(
+        vdir,
+        "_PUBLISHED",
+        {
+            "version": version,
+            "n_docs": indexed,
+            "src_count": src_count,
+            "postings_emitted": total_postings,
+        },
+    )
+    catalog.publish(out_root, version)
+    base.unpersist()
+    return vdir

@@ -1,0 +1,102 @@
+"""Index catalog: versioned output dirs, atomic CURRENT pointer, checkpoint manifests.
+
+Behavioral analog of the reference's blue/green index + alias switching
+(reference: indexer/.../ElasticSearchIndexService.java:37-39 suffixes, :108-138 pick
+inactive, :150-165 atomic alias repoint) and its resumable `-running` build marker
+(indexer/.../IndexerMetadataServiceImpl.java:478-523 resume, :639-655 count gate,
+:664-682 finalize).
+
+Layout under ``<root>/``::
+
+    CURRENT                      # text file: name of the published version dir
+    v<N>/
+        docs/                    # parquet: docid, doc_len, sha256, meta cols
+        postings/bucket=K/       # parquet: encoded posting blocks
+        dict/                    # parquet: term, df, cf, bucket
+        stats.json               # N, avgdl, tokenizer, k1, b, shard_size, ...
+        _ckpt/<stage>.json       # per-stage/per-partition-batch lineage + metrics
+        _PUBLISHED.json          # written by finalize (reconciliation evidence)
+
+Publish is a single atomic rename of a temp file onto CURRENT — readers either see the
+old version or the new one, never a partial build (the alias-swap analog).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import tempfile
+
+
+def version_dirs(root: str) -> list[str]:
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        d for d in os.listdir(root) if re.fullmatch(r"v\d+", d)
+    )
+
+
+def next_version(root: str) -> str:
+    vs = version_dirs(root)
+    n = max((int(v[1:]) for v in vs), default=0) + 1
+    return f"v{n}"
+
+
+def current_version(root: str) -> str | None:
+    p = os.path.join(root, "CURRENT")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return f.read().strip() or None
+
+
+def publish(root: str, version: str) -> None:
+    """Atomically repoint CURRENT at ``version`` (alias-swap analog)."""
+    fd, tmp = tempfile.mkstemp(dir=root, prefix=".CURRENT.")
+    with os.fdopen(fd, "w") as f:
+        f.write(version)
+    os.replace(tmp, os.path.join(root, "CURRENT"))
+
+
+def resolve(root: str) -> str:
+    v = current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no published index under {root} (missing CURRENT)")
+    return os.path.join(root, v)
+
+
+def ckpt_path(vdir: str, stage: str) -> str:
+    return os.path.join(vdir, "_ckpt", f"{stage}.json")
+
+
+def ckpt_done(vdir: str, stage: str) -> bool:
+    return os.path.exists(ckpt_path(vdir, stage))
+
+
+def ckpt_read(vdir: str, stage: str) -> dict:
+    with open(ckpt_path(vdir, stage)) as f:
+        return json.load(f)
+
+
+def ckpt_write(vdir: str, stage: str, payload: dict) -> None:
+    """Write a checkpoint manifest atomically (lineage + metrics per stage/batch)."""
+    d = os.path.join(vdir, "_ckpt")
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=f".{stage}.")
+    with os.fdopen(fd, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    os.replace(tmp, ckpt_path(vdir, stage))
+
+
+def read_stats(vdir: str) -> dict:
+    with open(os.path.join(vdir, "stats.json")) as f:
+        return json.load(f)
+
+
+def write_stats(vdir: str, stats: dict) -> None:
+    os.makedirs(vdir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=vdir, prefix=".stats.")
+    with os.fdopen(fd, "w") as f:
+        json.dump(stats, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(vdir, "stats.json"))

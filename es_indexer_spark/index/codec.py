@@ -1,0 +1,143 @@
+"""Posting-list block codec: delta-gap + varint, numpy-vectorized.
+
+This is the part the reference delegates to Lucene (postings are stored by ES with
+delta-gap + vint/FOR compression — public Lucene file-format knowledge). We rebuild it
+natively: each term's postings (docids ascending) are chunked into fixed-size blocks
+(BLOCK_SIZE=128, the same design constant class as the reference's oversize-doc split
+at indexer/.../IndexCloudOptimizedServiceImpl.java:199-219 — bound the unit of work),
+each block storing:
+
+- ``gaps``  — varint(delta-gap(docids)), first value is the absolute first docid gap
+  from ``first_docid`` (we store first_docid separately, gaps[0] == 0);
+- ``tfs``   — varint(term frequencies);
+- ``dls``   — varint(document lengths), co-located so query-time scoring needs no
+  doc-length join/shuffle (the broadcast doc-length table of the north_star collapses
+  into the block itself — strictly less data movement at query time);
+- block-max metadata: ``max_score_free`` = max over the block of the idf-free BM25
+  term factor tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)); multiplied by idf at query time
+  it is the block's score upper bound (block-max WAND, Ding & Suel SIGIR 2011).
+
+Everything is vectorized numpy — the per-shift loops run at most ceil(64/7)=10
+iterations regardless of input size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """LEB128-style varint encode of a uint64 array, vectorized."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    nbytes = np.ones(a.size, dtype=np.int64)
+    v = a >> np.uint64(7)
+    while v.any():
+        nbytes += (v > 0).astype(np.int64)
+        v >>= np.uint64(7)
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    max_len = int(nbytes.max())
+    for shift in range(max_len):
+        mask = nbytes > shift
+        idx = starts[mask] + shift
+        byte = ((a[mask] >> np.uint64(7 * shift)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = ((nbytes[mask] > shift + 1).astype(np.uint8)) << 7
+        out[idx] = byte | cont
+    return out.tobytes()
+
+
+def decode_varints(buf: bytes) -> np.ndarray:
+    """Inverse of :func:`encode_varints`; returns uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    ends = np.nonzero(is_end)[0]
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lengths = ends - starts + 1
+    vals = np.zeros(ends.size, dtype=np.uint64)
+    for i in range(int(lengths.max())):
+        m = lengths > i
+        vals[m] |= (b[starts[m] + i] & np.uint64(0x7F)).astype(np.uint64) << np.uint64(
+            7 * i
+        )
+    return vals
+
+
+def delta_encode(sorted_vals: np.ndarray, base: int = 0) -> np.ndarray:
+    """Delta-gap an ascending array against ``base`` (gaps[0] = vals[0]-base)."""
+    a = np.ascontiguousarray(sorted_vals, dtype=np.uint64)
+    if a.size == 0:
+        return a
+    out = np.empty_like(a)
+    out[0] = a[0] - np.uint64(base)
+    np.subtract(a[1:], a[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(gaps: np.ndarray, base: int = 0) -> np.ndarray:
+    g = np.ascontiguousarray(gaps, dtype=np.uint64)
+    if g.size == 0:
+        return g
+    return np.cumsum(g, dtype=np.uint64) + np.uint64(base)
+
+
+def bm25_tf_factor(
+    tfs: np.ndarray, dls: np.ndarray, avgdl: float, k1: float, b: float
+) -> np.ndarray:
+    """Idf-free BM25 term factor: tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)).
+
+    Lucene/ES BM25 (public formula; ES defaults k1=1.2, b=0.75 — the reference never
+    overrides `similarity`, so this is its scoring function; SURVEY.md §1.3)."""
+    tf = tfs.astype(np.float64)
+    dl = dls.astype(np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def encode_blocks(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int = BLOCK_SIZE,
+) -> list[dict]:
+    """Chunk one term's postings (docids ascending) into encoded blocks.
+
+    Returns a list of dicts with keys: block_id, n, first_docid, last_docid,
+    gaps, tfs, dls (bytes), max_tf, max_score_free.
+    """
+    n = docids.size
+    blocks = []
+    for bi, off in enumerate(range(0, n, block_size)):
+        d = docids[off : off + block_size]
+        t = tfs[off : off + block_size]
+        l = dls[off : off + block_size]
+        first = int(d[0])
+        blocks.append(
+            {
+                "block_id": bi,
+                "n": int(d.size),
+                "first_docid": first,
+                "last_docid": int(d[-1]),
+                "gaps": encode_varints(delta_encode(d, base=first)),
+                "tfs": encode_varints(t),
+                "dls": encode_varints(l),
+                "max_tf": int(t.max()),
+                "max_score_free": float(bm25_tf_factor(t, l, avgdl, k1, b).max()),
+            }
+        )
+    return blocks
+
+
+def decode_block(
+    gaps: bytes, tfs: bytes, dls: bytes, first_docid: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one block -> (docids, tfs, dls) as uint64 arrays."""
+    docids = delta_decode(decode_varints(gaps), base=first_docid)
+    return docids, decode_varints(tfs), decode_varints(dls)

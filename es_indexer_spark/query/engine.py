@@ -1,0 +1,176 @@
+"""Distributed BM25 top-k over the block-compressed index.
+
+The reference delegates ranked search to Elasticsearch/Lucene (SURVEY.md §3.3); this
+module is the native replacement. Query lifecycle (one narrow shuffle, no per-row
+Python):
+
+1. driver: tokenize the query with the exact document analysis chain (as the
+   reference does via ES `_analyze`), look the terms up in the dictionary
+   (parquet point-read, term row-group pruning) -> (df, bucket) per term; compute
+   Lucene idf from the broadcast-able stats;
+2. executors: read only the posting blocks of the query terms — partition pruning on
+   ``bucket=`` dirs plus parquet min/max row-group pruning on ``term`` — then score
+   shard-by-shard (blocks are shard-local by construction);
+3. block-max pruning (Ding & Suel, SIGIR 2011, adapted to the shard-parallel
+   setting): a probe pass exact-scores the densest shard; its k-th score θ is a lower
+   bound on the global k-th score, so every other shard may skip any block with
+   ``idf*max_score_free + Σ_{other terms} max_ub < θ`` — provably rank-safe (skipped
+   docs' true scores are < θ ≤ every true top-k score);
+4. per-shard exact DAAT scoring, fully vectorized (decode varints -> np.unique /
+   bincount accumulate) inside one applyInPandas; partition-local top-k;
+5. global merge: ORDER BY score DESC, docid ASC LIMIT k (ties broken by docid for
+   deterministic, rank-identical output), then an optional broadcast join back to the
+   doc table for metadata (SURVEY.md J6).
+
+At 100 TB / 1000 executors: step 2 reads O(|q|) terms' postings only; step 4 is
+embarrassingly parallel over shards; step 5 shuffles ≤ shards × k rows.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from es_indexer_spark.analysis.tokenizer import tokenize_one
+from es_indexer_spark.index import catalog
+from es_indexer_spark.index.codec import decode_block
+from es_indexer_spark.query.bm25 import lucene_idf
+
+_SCORE_SCHEMA = "docid long, score double"
+
+
+def _shard_scorer(idfs: dict[str, float], k1: float, b: float, theta: float, k: int, avgdl: float):
+    """applyInPandas per-shard scorer: block-max prune then exact vectorized DAAT."""
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"docid": [], "score": []})
+        ub = pdf["max_score_free"].to_numpy() * pdf["term"].map(idfs).to_numpy()
+        if theta > float("-inf") and len(idfs) > 0:
+            # per-term max upper bound within this shard
+            term_max = {}
+            terms = pdf["term"].to_numpy()
+            for t in np.unique(terms):
+                term_max[t] = ub[terms == t].max()
+            total = sum(term_max.values())
+            # keep block B_t iff ub(B_t) + Σ_{t'≠t} max_ub(t') >= θ
+            other = np.array([total - term_max[t] for t in terms])
+            keep = (ub + other) >= theta
+            pdf = pdf[keep]
+            if len(pdf) == 0:
+                return pd.DataFrame({"docid": [], "score": []})
+            ub = ub[keep]
+        docid_parts: list[np.ndarray] = []
+        contrib_parts: list[np.ndarray] = []
+        for row in pdf.itertuples(index=False):
+            d, t, l = decode_block(row.gaps, row.tfs, row.dls, row.first_docid)
+            tf = t.astype(np.float64)
+            dl = l.astype(np.float64)
+            idf = idfs[row.term]
+            contrib = (
+                idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            )
+            docid_parts.append(d.astype(np.int64))
+            contrib_parts.append(contrib)
+        docids = np.concatenate(docid_parts)
+        contribs = np.concatenate(contrib_parts)
+        uniq, inv = np.unique(docids, return_inverse=True)
+        scores = np.bincount(inv, weights=contribs)
+        if uniq.size > k:
+            # partition-local top-k (score desc, docid asc) — global merge re-sorts
+            order = np.lexsort((uniq, -scores))[:k]
+        else:
+            order = np.argsort(-scores, kind="stable")
+        return pd.DataFrame({"docid": uniq[order], "score": scores[order]})
+
+    return score
+
+
+def _load_blocks(
+    spark: SparkSession, vdir: str, qterms: list[str], buckets: list[int]
+) -> DataFrame:
+    return (
+        spark.read.parquet(os.path.join(vdir, "postings"))
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(qterms))
+    )
+
+
+def topk(
+    spark: SparkSession,
+    index_root: str,
+    query: str,
+    k: int = 10,
+    *,
+    use_blockmax: bool = True,
+    lang: str | None = None,
+) -> DataFrame:
+    """Top-k (docid, score) for ``query`` against the published index version."""
+    vdir = catalog.resolve(index_root)
+    stats = catalog.read_stats(vdir)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    k1, b = stats["k1"], stats["b"]
+
+    qterms = sorted(set(tokenize_one(query, stats["tokenizer"], lang=lang)))
+    if not qterms:
+        return spark.createDataFrame([], _SCORE_SCHEMA)
+
+    dict_rows = (
+        spark.read.parquet(os.path.join(vdir, "dict"))
+        .filter(F.col("term").isin(qterms))
+        .collect()
+    )
+    if not dict_rows:
+        return spark.createDataFrame([], _SCORE_SCHEMA)
+    idfs = {r["term"]: lucene_idf(n_docs, r["df"]) for r in dict_rows}
+    buckets = sorted({r["bucket"] for r in dict_rows})
+    present = sorted(idfs)
+
+    blocks = _load_blocks(spark, vdir, present, buckets)
+
+    theta = float("-inf")
+    probe_df = None
+    if use_blockmax:
+        # probe the densest shard exactly; its kth score lower-bounds the global kth
+        shard_sizes = (
+            blocks.groupBy("shard").agg(F.sum("n").alias("pn")).collect()
+        )
+        if len(shard_sizes) > 1:
+            probe_shard = max(shard_sizes, key=lambda r: r["pn"])["shard"]
+            probe_df = (
+                blocks.filter(F.col("shard") == probe_shard)
+                .groupBy("shard")
+                .applyInPandas(
+                    _shard_scorer(idfs, k1, b, float("-inf"), k, avgdl), _SCORE_SCHEMA
+                )
+            )
+            probe_rows = probe_df.collect()
+            if len(probe_rows) >= k:
+                theta = min(r["score"] for r in probe_rows)
+            probe_df = spark.createDataFrame(probe_rows, _SCORE_SCHEMA)
+            blocks = blocks.filter(F.col("shard") != probe_shard)
+
+    scored = blocks.groupBy("shard").applyInPandas(
+        _shard_scorer(idfs, k1, b, theta, k, avgdl), _SCORE_SCHEMA
+    )
+    if probe_df is not None:
+        scored = scored.unionByName(probe_df)
+    return scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+
+def fetch_docs(spark: SparkSession, index_root: str, topk_df: DataFrame) -> DataFrame:
+    """Join the ≤k scored docids back to the doc table (broadcast the k-row side —
+    SURVEY.md J6; the docid point-filter prunes parquet row groups because docs are
+    written sorted by docid)."""
+    vdir = catalog.resolve(index_root)
+    hits = topk_df.collect()
+    if not hits:
+        return spark.createDataFrame([], "docid long, score double")
+    ids = [r["docid"] for r in hits]
+    docs = spark.read.parquet(os.path.join(vdir, "docs")).filter(
+        F.col("docid").isin(ids)
+    )
+    return spark.createDataFrame(hits, _SCORE_SCHEMA).join(docs, "docid", "left")

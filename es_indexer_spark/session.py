@@ -1,0 +1,53 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The sandbox runs ``local[N]`` single-JVM; the configuration below is written for a
+multi-executor cluster and degrades gracefully locally:
+
+- AQE on (runtime re-plan, skew-join splitting for the relational glue);
+- Arrow enabled for every pandas UDF hot path (input_hint: "no per-row Python");
+- shuffle partitions sized to cores locally; on a real cluster this should be
+  ~2-3x total cores (set via spark-submit --conf).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "es-indexer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] -> N; a real cluster passes an explicit value via spark-submit.
+        try:
+            n = master.split("[", 1)[1].rstrip("]")
+            shuffle_partitions = os.cpu_count() if n == "*" else int(n)
+        except (IndexError, ValueError):
+            shuffle_partitions = 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

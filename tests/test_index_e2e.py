@@ -1,0 +1,138 @@
+"""End-to-end: build the index over the documents table, then assert the block-max
+engine is rank-identical to the brute-force DataFrame oracle (SURVEY.md §5 carry-over
+#1-#2), the sha256 per-row invariant holds (#4), and resume-from-checkpoint completes
+an interrupted build to identical published output (#3 — the analog of the
+reference's kill-mid-index IT, IndexerServiceIT.java:282-310)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from es_indexer_spark.index import catalog
+from es_indexer_spark.index.builder import build_index
+from es_indexer_spark.query.bm25 import bm25_topk_brute
+from es_indexer_spark.query.engine import fetch_docs, topk
+
+QUERIES = [
+    "spark join window",          # multi-term
+    "vector",                     # single mid-df term
+    "the",                        # stop-word (max-df skew path)
+    "customer batch stream data", # 4-term
+    "zzz_not_in_corpus",          # absent term
+    "the a key",                  # tie-heavy + stop terms
+]
+
+
+@pytest.fixture(scope="module")
+def index_root(spark, documents, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx"))
+    build_index(
+        spark,
+        documents,
+        root,
+        content_col="text",
+        id_col="doc_id",
+        meta_cols=("lang", "source"),
+        tokenizer="standard",
+        n_buckets=8,
+        shard_size=100,  # force several shards at 500 docs
+        n_ckpt_batches=2,
+    )
+    return root
+
+
+@pytest.mark.parametrize("query", QUERIES)
+@pytest.mark.parametrize("use_blockmax", [True, False])
+def test_rank_identical_vs_oracle(spark, documents, index_root, query, use_blockmax):
+    got = topk(spark, index_root, query, k=10, use_blockmax=use_blockmax).collect()
+    want = bm25_topk_brute(
+        documents, query, k=10, content_col="text", id_col="doc_id"
+    ).collect()
+    assert [r["docid"] for r in got] == [r["docid"] for r in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], rel=1e-9)
+
+
+def test_sha256_invariant(spark, documents, index_root):
+    vdir = catalog.resolve(index_root)
+    docs = spark.read.parquet(os.path.join(vdir, "docs"))
+    joined = docs.join(
+        documents.select(
+            F.col("doc_id").cast("long").alias("docid"),
+            F.sha2("text", 256).alias("src_sha"),
+        ),
+        "docid",
+    )
+    assert joined.count() == documents.count()
+    assert joined.filter(F.col("sha256") != F.col("src_sha")).count() == 0
+
+
+def test_doc_lengths_match_tokenizer(spark, documents, index_root):
+    from es_indexer_spark.analysis.tokenizer import standard_tokenizer_udf
+
+    vdir = catalog.resolve(index_root)
+    docs = spark.read.parquet(os.path.join(vdir, "docs"))
+    src_len = documents.select(
+        F.col("doc_id").cast("long").alias("docid"),
+        F.size(standard_tokenizer_udf("text")).cast("long").alias("src_len"),
+    )
+    bad = docs.join(src_len, "docid").filter(F.col("doc_len") != F.col("src_len"))
+    assert bad.count() == 0
+
+
+def test_fetch_docs_metadata(spark, index_root):
+    hits = topk(spark, index_root, "vector", k=5)
+    out = fetch_docs(spark, index_root, hits)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(r["lang"] is not None and r["sha256"] is not None for r in rows)
+
+
+def test_resume_after_injected_failure(spark, documents, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx_resume"))
+    kwargs = dict(
+        content_col="text",
+        id_col="doc_id",
+        meta_cols=("lang",),
+        tokenizer="standard",
+        n_buckets=8,
+        shard_size=100,
+        n_ckpt_batches=4,
+    )
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(spark, documents, root, fail_after_batch=1, **kwargs)
+    assert catalog.current_version(root) is None  # nothing published yet
+    vdirs = catalog.version_dirs(root)
+    assert len(vdirs) == 1
+    done_before = sorted(os.listdir(os.path.join(root, vdirs[0], "_ckpt")))
+    assert "postings_batch_0.json" in done_before
+    assert "postings_batch_3.json" not in done_before
+
+    vdir = build_index(spark, documents, root, resume=True, **kwargs)
+    assert catalog.current_version(root) == os.path.basename(vdir)
+
+    # resumed index answers queries identically to the oracle
+    got = topk(spark, root, "spark join window", k=10).collect()
+    want = bm25_topk_brute(
+        documents, "spark join window", k=10, content_col="text", id_col="doc_id"
+    ).collect()
+    assert [r["docid"] for r in got] == [r["docid"] for r in want]
+
+    # lineage metrics present in every manifest
+    for i in range(4):
+        m = catalog.ckpt_read(vdir, f"postings_batch_{i}")
+        assert {"postings_emitted", "bytes_compressed", "blocks", "terms"} <= set(m)
+
+
+def test_publish_is_atomic_pointer(spark, documents, index_root):
+    # CURRENT names a version dir containing the expected artifacts
+    v = catalog.current_version(index_root)
+    assert v is not None
+    vdir = os.path.join(index_root, v)
+    for part in ("docs", "dict", "postings", "stats.json"):
+        assert os.path.exists(os.path.join(vdir, part))
+    published = catalog.ckpt_read(vdir, "_PUBLISHED")
+    assert published["n_docs"] == published["src_count"]
