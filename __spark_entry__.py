@@ -1,38 +1,362 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
+training-data operators (dedup / similarity / text stats); ``oracle_sql()`` gives
+the DuckDB-runnable ANSI-SQL equivalent for each SQL-expressible one. Column names
+and rounding are matched pairwise so the driver's order-insensitive value-hash
+compares equal. Non-SQL-expressible ops (MinHash-LSH, SimHash, hyperplane-LSH ANN)
+have no oracle entry → rows-only check, as the contract allows.
+
+The BM25 queries run the REAL engine: they build (once per sf_dir, cached under
+/tmp) the block-compressed inverted index and answer through block-max top-k —
+the oracle recomputes exact BM25(k1=1.2, b=0.75) in SQL.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from es_indexer_spark.index import catalog
+from es_indexer_spark.index.builder import build_index
+from es_indexer_spark.ops import relational as R
+from es_indexer_spark.ops.dedup import (
+    embedding_cosine_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from es_indexer_spark.ops.similarity import ann_brute_topk, ann_lsh_topk
+from es_indexer_spark.ops.textstats import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_counts,
+)
+from es_indexer_spark.query.bm25 import bm25_topk_brute
+from es_indexer_spark.query.engine import topk as index_topk
+
+K1, B = 1.2, 0.75
+_BUILT: set[str] = set()
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _index_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build the inverted index for sf_dir once per process; reuse thereafter."""
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_idx", key)
+    if root in _BUILT:
+        return root
+    need = True
+    try:
+        vdir = catalog.resolve(root)
+        n = catalog.read_stats(vdir)["n_docs"]
+        need = n != _docs(spark, sf_dir).count()
+    except (FileNotFoundError, KeyError):
+        need = True
+    if need:
+        build_index(
+            spark,
+            _docs(spark, sf_dir),
+            root,
+            content_col="text",
+            id_col="doc_id",
+            meta_cols=("lang", "source"),
+            tokenizer="standard",
+            n_buckets=8,
+            shard_size=256,
+            n_ckpt_batches=2,
+            resume=False,
+        )
+    _BUILT.add(root)
+    return root
+
+
+def _bm25_engine(query: str, k: int = 10):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        root = _index_root(spark, sf_dir)
+        return index_topk(spark, root, query, k=k).select(
+            F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+
+    return run
+
+
+def _bm25_sql(query_terms: list[str], k: int = 10) -> str:
+    tl = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM t2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM t2 GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              ((SELECT COALESCE(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents))::DOUBLE AS avgdl),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+raw AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+             tf.tf * {K1 + 1} / (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / st.avgdl))) AS score_raw
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ({tl})
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score_raw::DOUBLE, 4) AS score
+FROM raw ORDER BY score_raw DESC, doc_id ASC LIMIT {k}
+"""
+
+
+_TOKS_CTE = """
+WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+              FROM documents)
+"""
+
+_STOP_SQL = "('the','a','an','and','of','to','in','is','it','that')"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: block-max BM25 top-10 through the real index on sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    root = _index_root(spark, sf_dir)
+    return index_topk(spark, root, "spark join window", k=10).select(
+        F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- inverted index + BM25 (the north-star path) ---------------------------
+    q["bm25_topk_multi"] = _bm25_engine("spark join window")
+    q["bm25_topk_rare"] = _bm25_engine("dup")
+    q["bm25_topk_stop"] = _bm25_engine("the")
+    q["bm25_topk_tie"] = _bm25_engine("the a key")
+    q["bm25_brute_force"] = lambda spark, sf: bm25_topk_brute(
+        _docs(spark, sf), "customer batch stream data", k=10,
+        content_col="text", id_col="doc_id",
+    ).select("docid", "score").select(
+        F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+    q["term_dictionary"] = lambda spark, sf: (
+        spark.read.parquet(os.path.join(_index_root(spark, sf), catalog.current_version(_index_root(spark, sf)), "dict"))
+        .select("term", "df", "cf")
+    )
+    q["doc_stats"] = lambda spark, sf: (
+        spark.read.parquet(os.path.join(_index_root(spark, sf), catalog.current_version(_index_root(spark, sf)), "docs"))
+        .select(F.col("docid").alias("doc_id"), "doc_len", "sha256")
+    )
+
+    # ---- text analysis ----------------------------------------------------------
+    q["token_counts"] = lambda spark, sf: token_counts(_docs(spark, sf), "doc_id", "text")
+    q["lang_id"] = lambda spark, sf: language_id(_docs(spark, sf), "doc_id", "text")
+    q["quality_score"] = lambda spark, sf: quality_score(_docs(spark, sf), "doc_id", "text")
+    q["fingerprint"] = lambda spark, sf: fingerprint(_docs(spark, sf), "doc_id", "text")
+
+    # ---- deduplication ----------------------------------------------------------
+    q["dedup_exact"] = lambda spark, sf: exact_duplicates(
+        _docs(spark, sf), "doc_id", "text", min_group=1
+    )
+    q["dedup_ngram_jaccard"] = lambda spark, sf: ngram_jaccard_pairs(
+        _docs(spark, sf), "doc_id", "text", n=2, threshold=0.5
+    )
+    q["dedup_minhash_lsh"] = lambda spark, sf: minhash_lsh_pairs(
+        _docs(spark, sf), "doc_id", "text", n=2, threshold=0.5
+    )
+    q["dedup_simhash"] = lambda spark, sf: simhash_near_pairs(
+        _docs(spark, sf), "doc_id", "text", max_hamming=3
+    )
+    q["dedup_embedding_cosine"] = lambda spark, sf: embedding_cosine_pairs(
+        _emb(spark, sf), "vec_id", "embedding", threshold=0.4
+    )
+
+    # ---- similarity search -------------------------------------------------------
+    def _qvec(spark, sf):
+        return [float(x) for x in _emb(spark, sf).filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+
+    q["ann_brute_cosine"] = lambda spark, sf: ann_brute_topk(
+        _emb(spark, sf).filter(F.col("vec_id") != 0), "vec_id", "embedding",
+        _qvec(spark, sf), k=10,
+    )
+    q["ann_lsh_cosine"] = lambda spark, sf: ann_lsh_topk(
+        _emb(spark, sf).filter(F.col("vec_id") != 0), "vec_id", "embedding",
+        _qvec(spark, sf), k=10,
+    )
+
+    # ---- relational operator coverage (SURVEY §2) --------------------------------
+    q["agg_partial_final"] = R.agg_partial_final
+    q["minmax_range"] = R.minmax_range
+    q["join_broadcast_dims"] = R.join_broadcast_dims
+    q["window_latest_per_key"] = R.window_latest_per_key
+    q["distinct_dedup"] = R.distinct_dedup
+    q["topk_revenue"] = R.topk_revenue
+    q["filter_project_agg"] = R.filter_project_agg
+    q["count_gate"] = R.count_gate
+    q["set_union_merge"] = R.set_union_merge
+    q["status_classifier"] = R.status_classifier
+    q["date_widening"] = R.date_widening
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o["bm25_topk_multi"] = _bm25_sql(["join", "spark", "window"])
+    o["bm25_topk_rare"] = _bm25_sql(["dup"])
+    o["bm25_topk_stop"] = _bm25_sql(["the"])
+    o["bm25_topk_tie"] = _bm25_sql(["a", "key", "the"])
+    o["bm25_brute_force"] = _bm25_sql(["batch", "customer", "data", "stream"])
+    o["term_dictionary"] = """
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
+"""
+    o["doc_stats"] = """
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(dl.dl, 0)::BIGINT AS doc_len, sha256(d.text) AS sha256
+FROM documents d LEFT JOIN dl USING (doc_id)
+"""
+    o["token_counts"] = _TOKS_CTE + """
+SELECT doc_id,
+       (CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT AS n_ws_tokens,
+       len(t)::BIGINT AS n_alnum_tokens,
+       len(list_distinct(t))::BIGINT AS n_unique_tokens
+FROM toks JOIN documents USING (doc_id)
+"""
+    o["lang_id"] = _TOKS_CTE + f"""
+, r AS (SELECT doc_id,
+        CASE WHEN len(t) = 0 THEN 0.0
+             ELSE len(list_filter(t, x -> x IN {_STOP_SQL}))::DOUBLE / len(t) END AS ratio
+        FROM toks)
+SELECT doc_id, round(ratio, 6) AS stop_ratio,
+       CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_guess
+FROM r
+"""
+    o["quality_score"] = _TOKS_CTE + f"""
+, m AS (SELECT d.doc_id,
+        len(t)::DOUBLE AS n_tok,
+        CASE WHEN len(t) = 0 THEN 0.0
+             ELSE len(list_filter(t, x -> x IN {_STOP_SQL}))::DOUBLE / len(t) END AS stop,
+        length(d.text)::DOUBLE AS n_chars,
+        length(regexp_replace(lower(d.text), '[^a-z0-9 ]', '', 'g'))::DOUBLE AS n_alpha
+        FROM documents d JOIN toks ON d.doc_id = toks.doc_id)
+SELECT doc_id,
+       round(0.4 * least(n_tok / 100.0, 1.0) + 0.3 * least(stop * 5.0, 1.0)
+             + 0.3 * (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE (n_chars - n_alpha) / n_chars END), 6) AS quality
+FROM m
+"""
+    o["fingerprint"] = """
+SELECT doc_id,
+       COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+                         i -> i::BIGINT * ascii(text[i])::BIGINT)) % 1000000007, 0)::BIGINT AS fingerprint
+FROM documents
+"""
+    o["dedup_exact"] = """
+SELECT sha256(text) AS sha, count(*)::BIGINT AS n_docs, min(doc_id) AS keeper_id
+FROM documents GROUP BY sha256(text) HAVING count(*) >= 1
+"""
+    o["dedup_ngram_jaccard"] = """
+WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id, g AS shingle
+       FROM toks, unnest(CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+                              ELSE [array_to_string(t[i:i+1], ' ') for i in range(1, len(t) - 1 + 1)] END) AS u(g)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc1, doc2, round(i::DOUBLE / (s1.n + s2.n - i), 6) AS jaccard
+FROM inter JOIN sizes s1 ON doc1 = s1.doc_id JOIN sizes s2 ON doc2 = s2.doc_id
+WHERE i::DOUBLE / (s1.n + s2.n - i) >= 0.5
+"""
+    o["dedup_embedding_cosine"] = """
+SELECT a.vec_id AS doc1, b.vec_id AS doc2,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+"""
+    o["ann_brute_cosine"] = """
+WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q.v) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(q.v, q.v))) AS c
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+SELECT vec_id, round(c, 6) AS cosine FROM s ORDER BY c DESC, vec_id ASC LIMIT 10
+"""
+    # ---- relational oracles -------------------------------------------------------
+    o["agg_partial_final"] = """
+SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n_events,
+       round(sum(value)::DOUBLE, 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+    o["minmax_range"] = """
+SELECT o_orderstatus, min(o_orderdate) AS first_date, max(o_orderdate) AS last_date,
+       count(*)::BIGINT AS n_orders
+FROM orders GROUP BY 1
+"""
+    o["join_broadcast_dims"] = """
+SELECT r_name, count(*)::BIGINT AS n_customers, round(avg(c_acctbal)::DOUBLE, 4) AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+    o["window_latest_per_key"] = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders) WHERE rn = 1
+"""
+    o["distinct_dedup"] = "SELECT DISTINCT event_type, user_id FROM events"
+    o["topk_revenue"] = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount))::DOUBLE, 2) AS revenue
+FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+GROUP BY l_orderkey
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey ASC LIMIT 10
+"""
+    o["filter_project_agg"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity)::DOUBLE, 4) AS sum_qty,
+       round(sum(l_extendedprice)::DOUBLE, 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount))::DOUBLE, 2) AS sum_disc_price,
+       round(avg(l_quantity)::DOUBLE, 4) AS avg_qty,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+    o["count_gate"] = """
+SELECT 'orders' AS table_name, count(*)::BIGINT AS n_rows FROM orders
+UNION ALL SELECT 'lineitem', count(*)::BIGINT FROM lineitem
+UNION ALL SELECT 'customer', count(*)::BIGINT FROM customer
+"""
+    o["set_union_merge"] = """
+SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS event_types,
+       count(*)::BIGINT AS n_types
+FROM (SELECT DISTINCT user_id, event_type FROM events) GROUP BY user_id
+"""
+    o["status_classifier"] = """
+SELECT CASE WHEN regexp_matches(o_orderpriority, '^1|^2') THEN 'urgent'
+            WHEN regexp_matches(o_orderpriority, '^3') THEN 'medium'
+            ELSE 'low' END AS priority_class,
+       count(*)::BIGINT AS n_orders, round(sum(o_totalprice)::DOUBLE, 2) AS total_price
+FROM orders GROUP BY 1
+"""
+    o["date_widening"] = """
+SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month, count(*)::BIGINT AS n_orders
+FROM orders GROUP BY 1
+"""
+    return o

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Covers the BASELINE.json metric surface:
+- index-build throughput (files/sec) over a deterministic code_files corpus of
+  ~2M*sf rows (north_rule input shape; generated distributed, materialized to
+  parquet first so build timing measures the engine, not the generator);
+- block-max BM25 query latency for the main query shapes;
+- training-data + relational operators over the driver-provided sf tables.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS (default 32).
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+tools/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.1
+    n_files = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", str(int(2_000_000 * sf))))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from es_indexer_spark.fixtures import code_files
+    from es_indexer_spark.index.builder import build_index
+    from es_indexer_spark.ops import relational as R
+    from es_indexer_spark.ops.dedup import minhash_lsh_pairs
+    from es_indexer_spark.ops.similarity import ann_brute_topk
+    from es_indexer_spark.query.engine import topk
+    from es_indexer_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    work = tempfile.mkdtemp(prefix="spark_graft_bench_")
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---- corpus materialization (not timed as build) -----------------------------
+    corpus_path = os.path.join(work, "code_files")
+    code_files(spark, n_files).write.mode("overwrite").parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+
+    # ---- index build throughput ---------------------------------------------------
+    idx_root = os.path.join(work, "idx")
+    timed(
+        "build_index",
+        lambda: build_index(
+            spark,
+            corpus,
+            idx_root,
+            content_col="content",
+            id_col=None,
+            order_cols=("repo", "path", "commit"),
+            meta_cols=("repo", "path", "lang"),
+            tokenizer="code",
+            lang_col="lang",
+            n_buckets=max(32, cpus * 2),
+            shard_size=1 << 14,
+            n_ckpt_batches=2,
+        ),
+    )
+    files_per_sec = round(n_files / timings["build_index"], 1)
+
+    # ---- query latency through the block-max engine -------------------------------
+    for name, q in [
+        ("q_bm25_multi", "index query score"),
+        ("q_bm25_rare", "getName42"),
+        ("q_bm25_stop", "def return"),
+        ("q_bm25_camel", "getUserName parseTree"),
+    ]:
+        timed(name, lambda q=q: topk(spark, idx_root, q, k=10).collect())
+
+    # ---- ops over the provided sf tables -------------------------------------------
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    timed(
+        "q_dedup_minhash",
+        lambda: minhash_lsh_pairs(docs, "doc_id", "text", n=2, threshold=0.5).count(),
+    )
+    qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    timed("q_ann_brute", lambda: ann_brute_topk(emb, "vec_id", "embedding", qvec, k=10).collect())
+    timed("q_tpch_q1", lambda: R.filter_project_agg(spark, sf_dir).collect())
+    timed("q_join_dims", lambda: R.join_broadcast_dims(spark, sf_dir).collect())
+    timed("q_window_latest", lambda: R.window_latest_per_key(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_plus_query_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_files": n_files,
+                "files_per_sec": files_per_sec,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` + typed metadata.
+
+The decode step itself is STUBBED (no image/audio libraries in this container — it
+raises ``NotImplementedError`` unless the deterministic fake is requested), but the
+Spark-side plumbing is real and tested: schema, Arrow batch shape, ``mapInPandas``
+signatures, and partition behavior are exactly what a real decoder would plug into.
+
+Pattern (mirrors the reference's asset handling: assets are opaque hrefs + typed
+metadata, stacmodel/.../StacCollectionModel.java `assets` + SURVEY.md §1.2
+`flattened`): payload stays an opaque binary column; all structure lives in a typed
+metadata struct that Catalyst can prune/filter without touching the bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, payload binary, "
+    "meta struct<format:string, width:int, height:int, n_bytes:long>"
+)
+
+FEATURE_DIM = 8
+FEATURE_SCHEMA = f"doc_id long, feature array<double>"
+
+
+def pack_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministically derive a fake media column from text (test harness for the
+    plumbing): payload = utf-8 bytes, meta = typed struct."""
+    text = F.col(text_col)
+    payload = F.encode(text, "utf-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("fake/raw").alias("format"),
+            (F.length(text) % 640).cast("int").alias("width"),
+            (F.length(text) % 480).cast("int").alias("height"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(payload: bytes, fmt: str, real: bool = False) -> np.ndarray:
+    """The decode seam. A real deployment installs pillow/ffmpeg and implements this;
+    the container has neither, so the real path is an explicit stub."""
+    if real:
+        raise NotImplementedError(
+            "media decoding requires image/audio libraries not present in this "
+            "environment; plug a real decoder in here"
+        )
+    # deterministic fake: 8 doubles from the payload sha256
+    h = hashlib.sha256(payload).digest()
+    return np.frombuffer(h[: FEATURE_DIM * 4], dtype=np.uint32).astype(np.float64) / 2**32
+
+
+def extract_features(media_df: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """mapInPandas feature extraction over the binary column — the real Arrow batch
+    shape a decoder UDF sees (one pdf per batch, payload as bytes objects)."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_media(p, m["format"]).tolist()
+                for p, m in zip(pdf["payload"], pdf["meta"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    return media_df.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1,0 +1,162 @@
+"""Relational operator coverage over the TPC-H-ish test tables.
+
+Each function maps 1:1 to a SURVEY.md §2 operator row (cited inline) and is paired
+with an ANSI-SQL oracle in ``__spark_entry__``. All plans are declarative DataFrame
+algebra: Catalyst supplies pushdown, partial aggregation, and broadcast joins; the
+explicit ``F.broadcast`` marks the small dimension sides (reference pattern J1-J3:
+cached vocab/CSV lookups -> broadcast dimension joins).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def agg_partial_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: partial+final hash aggregation — group events by (type, hour) -> count
+    + sum (reference: DataAccessServiceImpl.java:459-472 count-by-key merge)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def minmax_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: min/max fold over temporal values per group (TemporalUtils.java:24-60)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-J3: fact ⋈ broadcast dimension chain — customers per region with account
+    stats (reference: cached vocab lookups VocabServiceImpl.java:299-335)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+def window_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/§2.5: max-by via row_number window — each customer's most recent order
+    (reference: max-version citation pick, StacCollectionMapperService.java:271-301)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+def distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: distinct — unique (event_type, user_id) pairs
+    (reference: Stream.distinct / array_distinct merges)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select("event_type", "user_id").distinct()
+
+
+def topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-shape relational top-k: top 10 orders by discounted revenue with pushed
+    filter + pruned columns (P1 projection pushdown + T5 order/limit)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") >= F.lit("1995-01-01"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def filter_project_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P3 + A1: TPC-H Q1 shape — pushed predicate, pruned columns, wide agg."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def count_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/S4: count-reconciliation — row counts per table for the publish gate
+    (reference: indexed >= 90% of source, IndexerMetadataServiceImpl.java:639-655)."""
+    rows = []
+    for t in ("orders", "lineitem", "customer"):
+        rows.append((t, load(spark, sf_dir, t).count()))
+    return spark.createDataFrame(rows, "table_name string, n_rows long")
+
+
+def set_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set ops: unionByName + array_distinct merge — per user, distinct sorted
+    event types (reference: vocab list concat + distinct,
+    IndexerMetadataServiceImpl.java:303-320)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.sort_array(F.collect_list("event_type")), ","
+        ).alias("event_types"),
+        F.count("*").alias("n_types"),
+    )
+
+
+def status_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: when/rlike classifier cascade — order priority class
+    (reference: DeliveryModeUtils.java:26-103 status normalizer)."""
+    o = load(spark, sf_dir, "orders")
+    cls = (
+        F.when(F.col("o_orderpriority").rlike("^1|^2"), F.lit("urgent"))
+        .when(F.col("o_orderpriority").rlike("^3"), F.lit("medium"))
+        .otherwise(F.lit("low"))
+    )
+    return o.groupBy(cls.alias("priority_class")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def date_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: date widening/normalization — orders bucketed to month start, UTC
+    (reference: 5-case date parser, StacCollectionMapperService.java:174-231)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.count("*").alias("n_orders")
+    )

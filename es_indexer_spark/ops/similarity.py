@@ -1,0 +1,101 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k — the exact baseline, pure Column algebra (zip_with dot
+  product in double precision), SQL-mirrorable for the oracle;
+- random-hyperplane LSH top-k — the scale path: H seeded hyperplanes -> sign-bit
+  signature -> candidates share >= one band with the query -> exact cosine re-rank.
+  At 100 TB the bucket join prunes the candidate set by ~2^-bits per band while the
+  brute path would scan everything.
+
+Both break ties by id ascending for deterministic ranking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_to_query(df: DataFrame, id_col: str, vec_col: str, qvec: list[float]):
+    """Adds a `cosine` column vs the literal query vector (double math)."""
+    q = np.asarray(qvec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    v = _as_double(F.col(vec_col))
+    dot = F.aggregate(
+        F.zip_with(v, qlit, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        (dot / (norm * F.lit(qn))).alias("cosine"),
+    )
+
+
+def ann_brute_topk(
+    df: DataFrame, id_col: str, vec_col: str, qvec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k vs a query vector (ORDER BY cosine DESC, id ASC LIMIT k)."""
+    return (
+        cosine_to_query(df, id_col, vec_col, qvec)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_signature_col(vec_col, planes: np.ndarray):
+    """Sign-bit LSH signature as an array<int> of per-band codes (8 planes/band)."""
+    n_planes, _ = planes.shape
+    bands = n_planes // 8
+    v = _as_double(vec_col)
+    bits = []
+    for p in planes:
+        plit = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(v, plit, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)))
+    codes = []
+    for bi in range(bands):
+        code = F.lit(0)
+        for j in range(8):
+            code = code * 2 + bits[bi * 8 + j]
+        codes.append(code)
+    return F.array(*codes)
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    qvec: list[float],
+    k: int = 10,
+    n_planes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = rows sharing >= 1 LSH band with the query,
+    exact cosine re-rank within. Same output schema as the brute operator."""
+    q = np.asarray(qvec, dtype=np.float64)
+    planes = _hyperplanes(q.size, n_planes, seed)
+    qbits = (planes @ q > 0).astype(int)
+    qcodes = [
+        int("".join(map(str, qbits[bi * 8 : bi * 8 + 8])), 2)
+        for bi in range(n_planes // 8)
+    ]
+    sig = df.withColumn("_sig", lsh_signature_col(F.col(vec_col), planes))
+    match = None
+    for bi, qc in enumerate(qcodes):
+        cond = F.element_at("_sig", bi + 1) == qc
+        match = cond if match is None else (match | cond)
+    cands = sig.filter(match)
+    return ann_brute_topk(cands, id_col, vec_col, qvec, k)

@@ -35,15 +35,21 @@ def bm25_score_df(
     content_col: str = "text",
     id_col: str = "doc_id",
     tokenizer: str = "standard",
+    lang_col: str | None = None,
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
     """All matching docs with exact BM25 scores for ``query`` (unordered)."""
     qterms = sorted(set(tokenize_one(query, tokenizer)))
     tok_udf = get_tokenizer_udf(tokenizer)
+    if tokenizer == "code":
+        lang = F.col(lang_col) if lang_col else F.lit("")
+        tokens = tok_udf(F.col(content_col), lang)
+    else:
+        tokens = tok_udf(F.col(content_col))
     tok = src.select(
         F.col(id_col).cast("long").alias("docid"),
-        tok_udf(F.col(content_col)).alias("tokens"),
+        tokens.alias("tokens"),
     ).withColumn("doc_len", F.size("tokens").cast("double"))
 
     stats = tok.agg(

@@ -1,0 +1,125 @@
+"""Training-data operators: dedup, similarity, multimodal plumbing (SURVEY-mandated
+first-class components)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from es_indexer_spark.ops.dedup import (
+    embedding_cosine_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from es_indexer_spark.ops.multimodal import extract_features, pack_media
+from es_indexer_spark.ops.similarity import ann_brute_topk, ann_lsh_topk
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),        # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog today"),  # near dup
+        (4, "completely different content about spark and indexes"),
+        (5, "spark indexes are completely different content about"),  # shuffled 4
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(dup_docs):
+    got = exact_duplicates(dup_docs, "doc_id", "text").collect()
+    assert len(got) == 1
+    assert got[0]["n_docs"] == 2 and got[0]["keeper_id"] == 1
+
+
+def test_ngram_jaccard_pairs(dup_docs):
+    got = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(dup_docs, "doc_id", "text", n=2, threshold=0.5).collect()
+    }
+    assert got[(1, 2)] == 1.0  # identical
+    assert (1, 3) in got and got[(1, 3)] < 1.0  # near dup
+    assert (4, 5) not in got  # shuffled word order kills 2-gram overlap
+
+
+def test_minhash_lsh_finds_near_dups(dup_docs):
+    got = {
+        (r["doc1"], r["doc2"])
+        for r in minhash_lsh_pairs(dup_docs, "doc_id", "text", n=2, threshold=0.5).collect()
+    }
+    assert (1, 2) in got
+    assert (1, 3) in got
+
+
+def test_simhash_near_pairs(dup_docs):
+    got = {
+        (r["doc1"], r["doc2"]): r["hamming"]
+        for r in simhash_near_pairs(dup_docs, "doc_id", "text", max_hamming=8).collect()
+    }
+    assert got[(1, 2)] == 0  # identical text -> identical simhash
+    assert (1, 3) in got and got[(1, 3)] <= 8  # near dup (one appended token)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(50):
+        v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    # 100,101 near-identical to base; base itself is id 99
+    rows.append((99, [float(x) for x in base]))
+    rows.append((100, [float(x) for x in base + 0.01 * rng.standard_normal(16)]))
+    rows.append((101, [float(x) for x in base + 0.02 * rng.standard_normal(16)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), [
+        float(x) for x in base
+    ]
+
+
+def test_ann_brute_topk(vectors):
+    df, q = vectors
+    got = ann_brute_topk(df, "vec_id", "embedding", q, k=3).collect()
+    assert [r["vec_id"] for r in got][:3] == [99, 100, 101]
+    assert got[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ann_lsh_matches_brute_on_neighbors(vectors):
+    df, q = vectors
+    brute = ann_brute_topk(df, "vec_id", "embedding", q, k=3).collect()
+    lsh = ann_lsh_topk(df, "vec_id", "embedding", q, k=3).collect()
+    # near-identical vectors share all LSH bands with the query -> recalled
+    assert [r["vec_id"] for r in lsh] == [r["vec_id"] for r in brute]
+    for a, b in zip(lsh, brute):
+        assert a["cosine"] == pytest.approx(b["cosine"], rel=1e-9)
+
+
+def test_embedding_cosine_pairs(vectors):
+    df, _ = vectors
+    got = {
+        (r["doc1"], r["doc2"])
+        for r in embedding_cosine_pairs(df, "vec_id", "embedding", threshold=0.95).collect()
+    }
+    assert {(99, 100), (99, 101), (100, 101)} <= got
+
+
+def test_multimodal_plumbing(documents):
+    media = pack_media(documents.limit(20), "doc_id", "text")
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = extract_features(media).collect()
+    assert len(feats) == 20
+    assert all(len(r["feature"]) == 8 for r in feats)
+    # deterministic: same input -> same features
+    again = extract_features(pack_media(documents.limit(20), "doc_id", "text")).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
+
+
+def test_multimodal_real_decode_is_stubbed():
+    from es_indexer_spark.ops.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"bytes", "image/png", real=True)
