@@ -37,8 +37,11 @@ from es_indexer_spark.ops.textstats import (
     quality_score,
     token_counts,
 )
+from es_indexer_spark.ops.multimodal import extract_features, pack_media
 from es_indexer_spark.query.bm25 import bm25_topk_brute
 from es_indexer_spark.query.engine import topk as index_topk
+from es_indexer_spark.query.phrase import phrase_match
+from es_indexer_spark.query.suggest import phrase_suggestions, suggest_prefix
 
 K1, B = 1.2, 0.75
 _BUILT: set[str] = set()
@@ -61,8 +64,10 @@ def _index_root(spark: SparkSession, sf_dir: str) -> str:
     need = True
     try:
         vdir = catalog.resolve(root)
-        n = catalog.read_stats(vdir)["n_docs"]
-        need = n != _docs(spark, sf_dir).count()
+        stats = catalog.read_stats(vdir)
+        need = (not stats.get("positions")) or stats["n_docs"] != _docs(
+            spark, sf_dir
+        ).count()
     except (FileNotFoundError, KeyError):
         need = True
     if need:
@@ -78,6 +83,7 @@ def _index_root(spark: SparkSession, sf_dir: str) -> str:
             shard_size=256,
             n_ckpt_batches=2,
             resume=False,
+            store_positions=True,
         )
     _BUILT.add(root)
     return root
@@ -146,6 +152,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select("docid", "score").select(
         F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
     )
+    q["phrase_match"] = lambda spark, sf: phrase_match(
+        spark, _index_root(spark, sf), "data stream", k=None
+    ).select(
+        F.col("docid").alias("doc_id"),
+        "phrase_tf",
+        F.round("score", 4).alias("score"),
+    )
+    q["bm25_topk_synonym"] = lambda spark, sf: index_topk(
+        spark, _index_root(spark, sf), "jw", k=10,
+        synonyms={"jw": ["joined window"]},
+    ).select(F.col("docid").alias("doc_id"), F.round("score", 4).alias("score"))
+    q["suggest_prefix"] = lambda spark, sf: suggest_prefix(
+        spark, _index_root(spark, sf), "d", k=10
+    )
+    q["suggest_phrases"] = lambda spark, sf: phrase_suggestions(
+        _docs(spark, sf), "doc_id", "text", prefix="data", k=20
+    )
     q["term_dictionary"] = lambda spark, sf: (
         spark.read.parquet(os.path.join(_index_root(spark, sf), catalog.current_version(_index_root(spark, sf)), "dict"))
         .select("term", "df", "cf")
@@ -191,6 +214,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _qvec(spark, sf), k=10,
     )
 
+    # ---- multimodal plumbing -----------------------------------------------------
+    q["media_metadata"] = lambda spark, sf: pack_media(
+        _docs(spark, sf), "doc_id", "text"
+    ).select(
+        "doc_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+    q["media_features"] = lambda spark, sf: extract_features(
+        pack_media(_docs(spark, sf), "doc_id", "text")
+    )
+
     # ---- relational operator coverage (SURVEY §2) --------------------------------
     q["agg_partial_final"] = R.agg_partial_final
     q["minmax_range"] = R.minmax_range
@@ -213,6 +250,60 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_topk_stop"] = _bm25_sql(["the"])
     o["bm25_topk_tie"] = _bm25_sql(["a", "key", "the"])
     o["bm25_brute_force"] = _bm25_sql(["batch", "customer", "data", "stream"])
+    o["phrase_match"] = """
+WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+              FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT sum(len(t)) FROM toks)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+dfs AS (SELECT (SELECT count(*) FROM toks WHERE list_contains(t, 'data'))::DOUBLE AS df1,
+               (SELECT count(*) FROM toks WHERE list_contains(t, 'stream'))::DOUBLE AS df2),
+pf AS (SELECT doc_id, len(t)::DOUBLE AS dl,
+              len([i for i in range(1, len(t)) if t[i] = 'data' AND t[i+1] = 'stream']) AS ptf
+       FROM toks)
+SELECT doc_id, ptf::BIGINT AS phrase_tf,
+       round((ln(1 + (st.n - dfs.df1 + 0.5) / (dfs.df1 + 0.5))
+            + ln(1 + (st.n - dfs.df2 + 0.5) / (dfs.df2 + 0.5)))
+             * ptf * 2.2 / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)), 4) AS score
+FROM pf CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
+"""
+    o["bm25_topk_synonym"] = _bm25_sql(["joined", "jw", "window"])
+    o["suggest_prefix"] = """
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term),
+d AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term)
+SELECT term, df, cf FROM d WHERE term LIKE 'd%' ORDER BY cf DESC, term ASC LIMIT 10
+"""
+    _SHINGLE_STOP = (
+        "('a','an','and','are','as','at','be','but','by','for','if','in','into',"
+        "'is','it','no','not','of','on','or','such','that','the','their','then',"
+        "'there','these','they','this','to','was','will','with','et','al')"
+    )
+    o["suggest_phrases"] = f"""
+WITH f AS (SELECT doc_id,
+             list_filter(string_split_regex(regexp_replace(lower(text), '<[^>]+>', ' ', 'g'), '[^a-z0-9\\-]+'),
+               x -> x <> '' AND len(x) >= 2 AND regexp_matches(x, '^[a-z-]+$')
+                    AND x NOT IN {_SHINGLE_STOP}) AS t0
+           FROM documents),
+cap AS (SELECT doc_id, t0[1:least(len(t0), 350)] AS t FROM f),
+g AS (SELECT doc_id, unnest(t) AS ph FROM cap
+      UNION ALL
+      SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t) - 1 + 1)]) FROM cap
+      UNION ALL
+      SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 2 + 1)]) FROM cap
+      UNION ALL
+      SELECT doc_id, unnest([array_to_string(t[i:i+3], ' ') for i in range(1, len(t) - 3 + 1)]) FROM cap),
+dd AS (SELECT DISTINCT doc_id, ph FROM g),
+agg AS (SELECT ph AS phrase, count(*)::BIGINT AS df FROM dd GROUP BY ph)
+SELECT phrase, df FROM agg WHERE phrase LIKE 'data%' ORDER BY df DESC, phrase ASC LIMIT 20
+"""
+    o["media_metadata"] = """
+SELECT doc_id, 'fake/raw' AS format,
+       (length(text) % 640)::INT AS width,
+       (length(text) % 480)::INT AS height,
+       octet_length(encode(text))::BIGINT AS n_bytes
+FROM documents
+"""
     o["term_dictionary"] = """
 WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
 t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),

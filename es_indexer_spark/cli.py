@@ -1,0 +1,138 @@
+"""spark-submit entry point (the launch mode pinned by BASELINE.json:north_rule).
+
+Behavioral analog of the reference's CLI/batch dispatch
+(reference: indexer/.../CLIRunner.java:31-60 parses ``--batch --jobName=...
+--jobParam=...`` and BatchJobRunner.java:54-99 dispatches to the named job; the AWS
+Batch submit path IndexerController.java:141-175 launches the same CLI remotely).
+
+Usage::
+
+    zip -qr engine.zip es_indexer_spark
+    spark-submit --py-files engine.zip -m es_indexer_spark.cli ...   # or:
+    spark-submit --py-files engine.zip path/to/cli.py \
+        --job build --input /data/code_files.parquet --index /out/idx \
+        --tokenizer code --lang-col lang --content-col content \
+        --order-cols repo,path,commit --meta-cols repo,path,lang
+
+    spark-submit --py-files engine.zip cli.py \
+        --job query --index /out/idx --query "getUserName parseTree" -k 10
+
+    spark-submit --py-files engine.zip cli.py \
+        --job resume --input ... --index /out/idx      # build with resume=True
+
+Jobs:
+
+- ``build``   — full index build (fresh version dir), atomic CURRENT publish;
+- ``resume``  — same as build but reuses the newest unpublished version dir and
+  skips checkpointed stages (the `-running` + `beginWithUuid` analog,
+  IndexerMetadataServiceImpl.java:478-523);
+- ``query``   — BM25 top-k through the block-max engine, prints one JSON line per hit;
+- ``suggest`` — prefix suggestions from the dictionary (search_as_you_type analog).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _csv(s: str) -> list[str]:
+    return [c for c in s.split(",") if c]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="es_indexer_spark", description=__doc__)
+    p.add_argument("--job", required=True, choices=["build", "resume", "query", "suggest"])
+    p.add_argument("--input", help="parquet path (or Iceberg table via --format iceberg)")
+    p.add_argument("--format", default="parquet", help="spark read format")
+    p.add_argument("--index", required=True, help="index root dir")
+    p.add_argument("--content-col", default="content")
+    p.add_argument("--id-col", default=None, help="use an existing long id column")
+    p.add_argument("--order-cols", type=_csv, default=["repo", "path", "commit"])
+    p.add_argument("--meta-cols", type=_csv, default=[])
+    p.add_argument("--tokenizer", default="code", choices=["standard", "code"])
+    p.add_argument("--lang-col", default=None)
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--shard-size", type=int, default=1 << 16)
+    p.add_argument("--ckpt-batches", type=int, default=4)
+    p.add_argument("--publish-gate", type=float, default=1.0)
+    p.add_argument("--query", help="query string (query/suggest jobs)")
+    p.add_argument("--lang", default=None, help="query language tag")
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--fetch-meta", action="store_true", help="join hits back to docs")
+    p.add_argument("--master", default=None, help="override master (default: from submit)")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    preexisting = SparkSession.getActiveSession() is not None
+    b = SparkSession.builder.appName(f"es_indexer_spark-{args.job}")
+    if args.master:
+        b = b.master(args.master)
+    b = b.config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    b = b.config("spark.sql.adaptive.enabled", "true")
+    if args.shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+    spark = b.getOrCreate()
+
+    try:
+        if args.job in ("build", "resume"):
+            from es_indexer_spark.index.builder import build_index
+
+            if not args.input:
+                print("--input required for build/resume", file=sys.stderr)
+                return 2
+            src = spark.read.format(args.format).load(args.input)
+            vdir = build_index(
+                spark,
+                src,
+                args.index,
+                content_col=args.content_col,
+                id_col=args.id_col,
+                order_cols=args.order_cols,
+                meta_cols=tuple(args.meta_cols),
+                tokenizer=args.tokenizer,
+                lang_col=args.lang_col,
+                n_buckets=args.n_buckets,
+                shard_size=args.shard_size,
+                n_ckpt_batches=args.ckpt_batches,
+                resume=(args.job == "resume"),
+                publish_gate=args.publish_gate,
+            )
+            from es_indexer_spark.index import catalog
+
+            meta = catalog.ckpt_read(vdir, "_PUBLISHED")
+            print(json.dumps({"job": args.job, "version_dir": vdir, **meta}))
+        elif args.job == "query":
+            from es_indexer_spark.query.engine import fetch_docs, topk
+
+            if not args.query:
+                print("--query required", file=sys.stderr)
+                return 2
+            hits = topk(spark, args.index, args.query, k=args.k, lang=args.lang)
+            if args.fetch_meta:
+                hits = fetch_docs(spark, args.index, hits)
+            for r in hits.collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.job == "suggest":
+            from es_indexer_spark.query.suggest import suggest_prefix
+
+            if not args.query:
+                print("--query required", file=sys.stderr)
+                return 2
+            for r in suggest_prefix(spark, args.index, args.query, k=args.k).collect():
+                print(json.dumps(r.asDict(), default=str))
+    finally:
+        if not preexisting:  # embedded callers (tests) keep their session
+            spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

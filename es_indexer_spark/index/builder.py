@@ -49,13 +49,14 @@ from es_indexer_spark.index.codec import (
     BLOCK_SIZE,
     bm25_tf_factor,
     delta_encode,
+    encode_positions,
     encode_varints,
 )
 
 BLOCK_SCHEMA = (
     "bucket int, term string, shard long, block_id int, n int, "
     "first_docid long, last_docid long, gaps binary, tfs binary, dls binary, "
-    "max_tf int, max_score_free double"
+    "poss binary, max_tf int, max_score_free double"
 )
 
 
@@ -100,18 +101,52 @@ def assign_docids(df: DataFrame, order_cols: Sequence[str], num_partitions: int 
     return ordered.mapInPandas(add_ids, schema=out_schema)
 
 
-def _make_encoder(block_size: int, shard_size: int, avgdl: float, k1: float, b: float):
+def _make_encoder(
+    block_size: int,
+    shard_size: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    positions: bool = False,
+):
     """Streaming block encoder for mapInPandas over rows sorted by
     (bucket, term, docid) within each partition. Carries at most one partial
-    block across Arrow batches; cuts blocks at shard boundaries."""
+    block across Arrow batches; cuts blocks at shard boundaries. When
+    ``positions`` is on, each block also stores the Lucene-.prx-style encoded
+    term positions (codec.encode_positions) for phrase queries."""
 
     def encode_partition(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pend: dict | None = None  # {bucket, term, block_id, d, t, l}
+        pend: dict | None = None  # {bucket, term, block_id, d, t, l, p}
         out_rows: list[tuple] = []
 
-        def emit(bucket: int, term: str, block_id: int, d: np.ndarray, t: np.ndarray, l: np.ndarray) -> int:
-            """Encode full blocks (and shard-boundary cuts) from d/t/l; returns the
-            number of leading postings consumed (the rest stays pending)."""
+        def block_row(bucket, term, shard, bid, dd, tt, ll, pp):
+            poss = None
+            if positions:
+                flat = (
+                    np.concatenate([np.asarray(x, dtype=np.uint64) for x in pp])
+                    if len(pp)
+                    else np.empty(0, dtype=np.uint64)
+                )
+                poss = encode_positions(flat, tt)
+            return (
+                bucket,
+                term,
+                shard,
+                bid,
+                int(dd.size),
+                int(dd[0]),
+                int(dd[-1]),
+                encode_varints(delta_encode(dd, base=int(dd[0]))),
+                encode_varints(tt),
+                encode_varints(ll),
+                poss,
+                int(tt.max()),
+                float(bm25_tf_factor(tt, ll, avgdl, k1, b).max()),
+            )
+
+        def emit(bucket, term, block_id, d, t, l, p) -> tuple[int, int]:
+            """Encode full blocks (and shard-boundary cuts); returns the number
+            of leading postings consumed (the rest stays pending)."""
             consumed = 0
             bid = block_id
             while True:
@@ -125,24 +160,10 @@ def _make_encoder(block_size: int, shard_size: int, avgdl: float, k1: float, b: 
                 span = min(int(shard_end) - consumed, block_size)
                 if span == remaining and span < block_size and int(shard_end) == d.size:
                     break  # tail partial block — keep pending (may grow next batch)
-                dd = d[consumed : consumed + span]
-                tt = t[consumed : consumed + span]
-                ll = l[consumed : consumed + span]
+                sl = slice(consumed, consumed + span)
                 out_rows.append(
-                    (
-                        bucket,
-                        term,
-                        shard,
-                        bid,
-                        int(dd.size),
-                        int(dd[0]),
-                        int(dd[-1]),
-                        encode_varints(delta_encode(dd, base=int(dd[0]))),
-                        encode_varints(tt),
-                        encode_varints(ll),
-                        int(tt.max()),
-                        float(bm25_tf_factor(tt, ll, avgdl, k1, b).max()),
-                    )
+                    block_row(bucket, term, shard, bid, d[sl], t[sl], l[sl],
+                              p[sl] if p is not None else ())
                 )
                 bid += 1
                 consumed += span
@@ -152,34 +173,27 @@ def _make_encoder(block_size: int, shard_size: int, avgdl: float, k1: float, b: 
             nonlocal pend
             if pend is None:
                 return
-            d, t, l = pend["d"], pend["t"], pend["l"]
+            d, t, l, p = pend["d"], pend["t"], pend["l"], pend["p"]
             if d.size:
-                consumed, bid = emit(pend["bucket"], pend["term"], pend["block_id"], d, t, l)
+                consumed, bid = emit(
+                    pend["bucket"], pend["term"], pend["block_id"], d, t, l, p
+                )
                 # force the tail out too
                 if consumed < d.size:
-                    dd, tt, ll = d[consumed:], t[consumed:], l[consumed:]
+                    dd = d[consumed:]
                     shard = int(dd[0]) // shard_size
                     out_rows.append(
-                        (
-                            pend["bucket"],
-                            pend["term"],
-                            shard,
-                            bid,
-                            int(dd.size),
-                            int(dd[0]),
-                            int(dd[-1]),
-                            encode_varints(delta_encode(dd, base=int(dd[0]))),
-                            encode_varints(tt),
-                            encode_varints(ll),
-                            int(tt.max()),
-                            float(bm25_tf_factor(tt, ll, avgdl, k1, b).max()),
+                        block_row(
+                            pend["bucket"], pend["term"], shard, bid,
+                            dd, t[consumed:], l[consumed:],
+                            p[consumed:] if p is not None else (),
                         )
                     )
             pend = None
 
         cols = [
             "bucket", "term", "shard", "block_id", "n", "first_docid", "last_docid",
-            "gaps", "tfs", "dls", "max_tf", "max_score_free",
+            "gaps", "tfs", "dls", "poss", "max_tf", "max_score_free",
         ]
 
         for pdf in batches:
@@ -189,17 +203,20 @@ def _make_encoder(block_size: int, shard_size: int, avgdl: float, k1: float, b: 
                 d = g["docid"].to_numpy(np.uint64)
                 t = g["tf"].to_numpy(np.uint64)
                 l = g["doc_len"].to_numpy(np.uint64)
+                p = g["positions"].to_numpy(object) if positions else None
                 bid = 0
                 if pend is not None:
                     if pend["bucket"] == bucket and pend["term"] == term:
                         d = np.concatenate([pend["d"], d])
                         t = np.concatenate([pend["t"], t])
                         l = np.concatenate([pend["l"], l])
+                        if positions:
+                            p = np.concatenate([pend["p"], p])
                         bid = pend["block_id"]
                         pend = None
                     else:
                         flush_pending_final()
-                consumed, bid = emit(int(bucket), str(term), bid, d, t, l)
+                consumed, bid = emit(int(bucket), str(term), bid, d, t, l, p)
                 pend = {
                     "bucket": int(bucket),
                     "term": str(term),
@@ -207,6 +224,7 @@ def _make_encoder(block_size: int, shard_size: int, avgdl: float, k1: float, b: 
                     "d": d[consumed:],
                     "t": t[consumed:],
                     "l": l[consumed:],
+                    "p": p[consumed:] if p is not None else None,
                 }
             if out_rows:
                 yield pd.DataFrame(out_rows, columns=cols)
@@ -238,6 +256,7 @@ def build_index(
     resume: bool = True,
     publish_gate: float = 1.0,
     fail_after_batch: int | None = None,
+    store_positions: bool = False,
 ) -> str:
     """Build (or resume) an index version under ``out_root`` and publish it.
 
@@ -315,11 +334,28 @@ def build_index(
     raw_path = os.path.join(vdir, "raw")
     if not (resume and catalog.ckpt_done(vdir, "raw")):
         t0 = time.time()
-        raw = (
-            base.select("docid", "doc_len", F.explode("tokens").alias("term"))
-            .groupBy("term", "docid")  # partial+final hash agg — Catalyst combines map-side
-            .agg(F.count("*").alias("tf"), F.first("doc_len").alias("doc_len"))
-            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+        if store_positions:
+            # positions = in-document token offsets, kept for phrase queries
+            # (Lucene .prx analog); sort_array gives ascending positions per posting
+            raw = (
+                base.select(
+                    "docid", "doc_len", F.posexplode("tokens").alias("pos", "term")
+                )
+                .groupBy("term", "docid")
+                .agg(
+                    F.count("*").alias("tf"),
+                    F.first("doc_len").alias("doc_len"),
+                    F.sort_array(F.collect_list("pos")).alias("positions"),
+                )
+            )
+        else:
+            raw = (
+                base.select("docid", "doc_len", F.explode("tokens").alias("term"))
+                .groupBy("term", "docid")  # partial+final hash agg — map-side combine
+                .agg(F.count("*").alias("tf"), F.first("doc_len").alias("doc_len"))
+            )
+        raw = raw.withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
         )
         raw.write.mode("overwrite").partitionBy("bucket").parquet(raw_path)
         catalog.ckpt_write(
@@ -359,12 +395,13 @@ def build_index(
             "n_buckets": n_buckets,
             "shard_size": shard_size,
             "block_size": block_size,
+            "positions": store_positions,
         },
     )
 
     # ---- stage: encoded postings, per bucket-batch checkpoints -------------------
     postings_path = os.path.join(vdir, "postings")
-    encoder = _make_encoder(block_size, shard_size, avgdl, k1, b)
+    encoder = _make_encoder(block_size, shard_size, avgdl, k1, b, store_positions)
     for batch in range(n_ckpt_batches):
         stage = f"postings_batch_{batch}"
         if resume and catalog.ckpt_done(vdir, stage):

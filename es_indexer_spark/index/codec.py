@@ -86,6 +86,41 @@ def delta_decode(gaps: np.ndarray, base: int = 0) -> np.ndarray:
     return np.cumsum(g, dtype=np.uint64) + np.uint64(base)
 
 
+def encode_positions(flat_positions: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Encode concatenated per-posting position lists (Lucene-style .prx layout:
+    positions of posting i occupy the next tfs[i] values, delta-gapped *within*
+    each posting, absolute at each posting start).
+
+    ``flat_positions``: ascending positions per posting, concatenated;
+    ``tfs``: number of positions per posting (Σ tfs == flat_positions.size).
+    """
+    a = np.ascontiguousarray(flat_positions, dtype=np.uint64)
+    t = np.ascontiguousarray(tfs, dtype=np.int64)
+    if a.size == 0:
+        return b""
+    deltas = a.copy()
+    deltas[1:] -= a[:-1]
+    starts = np.cumsum(t)[:-1]  # start index of postings 1..n-1
+    deltas[starts] = a[starts]  # reset: each posting's first position is absolute
+    return encode_varints(deltas)
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_positions` -> flat ascending positions array."""
+    deltas = decode_varints(buf)
+    if deltas.size == 0:
+        return deltas
+    t = np.ascontiguousarray(tfs, dtype=np.int64)
+    ends = np.cumsum(t)
+    cs = np.cumsum(deltas, dtype=np.uint64)
+    # subtract, from every posting after the first, the running sum at its start
+    # (undoes the cumsum across the reset boundaries)
+    correction = np.zeros(deltas.size, dtype=np.uint64)
+    starts = ends[:-1]
+    correction[starts] = cs[starts - 1]
+    return cs - np.maximum.accumulate(correction)
+
+
 def bm25_tf_factor(
     tfs: np.ndarray, dls: np.ndarray, avgdl: float, k1: float, b: float
 ) -> np.ndarray:

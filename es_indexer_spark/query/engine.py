@@ -107,14 +107,33 @@ def topk(
     *,
     use_blockmax: bool = True,
     lang: str | None = None,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
-    """Top-k (docid, score) for ``query`` against the published index version."""
+    """Top-k (docid, score) for ``query`` against the published index version.
+
+    ``synonyms``: optional acronym→expansion rules applied to the *query* terms
+    only (search-time synonym_graph semantics — SURVEY.md §1.3; documents are
+    never rewritten). Build rules with
+    :func:`es_indexer_spark.analysis.synonyms.build_synonym_rules`.
+    """
     vdir = catalog.resolve(index_root)
     stats = catalog.read_stats(vdir)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     k1, b = stats["k1"], stats["b"]
 
     qterms = sorted(set(tokenize_one(query, stats["tokenizer"], lang=lang)))
+    if synonyms:
+        from es_indexer_spark.analysis.synonyms import expand_terms
+
+        qterms = sorted(
+            set(
+                expand_terms(
+                    qterms,
+                    synonyms,
+                    lambda s: tokenize_one(s, stats["tokenizer"], lang=lang),
+                )
+            )
+        )
     if not qterms:
         return spark.createDataFrame([], _SCORE_SCHEMA)
 

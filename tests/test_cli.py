@@ -1,0 +1,53 @@
+"""CLI job dispatch (the spark-submit entry pinned by BASELINE.json:north_rule;
+reference analog: indexer/.../CLIRunner.java:31-60 + BatchJobRunner.java:54-99).
+Runs embedded (reusing the test session) — the true spark-submit launch is
+exercised by tools/bench_scaling.py and the verify recipe."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from es_indexer_spark.cli import main
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_cli_build_query_suggest_resume(spark, tmp_path, capsys):
+    root = str(tmp_path / "idx")
+    src = os.path.join(SF_DIR, "documents.parquet")
+    common = ["--index", root, "--content-col", "text", "--id-col", "doc_id"]
+    rc = main(
+        ["--job", "build", "--input", src, *common, "--tokenizer", "standard",
+         "--n-buckets", "4", "--ckpt-batches", "2"]
+    )
+    assert rc == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["n_docs"] == 500 and built["job"] == "build"
+
+    rc = main(["--job", "query", "--index", root, "--query", "spark join window", "-k", "3"])
+    assert rc == 0
+    hits = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(hits) == 3 and hits[0]["score"] >= hits[1]["score"]
+
+    rc = main(["--job", "query", "--index", root, "--query", "vector", "-k", "2",
+               "--fetch-meta"])
+    assert rc == 0
+    hits = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(hits) == 2 and "doc_len" in hits[0]
+
+    rc = main(["--job", "suggest", "--index", root, "--query", "da", "-k", "3"])
+    assert rc == 0
+    sugg = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert sugg and all(s["term"].startswith("da") for s in sugg)
+
+    # resume over a completed build is a no-op that still publishes
+    rc = main(["--job", "resume", "--input", src, *common])
+    assert rc == 0
+    again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert again["n_docs"] == 500
+
+
+def test_cli_missing_args(spark, capsys):
+    assert main(["--job", "build", "--index", "/tmp/x"]) == 2
+    assert main(["--job", "query", "--index", "/tmp/x"]) == 2

@@ -1,0 +1,192 @@
+"""Positional/phrase queries, search-as-you-type suggestions, and query-time
+synonym expansion — the M7 feature set of SURVEY.md §7.2 (reference analogs:
+match_phrase GeoNetworkServiceImpl.java:114-120; search_as_you_type fields
+portal_records_index_schema.json:112-132; acronym_search_analyser :10-14 +
+AcronymService.java)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from es_indexer_spark.analysis.synonyms import (
+    build_synonym_rules,
+    expand_terms,
+    is_acronym,
+    normalize_label,
+)
+from es_indexer_spark.analysis.tokenizer import standard_tokenize_series, tokenize_one
+from es_indexer_spark.index.builder import build_index
+from es_indexer_spark.index.codec import decode_positions, encode_positions
+from es_indexer_spark.query.engine import topk
+from es_indexer_spark.query.phrase import phrase_match
+from es_indexer_spark.query.suggest import phrase_suggestions, suggest_prefix
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, documents, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("posidx"))
+    build_index(
+        spark,
+        documents,
+        root,
+        content_col="text",
+        id_col="doc_id",
+        tokenizer="standard",
+        n_buckets=4,
+        shard_size=100,
+        n_ckpt_batches=2,
+        store_positions=True,
+    )
+    return root
+
+
+# ---------------------------------------------------------------- positions codec
+def test_positions_roundtrip_random():
+    rng = np.random.default_rng(7)
+    for _ in range(100):
+        tfs = rng.integers(1, 6, size=int(rng.integers(1, 10)))
+        flat = np.concatenate(
+            [np.sort(rng.choice(500, size=tf, replace=False)) for tf in tfs]
+        ).astype(np.uint64)
+        assert np.array_equal(decode_positions(encode_positions(flat, tfs), tfs), flat)
+
+
+def test_positions_empty():
+    assert encode_positions(np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)) == b""
+    assert decode_positions(b"", np.empty(0, dtype=np.int64)).size == 0
+
+
+# ---------------------------------------------------------------- phrase queries
+def _brute_phrase(documents, phrase_terms):
+    """Driver-side oracle: token lists via the same chain, count consecutive runs."""
+    rows = documents.select("doc_id", "text").collect()
+    import pandas as pd
+
+    toks = standard_tokenize_series(pd.Series([r["text"] for r in rows]))
+    out = {}
+    for r, tl in zip(rows, toks):
+        n = 0
+        m = len(phrase_terms)
+        for i in range(len(tl) - m + 1):
+            if tl[i : i + m] == phrase_terms:
+                n += 1
+        if n:
+            out[r["doc_id"]] = n
+    return out
+
+
+@pytest.mark.parametrize("phrase", ["data stream", "the data", "slow query plan"])
+def test_phrase_match_vs_brute(spark, documents, pos_index, phrase):
+    got = {
+        r["docid"]: r["phrase_tf"]
+        for r in phrase_match(spark, pos_index, phrase, k=None).collect()
+    }
+    want = _brute_phrase(documents, tokenize_one(phrase))
+    assert got == want
+
+
+def test_phrase_absent_term_empty(spark, pos_index):
+    assert phrase_match(spark, pos_index, "zzznope data", k=None).count() == 0
+
+
+def test_phrase_scores_ordered_and_positive(spark, pos_index):
+    rows = phrase_match(spark, pos_index, "data stream", k=5).collect()
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_phrase_requires_positional_index(spark, documents, tmp_path):
+    root = str(tmp_path / "nopos")
+    build_index(
+        spark, documents, root, content_col="text", id_col="doc_id",
+        tokenizer="standard", n_buckets=2, n_ckpt_batches=1,
+    )
+    with pytest.raises(ValueError, match="store_positions"):
+        phrase_match(spark, root, "data stream")
+
+
+# ---------------------------------------------------------------- suggestions
+def test_suggest_prefix_matches_dict(spark, documents, pos_index):
+    got = [r["term"] for r in suggest_prefix(spark, pos_index, "da", k=5).collect()]
+    assert got and all(t.startswith("da") for t in got)
+    # ranked by cf desc — recompute cf order from the corpus
+    import pandas as pd
+
+    toks = standard_tokenize_series(
+        pd.Series([r["text"] for r in documents.select("text").collect()])
+    )
+    cf: dict[str, int] = {}
+    for tl in toks:
+        for t in tl:
+            if t.startswith("da"):
+                cf[t] = cf.get(t, 0) + 1
+    want = sorted(cf, key=lambda t: (-cf[t], t))[:5]
+    assert got == want
+
+
+def test_phrase_suggestions_prefix_and_rank(spark, documents):
+    rows = phrase_suggestions(documents, "doc_id", "text", prefix="data", k=10).collect()
+    assert rows
+    dfs = [r["df"] for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+    assert all(r["phrase"].startswith("data") for r in rows)
+    assert any(" " in r["phrase"] for r in rows)  # real shingles, not just unigrams
+
+
+# ---------------------------------------------------------------- synonyms
+def test_is_acronym_heuristic():
+    # reference heuristic (AcronymService.java:328-347)
+    assert is_acronym("IMOS")
+    assert is_acronym("CO2")
+    assert is_acronym("CTD-SBE")
+    assert not is_acronym("Imos")          # 2+ lowercase run
+    assert not is_acronym("waveheight")    # no capital
+    assert not is_acronym("VERYLONGACRONYMXX")  # > 12 chars
+    assert not is_acronym("")
+
+
+def test_normalize_label_strips_parens():
+    assert normalize_label("Sea Surface Temp  (SST)") == "Sea Surface Temp"
+
+
+def test_build_rules_and_expand():
+    rules = build_synonym_rules(
+        [
+            ("Integrated Marine Observing System", ["IMOS", "imos-not-acronym"]),
+            ("Conductivity Temperature Depth", ["CTD"]),
+        ]
+    )
+    assert rules == {
+        "ctd": ["conductivity temperature depth"],
+        "imos": ["integrated marine observing system"],
+    }
+    expanded = expand_terms(["ctd", "data"], rules, lambda s: tokenize_one(s))
+    assert expanded == ["ctd", "conductivity", "temperature", "depth", "data"]
+
+
+def test_topk_synonym_expansion_widens(spark, pos_index):
+    rules = {"jw": ["joined window"]}
+    assert topk(spark, pos_index, "jw", k=5).count() == 0  # acronym absent in corpus
+    rows = topk(spark, pos_index, "jw", k=5, synonyms=rules).collect()
+    assert len(rows) == 5
+    # expansion must equal querying the expansion directly (same docs+scores)
+    direct = topk(spark, pos_index, "joined window", k=5).collect()
+    assert [(r["docid"], round(r["score"], 9)) for r in rows] == [
+        (r["docid"], round(r["score"], 9)) for r in direct
+    ]
+
+
+# ---------------------------------------------------------------- pos index still BM25-exact
+def test_positional_index_scores_unchanged(spark, documents, pos_index):
+    from es_indexer_spark.query.bm25 import bm25_topk_brute
+
+    got = topk(spark, pos_index, "spark join window", k=10).collect()
+    want = bm25_topk_brute(
+        documents, "spark join window", k=10, content_col="text", id_col="doc_id"
+    ).collect()
+    assert [(r["docid"]) for r in got] == [(r["docid"]) for r in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], abs=1e-9)
