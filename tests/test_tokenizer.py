@@ -59,3 +59,57 @@ def test_shingles_2_4_grams_and_filters():
     # stop words, numbers, html are gone
     assert "the" not in out and "12345" not in out and "p" not in out
     assert "et" not in out and "al" not in out
+
+
+# ---------------------------------------------------------------- term stats UDF core
+def test_term_stats_frame_counts_and_positions():
+    import numpy as np
+    import pandas as pd
+
+    from es_indexer_spark.analysis.tokenizer import term_stats_frame
+
+    toks = pd.Series([["b", "a", "b", "c", "a", "b"], [], ["x"]])
+    out = term_stats_frame(toks, with_positions=True)
+    # doc 0: terms sorted unique, tfs match counts, doc_len = total tokens
+    assert out.loc[0, "terms"] == ["a", "b", "c"]
+    assert list(out.loc[0, "tfs"]) == [2, 3, 1]
+    assert out.loc[0, "doc_len"] == 6
+    # flat_pos grouped by term, ascending within term; starts index into it
+    starts, flat = list(out.loc[0, "starts"]), list(out.loc[0, "flat_pos"])
+    assert starts == [0, 2, 5]
+    assert flat[0:2] == [1, 4]      # 'a' at positions 1, 4
+    assert flat[2:5] == [0, 2, 5]   # 'b' at positions 0, 2, 5
+    assert flat[5:6] == [3]         # 'c' at position 3
+    # empty doc
+    assert out.loc[1, "terms"] == [] and out.loc[1, "doc_len"] == 0
+    # positions off → empty pos arrays, counts still present
+    out2 = term_stats_frame(toks, with_positions=False)
+    assert list(out2.loc[0, "tfs"]) == [2, 3, 1]
+    assert len(out2.loc[0, "flat_pos"]) == 0
+
+
+def test_term_stats_frame_random_roundtrip():
+    import numpy as np
+    import pandas as pd
+
+    from es_indexer_spark.analysis.tokenizer import term_stats_frame
+
+    rng = np.random.default_rng(3)
+    vocab = [f"t{i}" for i in range(20)]
+    docs = [
+        [vocab[j] for j in rng.integers(0, 20, size=rng.integers(0, 50))]
+        for _ in range(50)
+    ]
+    out = term_stats_frame(pd.Series(docs), with_positions=True)
+    for i, d in enumerate(docs):
+        terms = out.loc[i, "terms"]
+        tfs = list(out.loc[i, "tfs"])
+        starts = list(out.loc[i, "starts"])
+        flat = list(out.loc[i, "flat_pos"])
+        assert out.loc[i, "doc_len"] == len(d)
+        assert sum(tfs) == len(d)
+        for t, tf, s in zip(terms, tfs, starts):
+            pos = flat[s : s + tf]
+            assert pos == sorted(pos)
+            assert [d[p] for p in pos] == [t] * tf
+        assert sorted(terms) == sorted(set(d))
