@@ -37,9 +37,16 @@ from es_indexer_spark.ops.textstats import (
     quality_score,
     token_counts,
 )
-from es_indexer_spark.ops.multimodal import extract_features, pack_media
+from es_indexer_spark.ops.multimodal import (
+    extract_features,
+    pack_media,
+    resize_media,
+    sample_frames,
+)
+from es_indexer_spark.ops.similarity import ann_ivf_topk
 from es_indexer_spark.query.bm25 import bm25_topk_brute
-from es_indexer_spark.query.engine import topk as index_topk
+from es_indexer_spark.query.engine import fetch_docs, topk as index_topk
+from es_indexer_spark.query.lookup import doc_lookup, scan_after
 from es_indexer_spark.query.phrase import phrase_match
 from es_indexer_spark.query.suggest import phrase_suggestions, suggest_prefix
 
@@ -163,6 +170,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, _index_root(spark, sf), "jw", k=10,
         synonyms={"jw": ["joined window"]},
     ).select(F.col("docid").alias("doc_id"), F.round("score", 4).alias("score"))
+    # J6: join top-k hits back to doc metadata (broadcast of the k-row side)
+    q["bm25_with_meta"] = lambda spark, sf: fetch_docs(
+        spark,
+        _index_root(spark, sf),
+        index_topk(spark, _index_root(spark, sf), "spark join window", k=10),
+    ).select(
+        F.col("docid").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "doc_len",
+        "lang",
+        "source",
+    )
     q["suggest_prefix"] = lambda spark, sf: suggest_prefix(
         spark, _index_root(spark, sf), "d", k=10
     )
@@ -173,6 +192,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark.read.parquet(os.path.join(_index_root(spark, sf), catalog.current_version(_index_root(spark, sf)), "dict"))
         .select("term", "df", "cf")
     )
+    q["doc_lookup"] = lambda spark, sf: doc_lookup(
+        spark, _index_root(spark, sf), [3, 7, 42, 99]
+    ).select(F.col("docid").alias("doc_id"), "doc_len", "sha256")
+    q["scan_after"] = lambda spark, sf: scan_after(
+        spark, _index_root(spark, sf), after=120, page_size=50
+    ).select(F.col("docid").alias("doc_id"), "doc_len")
     q["doc_stats"] = lambda spark, sf: (
         spark.read.parquet(os.path.join(_index_root(spark, sf), catalog.current_version(_index_root(spark, sf)), "docs"))
         .select(F.col("docid").alias("doc_id"), "doc_len", "sha256")
@@ -213,6 +238,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(spark, sf).filter(F.col("vec_id") != 0), "vec_id", "embedding",
         _qvec(spark, sf), k=10,
     )
+    # nprobe == n_centroids scans every cell → exactly the brute result, which
+    # makes the IVF path oracle-checkable; the approximate path is covered by
+    # unit tests with nprobe < n_centroids
+    q["ann_ivf_cosine"] = lambda spark, sf: ann_ivf_topk(
+        _emb(spark, sf).filter(F.col("vec_id") != 0), "vec_id", "embedding",
+        _qvec(spark, sf), k=10, n_centroids=8, nprobe=8,
+    )
 
     # ---- multimodal plumbing -----------------------------------------------------
     q["media_metadata"] = lambda spark, sf: pack_media(
@@ -227,6 +259,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_features"] = lambda spark, sf: extract_features(
         pack_media(_docs(spark, sf), "doc_id", "text")
     )
+    q["media_resize"] = lambda spark, sf: resize_media(
+        pack_media(_docs(spark, sf), "doc_id", "text"), 64, 64
+    ).select(
+        "doc_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+    q["media_frames"] = lambda spark, sf: sample_frames(
+        pack_media(_docs(spark, sf), "doc_id", "text"), every_n=10
+    ).select("doc_id", "frame_idx")
 
     # ---- relational operator coverage (SURVEY §2) --------------------------------
     q["agg_partial_final"] = R.agg_partial_final
@@ -267,6 +311,26 @@ SELECT doc_id, ptf::BIGINT AS phrase_tf,
 FROM pf CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
 """
     o["bm25_topk_synonym"] = _bm25_sql(["joined", "jw", "window"])
+    o["bm25_with_meta"] = """
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM t2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM t2 GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              ((SELECT COALESCE(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents))::DOUBLE AS avgdl),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+raw AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+             tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score_raw
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('join', 'spark', 'window')
+  GROUP BY tf.doc_id),
+topk AS (SELECT doc_id, round(score_raw::DOUBLE, 4) AS score
+         FROM raw ORDER BY score_raw DESC, doc_id ASC LIMIT 10)
+SELECT t.doc_id, t.score, COALESCE(dl.dl, 0)::BIGINT AS doc_len, d.lang, d.source
+FROM topk t JOIN documents d USING (doc_id) LEFT JOIN dl USING (doc_id)
+"""
     o["suggest_prefix"] = """
 WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
 t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
@@ -297,6 +361,25 @@ dd AS (SELECT DISTINCT doc_id, ph FROM g),
 agg AS (SELECT ph AS phrase, count(*)::BIGINT AS df FROM dd GROUP BY ph)
 SELECT phrase, df FROM agg WHERE phrase LIKE 'data%' ORDER BY df DESC, phrase ASC LIMIT 20
 """
+    # nprobe == n_centroids → IVF degenerates to exact brute scan (same oracle)
+    o["ann_ivf_cosine"] = """
+WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q.v) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(q.v, q.v))) AS c
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+SELECT vec_id, round(c, 6) AS cosine FROM s ORDER BY c DESC, vec_id ASC LIMIT 10
+"""
+    o["media_resize"] = """
+SELECT doc_id, 'fake/resized' AS format, 64::INT AS width, 64::INT AS height,
+       greatest(1, (64 * 64) // 64)::BIGINT AS n_bytes
+FROM documents
+"""
+    o["media_frames"] = """
+SELECT doc_id, unnest(range(0, (octet_length(encode(text)) // 1000 + 1), 10))::INT AS frame_idx
+FROM documents
+"""
     o["media_metadata"] = """
 SELECT doc_id, 'fake/raw' AS format,
        (length(text) % 640)::INT AS width,
@@ -309,6 +392,21 @@ WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+'
 t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term)
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
+"""
+    o["doc_lookup"] = """
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(dl.dl, 0)::BIGINT AS doc_len, sha256(d.text) AS sha256
+FROM documents d LEFT JOIN dl USING (doc_id) WHERE d.doc_id IN (3, 7, 42, 99)
+"""
+    o["scan_after"] = """
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(dl.dl, 0)::BIGINT AS doc_len
+FROM documents d LEFT JOIN dl USING (doc_id)
+WHERE d.doc_id > 120 ORDER BY d.doc_id ASC LIMIT 50
 """
     o["doc_stats"] = """
 WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),

@@ -40,8 +40,9 @@ def main() -> None:
     from es_indexer_spark.index.builder import build_index
     from es_indexer_spark.ops import relational as R
     from es_indexer_spark.ops.dedup import minhash_lsh_pairs
-    from es_indexer_spark.ops.similarity import ann_brute_topk
+    from es_indexer_spark.ops.similarity import ann_brute_topk, ann_ivf_topk
     from es_indexer_spark.query.engine import topk
+    from es_indexer_spark.query.suggest import suggest_prefix
     from es_indexer_spark.session import get_spark
 
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
@@ -88,6 +89,7 @@ def main() -> None:
         ("q_bm25_camel", "getUserName parseTree"),
     ]:
         timed(name, lambda q=q: topk(spark, idx_root, q, k=10).collect())
+    timed("q_suggest", lambda: suggest_prefix(spark, idx_root, "get", k=10).collect())
 
     # ---- ops over the provided sf tables -------------------------------------------
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -98,6 +100,7 @@ def main() -> None:
     )
     qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
     timed("q_ann_brute", lambda: ann_brute_topk(emb, "vec_id", "embedding", qvec, k=10).collect())
+    timed("q_ann_ivf", lambda: ann_ivf_topk(emb, "vec_id", "embedding", qvec, k=10, n_centroids=16, nprobe=4).collect())
     timed("q_tpch_q1", lambda: R.filter_project_agg(spark, sf_dir).collect())
     timed("q_join_dims", lambda: R.join_broadcast_dims(spark, sf_dir).collect())
     timed("q_window_latest", lambda: R.window_latest_per_key(spark, sf_dir).count())

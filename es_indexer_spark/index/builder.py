@@ -6,16 +6,19 @@ here — SURVEY.md §0, §7).
 
 Dataflow (one build)::
 
-    src ──tokenize (Arrow pandas UDF)──► docs table (docid, doc_len, sha256, meta)
-        └─explode──► (term, docid, tf, doc_len)          [partial+final hash agg]
-              └─ bucket = xxhash64(term) % n_buckets     [the salt: term-hash bucketing
-                                                          defuses stop-word df skew —
-                                                          north_rule's "salted
-                                                          repartition-by-term"]
-              └─ raw postings parquet, partitioned by bucket   [ckpt stage "raw"]
-    dict  = raw groupBy term -> (df, cf, bucket)               [ckpt stage "dict"]
-    postings = per bucket-batch: sortWithinPartitions(bucket, term, docid)
-               -> mapInPandas streaming block encoder           [ckpt per batch]
+    src ──term-stats UDF (tokenize + per-doc tf/positions, map-side — no token
+          shuffle ever happens)──► docs table (docid, doc_len, sha256, meta)
+        └─explode──► (term, docid, tf, doc_len)          [already aggregated]
+              └─ bucket = xxhash64(term) % n_buckets; salt = hash(term) % 4
+                 [north_rule's salted repartition-by-term: (bucket, salt)
+                  partitioning splits hot buckets so no straggler sort]
+              └─ raw parquet: repartition(bucket, salt) + sortWithinPartitions
+                 (bucket, term, docid), partitioned by bucket  [ckpt stage "raw"]
+    postings = per bucket-batch: mapInPandas streaming block encoder straight
+               off the pre-sorted scan — NO shuffle, NO sort   [ckpt per batch]
+               -> postings/batch=K/ parquet
+    dict  = postings groupBy term over block metadata (Σn -> df, Σcf -> cf)
+            — never re-reads the fat raw table                  [ckpt stage "dict"]
     finalize = count reconciliation gate -> atomic CURRENT publish
 
 Scale notes (designed for 1000 executors / 100 TB, tested on local[32]):
@@ -35,7 +38,6 @@ Scale notes (designed for 1000 executors / 100 TB, tested on local[32]):
 from __future__ import annotations
 
 import os
-import shutil
 import time
 from typing import Iterable, Iterator, Sequence
 
@@ -53,10 +55,12 @@ from es_indexer_spark.index.codec import (
     encode_varints,
 )
 
+TERM_SALT = 4  # sub-slices per bucket in the raw layout (defuses hot buckets)
+
 BLOCK_SCHEMA = (
     "bucket int, term string, shard long, block_id int, n int, "
     "first_docid long, last_docid long, gaps binary, tfs binary, dls binary, "
-    "poss binary, max_tf int, max_score_free double"
+    "poss binary, max_tf int, cf long, max_score_free double"
 )
 
 
@@ -141,6 +145,8 @@ def _make_encoder(
                 encode_varints(ll),
                 poss,
                 int(tt.max()),
+                int(tt.sum()),  # block cf — lets the dictionary stage aggregate
+                               # block metadata instead of re-reading raw postings
                 float(bm25_tf_factor(tt, ll, avgdl, k1, b).max()),
             )
 
@@ -193,7 +199,7 @@ def _make_encoder(
 
         cols = [
             "bucket", "term", "shard", "block_id", "n", "first_docid", "last_docid",
-            "gaps", "tfs", "dls", "poss", "max_tf", "max_score_free",
+            "gaps", "tfs", "dls", "poss", "max_tf", "cf", "max_score_free",
         ]
 
         for pdf in batches:
@@ -264,6 +270,12 @@ def build_index(
     posting batch commits — used by the resume test (the analog of the reference's
     kill-mid-index integration test, IndexerServiceIT.java:282-310).
     """
+    # Dynamic-partition writes (partitionBy bucket) otherwise take Spark's
+    # single-writer fallback: a per-task sort by partition value whose external
+    # sort collapses under high task concurrency (measured 45s vs 9.5s for the
+    # same write at local[16]). Concurrent writers are bounded anyway by the
+    # repartition-on-bucket before every partitioned write (1-3 buckets/task).
+    spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", "70")
     os.makedirs(out_root, exist_ok=True)
     version = None
     if resume:
@@ -393,42 +405,29 @@ def build_index(
         raw = raw.withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
         )
-        # repartition on bucket BEFORE the dynamic-partition write: each task then
-        # writes one bucket dir sequentially (n_buckets files total) instead of
-        # every reducer opening every bucket (reducers × buckets small files —
-        # measured 5x slower at local[32] and bloats downstream scans)
-        raw.repartition(n_buckets, "bucket").write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(raw_path)
+        # The salted repartition-by-term (north_rule): partition on
+        # (bucket, salt) with salt = hash(term) % TERM_SALT. Each hot bucket
+        # splits into TERM_SALT slices — no straggler sorts — while a term still
+        # lands wholly in one partition/file, pre-sorted by (bucket,term,docid),
+        # so the encode stage later streams straight off the scan with no
+        # shuffle or sort. File count stays bounded at ~n_buckets*TERM_SALT
+        # (each task writes 1-2 bucket dirs; maxConcurrentOutputFileWriters set
+        # above keeps the dynamic write off its single-writer sort fallback).
+        raw = raw.withColumn(
+            "_salt", F.pmod(F.xxhash64("term", F.lit(1)), F.lit(TERM_SALT))
+        )
+        (
+            raw.repartition(n_buckets * TERM_SALT, "bucket", "_salt")
+            .drop("_salt")
+            .sortWithinPartitions("bucket", "term", "docid")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(raw_path)
+        )
         catalog.ckpt_write(
             vdir, "raw", {"stage": "raw", "elapsed_sec": round(time.time() - t0, 3)}
         )
 
-    # ---- stage: dictionary + stats ------------------------------------------------
-    dict_path = os.path.join(vdir, "dict")
-    if not (resume and catalog.ckpt_done(vdir, "dict")):
-        t0 = time.time()
-        d = (
-            spark.read.parquet(raw_path)
-            .groupBy("term")
-            .agg(
-                F.count("*").alias("df"),
-                F.sum("tf").alias("cf"),
-                F.first("bucket").alias("bucket"),
-            )
-        )
-        dict_obs = Observation("dict_metrics")
-        d.repartitionByRange(max(4, n_ckpt_batches), "term").sortWithinPartitions(
-            "term"
-        ).observe(dict_obs, F.count(F.lit(1)).alias("n")).write.mode(
-            "overwrite"
-        ).parquet(dict_path)
-        n_terms = dict_obs.get["n"]
-        catalog.ckpt_write(
-            vdir,
-            "dict",
-            {"stage": "dict", "n_terms": n_terms, "elapsed_sec": round(time.time() - t0, 3)},
-        )
     catalog.write_stats(
         vdir,
         {
@@ -445,6 +444,24 @@ def build_index(
     )
 
     # ---- stage: encoded postings, per bucket-batch checkpoints -------------------
+    # Encode parallelism = raw-scan splits. Size splits so every core gets work
+    # even when the compressed raw table is small (default 128MB splits would
+    # give a handful of tasks); a file split mid-term only fragments that term's
+    # block sequence, which scoring handles.
+    try:
+        raw_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(raw_path)
+            for f in fs
+        )
+        per_batch = max(1, raw_bytes // n_ckpt_batches)
+        split = max(
+            2 << 20,
+            per_batch // (spark.sparkContext.defaultParallelism * 2),
+        )
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    except OSError:
+        pass  # non-local fs: keep the session default
     postings_path = os.path.join(vdir, "postings")
     encoder = _make_encoder(block_size, shard_size, avgdl, k1, b, store_positions)
     for batch in range(n_ckpt_batches):
@@ -460,19 +477,12 @@ def build_index(
                  "bytes_compressed": 0, "terms": 0, "elapsed_sec": 0.0},
             )
             continue
-        # a crash between data commit and manifest write leaves orphan bucket dirs;
-        # re-running the batch must not double-append — clear its buckets first
-        for bk in batch_buckets:
-            bdir = os.path.join(postings_path, f"bucket={bk}")
-            if os.path.isdir(bdir):
-                shutil.rmtree(bdir)
-        # hash repartition on bucket (not range): same one-partition-per-bucket
-        # placement without the range partitioner's extra sampling pass
-        part = (
-            spark.read.parquet(raw_path)
-            .filter(F.col("bucket").isin(batch_buckets))
-            .repartition(len(batch_buckets), "bucket")
-            .sortWithinPartitions("bucket", "term", "docid")
+        # raw was written term-partitioned and (bucket,term,docid)-sorted, so the
+        # encoder can stream straight off the scan: no shuffle, no sort. A term
+        # split across scan partitions (file-split edge) merely fragments its
+        # block sequence — scoring unions blocks, so results are unaffected.
+        part = spark.read.parquet(raw_path).filter(
+            F.col("bucket").isin(batch_buckets)
         )
         enc = part.mapInPandas(encoder, schema=BLOCK_SCHEMA)
         # metrics observed during the write (lineage evidence per bucket-batch)
@@ -488,7 +498,12 @@ def build_index(
             ).alias("bytes"),
             F.approx_count_distinct("term").alias("terms"),
         )
-        enc.write.mode("append").partitionBy("bucket").parquet(postings_path)
+        # each batch owns its dir (hive-style `batch=K`, discovered as a harmless
+        # partition column): overwrite makes a crashed batch's re-run idempotent,
+        # and plain (non-dynamic) writes keep one file per scan partition
+        enc.write.mode("overwrite").parquet(
+            os.path.join(postings_path, f"batch={batch}")
+        )
         m = enc_obs.get
         catalog.ckpt_write(
             vdir,
@@ -505,6 +520,34 @@ def build_index(
         )
         if fail_after_batch is not None and batch >= fail_after_batch:
             raise RuntimeError(f"injected failure after posting batch {batch}")
+
+    # ---- stage: dictionary (from block metadata — never re-reads raw postings) ---
+    # df = Σ block n, cf = Σ block cf per term: a groupBy over the compact encoded
+    # blocks (orders of magnitude smaller than raw at scale)
+    dict_path = os.path.join(vdir, "dict")
+    if not (resume and catalog.ckpt_done(vdir, "dict")):
+        t0 = time.time()
+        d = (
+            spark.read.parquet(postings_path)
+            .groupBy("term")
+            .agg(
+                F.sum("n").alias("df"),
+                F.sum("cf").alias("cf"),
+                F.first("bucket").alias("bucket"),
+            )
+        )
+        dict_obs = Observation("dict_metrics")
+        d.repartitionByRange(max(4, n_ckpt_batches), "term").sortWithinPartitions(
+            "term"
+        ).observe(dict_obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(dict_path)
+        n_terms = dict_obs.get["n"]
+        catalog.ckpt_write(
+            vdir,
+            "dict",
+            {"stage": "dict", "n_terms": n_terms, "elapsed_sec": round(time.time() - t0, 3)},
+        )
 
     # ---- finalize: reconcile + atomic publish (alias-swap analog) -----------------
     src_count = src.count()  # parquet footer count — metadata-speed

@@ -11,7 +11,7 @@ Layout under ``<root>/``::
     CURRENT                      # text file: name of the published version dir
     v<N>/
         docs/                    # parquet: docid, doc_len, sha256, meta cols
-        postings/bucket=K/       # parquet: encoded posting blocks
+        postings/batch=K/        # parquet: encoded posting blocks (one dir per ckpt batch)
         dict/                    # parquet: term, df, cf, bucket
         stats.json               # N, avgdl, tokenizer, k1, b, shard_size, ...
         _ckpt/<stage>.json       # per-stage/per-partition-batch lineage + metrics

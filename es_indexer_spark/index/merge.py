@@ -124,11 +124,16 @@ def merge_indexes(
             spark, ddir, ds["avgdl"], merged_avgdl, k1, b, offset, shard_size
         )
     )
-    # repartition on bucket first: one task per bucket dir, n_buckets output files
-    # (prevents small-file accumulation across repeated incremental merges)
-    blocks.repartition(ms["n_buckets"], "bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(os.path.join(vdir, "postings"))
+    # one merged batch dir; repartition+sort keeps file count at n_buckets and
+    # preserves term row-group pruning (prevents small-file accumulation across
+    # repeated incremental merges)
+    (
+        blocks.drop("batch")
+        .repartition(ms["n_buckets"], "bucket")
+        .sortWithinPartitions("bucket", "term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(vdir, "postings", "batch=0"))
+    )
 
     # ---- dict: additive merge (df/cf sum; bucket is hash-derived, identical) ----
     d = (

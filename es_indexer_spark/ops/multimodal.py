@@ -72,3 +72,62 @@ def extract_features(media_df: DataFrame, batch_hint: int = 1024) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
 
     return media_df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_media(media_df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing over the binary column: mapInPandas 1->1 with a new meta
+    struct. The pixel resample itself sits behind the decode seam (stubbed —
+    the deterministic fake re-derives a payload of len ∝ target area), but the
+    schema, Arrow batch shape, and partition behavior are the real thing."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload = []
+            for p in pdf["payload"]:
+                h = hashlib.sha256(p).digest()
+                need = max(1, (width * height) // 64)
+                out_payload.append((h * (need // len(h) + 1))[:need])
+            meta = [
+                {"format": "fake/resized", "width": width, "height": height,
+                 "n_bytes": len(b)}
+                for b in out_payload
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": out_payload, "meta": meta}
+            )
+
+    return media_df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, payload binary, "
+    "meta struct<format:string, width:int, height:int, n_bytes:long>"
+)
+
+
+def sample_frames(media_df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plumbing (video analog): mapInPandas 1->N — each input row
+    fans out to its every-Nth frame. Frame count and bytes are derived
+    deterministically from the payload (decode stub); the 1->N Arrow batch
+    shape, schema, and partition behavior are exactly what a real ffmpeg-backed
+    decoder drops into."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads, metas = [], [], [], []
+            for doc_id, p, m in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                n_frames = max(1, int(m["n_bytes"]) // 1000 + 1)
+                for fi in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    fb = hashlib.sha256(p + fi.to_bytes(4, "little")).digest()
+                    payloads.append(fb)
+                    metas.append(
+                        {"format": "fake/frame", "width": int(m["width"]),
+                         "height": int(m["height"]), "n_bytes": len(fb)}
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "payload": payloads, "meta": metas}
+            )
+
+    return media_df.mapInPandas(run, schema=FRAME_SCHEMA)

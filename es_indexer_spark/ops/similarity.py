@@ -99,3 +99,83 @@ def ann_lsh_topk(
         match = cond if match is None else (match | cond)
     cands = sig.filter(match)
     return ann_brute_topk(cands, id_col, vec_col, qvec, k)
+
+
+# ---------------------------------------------------------------------------- IVF
+def train_ivf_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic coarse quantizer: numpy k-means over an id-ordered sample
+    (driver-side — the codebook is tiny and broadcast by closure; the expensive
+    assignment step is distributed). Seeded + id-ordered => reproducible."""
+    rows = df.orderBy(F.col(id_col).asc()).limit(sample).select(vec_col).collect()
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(cent.shape[0]):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+    return cent
+
+
+def ivf_assign(df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray) -> DataFrame:
+    """(vec_id, cell, vec) with cell = nearest centroid — an Arrow-batched matmul
+    (the 100 TB build step: partition/cluster the stored table by `cell`)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    cent = centroids.copy()
+
+    # no type hints: `from __future__ import annotations` stringifies them and
+    # pyspark's hint parser can't resolve the local `pd` alias
+    @pandas_udf(IntegerType())
+    def assign_udf(vecs):
+        x = np.asarray(vecs.tolist(), dtype=np.float64)
+        if x.size == 0:
+            return pd.Series([], dtype="int32")
+        d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ cent.T) + (cent * cent).sum(1)[None, :]
+        return pd.Series(d2.argmin(axis=1).astype(np.int32), index=vecs.index)
+
+    return df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        assign_udf(F.col(vec_col)).alias("cell"),
+        F.col(vec_col).alias("vec"),
+    )
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    qvec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: probe the `nprobe` cells nearest the query, exact
+    cosine re-rank inside them. At scale the assignment is precomputed and the
+    table is partitioned by cell, so a query scans nprobe/n_centroids of the data
+    (partition pruning); here assignment runs inline for self-containment."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, id_col, vec_col, n_centroids=n_centroids, seed=seed
+        )
+    q = np.asarray(qvec, dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(c) for c in np.argsort(d2, kind="stable")[:nprobe]]
+    assigned = ivf_assign(df, id_col, vec_col, centroids)
+    cands = assigned.filter(F.col("cell").isin(probes))
+    return ann_brute_topk(cands, "vec_id", "vec", qvec, k)

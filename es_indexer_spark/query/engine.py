@@ -9,7 +9,7 @@ Python):
    (parquet point-read, term row-group pruning) -> (df, bucket) per term; compute
    Lucene idf from the broadcast-able stats;
 2. executors: read only the posting blocks of the query terms — partition pruning on
-   ``bucket=`` dirs plus parquet min/max row-group pruning on ``term`` — then score
+   ``bucket``/``term`` parquet min/max row-group pruning (blocks are written bucket- and term-sorted) — then score
    shard-by-shard (blocks are shard-local by construction);
 3. block-max pruning (Ding & Suel, SIGIR 2011, adapted to the shard-parallel
    setting): a probe pass exact-scores the densest shard; its k-th score θ is a lower
@@ -41,6 +41,20 @@ from es_indexer_spark.index.codec import decode_block
 from es_indexer_spark.query.bm25 import lucene_idf
 
 _SCORE_SCHEMA = "docid long, score double"
+
+# per-process cache of the dictionary DataFrame per index version (persisted —
+# the broadcast-dictionary design of the north_star; repeated queries skip the
+# parquet listing + scan. The version dir is immutable once published, so the
+# cache can never go stale; a republished index resolves to a new vdir.)
+_DICT_CACHE: dict[str, DataFrame] = {}
+
+
+def _dict_df(spark: SparkSession, vdir: str) -> DataFrame:
+    df = _DICT_CACHE.get(vdir)
+    if df is None:
+        df = spark.read.parquet(os.path.join(vdir, "dict")).persist()
+        _DICT_CACHE[vdir] = df
+    return df
 
 
 def _shard_scorer(idfs: dict[str, float], k1: float, b: float, theta: float, k: int, avgdl: float):
@@ -138,11 +152,7 @@ def topk(
     if not qterms:
         return spark.createDataFrame([], _SCORE_SCHEMA)
 
-    dict_rows = (
-        spark.read.parquet(os.path.join(vdir, "dict"))
-        .filter(F.col("term").isin(qterms))
-        .collect()
-    )
+    dict_rows = _dict_df(spark, vdir).filter(F.col("term").isin(qterms)).collect()
     if not dict_rows:
         return spark.createDataFrame([], _SCORE_SCHEMA)
     idfs = {r["term"]: lucene_idf(n_docs, r["df"]) for r in dict_rows}

@@ -105,11 +105,9 @@ def phrase_match(
         return spark.createDataFrame([], _PHRASE_SCHEMA)
 
     uniq = sorted(set(terms))
-    dict_rows = (
-        spark.read.parquet(os.path.join(vdir, "dict"))
-        .filter(F.col("term").isin(uniq))
-        .collect()
-    )
+    from es_indexer_spark.query.engine import _dict_df
+
+    dict_rows = _dict_df(spark, vdir).filter(F.col("term").isin(uniq)).collect()
     found = {r["term"]: r for r in dict_rows}
     if any(t not in found for t in uniq):  # conjunctive: a missing term → no match
         return spark.createDataFrame([], _PHRASE_SCHEMA)

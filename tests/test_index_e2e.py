@@ -141,3 +141,28 @@ def test_publish_is_atomic_pointer(spark, documents, index_root):
         assert os.path.exists(os.path.join(vdir, part))
     published = catalog.ckpt_read(vdir, "_PUBLISHED")
     assert published["n_docs"] == published["src_count"]
+
+
+def test_doc_lookup_point_read(spark, documents, index_root):
+    from es_indexer_spark.query.lookup import doc_lookup
+
+    rows = doc_lookup(spark, index_root, [3, 7, 9999999]).collect()
+    got = {r["docid"] for r in rows}
+    assert got == {3, 7}  # absent id simply yields nothing (ids-query semantics)
+
+
+def test_scan_after_keyset_pagination(spark, documents, index_root):
+    from es_indexer_spark.query.lookup import scan_after
+
+    total = documents.count()
+    seen, after, pages = [], None, 0
+    while True:
+        page = [r["docid"] for r in scan_after(spark, index_root, after, 100).collect()]
+        if not page:
+            break
+        assert page == sorted(page)
+        seen.extend(page)
+        after = page[-1]
+        pages += 1
+        assert pages <= total // 100 + 2  # no infinite loop
+    assert seen == sorted(seen) and len(seen) == total  # full, ordered, no dups

@@ -123,3 +123,75 @@ def test_multimodal_real_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_media(b"bytes", "image/png", real=True)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    return spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+
+# ---------------------------------------------------------------- IVF ANN
+def test_ann_ivf_full_probe_equals_brute(spark, embeddings):
+    from es_indexer_spark.ops.similarity import ann_brute_topk, ann_ivf_topk
+
+    qvec = [float(x) for x in embeddings.limit(1).collect()[0]["embedding"]]
+    brute = ann_brute_topk(embeddings, "vec_id", "embedding", qvec, k=10).collect()
+    full = ann_ivf_topk(
+        embeddings, "vec_id", "embedding", qvec, k=10, n_centroids=8, nprobe=8
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in full] == [
+        (r["vec_id"], r["cosine"]) for r in brute
+    ]
+
+
+def test_ann_ivf_partial_probe_subset(spark, embeddings):
+    from es_indexer_spark.ops.similarity import ann_brute_topk, ann_ivf_topk
+
+    qvec = [float(x) for x in embeddings.limit(1).collect()[0]["embedding"]]
+    approx = ann_ivf_topk(
+        embeddings, "vec_id", "embedding", qvec, k=10, n_centroids=8, nprobe=2
+    ).collect()
+    assert 0 < len(approx) <= 10
+    # scores must be true cosines: every returned pair appears in the full ranking
+    allc = {
+        r["vec_id"]: r["cosine"]
+        for r in ann_brute_topk(
+            embeddings, "vec_id", "embedding", qvec, k=10_000
+        ).collect()
+    }
+    for r in approx:
+        assert allc[r["vec_id"]] == r["cosine"]
+    # probing the nearest cells should recover the overall top hit
+    top = ann_brute_topk(embeddings, "vec_id", "embedding", qvec, k=1).collect()[0]
+    assert approx[0]["vec_id"] == top["vec_id"]
+
+
+# ---------------------------------------------------------------- multimodal resize/frames
+def test_resize_media_schema_and_meta(spark, documents):
+    from es_indexer_spark.ops.multimodal import pack_media, resize_media
+
+    media = pack_media(documents.limit(20), "doc_id", "text")
+    out = resize_media(media, 32, 48).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["meta"]["format"] == "fake/resized"
+        assert (r["meta"]["width"], r["meta"]["height"]) == (32, 48)
+        assert r["meta"]["n_bytes"] == len(r["payload"]) == max(1, (32 * 48) // 64)
+
+
+def test_sample_frames_fanout(spark, documents):
+    from es_indexer_spark.ops.multimodal import pack_media, sample_frames
+
+    media = pack_media(documents.limit(20), "doc_id", "text")
+    src = {r["doc_id"]: r["meta"]["n_bytes"] for r in media.collect()}
+    frames = sample_frames(media, every_n=10).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert set(by_doc) == set(src)
+    for d, idxs in by_doc.items():
+        n_frames = max(1, src[d] // 1000 + 1)
+        assert sorted(idxs) == list(range(0, n_frames, 10))
+        assert len(set(idxs)) == len(idxs)
