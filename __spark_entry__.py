@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["set_union_merge"] = R.set_union_merge
     q["status_classifier"] = R.status_classifier
     q["date_widening"] = R.date_widening
+    q["ranking_score"] = R.ranking_score
     return q
 
 
@@ -543,6 +544,17 @@ SELECT CASE WHEN regexp_matches(o_orderpriority, '^1|^2') THEN 'urgent'
             ELSE 'low' END AS priority_class,
        count(*)::BIGINT AS n_orders, round(sum(o_totalprice)::DOUBLE, 2) AS total_price
 FROM orders GROUP BY 1
+"""
+    o["ranking_score"] = """
+WITH t AS (SELECT doc_id, lang, source, length(text) AS n_chars,
+                  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tok
+           FROM documents)
+SELECT doc_id,
+       round(least(n_chars * 0.01, 25.0)
+             + CASE WHEN n_tok <= 50 THEN 10.0 WHEN n_tok <= 150 THEN 15.0 ELSE 20.0 END
+             + CASE WHEN lang IS NOT NULL AND lang <> '' THEN 10.0 ELSE 0.0 END
+             + CASE WHEN source IS NOT NULL AND source <> '' THEN 10.0 ELSE 0.0 END, 4) AS rank_score
+FROM t
 """
     o["date_widening"] = """
 SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month, count(*)::BIGINT AS n_orders

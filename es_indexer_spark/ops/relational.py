@@ -160,3 +160,27 @@ def date_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
         F.count("*").alias("n_orders")
     )
+
+
+def ranking_score(spark, sf_dir: str):
+    """Completeness/relevance ranking score — the reference's weighted-sum
+    ranking (indexer/.../RankingServiceImpl.java:18-58 weights, :60-169 logic)
+    re-expressed as pure vectorized column algebra over the documents table:
+    capped description-length term (min(len*0.01, 25)), bucketed richness term
+    (token count ≤50/≤150/>150 → 10/15/20), +10 per present metadata field.
+    Fully whole-stage-codegen — no UDF."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_tok = F.size(F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""))
+    score = (
+        F.least(F.length("text") * 0.01, F.lit(25.0))
+        + F.when(n_tok <= 50, 10.0).when(n_tok <= 150, 15.0).otherwise(20.0)
+        + F.when(F.col("lang").isNotNull() & (F.col("lang") != ""), 10.0).otherwise(0.0)
+        + F.when(F.col("source").isNotNull() & (F.col("source") != ""), 10.0).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id", F.round(score, 4).alias("rank_score")
+    )
