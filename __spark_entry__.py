@@ -38,7 +38,7 @@ from es_indexer_spark.ops.textstats import (
     token_counts,
 )
 from es_indexer_spark.ops.multimodal import (
-    extract_features,
+    extract_features_flat,
     pack_media,
     resize_media,
     sample_frames,
@@ -126,6 +126,68 @@ raw AS (
 SELECT doc_id, round(score_raw::DOUBLE, 4) AS score
 FROM raw ORDER BY score_raw DESC, doc_id ASC LIMIT {k}
 """
+
+
+def _hexdig(h: str, p: int) -> str:
+    """DuckDB expr: value of the p-th (1-indexed) hex digit of column/expr ``h``."""
+    return f"(strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
+
+
+def _hexbyte(h: str, j: int) -> str:
+    """DuckDB expr: byte j (0-indexed) of a hex digest string ``h``."""
+    return f"({_hexdig(h, 2 * j + 1)}*16 + {_hexdig(h, 2 * j + 2)})"
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """Full SQL replay of ops.dedup.simhash_near_pairs(hash_family='sha'):
+    60-bit sha256-derived token hashes, tf-weighted per-bit sign sums, 4x15-bit
+    band candidate generation, exact bit_count(xor) Hamming verify."""
+    bits = 60
+    hparse = " + ".join(
+        f"{_hexdig('h', p)}::BIGINT * {16 ** (15 - p)}" for p in range(1, 16)
+    )
+    bit_sums = ",\n  ".join(
+        f"sum((((v >> {i}) & 1) * 2 - 1) * tf) AS b{i}" for i in range(bits)
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    bands = "\n UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {15 * b}) & 32767 AS bh FROM fp"
+        for b in range(4)
+    )
+    return f"""
+WITH t2 AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+t3 AS (SELECT doc_id, term FROM t2 WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t3 GROUP BY 1, 2),
+hh AS (SELECT doc_id, tf, ({hparse}) AS v
+       FROM (SELECT doc_id, tf, substr(sha256(term), 1, 15) AS h FROM tf)),
+s AS (SELECT doc_id, {bit_sums} FROM hh GROUP BY doc_id),
+fp AS (SELECT doc_id, ({fp_expr})::BIGINT AS simhash FROM s),
+bands AS ({bands}),
+pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                 bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+          FROM bands a JOIN bands b USING (band, bh)
+          WHERE a.doc_id < b.doc_id)
+SELECT DISTINCT doc1, doc2, hamming FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+def _media_features_sql() -> str:
+    # replays ops.multimodal.decode_media's deterministic fake: 8 little-endian
+    # uint32s from sha256(payload) (payload = utf-8 text), each / 2^32
+    feats = []
+    for i in range(8):
+        b = [_hexbyte("h", 4 * i + k) for k in range(4)]
+        feats.append(
+            f"round(({b[0]} + {b[1]}*256 + {b[2]}*65536 + {b[3]}*16777216)"
+            f" / 4294967296.0, 6) AS feature_{i}"
+        )
+    cols = ",\n       ".join(feats)
+    return (
+        "WITH hx AS (SELECT doc_id, sha256(text) AS h FROM documents)\n"
+        f"SELECT doc_id, {cols} FROM hx"
+    )
 
 
 _TOKS_CTE = """
@@ -219,8 +281,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = lambda spark, sf: minhash_lsh_pairs(
         _docs(spark, sf), "doc_id", "text", n=2, threshold=0.5
     )
+    # sha hash family: same operator, oracle-replayable hash (xx = scale default)
     q["dedup_simhash"] = lambda spark, sf: simhash_near_pairs(
-        _docs(spark, sf), "doc_id", "text", max_hamming=3
+        _docs(spark, sf), "doc_id", "text", max_hamming=3, hash_family="sha"
     )
     q["dedup_embedding_cosine"] = lambda spark, sf: embedding_cosine_pairs(
         _emb(spark, sf), "vec_id", "embedding", threshold=0.4
@@ -256,7 +319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.col("meta.height").alias("height"),
         F.col("meta.n_bytes").alias("n_bytes"),
     )
-    q["media_features"] = lambda spark, sf: extract_features(
+    q["media_features"] = lambda spark, sf: extract_features_flat(
         pack_media(_docs(spark, sf), "doc_id", "text")
     )
     q["media_resize"] = lambda spark, sf: resize_media(
@@ -372,6 +435,7 @@ s AS (SELECT e.vec_id,
       FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
 SELECT vec_id, round(c, 6) AS cosine FROM s ORDER BY c DESC, vec_id ASC LIMIT 10
 """
+    o["media_features"] = _media_features_sql()
     o["media_resize"] = """
 SELECT doc_id, 'fake/resized' AS format, 64::INT AS width, 64::INT AS height,
        greatest(1, (64 * 64) // 64)::BIGINT AS n_bytes
@@ -469,6 +533,7 @@ SELECT doc1, doc2, round(i::DOUBLE / (s1.n + s2.n - i), 6) AS jaccard
 FROM inter JOIN sizes s1 ON doc1 = s1.doc_id JOIN sizes s2 ON doc2 = s2.doc_id
 WHERE i::DOUBLE / (s1.n + s2.n - i) >= 0.5
 """
+    o["dedup_simhash"] = _simhash_sql(max_hamming=3)
     o["dedup_embedding_cosine"] = """
 SELECT a.vec_id AS doc1, b.vec_id AS doc2,
        round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /

@@ -192,57 +192,81 @@ def minhash_lsh_pairs(
     )
 
 
+def _term_hash_col(hash_family: str):
+    """64- or 60-bit token hash as a Column, per family:
+
+    - ``xx``  — Spark builtin xxhash64 (fastest, JVM; 64 bits) — the scale default;
+    - ``sha`` — first 15 hex digits of sha256 (60 bits), chosen because ANSI SQL /
+      DuckDB can recompute it exactly, making the whole operator oracle-replayable.
+    Both are JVM-side expressions — no Python in the hot path."""
+    if hash_family == "xx":
+        return F.xxhash64("term"), 64
+    if hash_family == "sha":
+        return (
+            F.conv(F.substring(F.sha2(F.col("term"), 256), 1, 15), 16, 10).cast("long"),
+            60,
+        )
+    raise ValueError(f"unknown hash_family: {hash_family}")
+
+
 def simhash_fingerprints(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame, id_col: str, text_col: str, hash_family: str = "xx"
 ) -> DataFrame:
-    """(doc_id, simhash: bigint) — 64-bit SimHash over tf-weighted token hashes.
+    """(doc_id, simhash: bigint) — SimHash over tf-weighted token hashes, computed
+    entirely in JVM column algebra (whole-stage codegen; zero Python):
 
-    Vectorized pandas UDF path: per Arrow batch, explode tokens -> hash -> unpack
-    bits -> weighted sign sum (numpy), no per-row Python."""
-    import pandas as pd  # noqa: F811
+    explode tokens -> groupBy (doc, term) tf -> per-bit signed tf sums
+    (``sum(tf * (2*bit_i - 1))``, one agg per bit, map-side partial) -> sign ->
+    assemble the fingerprint. Cost: one hash-agg shuffle keyed on (doc, term) +
+    one on doc — both bounded-width keys; scale-safe at any corpus size.
 
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import LongType
-
-    from es_indexer_spark.analysis.tokenizer import standard_tokenize_series
-
-    @pandas_udf(LongType())
-    def simhash_udf(texts: pd.Series) -> pd.Series:
-        toks = standard_tokenize_series(texts)
-        out = np.zeros(len(toks), dtype=np.int64)
-        for i, tok_list in enumerate(toks.tolist()):
-            if not tok_list:
-                continue
-            uniq, counts = np.unique(np.asarray(tok_list, dtype=object), return_counts=True)
-            # deterministic 64-bit token hash (FNV-1a, pure numpy)
-            hashes = np.zeros(uniq.size, dtype=np.uint64)
-            for j, t in enumerate(uniq):
-                h = np.uint64(0xCBF29CE484222325)
-                for ch in t.encode():
-                    h = np.uint64((int(h) ^ ch) * 0x100000001B3 % (1 << 64))
-                hashes[j] = h
-            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                np.float64
-            )
-            v = ((bits * 2 - 1) * counts[:, None].astype(np.float64)).sum(axis=0)
-            sim = np.uint64(0)
-            for bit in np.nonzero(v > 0)[0]:
-                sim |= np.uint64(1) << np.uint64(bit)
-            out[i] = np.int64(sim.astype(np.int64))
-        return pd.Series(out, index=texts.index)
-
-    return df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        simhash_udf(F.col(text_col)).alias("simhash"),
+    Docs with zero tokens carry no signal and are omitted (they would otherwise
+    all collide at fingerprint 0)."""
+    col_h, bits = _term_hash_col(hash_family)
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
+    tf = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", col_h)
     )
+    bit_sums = [
+        F.sum(
+            (
+                F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) * 2 - 1
+            ).cast("long")
+            * F.col("tf")
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    s = tf.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for i in range(bits):
+        # bit 63 is the sign bit: set it by adding -(2^63) (two's complement)
+        weight = F.lit(-(1 << 63)) if i == 63 else F.lit(1 << i)
+        term = F.when(F.col(f"b{i}") > 0, weight).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return s.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    hash_family: str = "xx",
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming; candidates via 4x16-bit
-    band buckets (a pair within Hamming 3 must agree on >= one band)."""
-    fp = simhash_fingerprints(df, id_col, text_col)
+    """Near-dup pairs with Hamming(simhash) <= max_hamming; candidates via 4 band
+    buckets of bits/4 bits each (by pigeonhole, a pair within Hamming 3 must agree
+    on >= one band), verified exactly via bit_count(xor). All JVM-side; with
+    ``hash_family='sha'`` the entire pipeline is replayable in ANSI SQL."""
+    _, bits = _term_hash_col(hash_family)
+    width = bits // 4
+    mask = (1 << width) - 1
+    fp = simhash_fingerprints(df, id_col, text_col, hash_family)
     bands = fp.select(
         "doc_id",
         "simhash",
@@ -251,8 +275,8 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned("simhash", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", width * i)
+                        .bitwiseAND(F.lit(mask))
                         .alias("bh"),
                     )
                     for i in range(4)

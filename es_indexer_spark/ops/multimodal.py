@@ -26,7 +26,12 @@ MEDIA_SCHEMA = (
 )
 
 FEATURE_DIM = 8
-FEATURE_SCHEMA = f"doc_id long, feature array<double>"
+FEATURE_SCHEMA = "doc_id long, feature array<double>"
+# flat variant: one double column per dimension (hashable / SQL-comparable —
+# array cells can't be canonicalized by generic row-hash comparators)
+FEATURE_FLAT_SCHEMA = "doc_id long, " + ", ".join(
+    f"feature_{i} double" for i in range(FEATURE_DIM)
+)
 
 
 def pack_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -72,6 +77,27 @@ def extract_features(media_df: DataFrame, batch_hint: int = 1024) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
 
     return media_df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def extract_features_flat(
+    media_df: DataFrame, batch_hint: int = 1024, ndigits: int = 6
+) -> DataFrame:
+    """Feature extraction with one rounded double column per dimension
+    (``feature_0..feature_{D-1}``) instead of an array — the contract-facing
+    shape: hashable rows, replayable by a SQL oracle (the fake decode is
+    sha256-derived, so DuckDB can recompute each dimension from the hex digest)."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = np.asarray(
+                [decode_media(p, m["format"]) for p, m in zip(pdf["payload"], pdf["meta"])]
+            ).reshape(len(pdf), FEATURE_DIM)
+            out = {"doc_id": pdf["doc_id"]}
+            for i in range(FEATURE_DIM):
+                out[f"feature_{i}"] = np.round(feats[:, i], ndigits)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(run, schema=FEATURE_FLAT_SCHEMA)
 
 
 def resize_media(media_df: DataFrame, width: int, height: int) -> DataFrame:
