@@ -173,6 +173,67 @@ SELECT DISTINCT doc1, doc2, hamming FROM pairs WHERE hamming <= {max_hamming}
 """
 
 
+def _hexparse15(col: str) -> str:
+    """DuckDB expr: BIGINT value of a 15-hex-digit string column ``col``."""
+    return (
+        "("
+        + " + ".join(f"{_hexdig(col, p)}::BIGINT * {16 ** (15 - p)}" for p in range(1, 16))
+        + ")"
+    )
+
+
+def _minhash_sql(
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_band_df: int = 32,
+) -> str:
+    """Full SQL replay of ops.dedup.minhash_lsh_pairs(hash_family='sha', n=2):
+    sha256-derived MinHash family, banded candidate generation with the
+    band-bucket df cap, exact-Jaccard verify of candidates only."""
+    rows = num_hashes // bands
+    xs = ",\n       ".join(
+        f"substr(sha256(shingle || '#{i}'), 1, 15) AS x{i}" for i in range(num_hashes)
+    )
+    mins = ",\n       ".join(
+        f"min({_hexparse15(f'x{i}')}) AS h{i}" for i in range(num_hashes)
+    )
+    band_rows = "\n UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, ({key}) AS bh FROM mins".format(
+            b=bi,
+            key=" || '#' || ".join(f"h{bi * rows + j}" for j in range(rows)),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id, g AS shingle
+       FROM toks, unnest(CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+                              ELSE [array_to_string(t[i:i+1], ' ') for i in range(1, len(t) - 1 + 1)] END) AS u(g)),
+hs AS (SELECT doc_id, shingle,
+       {xs}
+       FROM sh),
+mins AS (SELECT doc_id,
+       {mins}
+       FROM hs GROUP BY doc_id),
+bands AS ({band_rows}),
+capped AS (SELECT band, bh FROM bands GROUP BY band, bh HAVING count(*) <= {max_band_df}),
+bok AS (SELECT b.doc_id, b.band, b.bh FROM bands b JOIN capped USING (band, bh)),
+cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         FROM bok a JOIN bok b USING (band, bh) WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT c.doc1, c.doc2, count(*) AS i
+          FROM cand c
+          JOIN sh s1 ON s1.doc_id = c.doc1
+          JOIN sh s2 ON s2.doc_id = c.doc2 AND s2.shingle = s1.shingle
+          GROUP BY 1, 2)
+SELECT doc1, doc2, round(i::DOUBLE / (s1.n + s2.n - i), 6) AS jaccard
+FROM inter JOIN sizes s1 ON doc1 = s1.doc_id JOIN sizes s2 ON doc2 = s2.doc_id
+WHERE i::DOUBLE / (s1.n + s2.n - i) >= {threshold}
+"""
+
+
 def _media_features_sql() -> str:
     # replays ops.multimodal.decode_media's deterministic fake: 8 little-endian
     # uint32s from sha256(payload) (payload = utf-8 text), each / 2^32
@@ -278,8 +339,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = lambda spark, sf: ngram_jaccard_pairs(
         _docs(spark, sf), "doc_id", "text", n=2, threshold=0.5
     )
+    # sha hash family + band-bucket df cap: identical pipeline to the scale
+    # default (xxhash64), but every stage is replayed by the DuckDB oracle
     q["dedup_minhash_lsh"] = lambda spark, sf: minhash_lsh_pairs(
-        _docs(spark, sf), "doc_id", "text", n=2, threshold=0.5
+        _docs(spark, sf), "doc_id", "text", n=2, threshold=0.5,
+        hash_family="sha", max_band_df=32,
     )
     # sha hash family: same operator, oracle-replayable hash (xx = scale default)
     q["dedup_simhash"] = lambda spark, sf: simhash_near_pairs(
@@ -533,6 +597,7 @@ SELECT doc1, doc2, round(i::DOUBLE / (s1.n + s2.n - i), 6) AS jaccard
 FROM inter JOIN sizes s1 ON doc1 = s1.doc_id JOIN sizes s2 ON doc2 = s2.doc_id
 WHERE i::DOUBLE / (s1.n + s2.n - i) >= 0.5
 """
+    o["dedup_minhash_lsh"] = _minhash_sql(threshold=0.5, max_band_df=32)
     o["dedup_simhash"] = _simhash_sql(max_hamming=3)
     o["dedup_embedding_cosine"] = """
 SELECT a.vec_id AS doc1, b.vec_id AS doc2,

@@ -89,9 +89,9 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("inter"))
     )
     out = (
-        inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc1")), "doc1")
+        inter.join(sizes.withColumnRenamed("doc_id", "doc1"), "doc1")
         .withColumnRenamed("n_sh", "n1")
-        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc2")), "doc2")
+        .join(sizes.withColumnRenamed("doc_id", "doc2"), "doc2")
         .withColumnRenamed("n_sh", "n2")
         .withColumn(
             "jaccard",
@@ -104,17 +104,37 @@ def ngram_jaccard_pairs(
     return out
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = N_MINHASH
-) -> DataFrame:
-    """(doc_id, sig: array<bigint>) MinHash signatures over token n-gram shingles.
+def _minhash_col(i: int, hash_family: str):
+    """Seeded 64/60-bit shingle hash for MinHash seed ``i``. Families as in
+    :func:`_term_hash_col`: ``xx`` (xxhash64(shingle, seed)) is the scale
+    default; ``sha`` (15 hex digits of sha256(shingle || '#' || i)) is bit-exact
+    replayable by the DuckDB oracle. Both JVM-side."""
+    if hash_family == "xx":
+        return F.xxhash64(F.col("shingle"), F.lit(i))
+    if hash_family == "sha":
+        return F.conv(
+            F.substring(
+                F.sha2(F.concat_ws("#", F.col("shingle"), F.lit(i)), 256), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+    raise ValueError(f"unknown hash_family: {hash_family}")
 
-    h_i(s) = xxhash64(s, seed=i) — Spark's builtin 64-bit hash family, fully
-    JVM-side; min per seed via groupBy min (partial aggregation map-side)."""
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = N_MINHASH,
+    hash_family: str = "xx",
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>) MinHash signatures over token n-gram shingles;
+    min per seed via groupBy min (partial aggregation map-side)."""
     sh = _token_shingles(df, id_col, text_col, n)
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(_minhash_col(i, hash_family)).alias(f"h{i}") for i in range(num_hashes)
     ]
     sig = sh.groupBy("doc_id").agg(*mins)
     return sig.select(
@@ -130,36 +150,66 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     num_hashes: int = N_MINHASH,
     bands: int = LSH_BANDS,
+    hash_family: str = "xx",
+    max_band_df: int | None = 1 << 12,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified.
 
-    band hash -> bucket equi-join -> distinct candidate pairs -> exact-Jaccard
-    verify of the CANDIDATES ONLY (array_intersect over the two docs' shingle
-    sets — never the all-pairs shingle self-join, which would reduce LSH to
-    brute force). Output values are exact w.r.t. the threshold; LSH only prunes
+    band key -> bucket equi-join -> distinct candidate pairs -> exact-Jaccard
+    verify of the CANDIDATES ONLY (shingle equi-join restricted to candidate
+    pairs — never an all-pairs join, and no per-doc collect_set of the full
+    shingle set). Output values are exact w.r.t. the threshold; LSH only prunes
     candidates — identical contract to the brute-force operator, minus pairs
     whose every band collides nowhere, i.e. standard LSH recall.
 
+    Skew guards (both replayed by the SQL oracle when used):
+    - ``max_shingle_df`` drops boilerplate shingles before signatures;
+    - ``max_band_df`` drops degenerate band buckets (empty/boilerplate docs
+      collapsing to one band value) whose self-join would go quadratic — the
+      stop-term defusal the index builder applies to hot buckets.
+
     Scale shape: cost = O(shingles) for signatures + O(|candidates|) verify;
-    the only pair-wise work is on bucket-colliding pairs."""
+    the only pair-wise work is on bucket-colliding pairs, and every bucket is
+    df-capped."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sh = _token_shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("sdf"))
+            .filter(F.col("sdf") > max_shingle_df)
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    mins = [
+        F.min(_minhash_col(i, hash_family)).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+
+    def band_key(bi: int):
+        cols = [F.col(f"h{bi * rows + j}") for j in range(rows)]
+        if hash_family == "xx":
+            return F.xxhash64(*cols).cast("string")
+        return F.concat_ws("#", *cols)  # sha mode: SQL-replayable band key
+
     banded = sig.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("sig", bi * rows + j + 1) for j in range(rows)]
-                        ).alias("bh"),
-                    )
+                    F.struct(F.lit(bi).alias("band"), band_key(bi).alias("bh"))
                     for bi in range(bands)
                 ]
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bh")
+    if max_band_df is not None:
+        hot_b = (
+            banded.groupBy("band", "bh")
+            .agg(F.count("*").alias("bdf"))
+            .filter(F.col("bdf") > max_band_df)
+        )
+        banded = banded.join(F.broadcast(hot_b), ["band", "bh"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -168,24 +218,24 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
-    doc_sh = (
-        _token_shingles(df, id_col, text_col, n)
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("shs"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc1"), "shingle"), "doc1")
+        .join(sh.select(F.col("doc_id").alias("doc2"), "shingle"), ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("inter"))
     )
+    # no broadcast hint: sizes is O(n_docs) at scale — AQE picks the strategy
+    # (inter is candidate-bounded, so it is the small side worth broadcasting)
     return (
-        cand.join(
-            doc_sh.select(F.col("doc_id").alias("doc1"), F.col("shs").alias("sh1")),
-            "doc1",
-        )
-        .join(
-            doc_sh.select(F.col("doc_id").alias("doc2"), F.col("shs").alias("sh2")),
-            "doc2",
-        )
-        .withColumn("inter", F.size(F.array_intersect("sh1", "sh2")).cast("double"))
+        inter.join(sizes.withColumnRenamed("doc_id", "doc1"), "doc1")
+        .withColumnRenamed("n_sh", "n1")
+        .join(sizes.withColumnRenamed("doc_id", "doc2"), "doc2")
+        .withColumnRenamed("n_sh", "n2")
         .withColumn(
             "jaccard",
-            F.col("inter") / (F.size("sh1") + F.size("sh2") - F.col("inter")),
+            F.col("inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
