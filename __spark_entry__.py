@@ -349,8 +349,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash"] = lambda spark, sf: simhash_near_pairs(
         _docs(spark, sf), "doc_id", "text", max_hamming=3, hash_family="sha"
     )
+    # tile_size forces the tiled cogroup-matmul path (multiple tiles) even at
+    # contract scale; exact output — oracle unchanged
     q["dedup_embedding_cosine"] = lambda spark, sf: embedding_cosine_pairs(
-        _emb(spark, sf), "vec_id", "embedding", threshold=0.4
+        _emb(spark, sf), "vec_id", "embedding", threshold=0.4, tile_size=256
     )
 
     # ---- similarity search -------------------------------------------------------

@@ -351,33 +351,88 @@ def simhash_near_pairs(
 
 
 def embedding_cosine_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    tile_size: int = 4096,
 ) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= threshold, doc1 < doc2.
+    """Embedding near-dup pairs: cosine >= threshold, doc1 < doc2. EXACT.
 
-    Exact formulation in double precision (cast from float32 once, sum left-to-right
-    — mirrored exactly by the SQL oracle). Small inputs join all-pairs; at scale,
-    route candidates through :mod:`es_indexer_spark.ops.similarity` LSH buckets."""
+    Exact all-pairs similarity is O(n^2) compares by definition; what must NOT
+    be O(n^2) is any single task or any driver/broadcast structure. This tiles
+    the pair space: vectors are hashed into ``ceil(n/tile_size)`` tiles, the
+    C(T+1,2) tile combos become a broadcast dimension table, and each combo is
+    scored by one cogrouped Arrow task as a BLAS matmul (``Xn @ Yn.T``) that
+    emits only above-threshold pairs. Physical plan: two broadcast equi-joins +
+    one shuffle keyed on combo id — NO CartesianProduct / BroadcastNestedLoop
+    (asserted by tests/test_ops.py). Work per task is tile_size^2 vectorized
+    flops; tasks scale out with the cluster.
+
+    For approximate near-dup at extreme scale (where even tiled exact is too
+    much), use MinHash/SimHash here or the LSH/IVF candidate routes in
+    :mod:`es_indexer_spark.ops.similarity`."""
+    spark = df.sparkSession
     v = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        F.col(vec_col).cast("array<double>").alias("v"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda side: F.sqrt(
-        F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    a, b = v.alias("a"), v.alias("b")
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .withColumn("cosine", dot / (norm("a") * norm("b")))
-        .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col("a.doc_id").alias("doc1"),
-            F.col("b.doc_id").alias("doc2"),
-            F.round("cosine", 6).alias("cosine"),
+    n = v.count()
+    n_tiles = max(1, -(-n // tile_size))
+    combos = [
+        (ci, ti, tj)
+        for ci, (ti, tj) in enumerate(
+            (ti, tj) for ti in range(n_tiles) for tj in range(ti, n_tiles)
         )
+    ]
+    combos_a = spark.createDataFrame(
+        [(c, ti) for c, ti, _ in combos], "cid int, tile int"
+    )
+    combos_b = spark.createDataFrame(
+        [(c, tj) for c, _, tj in combos], "cid int, tile int"
+    )
+    # two independent lineages (re-select from df) so the cogroup self-join
+    # resolves unambiguously
+    def side(combos_df: DataFrame) -> DataFrame:
+        vv = df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ).withColumn(
+            "tile", F.pmod(F.xxhash64("doc_id"), F.lit(n_tiles)).cast("int")
+        )
+        return vv.join(F.broadcast(combos_df), "tile").select(
+            "cid", "tile", "doc_id", "v"
+        )
+
+    a = side(combos_a)
+    b = side(combos_b)
+    thr = float(threshold)
+
+    def compare(la: pd.DataFrame, lb: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc1": [], "doc2": [], "cosine": []})
+        if len(la) == 0 or len(lb) == 0:
+            return empty
+        ids_a = la["doc_id"].to_numpy(np.int64)
+        ids_b = lb["doc_id"].to_numpy(np.int64)
+        x = np.stack(la["v"].to_numpy())
+        y = np.stack(lb["v"].to_numpy())
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        yn = y / np.linalg.norm(y, axis=1, keepdims=True)
+        c = xn @ yn.T
+        mask = c >= thr
+        if int(la["tile"].iloc[0]) == int(lb["tile"].iloc[0]):
+            mask &= ids_a[:, None] < ids_b[None, :]
+        ii, jj = np.nonzero(mask)
+        if ii.size == 0:
+            return empty
+        d1 = np.minimum(ids_a[ii], ids_b[jj])
+        d2 = np.maximum(ids_a[ii], ids_b[jj])
+        return pd.DataFrame(
+            {"doc1": d1, "doc2": d2, "cosine": np.round(c[ii, jj], 6)}
+        )
+
+    return (
+        a.groupby("cid")
+        .cogroup(b.groupby("cid"))
+        .applyInPandas(compare, "doc1 long, doc2 long, cosine double")
     )

@@ -107,6 +107,41 @@ def test_embedding_cosine_pairs(vectors):
     assert {(99, 100), (99, 101), (100, 101)} <= got
 
 
+def test_embedding_cosine_pairs_tiled_matches_numpy(vectors):
+    """Tiny tile_size forces many tile combos; output must equal the exact
+    numpy all-pairs result — the tiling must not drop, duplicate, or reorder
+    any pair."""
+    df, _ = vectors
+    rows = df.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    c = xn @ xn.T
+    expected = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and c[i, j] >= 0.9:
+                expected.add((int(ids[i]), int(ids[j])))
+    got = {
+        (r["doc1"], r["doc2"])
+        for r in embedding_cosine_pairs(
+            df, "vec_id", "embedding", threshold=0.9, tile_size=8
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_embedding_cosine_pairs_no_cartesian_product(vectors):
+    """Scale guard: the physical plan must tile via equi-joins + cogroup, never
+    a CartesianProduct / BroadcastNestedLoopJoin (VERDICT r1 finding #2)."""
+    df, _ = vectors
+    plan = embedding_cosine_pairs(
+        df, "vec_id", "embedding", threshold=0.9, tile_size=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_multimodal_plumbing(documents):
     media = pack_media(documents.limit(20), "doc_id", "text")
     assert dict(media.dtypes)["payload"] == "binary"
