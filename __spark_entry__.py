@@ -363,9 +363,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(spark, sf).filter(F.col("vec_id") != 0), "vec_id", "embedding",
         _qvec(spark, sf), k=10,
     )
+    # probe_hamming=8 probes every bucket of every band -> candidates are the
+    # full table and the ranking is exactly brute force, so the brute oracle
+    # applies (full-probe ≡ exact, same trick as ann_ivf below); the pruning
+    # path (radius 0) is covered by pytest recall tests
     q["ann_lsh_cosine"] = lambda spark, sf: ann_lsh_topk(
         _emb(spark, sf).filter(F.col("vec_id") != 0), "vec_id", "embedding",
-        _qvec(spark, sf), k=10,
+        _qvec(spark, sf), k=10, probe_hamming=8,
     )
     # nprobe == n_centroids scans every cell → exactly the brute result, which
     # makes the IVF path oracle-checkable; the approximate path is covered by
@@ -490,6 +494,16 @@ g AS (SELECT doc_id, unnest(t) AS ph FROM cap
 dd AS (SELECT DISTINCT doc_id, ph FROM g),
 agg AS (SELECT ph AS phrase, count(*)::BIGINT AS df FROM dd GROUP BY ph)
 SELECT phrase, df FROM agg WHERE phrase LIKE 'data%' ORDER BY df DESC, phrase ASC LIMIT 20
+"""
+    # probe_hamming == band width → LSH degenerates to exact brute scan
+    o["ann_lsh_cosine"] = """
+WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q.v) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(q.v, q.v))) AS c
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+SELECT vec_id, round(c, 6) AS cosine FROM s ORDER BY c DESC, vec_id ASC LIMIT 10
 """
     # nprobe == n_centroids → IVF degenerates to exact brute scan (same oracle)
     o["ann_ivf_cosine"] = """

