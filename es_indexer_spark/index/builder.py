@@ -202,6 +202,21 @@ def _make_encoder(
             "gaps", "tfs", "dls", "poss", "max_tf", "cf", "max_score_free",
         ]
 
+        def force_emit(bucket, term, bid, dd, tt, ll, pp) -> int:
+            """Emit a complete monotone run including its tail partial block."""
+            consumed, bid = emit(bucket, term, bid, dd, tt, ll, pp)
+            if consumed < dd.size:
+                rest = dd[consumed:]
+                shard = int(rest[0]) // shard_size
+                out_rows.append(
+                    block_row(
+                        bucket, term, shard, bid, rest, tt[consumed:], ll[consumed:],
+                        pp[consumed:] if pp is not None else (),
+                    )
+                )
+                bid += 1
+            return bid
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -222,6 +237,24 @@ def _make_encoder(
                         pend = None
                     else:
                         flush_pending_final()
+                # A term's rows arrive docid-sorted per raw FILE, but a scan
+                # partition may pack several files (salted hot-term slices, or
+                # Spark's small-file packing), so a run can contain descending
+                # seams. delta_encode on a seam would silently wrap (ADVICE r1)
+                # — split the run into strictly-increasing segments and encode
+                # each as its own (correct, possibly fragmented) block sequence;
+                # scoring unions blocks, so results are unaffected.
+                seams = np.where(np.diff(d.astype(np.int64)) <= 0)[0] + 1
+                start = 0
+                for s in seams:
+                    bid = force_emit(
+                        int(bucket), str(term), bid,
+                        d[start:s], t[start:s], l[start:s],
+                        p[start:s] if p is not None else None,
+                    )
+                    start = int(s)
+                d, t, l = d[start:], t[start:], l[start:]
+                p = p[start:] if p is not None else None
                 consumed, bid = emit(int(bucket), str(term), bid, d, t, l, p)
                 pend = {
                     "bucket": int(bucket),
@@ -263,13 +296,79 @@ def build_index(
     publish_gate: float = 1.0,
     fail_after_batch: int | None = None,
     store_positions: bool = False,
+    hot_term_salting: bool = True,
+    hot_sample_mod: int = 256,
+    postings_per_slice: int = 1 << 20,
+    max_term_salt: int = 64,
+    publish_meta: dict | None = None,
 ) -> str:
     """Build (or resume) an index version under ``out_root`` and publish it.
 
     Returns the version dir path. ``fail_after_batch`` injects a crash after that
     posting batch commits — used by the resume test (the analog of the reference's
     kill-mid-index integration test, IndexerServiceIT.java:282-310).
+
+    ``hot_term_salting`` (north_rule: salt count ∝ df): terms whose estimated df
+    (from a 1/``hot_sample_mod`` doc sample) exceeds ``postings_per_slice`` get
+    their postings docid-hash-split across ``min(df/postings_per_slice,
+    max_term_salt)`` raw slices, so a stop-word term present in ~every doc never
+    becomes a single straggler encode task. Slices are individually docid-sorted
+    files; the encoder stitches/fragments them safely (seam splitting).
     """
+    # Session confs this build tunes — saved and restored on exit so the build
+    # doesn't permanently mutate shared-session behavior (ADVICE r1).
+    _TUNED = ("spark.sql.maxConcurrentOutputFileWriters", "spark.sql.files.maxPartitionBytes")
+    saved_conf = {k: spark.conf.get(k, None) for k in _TUNED}
+    try:
+        return _build_index_inner(
+            spark, src, out_root,
+            content_col=content_col, id_col=id_col, order_cols=order_cols,
+            meta_cols=meta_cols, tokenizer=tokenizer, lang_col=lang_col,
+            k1=k1, b=b, n_buckets=n_buckets, shard_size=shard_size,
+            block_size=block_size, n_ckpt_batches=n_ckpt_batches, resume=resume,
+            publish_gate=publish_gate, fail_after_batch=fail_after_batch,
+            store_positions=store_positions, hot_term_salting=hot_term_salting,
+            hot_sample_mod=hot_sample_mod, postings_per_slice=postings_per_slice,
+            max_term_salt=max_term_salt, publish_meta=publish_meta,
+        )
+    finally:
+        for k, v in saved_conf.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)
+
+
+def _build_index_inner(
+    spark: SparkSession,
+    src: DataFrame,
+    out_root: str,
+    *,
+    content_col: str,
+    id_col: str | None,
+    order_cols: Sequence[str],
+    meta_cols: Sequence[str],
+    tokenizer: str,
+    lang_col: str | None,
+    k1: float,
+    b: float,
+    n_buckets: int,
+    shard_size: int,
+    block_size: int,
+    n_ckpt_batches: int,
+    resume: bool,
+    publish_gate: float,
+    fail_after_batch: int | None,
+    store_positions: bool,
+    hot_term_salting: bool,
+    hot_sample_mod: int,
+    postings_per_slice: int,
+    max_term_salt: int,
+    publish_meta: dict | None = None,
+) -> str:
     # Dynamic-partition writes (partitionBy bucket) otherwise take Spark's
     # single-writer fallback: a per-task sort by partition value whose external
     # sort collapses under high task concurrency (measured 45s vs 9.5s for the
@@ -413,11 +512,52 @@ def build_index(
         # shuffle or sort. File count stays bounded at ~n_buckets*TERM_SALT
         # (each task writes 1-2 bucket dirs; maxConcurrentOutputFileWriters set
         # above keeps the dynamic write off its single-writer sort fallback).
-        raw = raw.withColumn(
-            "_salt", F.pmod(F.xxhash64("term", F.lit(1)), F.lit(TERM_SALT))
-        )
+        #
+        # df-PROPORTIONAL INTRA-TERM SALTING (north_rule "salt ∝ df"): ultra-
+        # high-df terms (stop words — df ~ N) would still make one partition a
+        # straggler under term-keyed salting alone. Estimate df from a cheap
+        # 1/hot_sample_mod doc-hash sample (collects only the handful of terms
+        # above threshold), then split those terms' postings BY DOCID HASH over
+        # nsalt ∝ df slices. Each slice stays internally (bucket,term,docid)-
+        # sorted; the block sequences of a term simply concatenate (the seam-
+        # splitting encoder guarantees correctness when a scan partition packs
+        # several slices).
+        hot_salts: dict[str, int] = {}
+        if hot_term_salting:
+            min_sample_count = max(1, (2 * postings_per_slice) // hot_sample_mod)
+            sampled = (
+                base.filter(
+                    F.pmod(F.xxhash64("docid"), F.lit(hot_sample_mod)) == 0
+                )
+                .select(F.explode("tstats.terms").alias("term"))
+                .groupBy("term")
+                .agg(F.count("*").alias("c"))
+                .filter(F.col("c") >= min_sample_count)
+                .collect()
+            )
+            for r in sampled:
+                nsalt = min(max_term_salt, (r["c"] * hot_sample_mod) // postings_per_slice)
+                if nsalt >= 2:
+                    hot_salts[r["term"]] = int(nsalt)
+        if hot_salts:
+            nsalt_map = F.create_map(
+                *[F.lit(x) for t, ns in hot_salts.items() for x in (t, ns)]
+            )
+            nsalt = nsalt_map[F.col("term")]
+            raw = raw.withColumn(
+                "_salt",
+                F.when(
+                    nsalt.isNotNull(),
+                    F.lit(TERM_SALT) + F.pmod(F.xxhash64("docid"), nsalt),
+                ).otherwise(F.pmod(F.xxhash64("term", F.lit(1)), F.lit(TERM_SALT))),
+            )
+        else:
+            raw = raw.withColumn(
+                "_salt", F.pmod(F.xxhash64("term", F.lit(1)), F.lit(TERM_SALT))
+            )
+        n_raw_parts = n_buckets * TERM_SALT + sum(hot_salts.values())
         (
-            raw.repartition(n_buckets * TERM_SALT, "bucket", "_salt")
+            raw.repartition(n_raw_parts, "bucket", "_salt")
             .drop("_salt")
             .sortWithinPartitions("bucket", "term", "docid")
             .write.mode("overwrite")
@@ -425,7 +565,16 @@ def build_index(
             .parquet(raw_path)
         )
         catalog.ckpt_write(
-            vdir, "raw", {"stage": "raw", "elapsed_sec": round(time.time() - t0, 3)}
+            vdir,
+            "raw",
+            {
+                "stage": "raw",
+                "elapsed_sec": round(time.time() - t0, 3),
+                # lineage: which terms were df-salted and how wide (top 50)
+                "hot_term_salts": dict(
+                    sorted(hot_salts.items(), key=lambda kv: -kv[1])[:50]
+                ),
+            },
         )
 
     catalog.write_stats(
@@ -568,6 +717,11 @@ def build_index(
             "n_docs": indexed,
             "src_count": src_count,
             "postings_emitted": total_postings,
+            # caller idempotence marker (e.g. streaming batch_id) recorded IN
+            # the same artifact that the atomic publish exposes, so a replayed
+            # writer can detect an already-published unit of work even if its
+            # own manifest write was lost to a crash (exactly-once seam)
+            **(publish_meta or {}),
         },
     )
     catalog.publish(out_root, version)

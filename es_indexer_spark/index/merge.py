@@ -71,10 +71,23 @@ def merge_indexes(
     main_root: str,
     delta_root: str,
     out_root: str | None = None,
+    publish_meta: dict | None = None,
+    reject_duplicate_shas: bool = False,
 ) -> str:
     """Merge the published versions of ``main_root`` and ``delta_root`` into a
     new version of ``out_root`` (default: ``main_root``), publish atomically,
     and return the new version dir.
+
+    **Merge is APPEND-ONLY**: re-ingesting a document that already exists in
+    the main segment assigns a new docid and keeps both copies (queries return
+    both; df/cf count both). The reference's `_id`-keyed upsert semantics
+    (IndexerMetadataServiceImpl.java:430-435) are NOT reproduced by merge —
+    dropping main-segment docs would require decoding and rewriting posting
+    bytes, defeating the metadata-speed design. Callers that need upsert
+    semantics must dedupe upstream (e.g. anti-join new docs against the
+    published docs table on id/sha256 before building the delta) or set
+    ``reject_duplicate_shas=True`` to FAIL the merge when the delta's sha256
+    set overlaps the main segment's (detect, never silently double-count).
 
     Segments must share the index layout (n_buckets, shard_size, block_size,
     tokenizer, k1, b, positions) — enforced, since bucket assignment and
@@ -94,6 +107,18 @@ def merge_indexes(
 
     main_docs = spark.read.parquet(os.path.join(mdir, "docs"))
     delta_docs = spark.read.parquet(os.path.join(ddir, "docs"))
+    if reject_duplicate_shas:
+        n_dup = (
+            delta_docs.select("sha256")
+            .join(main_docs.select("sha256"), "sha256", "left_semi")
+            .count()
+        )
+        if n_dup:
+            raise ValueError(
+                f"merge rejected: {n_dup} delta doc(s) share sha256 with the "
+                "main segment (append-only merge would double-count them; "
+                "dedupe the delta upstream)"
+            )
     max_docid = main_docs.agg(F.max("docid").alias("m")).collect()[0]["m"] or 0
     # round up to a shard boundary → delta blocks stay shard-local after offset
     offset = ((max_docid + shard_size) // shard_size) * shard_size
@@ -169,7 +194,7 @@ def merge_indexes(
     )
     catalog.ckpt_write(
         vdir, "_PUBLISHED", {"version": version, "n_docs": merged_n, "src_count": merged_n,
-                             "postings_emitted": None},
+                             "postings_emitted": None, **(publish_meta or {})},
     )
     catalog.publish(out_root, version)
     return vdir

@@ -11,9 +11,17 @@ consistent published version (the CURRENT pointer swap is atomic), exactly the
 reference's alias-swap semantics per batch.
 
 Exactly-once: pair ``checkpoint_location`` (Spark's streaming WAL — a batch
-re-delivered after a crash has the same batch_id) with the per-batch manifest
-this module writes under ``<root>/_stream/`` — an already-merged batch_id is
-skipped on replay, making the sink idempotent.
+re-delivered after a crash has the same batch_id) with TWO idempotence markers:
+the per-batch manifest under ``<root>/_stream/``, and the batch_id recorded
+inside the published version's ``_PUBLISHED`` manifest (written before the
+atomic CURRENT swap). A crash between publish and manifest-write is therefore
+recoverable: the replayed batch sees its id on the CURRENT version, rewrites
+the manifest, and skips the merge — no double-count window.
+
+Note the merge itself is APPEND-ONLY (see :func:`..index.merge.merge_indexes`):
+a re-sent *document* (as opposed to a replayed batch) is indexed again under a
+new docid. Upsert-style pipelines should anti-join incoming docs against the
+published docs table (id/sha256) before handing batches to this sink.
 
 Usage::
 
@@ -67,10 +75,35 @@ def make_batch_indexer(
     uses it without a stream.
     """
 
+    def _write_manifest(batch_id: int, vdir: str, n_docs) -> None:
+        manifest = _batch_manifest(root, batch_id)
+        os.makedirs(os.path.dirname(manifest), exist_ok=True)
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"batch_id": batch_id, "version_dir": vdir, "n_docs": n_docs}, f
+            )
+        os.replace(tmp, manifest)
+
     def index_batch(batch_df: DataFrame, batch_id: int) -> None:
         manifest = _batch_manifest(root, batch_id)
         if os.path.exists(manifest):  # replayed batch after restart → idempotent skip
             return
+        # Crash window closure (exactly-once): the batch_id is recorded inside
+        # the published version's _PUBLISHED manifest BEFORE the CURRENT swap.
+        # If we crashed after publish but before writing our own manifest, the
+        # replayed batch finds its id on the CURRENT version — recover the
+        # manifest and skip instead of merging (and double-counting) again.
+        cur = catalog.current_version(root)
+        if cur is not None:
+            vdir = os.path.join(root, cur)
+            try:
+                pub = catalog.ckpt_read(vdir, "_PUBLISHED")
+            except FileNotFoundError:
+                pub = {}
+            if pub.get("stream_batch_id") == batch_id:
+                _write_manifest(batch_id, vdir, pub.get("n_docs"))
+                return
         if len(batch_df.take(1)) == 0:
             return
         kwargs = dict(
@@ -86,8 +119,9 @@ def make_batch_indexer(
             n_ckpt_batches=1,
             resume=False,
         )
+        marker = {"stream_batch_id": batch_id}
         if catalog.current_version(root) is None:
-            vdir = build_index(spark, batch_df, root, **kwargs)
+            vdir = build_index(spark, batch_df, root, publish_meta=marker, **kwargs)
             merged_n = catalog.read_stats(vdir)["n_docs"]
         else:
             delta_root = tempfile.mkdtemp(
@@ -95,15 +129,11 @@ def make_batch_indexer(
             )
             try:
                 build_index(spark, batch_df, delta_root, **kwargs)
-                vdir = merge_indexes(spark, root, delta_root)
+                vdir = merge_indexes(spark, root, delta_root, publish_meta=marker)
                 merged_n = catalog.read_stats(vdir)["n_docs"]
             finally:
                 shutil.rmtree(delta_root, ignore_errors=True)
-        os.makedirs(os.path.dirname(manifest), exist_ok=True)
-        tmp = manifest + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id, "version_dir": vdir, "n_docs": merged_n}, f)
-        os.replace(tmp, manifest)
+        _write_manifest(batch_id, vdir, merged_n)
 
     return index_batch
 

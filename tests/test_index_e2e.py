@@ -61,6 +61,57 @@ def test_rank_identical_vs_oracle(spark, documents, index_root, query, use_block
         assert g["score"] == pytest.approx(w["score"], rel=1e-9)
 
 
+def test_hot_term_df_salting_no_straggler(spark, documents, tmp_path_factory):
+    """north_rule 'salt ∝ df': a term present in 100% of docs must be split
+    across multiple raw slices (no single encode task owns it), and the
+    resulting index must stay rank-identical to the brute oracle — including
+    across the seam-splitting encoder when Spark packs the salted slices into
+    one scan partition."""
+    boosted = documents.withColumn(
+        "text", F.concat(F.lit("omnipresent "), F.col("text"))
+    )
+    root = str(tmp_path_factory.mktemp("idx_salted"))
+    build_index(
+        spark,
+        boosted,
+        root,
+        content_col="text",
+        id_col="doc_id",
+        meta_cols=(),
+        tokenizer="standard",
+        n_buckets=4,
+        shard_size=100,
+        n_ckpt_batches=2,
+        hot_term_salting=True,
+        hot_sample_mod=1,        # sample everything (tiny corpus)
+        postings_per_slice=64,   # 500 docs -> ~7 slices for the hot term
+        max_term_salt=8,
+    )
+    vdir = catalog.resolve(root)
+    hot = catalog.ckpt_read(vdir, "raw")["hot_term_salts"]
+    assert hot.get("omnipresent", 0) >= 2
+    # the hot term's raw rows span multiple files (multiple encode slices)
+    raw = spark.read.parquet(os.path.join(vdir, "raw")).withColumn(
+        "f", F.input_file_name()
+    )
+    n_files = (
+        raw.filter(F.col("term") == "omnipresent")
+        .select("f")
+        .distinct()
+        .count()
+    )
+    assert n_files >= 2
+    # correctness across fragmented/salted block sequences
+    for query in ("omnipresent", "omnipresent spark join"):
+        got = topk(spark, root, query, k=10, probe_min_postings=0).collect()
+        want = bm25_topk_brute(
+            boosted, query, k=10, content_col="text", id_col="doc_id"
+        ).collect()
+        assert [r["docid"] for r in got] == [r["docid"] for r in want]
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w["score"], rel=1e-9)
+
+
 def test_sha256_invariant(spark, documents, index_root):
     vdir = catalog.resolve(index_root)
     docs = spark.read.parquet(os.path.join(vdir, "docs"))

@@ -124,6 +124,39 @@ def test_batch_indexer_incremental_and_idempotent(spark, documents, halves, tmp_
         ]
 
 
+def test_batch_replay_after_lost_manifest_is_skipped(spark, halves, tmp_path):
+    """Crash window between publish and manifest write (ADVICE r1): delete the
+    batch manifest after a successful merge — the replayed batch must detect
+    its id on the CURRENT version's _PUBLISHED record, recover the manifest,
+    and NOT merge again (n_docs unchanged)."""
+    a, b = halves
+    root = str(tmp_path / "inc")
+    fn = make_batch_indexer(
+        spark, root, content_col="text", id_col=None, order_cols=("doc_id",),
+        meta_cols=("doc_id",), tokenizer="standard", n_buckets=4, shard_size=100,
+    )
+    fn(a, 0)
+    fn(b, 1)
+    n_after = catalog.read_stats(catalog.resolve(root))["n_docs"]
+    manifest = os.path.join(root, "_stream", "batch_1.json")
+    assert os.path.exists(manifest)
+    os.remove(manifest)  # simulate crash after publish, before manifest
+    fn(b, 1)  # replay
+    assert catalog.read_stats(catalog.resolve(root))["n_docs"] == n_after
+    assert os.path.exists(manifest)  # manifest recovered
+
+
+def test_merge_reject_duplicate_shas(spark, halves, tmp_path):
+    """Append-only guard: merging a delta whose content already exists in main
+    fails fast when reject_duplicate_shas is set (detect, never double-count)."""
+    a, _ = halves
+    ra, rb = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(spark, a, ra, **BUILD)
+    build_index(spark, a.limit(5), rb, **BUILD)
+    with pytest.raises(ValueError, match="share sha256"):
+        merge_indexes(spark, ra, rb, reject_duplicate_shas=True)
+
+
 def test_index_stream_available_now(spark, documents, tmp_path):
     inbox = str(tmp_path / "inbox")
     os.makedirs(inbox)
