@@ -89,6 +89,21 @@ def main() -> None:
         ("q_bm25_camel", "getUserName parseTree"),
     ]:
         timed(name, lambda q=q: topk(spark, idx_root, q, k=10).collect())
+    # block-max A/B (VERDICT r1 #10): same stop-wordy query with the probe
+    # pass forced ON vs OFF, so the probe's overhead/payoff is measured
+    timed(
+        "q_bm25_stop_bmax_on",
+        lambda: topk(
+            spark, idx_root, "def return", k=10,
+            use_blockmax=True, probe_min_postings=0,
+        ).collect(),
+    )
+    timed(
+        "q_bm25_stop_bmax_off",
+        lambda: topk(
+            spark, idx_root, "def return", k=10, use_blockmax=False
+        ).collect(),
+    )
     timed("q_suggest", lambda: suggest_prefix(spark, idx_root, "get", k=10).collect())
 
     # ---- ops over the provided sf tables -------------------------------------------
