@@ -27,7 +27,10 @@ Jobs:
   skips checkpointed stages (the `-running` + `beginWithUuid` analog,
   IndexerMetadataServiceImpl.java:478-523);
 - ``query``   — BM25 top-k through the block-max engine, prints one JSON line per hit;
-- ``suggest`` — prefix suggestions from the dictionary (search_as_you_type analog).
+- ``suggest`` — prefix suggestions from the dictionary (search_as_you_type analog);
+- ``phrase``  — positional phrase match (requires an index built with positions);
+- ``merge``   — metadata-speed segment merge of ``--delta`` into ``--index``
+  (append-only; the incremental-ingest publish step).
 """
 
 from __future__ import annotations
@@ -43,7 +46,14 @@ def _csv(s: str) -> list[str]:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="es_indexer_spark", description=__doc__)
-    p.add_argument("--job", required=True, choices=["build", "resume", "query", "suggest"])
+    p.add_argument(
+        "--job",
+        required=True,
+        choices=["build", "resume", "query", "suggest", "phrase", "merge"],
+    )
+    p.add_argument("--delta", help="delta index root (merge job)")
+    p.add_argument("--store-positions", action="store_true",
+                   help="store term positions (enables phrase queries)")
     p.add_argument("--input", help="parquet path (or Iceberg table via --format iceberg)")
     p.add_argument("--format", default="parquet", help="spark read format")
     p.add_argument("--index", required=True, help="index root dir")
@@ -104,6 +114,7 @@ def main(argv: list[str] | None = None) -> int:
                 n_ckpt_batches=args.ckpt_batches,
                 resume=(args.job == "resume"),
                 publish_gate=args.publish_gate,
+                store_positions=args.store_positions,
             )
             from es_indexer_spark.index import catalog
 
@@ -128,6 +139,24 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             for r in suggest_prefix(spark, args.index, args.query, k=args.k).collect():
                 print(json.dumps(r.asDict(), default=str))
+        elif args.job == "phrase":
+            from es_indexer_spark.query.phrase import phrase_match
+
+            if not args.query:
+                print("--query required", file=sys.stderr)
+                return 2
+            for r in phrase_match(spark, args.index, args.query, k=args.k).collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.job == "merge":
+            from es_indexer_spark.index import catalog
+            from es_indexer_spark.index.merge import merge_indexes
+
+            if not args.delta:
+                print("--delta required for merge", file=sys.stderr)
+                return 2
+            vdir = merge_indexes(spark, args.index, args.delta)
+            meta = catalog.ckpt_read(vdir, "_PUBLISHED")
+            print(json.dumps({"job": "merge", "version_dir": vdir, **meta}))
     finally:
         if not preexisting:  # embedded callers (tests) keep their session
             spark.stop()

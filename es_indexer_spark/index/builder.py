@@ -647,10 +647,15 @@ def _build_index_inner(
             ).alias("bytes"),
             F.approx_count_distinct("term").alias("terms"),
         )
-        # each batch owns its dir (hive-style `batch=K`, discovered as a harmless
-        # partition column): overwrite makes a crashed batch's re-run idempotent,
-        # and plain (non-dynamic) writes keep one file per scan partition
-        enc.write.mode("overwrite").parquet(
+        # each batch owns its dir (hive-style `batch=K`): overwrite makes a
+        # crashed batch's re-run idempotent. Within a batch, blocks are written
+        # partitionBy("bucket"): queries then prune to the query terms' bucket
+        # DIRECTORIES (not just row-group stats) and parallelize the scan over
+        # that bucket's files — query-side scan cost is O(query buckets),
+        # independent of index size and of session split-size settings. The
+        # dynamic write stays off its sort fallback because raw is bucket-dir
+        # partitioned, so each encode task carries very few buckets.
+        enc.write.mode("overwrite").partitionBy("bucket").parquet(
             os.path.join(postings_path, f"batch={batch}")
         )
         m = enc_obs.get

@@ -151,12 +151,14 @@ def merge_indexes(
     )
     # one merged batch dir; repartition+sort keeps file count at n_buckets and
     # preserves term row-group pruning (prevents small-file accumulation across
-    # repeated incremental merges)
+    # repeated incremental merges); bucket-dir partitioning keeps query-side
+    # directory pruning (same layout as the builder)
     (
         blocks.drop("batch")
         .repartition(ms["n_buckets"], "bucket")
         .sortWithinPartitions("bucket", "term")
         .write.mode("overwrite")
+        .partitionBy("bucket")
         .parquet(os.path.join(vdir, "postings", "batch=0"))
     )
 

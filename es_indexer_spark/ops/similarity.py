@@ -54,24 +54,32 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 
 
 def lsh_signature_col(vec_col, planes: np.ndarray):
-    """Sign-bit LSH signature as an array<int> of per-band codes (8 planes/band)."""
-    n_planes, _ = planes.shape
+    """Sign-bit LSH signature as an array<int> of per-band codes (8 planes/band).
+
+    One Arrow-batched pandas UDF doing a single BLAS matmul per batch
+    (``X @ planes.T``) — round 1 used 32 per-plane ``F.aggregate`` column
+    expressions, which bloated the plan and re-walked each vector 32 times;
+    the matmul shape is the same as ``ivf_assign``'s and scales with batch
+    size, not plan size."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    pl = planes.copy()
+    n_planes = pl.shape[0]
     bands = n_planes // 8
-    v = _as_double(vec_col)
-    bits = []
-    for p in planes:
-        plit = F.array(*[F.lit(float(x)) for x in p])
-        dot = F.aggregate(
-            F.zip_with(v, plit, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-        )
-        bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)))
-    codes = []
-    for bi in range(bands):
-        code = F.lit(0)
-        for j in range(8):
-            code = code * 2 + bits[bi * 8 + j]
-        codes.append(code)
-    return F.array(*codes)
+    weights = (1 << np.arange(8)[::-1]).astype(np.int64)  # MSB-first, as before
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def sig_udf(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs.to_numpy()])
+        bits = (x @ pl.T > 0).astype(np.int64)  # (n, planes)
+        codes = bits.reshape(len(vecs), bands, 8) @ weights  # (n, bands)
+        return pd.Series([row.astype(np.int32).tolist() for row in codes], index=vecs.index)
+
+    return sig_udf(vec_col)
 
 
 def ann_lsh_topk(
