@@ -1,11 +1,21 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
-training-data operators (dedup / similarity / text stats); ``oracle_sql()`` gives
-the DuckDB-runnable ANSI-SQL equivalent for each SQL-expressible one. Column names
-and rounding are matched pairwise so the driver's order-insensitive value-hash
-compares equal. Non-SQL-expressible ops (MinHash-LSH, SimHash, hyperplane-LSH ANN)
-have no oracle entry → rows-only check, as the contract allows.
+training-data operators (dedup / similarity / text stats / multimodal) and the
+reference scalar-transform surface (ops/mapper.py); ``oracle_sql()`` gives the
+DuckDB-runnable ANSI-SQL equivalent for EVERY entry — as of round 2 there are
+no rows-only entries. Column names and rounding are matched pairwise so the
+driver's order-insensitive value-hash compares equal.
+
+Ops whose scale-path hashing isn't ANSI-SQL-expressible are parameterized into
+an oracle-equivalent mode for the contract (the algorithms are identical; only
+the hash family or probe width changes):
+- MinHash-LSH / SimHash run their sha256-derived hash family
+  (``hash_family='sha'``) that DuckDB replays bit-for-bit end to end
+  (signatures, band keys, df caps, exact verify);
+- hyperplane-LSH ANN probes every band bucket (``probe_hamming=8``) and IVF
+  probes every cell (``nprobe=n_centroids``) — full probe ≡ exact brute force,
+  so the brute-force oracle applies; the pruning paths are pytest-covered.
 
 The BM25 queries run the REAL engine: they build (once per sf_dir, cached under
 /tmp) the block-compressed inverted index and answer through block-max top-k —
