@@ -440,6 +440,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stac_projection"] = M.stac_projection        # P4 registry (+F7 to_json)
     q["vocab_match"] = M.vocab_priority_match       # J2
     q["bbox_union"] = M.bbox_union                  # A3
+    q["error_routing"] = M.error_routing            # S7 (+P3 validity)
+    q["doc_json"] = M.doc_json                      # F12
+    q["ring_orientation"] = M.ring_orientation      # §2.9 shoelace (no geo libs)
+    q["point_geojson"] = M.point_geojson            # §2.9 point GeoJSON
     return q
 
 
@@ -866,6 +870,45 @@ j AS (SELECT p.c_custkey, p.probe, v.node_id, v.broader_id, v.priority,
       row_number() OVER (PARTITION BY p.c_custkey ORDER BY v.priority, v.node_id) AS rn
       FROM probes p JOIN vocab v ON p.probe = v.label)
 SELECT c_custkey, probe, node_id, broader_id, priority FROM j WHERE rn = 1
+"""
+    o["error_routing"] = """
+WITH t AS (SELECT doc_id, text,
+  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tok
+  FROM documents),
+s AS (SELECT doc_id,
+  CASE WHEN text IS NULL OR trim(text) = '' THEN 'empty'
+       WHEN octet_length(encode(text)) > 400 THEN 'oversize'
+       WHEN n_tok < 5 THEN 'undersized'
+       ELSE 'ok' END AS status
+  FROM t)
+SELECT doc_id, status FROM s WHERE status <> 'ok'
+"""
+    o["doc_json"] = """
+SELECT doc_id,
+       to_json(struct_pack(id := doc_id, lang := lang, source := source,
+                           n_chars := n_chars)) AS doc
+FROM documents
+"""
+    o["ring_orientation"] = """
+WITH g AS (SELECT o_custkey % 20 AS grp, o_orderkey AS k,
+   ((o_orderkey * 37 % 360) - 180 + 0.5)::DOUBLE AS x,
+   ((o_orderkey * 53 % 180) - 90 + 0.5)::DOUBLE AS y FROM orders),
+r AS (SELECT grp, list(x ORDER BY k) AS xs, list(y ORDER BY k) AS ys FROM g GROUP BY grp),
+a AS (SELECT grp, len(xs) AS n_points,
+       COALESCE(list_sum([xs[i]*ys[i+1] - xs[i+1]*ys[i]
+                          for i in range(1, len(xs) - 1 + 1)]), 0)
+       + xs[len(xs)]*ys[1] - xs[1]*ys[len(xs)] AS area2
+      FROM r)
+SELECT grp, n_points::INT AS n_points, round(area2, 2) AS signed_area2,
+       (area2 > 0) AS is_ccw
+FROM a
+"""
+    o["point_geojson"] = """
+SELECT o_orderkey,
+       to_json(struct_pack(type := 'Point',
+                           coordinates := [((o_orderkey * 37 % 360) - 180 + 0.5)::DOUBLE,
+                                           ((o_orderkey * 53 % 180) - 90 + 0.5)::DOUBLE])) AS geojson
+FROM orders
 """
     o["bbox_union"] = """
 WITH g AS (SELECT o_custkey % 20 AS grp,

@@ -405,6 +405,115 @@ def vocab_priority_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------- S7
+def route_invalid(df: DataFrame, id_col: str, text_col: str,
+                  max_bytes: int = 400, min_tokens: int = 5) -> DataFrame:
+    """S7: bulk-error reduction — classify each row and keep only the failures
+    (the reference keeps only non-200/201 bulk items, IndexServiceImpl.java:
+    142-151; P3's null/validity filters fold in). (id, status) for rows whose
+    status != 'ok': null/empty content, undersized token count, oversize
+    payload (the reference's oversize-doc splitter threshold analog, S13)."""
+    toks = F.size(
+        F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
+    )
+    status = (
+        F.when(F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""), "empty")
+        .when(F.octet_length(F.col(text_col)) > max_bytes, "oversize")
+        .when(toks < min_tokens, "undersized")
+        .otherwise("ok")
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), status.alias("status"))
+        .filter(F.col("status") != "ok")
+    )
+
+
+def error_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return route_invalid(docs, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------- F12
+def doc_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: JSON serialization of the document row (the reference serializes
+    every doc through Jackson before the bulk write, IndexServiceImpl.java:68;
+    JsonUtil.toJsonString)."""
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.to_json(
+            F.struct(
+                F.col("doc_id").alias("id"),
+                F.col("lang").alias("lang"),
+                F.col("source").alias("source"),
+                F.col("n_chars").alias("n_chars"),
+            )
+        ).alias("doc"),
+    )
+
+
+# --------------------------------------------------------------------------- §2.9 (geometry-lite: no geo libs needed)
+def shoelace_signed_area2(xs: Column, ys: Column) -> Column:
+    """Twice the signed shoelace area of a ring given parallel coordinate
+    arrays (positive = counter-clockwise). Pure column algebra — the RFC-7946
+    ring-orientation test the reference implements with JTS
+    (GeometryUtils.java:162-212: CCW shells, CW holes)."""
+    n = F.size(xs)
+    body = F.aggregate(
+        F.sequence(F.lit(1), n - 1),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(xs, i) * F.element_at(ys, i + 1)
+        - F.element_at(xs, i + 1) * F.element_at(ys, i),
+    )
+    wrap = (
+        F.element_at(xs, n) * F.element_at(ys, 1)
+        - F.element_at(xs, 1) * F.element_at(ys, n)
+    )
+    return body + wrap
+
+
+def ring_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 contract entry: derive a deterministic ring per group (points
+    ordered by orderkey), compute the shoelace signed area and CCW flag."""
+    o = _load(spark, sf_dir, "orders")
+    lon = ((F.col("o_orderkey") * 37 % 360) - 180 + 0.5).cast("double")
+    lat = ((F.col("o_orderkey") * 53 % 180) - 90 + 0.5).cast("double")
+    g = o.select(
+        (F.col("o_custkey") % 20).alias("grp"),
+        F.struct(F.col("o_orderkey").alias("k"), lon.alias("x"), lat.alias("y")).alias("p"),
+    )
+    rings = g.groupBy("grp").agg(
+        F.array_sort(F.collect_list("p")).alias("ring")
+    )
+    xs = F.transform("ring", lambda p: p["x"])
+    ys = F.transform("ring", lambda p: p["y"])
+    area2 = shoelace_signed_area2(xs, ys)
+    return rings.select(
+        "grp",
+        F.size("ring").alias("n_points"),
+        F.round(area2, 2).alias("signed_area2"),
+        (area2 > 0).alias("is_ccw"),
+    )
+
+
+def point_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: GeoJSON point from lon/lat (GeometryUtils.java:112-115) —
+    ``to_json(struct(type, [lon, lat]))``, one string per row."""
+    o = _load(spark, sf_dir, "orders")
+    lon = ((F.col("o_orderkey") * 37 % 360) - 180 + 0.5).cast("double")
+    lat = ((F.col("o_orderkey") * 53 % 180) - 90 + 0.5).cast("double")
+    return o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.lit("Point").alias("type"),
+                F.array(lon, lat).alias("coordinates"),
+            )
+        ).alias("geojson"),
+    )
+
+
 # --------------------------------------------------------------------------- A3
 def bbox_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 contract entry: per-group envelope union with antimeridian
