@@ -4,21 +4,24 @@ scan -> transform -> tokenize -> bulk-load-into-Elasticsearch pipeline
 index/postings/BM25 internals are delegated to Lucene there and rebuilt natively
 here — SURVEY.md §0, §7).
 
-Dataflow (one build)::
+Dataflow (one build, default single-pass mode)::
 
     src ──term-stats UDF (tokenize + per-doc tf/positions, map-side — no token
           shuffle ever happens)──► docs table (docid, doc_len, sha256, meta)
         └─explode──► (term, docid, tf, doc_len)          [already aggregated]
-              └─ bucket = xxhash64(term) % n_buckets; salt = hash(term) % 4
+              └─ bucket = xxhash64(term) % n_buckets; salt = hash(term) % 4,
+                 widened to nsalt ∝ df for sampled hot terms
                  [north_rule's salted repartition-by-term: (bucket, salt)
                   partitioning splits hot buckets so no straggler sort]
-              └─ raw parquet: repartition(bucket, salt) + sortWithinPartitions
-                 (bucket, term, docid), partitioned by bucket  [ckpt stage "raw"]
-    postings = per bucket-batch: mapInPandas streaming block encoder straight
-               off the pre-sorted scan — NO shuffle, NO sort   [ckpt per batch]
-               -> postings/batch=K/ parquet
+    postings = per bucket-batch: filter batch buckets BEFORE the shuffle →
+               repartition(bucket, salt) → sortWithinPartitions(bucket, term,
+               docid) → mapInPandas streaming block encoder → write
+               postings/batch=K/bucket=B/ parquet            [ckpt per batch]
+               (the raw relation — the largest dataset of the build — never
+               touches disk; ``materialize_raw=True`` restores the two-stage
+               layout with an inspectable raw parquet artifact [ckpt "raw"])
     dict  = postings groupBy term over block metadata (Σn -> df, Σcf -> cf)
-            — never re-reads the fat raw table                  [ckpt stage "dict"]
+            — never re-reads raw postings                       [ckpt stage "dict"]
     finalize = count reconciliation gate -> atomic CURRENT publish
 
 Scale notes (designed for 1000 executors / 100 TB, tested on local[32]):
@@ -301,6 +304,7 @@ def build_index(
     postings_per_slice: int = 1 << 20,
     max_term_salt: int = 64,
     publish_meta: dict | None = None,
+    materialize_raw: bool = False,
 ) -> str:
     """Build (or resume) an index version under ``out_root`` and publish it.
 
@@ -330,6 +334,7 @@ def build_index(
             store_positions=store_positions, hot_term_salting=hot_term_salting,
             hot_sample_mod=hot_sample_mod, postings_per_slice=postings_per_slice,
             max_term_salt=max_term_salt, publish_meta=publish_meta,
+            materialize_raw=materialize_raw,
         )
     finally:
         for k, v in saved_conf.items():
@@ -368,6 +373,7 @@ def _build_index_inner(
     postings_per_slice: int,
     max_term_salt: int,
     publish_meta: dict | None = None,
+    materialize_raw: bool = False,
 ) -> str:
     # Dynamic-partition writes (partitionBy bucket) otherwise take Spark's
     # single-writer fallback: a per-task sort by partition value whose external
@@ -457,10 +463,8 @@ def _build_index_inner(
     n_docs = docs_meta["n_docs"]
     avgdl = (docs_meta["sum_doc_len"] / n_docs) if n_docs else 1.0
 
-    # ---- stage: raw postings (term, docid, tf, doc_len) bucketed by term hash ----
-    raw_path = os.path.join(vdir, "raw")
-    if not (resume and catalog.ckpt_done(vdir, "raw")):
-        t0 = time.time()
+    # ---- raw posting relation (term, docid, tf, doc_len) bucketed by term hash ---
+    def make_raw() -> DataFrame:
         if store_positions:
             # positions = in-document token offsets (Lucene .prx analog), carried
             # as flat_pos + per-term starts from the UDF; slice reassembles each
@@ -501,63 +505,87 @@ def _build_index_inner(
                 F.col("e.term").alias("term"),
                 F.col("e.tf").cast("long").alias("tf"),
             )
-        raw = raw.withColumn(
+        return raw.withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
         )
-        # The salted repartition-by-term (north_rule): partition on
-        # (bucket, salt) with salt = hash(term) % TERM_SALT. Each hot bucket
-        # splits into TERM_SALT slices — no straggler sorts — while a term still
-        # lands wholly in one partition/file, pre-sorted by (bucket,term,docid),
-        # so the encode stage later streams straight off the scan with no
-        # shuffle or sort. File count stays bounded at ~n_buckets*TERM_SALT
-        # (each task writes 1-2 bucket dirs; maxConcurrentOutputFileWriters set
-        # above keeps the dynamic write off its single-writer sort fallback).
-        #
-        # df-PROPORTIONAL INTRA-TERM SALTING (north_rule "salt ∝ df"): ultra-
-        # high-df terms (stop words — df ~ N) would still make one partition a
-        # straggler under term-keyed salting alone. Estimate df from a cheap
-        # 1/hot_sample_mod doc-hash sample (collects only the handful of terms
-        # above threshold), then split those terms' postings BY DOCID HASH over
-        # nsalt ∝ df slices. Each slice stays internally (bucket,term,docid)-
-        # sorted; the block sequences of a term simply concatenate (the seam-
-        # splitting encoder guarantees correctness when a scan partition packs
-        # several slices).
-        hot_salts: dict[str, int] = {}
-        if hot_term_salting:
-            min_sample_count = max(1, (2 * postings_per_slice) // hot_sample_mod)
-            sampled = (
-                base.filter(
-                    F.pmod(F.xxhash64("docid"), F.lit(hot_sample_mod)) == 0
-                )
-                .select(F.explode("tstats.terms").alias("term"))
-                .groupBy("term")
-                .agg(F.count("*").alias("c"))
-                .filter(F.col("c") >= min_sample_count)
-                .collect()
-            )
-            for r in sampled:
-                nsalt = min(max_term_salt, (r["c"] * hot_sample_mod) // postings_per_slice)
-                if nsalt >= 2:
-                    hot_salts[r["term"]] = int(nsalt)
+
+    # The salted repartition-by-term (north_rule): partition on (bucket, salt)
+    # with salt = hash(term) % TERM_SALT. Each hot bucket splits into TERM_SALT
+    # slices — no straggler sorts — while a term still lands wholly in one
+    # partition, pre-sorted by (bucket,term,docid), so the encoder streams
+    # straight off the shuffle with no further movement.
+    #
+    # df-PROPORTIONAL INTRA-TERM SALTING (north_rule "salt ∝ df"): ultra-
+    # high-df terms (stop words — df ~ N) would still make one partition a
+    # straggler under term-keyed salting alone. Estimate df from a cheap
+    # 1/hot_sample_mod doc-hash sample (collects only the handful of terms
+    # above threshold), then split those terms' postings BY DOCID HASH over
+    # nsalt ∝ df slices. Each slice stays internally (bucket,term,docid)-
+    # sorted; a term's block sequences simply concatenate (the seam-splitting
+    # encoder guarantees correctness when one scan partition carries several
+    # slices).
+    hot_salts: dict[str, int] = {}
+    if hot_term_salting:
+        min_sample_count = max(1, (2 * postings_per_slice) // hot_sample_mod)
+        sampled = (
+            base.filter(F.pmod(F.xxhash64("docid"), F.lit(hot_sample_mod)) == 0)
+            .select(F.explode("tstats.terms").alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= min_sample_count)
+            .collect()
+        )
+        for r in sampled:
+            nsalt = min(max_term_salt, (r["c"] * hot_sample_mod) // postings_per_slice)
+            if nsalt >= 2:
+                hot_salts[r["term"]] = int(nsalt)
+
+    def with_salt(raw: DataFrame) -> DataFrame:
         if hot_salts:
             nsalt_map = F.create_map(
                 *[F.lit(x) for t, ns in hot_salts.items() for x in (t, ns)]
             )
             nsalt = nsalt_map[F.col("term")]
-            raw = raw.withColumn(
+            return raw.withColumn(
                 "_salt",
                 F.when(
                     nsalt.isNotNull(),
                     F.lit(TERM_SALT) + F.pmod(F.xxhash64("docid"), nsalt),
                 ).otherwise(F.pmod(F.xxhash64("term", F.lit(1)), F.lit(TERM_SALT))),
             )
-        else:
-            raw = raw.withColumn(
-                "_salt", F.pmod(F.xxhash64("term", F.lit(1)), F.lit(TERM_SALT))
-            )
-        n_raw_parts = n_buckets * TERM_SALT + sum(hot_salts.values())
+        return raw.withColumn(
+            "_salt", F.pmod(F.xxhash64("term", F.lit(1)), F.lit(TERM_SALT))
+        )
+
+    n_raw_parts = n_buckets * TERM_SALT + sum(hot_salts.values())
+    if not materialize_raw:
+        # lineage for the single-pass mode (the raw ckpt below carries it in
+        # artifact mode): which terms were df-salted and how wide
+        catalog.ckpt_write(
+            vdir,
+            "plan",
+            {
+                "stage": "plan",
+                "n_raw_parts": n_raw_parts,
+                "hot_term_salts": dict(
+                    sorted(hot_salts.items(), key=lambda kv: -kv[1])[:50]
+                ),
+            },
+        )
+
+    # ---- optional stage: materialized raw postings (debug / artifact mode) -------
+    # The default build pipes the salted shuffle STRAIGHT into the encoder (one
+    # shuffle, one sort, zero intermediate IO — the raw relation is the largest
+    # dataset in the build, and writing+rereading it roughly doubled build IO).
+    # materialize_raw=True keeps the old two-stage layout: raw parquet on disk
+    # (inspectable, unit-of-resume below the batch level) then a scan-driven
+    # encode. Both modes checkpoint per posting batch.
+    raw_path = os.path.join(vdir, "raw")
+    if materialize_raw and not (resume and catalog.ckpt_done(vdir, "raw")):
+        t0 = time.time()
         (
-            raw.repartition(n_raw_parts, "bucket", "_salt")
+            with_salt(make_raw())
+            .repartition(n_raw_parts, "bucket", "_salt")
             .drop("_salt")
             .sortWithinPartitions("bucket", "term", "docid")
             .write.mode("overwrite")
@@ -593,26 +621,31 @@ def _build_index_inner(
     )
 
     # ---- stage: encoded postings, per bucket-batch checkpoints -------------------
-    # Encode parallelism = raw-scan splits. Size splits so every core gets work
-    # even when the compressed raw table is small (default 128MB splits would
-    # give a handful of tasks); a file split mid-term only fragments that term's
-    # block sequence, which scoring handles.
-    try:
-        raw_bytes = sum(
-            os.path.getsize(os.path.join(dp, f))
-            for dp, _, fs in os.walk(raw_path)
-            for f in fs
-        )
-        per_batch = max(1, raw_bytes // n_ckpt_batches)
-        split = max(
-            2 << 20,
-            per_batch // (spark.sparkContext.defaultParallelism * 2),
-        )
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
-    except OSError:
-        pass  # non-local fs: keep the session default
+    if materialize_raw:
+        # Encode parallelism = raw-scan splits. Size splits so every core gets
+        # work even when the compressed raw table is small (default 128MB splits
+        # would give a handful of tasks); a file split mid-term only fragments
+        # that term's block sequence, which scoring handles.
+        try:
+            raw_bytes = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(raw_path)
+                for f in fs
+            )
+            per_batch = max(1, raw_bytes // n_ckpt_batches)
+            split = max(
+                2 << 20,
+                per_batch // (spark.sparkContext.defaultParallelism * 2),
+            )
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+        except OSError:
+            pass  # non-local fs: keep the session default
     postings_path = os.path.join(vdir, "postings")
     encoder = _make_encoder(block_size, shard_size, avgdl, k1, b, store_positions)
+    batch_parts = max(
+        spark.sparkContext.defaultParallelism * 2,
+        n_raw_parts // max(1, n_ckpt_batches),
+    )
     for batch in range(n_ckpt_batches):
         stage = f"postings_batch_{batch}"
         if resume and catalog.ckpt_done(vdir, stage):
@@ -626,13 +659,30 @@ def _build_index_inner(
                  "bytes_compressed": 0, "terms": 0, "elapsed_sec": 0.0},
             )
             continue
-        # raw was written term-partitioned and (bucket,term,docid)-sorted, so the
-        # encoder can stream straight off the scan: no shuffle, no sort. A term
-        # split across scan partitions (file-split edge) merely fragments its
-        # block sequence — scoring unions blocks, so results are unaffected.
-        part = spark.read.parquet(raw_path).filter(
-            F.col("bucket").isin(batch_buckets)
-        )
+        if materialize_raw:
+            # raw is bucket-dir-partitioned and (bucket,term,docid)-sorted, so
+            # the encoder streams straight off the scan: no shuffle, no sort.
+            # A term split across scan partitions (file-split edge) merely
+            # fragments its block sequence — scoring unions blocks.
+            part = spark.read.parquet(raw_path).filter(
+                F.col("bucket").isin(batch_buckets)
+            )
+        else:
+            # single-pass: filter this batch's buckets BEFORE the shuffle (the
+            # batch shuffles only its own share of postings), salted
+            # repartition, in-partition sort, encode — the raw relation never
+            # touches disk. Crash recovery re-runs only the unfinished batch's
+            # shuffle (its ckpt is the unit of resume, same as before). Note
+            # the explode over the cached term stats re-runs once per batch:
+            # n_ckpt_batches trades resume granularity for that recompute
+            # (total shuffle/sort/encode volume is batch-partitioned either
+            # way).
+            part = (
+                with_salt(make_raw().filter(F.col("bucket").isin(batch_buckets)))
+                .repartition(batch_parts, "bucket", "_salt")
+                .drop("_salt")
+                .sortWithinPartitions("bucket", "term", "docid")
+            )
         enc = part.mapInPandas(encoder, schema=BLOCK_SCHEMA)
         # metrics observed during the write (lineage evidence per bucket-batch)
         enc_obs = Observation(f"postings_{batch}")

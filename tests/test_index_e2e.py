@@ -86,6 +86,7 @@ def test_hot_term_df_salting_no_straggler(spark, documents, tmp_path_factory):
         hot_sample_mod=1,        # sample everything (tiny corpus)
         postings_per_slice=64,   # 500 docs -> ~7 slices for the hot term
         max_term_salt=8,
+        materialize_raw=True,    # keep the raw artifact to inspect slices
     )
     vdir = catalog.resolve(root)
     hot = catalog.ckpt_read(vdir, "raw")["hot_term_salts"]
@@ -110,6 +111,31 @@ def test_hot_term_df_salting_no_straggler(spark, documents, tmp_path_factory):
         assert [r["docid"] for r in got] == [r["docid"] for r in want]
         for g, w in zip(got, want):
             assert g["score"] == pytest.approx(w["score"], rel=1e-9)
+
+
+def test_single_pass_equals_materialized_build(spark, documents, tmp_path_factory):
+    """The default single-pass build (shuffle → sort → encode, no raw parquet)
+    must produce rank- and score-identical results to the two-stage
+    materialized build."""
+    ra = str(tmp_path_factory.mktemp("sp") / "direct")
+    rb = str(tmp_path_factory.mktemp("sp") / "mat")
+    kw = dict(
+        content_col="text", id_col="doc_id", meta_cols=(), tokenizer="standard",
+        n_buckets=8, shard_size=100, n_ckpt_batches=2,
+    )
+    build_index(spark, documents, ra, materialize_raw=False, **kw)
+    build_index(spark, documents, rb, materialize_raw=True, **kw)
+    for q in ("spark join window", "the", "vector"):
+        got_a = [(r["docid"], round(r["score"], 9)) for r in topk(spark, ra, q, k=10).collect()]
+        got_b = [(r["docid"], round(r["score"], 9)) for r in topk(spark, rb, q, k=10).collect()]
+        assert got_a == got_b, q
+    # dictionaries identical
+    import os as _os
+    da = {r["term"]: (r["df"], r["cf"]) for r in spark.read.parquet(
+        _os.path.join(catalog.resolve(ra), "dict")).collect()}
+    db = {r["term"]: (r["df"], r["cf"]) for r in spark.read.parquet(
+        _os.path.join(catalog.resolve(rb), "dict")).collect()}
+    assert da == db
 
 
 def test_sha256_invariant(spark, documents, index_root):
