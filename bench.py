@@ -60,6 +60,18 @@ def main() -> None:
     code_files(spark, n_files).write.mode("overwrite").parquet(corpus_path)
     corpus = spark.read.parquet(corpus_path)
 
+    # ---- warm-up (untimed): first-build JIT/codegen/Arrow-worker spin-up costs
+    # ~20 s on this box regardless of corpus size; the BASELINE metric is
+    # SUSTAINED build throughput (north_star: a long-running cluster), so warm
+    # up on a small slice first — same protocol as tools/bench_scaling.py.
+    build_index(
+        spark, corpus.limit(20000), os.path.join(work, "warm"),
+        content_col="content", id_col=None, order_cols=("repo", "path", "commit"),
+        meta_cols=("repo", "path", "lang"), tokenizer="code", lang_col="lang",
+        n_buckets=max(32, cpus * 2), shard_size=1 << 14, n_ckpt_batches=2,
+    )
+    topk(spark, os.path.join(work, "warm"), "index query score", k=10).collect()
+
     # ---- index build throughput ---------------------------------------------------
     idx_root = os.path.join(work, "idx")
     timed(

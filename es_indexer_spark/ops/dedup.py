@@ -122,6 +122,31 @@ def _minhash_col(i: int, hash_family: str):
     raise ValueError(f"unknown hash_family: {hash_family}")
 
 
+def _min_agg_exprs(num_hashes: int, hash_family: str) -> tuple[list, list]:
+    """(pre-projection columns, per-seed min aggregates) for a signature agg.
+
+    ``xx`` family uses the standard two-hash construction h_i = h1 + i*h2
+    (wrapping int64): two string hashes per shingle row instead of
+    ``num_hashes``, and each aggregate is a cheap multiply-add — an order of
+    magnitude less codegen and hashing work than seeding xxhash64 64 times.
+    ``sha`` computes each seeded hash explicitly (the SQL oracle replays it)."""
+    if hash_family == "xx":
+        p = (1 << 31) - 1  # Mersenne prime: i*h2 + h1 stays far below 2^63 (ANSI-safe)
+        pre = [
+            F.pmod(F.xxhash64(F.col("shingle")), F.lit(p)).alias("_h1"),
+            (F.pmod(F.xxhash64(F.col("shingle"), F.lit(1)), F.lit(p)) + 1).alias("_h2"),
+        ]
+        aggs = [
+            F.min(F.pmod(F.col("_h1") + F.lit(i) * F.col("_h2"), F.lit(p))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+        return pre, aggs
+    aggs = [
+        F.min(_minhash_col(i, hash_family)).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    return [], aggs
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -133,9 +158,9 @@ def minhash_signatures(
     """(doc_id, sig: array<bigint>) MinHash signatures over token n-gram shingles;
     min per seed via groupBy min (partial aggregation map-side)."""
     sh = _token_shingles(df, id_col, text_col, n)
-    mins = [
-        F.min(_minhash_col(i, hash_family)).alias(f"h{i}") for i in range(num_hashes)
-    ]
+    pre, mins = _min_agg_exprs(num_hashes, hash_family)
+    if pre:
+        sh = sh.select("doc_id", "shingle", *pre)
     sig = sh.groupBy("doc_id").agg(*mins)
     return sig.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
@@ -181,10 +206,9 @@ def minhash_lsh_pairs(
             .filter(F.col("sdf") > max_shingle_df)
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    mins = [
-        F.min(_minhash_col(i, hash_family)).alias(f"h{i}") for i in range(num_hashes)
-    ]
-    sig = sh.groupBy("doc_id").agg(*mins)
+    pre, mins = _min_agg_exprs(num_hashes, hash_family)
+    sig_src = sh.select("doc_id", "shingle", *pre) if pre else sh
+    sig = sig_src.groupBy("doc_id").agg(*mins)
 
     def band_key(bi: int):
         cols = [F.col(f"h{bi * rows + j}") for j in range(rows)]
