@@ -848,7 +848,7 @@ SELECT doc_id AS id,
         + CASE WHEN n_tok <= 50 THEN 10.0 WHEN n_tok <= 150 THEN 15.0 ELSE 20.0 END
         + CASE WHEN lang IS NOT NULL AND lang <> '' THEN 10.0 ELSE 0.0 END
         + CASE WHEN source IS NOT NULL AND source <> '' THEN 10.0 ELSE 0.0 END, 4) AS rank_score,
-  to_json(struct_pack(title := trim(substr(text, 1, 48)), href := source)) AS links_json,
+  to_json(struct_pack(title := trim(substr(text, 1, 48)), href := coalesce(source, ''))) AS links_json,
   '1.0.0' AS stac_version,
   'Collection' AS type
 FROM t
@@ -885,7 +885,8 @@ SELECT doc_id, status FROM s WHERE status <> 'ok'
 """
     o["doc_json"] = """
 SELECT doc_id,
-       to_json(struct_pack(id := doc_id, lang := lang, source := source,
+       to_json(struct_pack(id := doc_id, lang := coalesce(lang, ''),
+                           source := coalesce(source, ''),
                            n_chars := n_chars)) AS doc
 FROM documents
 """

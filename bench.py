@@ -123,7 +123,9 @@ def main() -> None:
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     timed(
         "q_dedup_minhash",
-        lambda: minhash_lsh_pairs(docs, "doc_id", "text", n=2, threshold=0.5).count(),
+        lambda: minhash_lsh_pairs(
+            docs, "doc_id", "text", n=2, threshold=0.5, max_band_df=1 << 12
+        ).count(),
     )
     qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
     timed("q_ann_brute", lambda: ann_brute_topk(emb, "vec_id", "embedding", qvec, k=10).collect())

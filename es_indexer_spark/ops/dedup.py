@@ -132,9 +132,11 @@ def _min_agg_exprs(num_hashes: int, hash_family: str) -> tuple[list, list]:
     ``sha`` computes each seeded hash explicitly (the SQL oracle replays it)."""
     if hash_family == "xx":
         p = (1 << 31) - 1  # Mersenne prime: i*h2 + h1 stays far below 2^63 (ANSI-safe)
+        # _h2 in [1, p-1]: mod (p-1) then +1 — mod p would admit _h2 == p ≡ 0,
+        # which collapses every seed to _h1 for that shingle (ADVICE r2)
         pre = [
             F.pmod(F.xxhash64(F.col("shingle")), F.lit(p)).alias("_h1"),
-            (F.pmod(F.xxhash64(F.col("shingle"), F.lit(1)), F.lit(p)) + 1).alias("_h2"),
+            (F.pmod(F.xxhash64(F.col("shingle"), F.lit(1)), F.lit(p - 1)) + 1).alias("_h2"),
         ]
         aggs = [
             F.min(F.pmod(F.col("_h1") + F.lit(i) * F.col("_h2"), F.lit(p))).alias(f"h{i}")
@@ -167,36 +169,17 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def _banded_rows(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n: int = 3,
-    threshold: float = 0.5,
-    num_hashes: int = N_MINHASH,
-    bands: int = LSH_BANDS,
-    hash_family: str = "xx",
-    max_band_df: int | None = 1 << 12,
-    max_shingle_df: int | None = None,
-) -> DataFrame:
-    """MinHash-LSH near-dup pairs, exact-Jaccard verified.
-
-    band key -> bucket equi-join -> distinct candidate pairs -> exact-Jaccard
-    verify of the CANDIDATES ONLY (shingle equi-join restricted to candidate
-    pairs — never an all-pairs join, and no per-doc collect_set of the full
-    shingle set). Output values are exact w.r.t. the threshold; LSH only prunes
-    candidates — identical contract to the brute-force operator, minus pairs
-    whose every band collides nowhere, i.e. standard LSH recall.
-
-    Skew guards (both replayed by the SQL oracle when used):
-    - ``max_shingle_df`` drops boilerplate shingles before signatures;
-    - ``max_band_df`` drops degenerate band buckets (empty/boilerplate docs
-      collapsing to one band value) whose self-join would go quadratic — the
-      stop-term defusal the index builder applies to hot buckets.
-
-    Scale shape: cost = O(shingles) for signatures + O(|candidates|) verify;
-    the only pair-wise work is on bucket-colliding pairs, and every bucket is
-    df-capped."""
+    n: int,
+    num_hashes: int,
+    bands: int,
+    hash_family: str,
+    max_shingle_df: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared LSH front half: (shingles, banded signature rows (doc_id, band, bh))."""
     rows = num_hashes // bands
     sh = _token_shingles(df, id_col, text_col, n)
     if max_shingle_df is not None:
@@ -227,6 +210,72 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bh")
+    return sh, banded
+
+
+def minhash_band_skew(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    hash_family: str = "xx",
+    max_band_df: int = 1 << 12,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Audit for the ``max_band_df`` skew guard: one row per band bucket that
+    the cap WOULD drop — (band, bh, bdf). Run (or ``.count()``) alongside a
+    capped :func:`minhash_lsh_pairs` so the recall loss is observable instead
+    of silent (ADVICE r2): any returned bucket may hide a near-dup cluster of
+    up to ``bdf`` docs."""
+    _, banded = _banded_rows(
+        df, id_col, text_col, n, num_hashes, bands, hash_family, max_shingle_df
+    )
+    return (
+        banded.groupBy("band", "bh")
+        .agg(F.count("*").alias("bdf"))
+        .filter(F.col("bdf") > max_band_df)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    hash_family: str = "xx",
+    max_band_df: int | None = None,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified.
+
+    band key -> bucket equi-join -> distinct candidate pairs -> exact-Jaccard
+    verify of the CANDIDATES ONLY (shingle equi-join restricted to candidate
+    pairs — never an all-pairs join, and no per-doc collect_set of the full
+    shingle set). Output values are exact w.r.t. the threshold; LSH only prunes
+    candidates — identical contract to the brute-force operator, minus pairs
+    whose every band collides nowhere, i.e. standard LSH recall.
+
+    Skew guards (both OPT-IN and both replayed by the SQL oracle when used):
+    - ``max_shingle_df`` drops boilerplate shingles before signatures;
+    - ``max_band_df`` drops degenerate band buckets (empty/boilerplate docs
+      collapsing to one band value) whose self-join would go quadratic — the
+      stop-term defusal the index builder applies to hot buckets. NOTE the
+      recall cost: a near-dup CLUSTER larger than the cap exceeds it in every
+      band, so the whole cluster vanishes from the output (ADVICE r2) — which
+      is why the default is None; at scale, set it and reconcile with
+      ``minhash_band_skew`` (dropped-bucket audit) so the loss is observable.
+
+    Scale shape: cost = O(shingles) for signatures + O(|candidates|) verify;
+    the only pair-wise work is on bucket-colliding pairs, df-capped when
+    ``max_band_df`` is set (recommended at scale, with the audit above)."""
+    sh, banded = _banded_rows(
+        df, id_col, text_col, n, num_hashes, bands, hash_family, max_shingle_df
+    )
     if max_band_df is not None:
         hot_b = (
             banded.groupBy("band", "bh")

@@ -84,9 +84,14 @@ def widen_datetime(col: Column, end: bool = False, tz: str = "UTC") -> Column:
         .when(s.rlike(_RE_YM), ym_end if end else ym_start)
         .when(s.rlike(_RE_YEAR), yr)
     )
+    # Both branches are SESSION-TIMEZONE-INDEPENDENT: to_timestamp parses the
+    # wall clock in the session zone and to_utc_timestamp re-renders it in the
+    # same zone before re-interpreting in the target zone, so the session zone
+    # cancels. The bare to_timestamp the Z-branch used before round 3 only held
+    # under session.py's pinned UTC session (ADVICE r2).
     return F.when(
         s.rlike(_RE_FULL_Z),
-        F.to_timestamp(F.regexp_replace(s, "[TZ]", " ")),
+        F.to_utc_timestamp(F.to_timestamp(F.regexp_replace(s, "[TZ]", " ")), "UTC"),
     ).otherwise(F.to_utc_timestamp(F.to_timestamp(local_str), tz))
 
 
@@ -322,11 +327,14 @@ MAPPERS: dict[str, Callable[[], Column]] = {
     "checksum_sha256": lambda: F.sha2(F.col("text"), 256),
     "status": _status,
     "rank_score": _rank_score,
-    # F7: JSON packing of title+source (LinkUtils.java:79-82 analog)
+    # F7: JSON packing of title+source (LinkUtils.java:79-82 analog).
+    # Nullable inputs are coalesced to '' BEFORE to_json: Spark omits NULL
+    # struct fields while ANSI to_json(struct_pack) emits explicit nulls, so
+    # uncoalesced NULLs would make the two serializations diverge (ADVICE r2).
     "links_json": lambda: F.to_json(
         F.struct(
             F.trim(F.substring("text", 1, 48)).alias("title"),
-            F.col("source").alias("href"),
+            F.coalesce(F.col("source"), F.lit("")).alias("href"),
         )
     ),
     "stac_version": lambda: F.lit("1.0.0"),
@@ -439,13 +447,15 @@ def doc_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     every doc through Jackson before the bulk write, IndexServiceImpl.java:68;
     JsonUtil.toJsonString)."""
     docs = _load(spark, sf_dir, "documents")
+    # nullable strings coalesced to '' — see links_json note (Spark's to_json
+    # drops NULL fields; the ANSI oracle emits them)
     return docs.select(
         "doc_id",
         F.to_json(
             F.struct(
                 F.col("doc_id").alias("id"),
-                F.col("lang").alias("lang"),
-                F.col("source").alias("source"),
+                F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+                F.coalesce(F.col("source"), F.lit("")).alias("source"),
                 F.col("n_chars").alias("n_chars"),
             )
         ).alias("doc"),
@@ -470,7 +480,9 @@ def shoelace_signed_area2(xs: Column, ys: Column) -> Column:
         F.element_at(xs, n) * F.element_at(ys, 1)
         - F.element_at(xs, 1) * F.element_at(ys, n)
     )
-    return body + wrap
+    # n < 2: sequence(1, n-1) would be DESCENDING ([1,0] for n=1) and the
+    # aggregate NULL/ANSI-error; a degenerate ring has area 0 (ADVICE r2)
+    return F.when(n >= 2, body + wrap).otherwise(F.lit(0.0))
 
 
 def ring_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
