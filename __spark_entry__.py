@@ -444,6 +444,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_json"] = M.doc_json                      # F12
     q["ring_orientation"] = M.ring_orientation      # §2.9 shoelace (no geo libs)
     q["point_geojson"] = M.point_geojson            # §2.9 point GeoJSON
+
+    # ---- batch query API (round 3: amortized msearch-style surface) -------------
+    def _batch(spark, sf):
+        from es_indexer_spark.query.engine import topk_many
+
+        out = topk_many(
+            spark,
+            _index_root(spark, sf),
+            {
+                "qa": "spark join window",
+                "qb": "the a key",
+                "qc": "customer batch stream data",
+            },
+            k=10,
+        )
+        return out.select(
+            "qid", F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+
+    q["bm25_topk_batch"] = _batch
     return q
 
 
@@ -904,6 +924,14 @@ SELECT grp, n_points::INT AS n_points, round(area2, 2) AS signed_area2,
        (area2 > 0) AS is_ccw
 FROM a
 """
+    o["bm25_topk_batch"] = "\nUNION ALL\n".join(
+        f"SELECT '{qid}' AS qid, doc_id, score FROM ({_bm25_sql(terms)}) AS t_{qid}"
+        for qid, terms in [
+            ("qa", ["join", "spark", "window"]),
+            ("qb", ["a", "key", "the"]),
+            ("qc", ["batch", "customer", "data", "stream"]),
+        ]
+    )
     o["point_geojson"] = """
 SELECT o_orderkey,
        to_json(struct_pack(type := 'Point',

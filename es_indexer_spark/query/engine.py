@@ -219,6 +219,131 @@ def topk(
     return scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
 
 
+def _batch_shard_scorer(
+    query_terms: dict[str, list[str]],
+    idfs: dict[str, float],
+    k1: float,
+    b: float,
+    k: int,
+    avgdl: float,
+):
+    """applyInPandas per-shard scorer for a BATCH of queries. Each term's
+    postings are decoded ONCE into (docid, contrib) arrays — a term's BM25
+    contribution is query-independent — then each query just concatenates its
+    terms' arrays and reduces (np.unique + bincount), emitting a per-shard
+    top-k per query."""
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"qid": [], "docid": [], "score": []})
+        if len(pdf) == 0:
+            return empty
+        per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for term, gg in pdf.groupby("term", sort=False):
+            d_parts, c_parts = [], []
+            idf = idfs[term]
+            for row in gg.itertuples(index=False):
+                d, t, l = decode_block(row.gaps, row.tfs, row.dls, row.first_docid)
+                tf = t.astype(np.float64)
+                dl = l.astype(np.float64)
+                c_parts.append(
+                    idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                )
+                d_parts.append(d.astype(np.int64))
+            per_term[term] = (np.concatenate(d_parts), np.concatenate(c_parts))
+        frames = []
+        for qid, terms in query_terms.items():
+            present = [t for t in terms if t in per_term]
+            if not present:
+                continue
+            docids = np.concatenate([per_term[t][0] for t in present])
+            contribs = np.concatenate([per_term[t][1] for t in present])
+            uniq, inv = np.unique(docids, return_inverse=True)
+            scores = np.bincount(inv, weights=contribs)
+            if uniq.size > k:
+                order = np.lexsort((uniq, -scores))[:k]
+            else:
+                order = np.argsort(-scores, kind="stable")
+            frames.append(
+                pd.DataFrame(
+                    {"qid": qid, "docid": uniq[order], "score": scores[order]}
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    return score
+
+
+def topk_many(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    k: int = 10,
+    *,
+    lang: str | None = None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Batch top-k: (qid, docid, score) with a per-qid top-k, rank-identical to
+    running :func:`topk` per query (use_blockmax=False path) — verified by
+    pytest and the ``bm25_topk_batch`` contract oracle.
+
+    The reference serves query batches through ES ``msearch``-style surfaces;
+    here the batch amortizes the per-query job floor (~4 Spark jobs each:
+    dictionary lookup, probe argmax, probe, final) down to TWO jobs for the
+    whole batch: ONE dictionary lookup for the union of all query terms, ONE
+    postings scan + scoring pass (each term decoded once, shared across the
+    queries containing it), then a per-qid window top-k inside the same job.
+    At 100 TB this is also the better plan: the postings scan touches the
+    union of the terms once instead of re-launching per query."""
+    vdir = catalog.resolve(index_root)
+    stats = catalog.read_stats(vdir)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    k1, b = stats["k1"], stats["b"]
+
+    def expand(q: str) -> list[str]:
+        terms = sorted(set(tokenize_one(q, stats["tokenizer"], lang=lang)))
+        if synonyms:
+            from es_indexer_spark.analysis.synonyms import expand_terms
+
+            terms = sorted(
+                set(
+                    expand_terms(
+                        terms,
+                        synonyms,
+                        lambda s: tokenize_one(s, stats["tokenizer"], lang=lang),
+                    )
+                )
+            )
+        return terms
+
+    query_terms = {qid: expand(q) for qid, q in queries.items()}
+    all_terms = sorted({t for ts in query_terms.values() for t in ts})
+    out_schema = "qid string, docid long, score double"
+    if not all_terms:
+        return spark.createDataFrame([], out_schema)
+    dict_rows = _dict_df(spark, vdir).filter(F.col("term").isin(all_terms)).collect()
+    if not dict_rows:
+        return spark.createDataFrame([], out_schema)
+    idfs = {r["term"]: lucene_idf(n_docs, r["df"]) for r in dict_rows}
+    buckets = sorted({r["bucket"] for r in dict_rows})
+    present = sorted(idfs)
+    query_terms = {
+        qid: [t for t in ts if t in idfs] for qid, ts in query_terms.items()
+    }
+
+    blocks = _load_blocks(spark, vdir, present, buckets)
+    scored = blocks.groupBy("shard").applyInPandas(
+        _batch_shard_scorer(query_terms, idfs, k1, b, k, avgdl), out_schema
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def fetch_docs(spark: SparkSession, index_root: str, topk_df: DataFrame) -> DataFrame:
     """Join the ≤k scored docids back to the doc table (broadcast the k-row side —
     SURVEY.md J6; the docid point-filter prunes parquet row groups because docs are

@@ -34,47 +34,74 @@ from es_indexer_spark.query.bm25 import lucene_idf
 _PHRASE_SCHEMA = "docid long, phrase_tf long, score double"
 
 
+def _sorted_member(sorted_arr: np.ndarray, probes: np.ndarray) -> np.ndarray:
+    """Membership mask of ``probes`` in a SORTED array via searchsorted —
+    O((|probes|+|arr|)·log) with no Python loop and no re-sort (np.isin would
+    re-sort the haystack on every call)."""
+    if sorted_arr.size == 0 or probes.size == 0:
+        return np.zeros(probes.shape, dtype=bool)
+    idx = np.searchsorted(sorted_arr, probes)
+    idx[idx == sorted_arr.size] = sorted_arr.size - 1
+    return sorted_arr[idx] == probes
+
+
 def _phrase_shard_scorer(terms: list[str], sum_idf: float, k1: float, b: float, avgdl: float):
-    """applyInPandas per-shard: intersect postings, count phrase occurrences."""
+    """applyInPandas per-shard phrase scorer, fully vectorized (VERDICT r2 #4
+    replaced a per-posting Python dict-building loop — O(postings) Python work
+    per shard for stop-wordy phrases).
+
+    Every (docid, position) pair is packed into one int64 key
+    ``docid << 32 | position`` (positions are doc offsets, far below 2^32), so
+    the classic per-doc position-adjacency merge becomes ONE sorted-array
+    membership chain across all docs at once: a phrase starts at key k iff
+    ``k + i`` is a key of term_i for every i — the +i can never cross a docid
+    boundary because positions never reach 2^32. Docs missing any term drop
+    out implicitly (their keys fail the membership test)."""
+
+    uniq_terms = sorted(set(terms))
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"docid": [], "phrase_tf": [], "score": []})
         if len(pdf) == 0:
             return empty
-        # decode each term's postings in this shard -> docid -> positions map
-        per_term: dict[str, dict[int, np.ndarray]] = {t: {} for t in terms}
-        doc_lens: dict[int, int] = {}
-        for row in pdf.itertuples(index=False):
-            d, t, l = decode_block(row.gaps, row.tfs, row.dls, row.first_docid)
-            flat = decode_positions(row.poss, t)
-            ends = np.cumsum(t.astype(np.int64))
-            starts = ends - t.astype(np.int64)
-            tmap = per_term[row.term]
-            for i, docid in enumerate(d.astype(np.int64)):
-                tmap[int(docid)] = flat[starts[i] : ends[i]].astype(np.int64)
-                doc_lens[int(docid)] = int(l[i])
-        # docs containing every term
-        common = set(per_term[terms[0]])
-        for t in terms[1:]:
-            common &= set(per_term[t])
-        if not common:
-            return empty
-        out_d, out_tf, out_s = [], [], []
-        for docid in common:
-            cand = per_term[terms[0]][docid]
-            for i, t in enumerate(terms[1:], start=1):
-                cand = cand[np.isin(cand + i, per_term[t][docid])]
-                if cand.size == 0:
-                    break
+        # decode per term: sorted position keys + (docid -> doc_len) arrays
+        term_keys: dict[str, np.ndarray] = {}
+        doc_arr: np.ndarray | None = None
+        len_arr: np.ndarray | None = None
+        for term, gg in pdf.groupby("term", sort=False):
+            key_parts, d_parts, l_parts = [], [], []
+            for row in gg.itertuples(index=False):
+                d, t, l = decode_block(row.gaps, row.tfs, row.dls, row.first_docid)
+                flat = decode_positions(row.poss, t)
+                d64 = d.astype(np.int64)
+                doc_of_pos = np.repeat(d64, t.astype(np.int64))
+                key_parts.append((doc_of_pos << 32) | flat.astype(np.int64))
+                d_parts.append(d64)
+                l_parts.append(l.astype(np.int64))
+            keys = np.concatenate(key_parts)
+            keys.sort()
+            term_keys[term] = keys
+            if doc_arr is None:  # any one term's postings carry the doc lens
+                doc_arr = np.concatenate(d_parts)
+                len_arr = np.concatenate(l_parts)
+        if any(t not in term_keys for t in uniq_terms):
+            return empty  # conjunctive: a term absent from this shard → no match
+        # phrase-start candidates: keys of term_0 whose +i offset exists in term_i
+        cand = term_keys[terms[0]]
+        for i, t in enumerate(terms[1:], start=1):
             if cand.size == 0:
-                continue
-            ptf = float(cand.size)
-            dl = float(doc_lens[docid])
-            s = sum_idf * ptf * (k1 + 1.0) / (ptf + k1 * (1.0 - b + b * dl / avgdl))
-            out_d.append(docid)
-            out_tf.append(cand.size)
-            out_s.append(s)
-        return pd.DataFrame({"docid": out_d, "phrase_tf": out_tf, "score": out_s})
+                return empty
+            cand = cand[_sorted_member(term_keys[t], cand + i)]
+        if cand.size == 0:
+            return empty
+        docids, ptf = np.unique(cand >> 32, return_counts=True)
+        order = np.argsort(doc_arr, kind="stable")
+        dl = len_arr[order][np.searchsorted(doc_arr[order], docids)].astype(np.float64)
+        ptf = ptf.astype(np.float64)
+        s = sum_idf * ptf * (k1 + 1.0) / (ptf + k1 * (1.0 - b + b * dl / avgdl))
+        return pd.DataFrame(
+            {"docid": docids, "phrase_tf": ptf.astype(np.int64), "score": s}
+        )
 
     return score
 

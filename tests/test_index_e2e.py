@@ -243,3 +243,29 @@ def test_scan_after_keyset_pagination(spark, documents, index_root):
         pages += 1
         assert pages <= total // 100 + 2  # no infinite loop
     assert seen == sorted(seen) and len(seen) == total  # full, ordered, no dups
+
+
+def test_topk_many_rank_identical_to_per_query(spark, index_root):
+    """Batch API ≡ per-query engine for every query shape, including an
+    absent-term query (empty slot) and a duplicate query string."""
+    from es_indexer_spark.query.engine import topk_many
+
+    batch = {f"q{i}": q for i, q in enumerate(QUERIES)}
+    batch["q_dup"] = QUERIES[0]  # same text twice -> identical rows under 2 qids
+    got = topk_many(spark, index_root, batch, k=10).collect()
+    by_qid: dict[str, list] = {}
+    for r in sorted(got, key=lambda r: (r["qid"], -r["score"], r["docid"])):
+        by_qid.setdefault(r["qid"], []).append(r)
+    for qid, q in batch.items():
+        want = topk(spark, index_root, q, k=10, use_blockmax=False).collect()
+        rows = by_qid.get(qid, [])
+        assert [r["docid"] for r in rows] == [r["docid"] for r in want], qid
+        for g, w in zip(rows, want):
+            assert g["score"] == pytest.approx(w["score"], rel=1e-9)
+
+
+def test_topk_many_empty_batch(spark, index_root):
+    from es_indexer_spark.query.engine import topk_many
+
+    assert topk_many(spark, index_root, {}, k=5).count() == 0
+    assert topk_many(spark, index_root, {"q": "zzz_not_in_corpus"}, k=5).count() == 0
