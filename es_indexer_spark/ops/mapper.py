@@ -72,7 +72,7 @@ def widen_datetime(col: Column, end: bool = False, tz: str = "UTC") -> Column:
     t_pad = " 23:59:59" if end else " 00:00:00"
     ym_start = F.concat(s, F.lit("-01" + t_pad))
     ym_end = F.concat(
-        F.last_day(F.to_date(F.concat(s, F.lit("-01")))).cast("string"),
+        F.last_day(F.try_to_date(F.concat(s, F.lit("-01")))).cast("string"),
         F.lit(" 23:59:59"),
     )
     yr = F.concat(s, F.lit("-12-31 23:59:59")) if end else F.concat(
@@ -88,11 +88,17 @@ def widen_datetime(col: Column, end: bool = False, tz: str = "UTC") -> Column:
     # wall clock in the session zone and to_utc_timestamp re-renders it in the
     # same zone before re-interpreting in the target zone, so the session zone
     # cancels. The bare to_timestamp the Z-branch used before round 3 only held
-    # under session.py's pinned UTC session (ADVICE r2).
+    # under session.py's pinned UTC session (ADVICE r2). try_to_timestamp (not
+    # to_timestamp): a regex-shaped but INVALID date ("2021-13-45") must yield
+    # NULL — the reference logs-and-skips it — not an ANSI-mode job abort, and
+    # a when-cascade evaluates every branch columnar-ly, so one malformed row
+    # would otherwise kill the whole job (abnormal-fixture pytest covers this).
     return F.when(
         s.rlike(_RE_FULL_Z),
-        F.to_utc_timestamp(F.to_timestamp(F.regexp_replace(s, "[TZ]", " ")), "UTC"),
-    ).otherwise(F.to_utc_timestamp(F.to_timestamp(local_str), tz))
+        F.to_utc_timestamp(
+            F.try_to_timestamp(F.regexp_replace(s, "[TZ]", " ")), "UTC"
+        ),
+    ).otherwise(F.to_utc_timestamp(F.try_to_timestamp(local_str), tz))
 
 
 def date_widen_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
