@@ -444,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_json"] = M.doc_json                      # F12
     q["ring_orientation"] = M.ring_orientation      # §2.9 shoelace (no geo libs)
     q["point_geojson"] = M.point_geojson            # §2.9 point GeoJSON
+    q["polygon_geojson"] = M.polygon_geojson        # §2.9d polygon writer (round 3)
 
     # ---- batch query API (round 3: amortized msearch-style surface) -------------
     def _batch(spark, sf):
@@ -938,6 +939,25 @@ SELECT o_orderkey,
                            coordinates := [((o_orderkey * 37 % 360) - 180 + 0.5)::DOUBLE,
                                            ((o_orderkey * 53 % 180) - 90 + 0.5)::DOUBLE])) AS geojson
 FROM orders
+"""
+    o["polygon_geojson"] = """
+WITH g AS (SELECT o_custkey % 20 AS grp, o_orderkey AS k,
+   ((o_orderkey * 37 % 360) - 180 + 0.5)::DOUBLE AS x,
+   ((o_orderkey * 53 % 180) - 90 + 0.5)::DOUBLE AS y FROM orders),
+r AS (SELECT grp, list(x ORDER BY k) AS xs, list(y ORDER BY k) AS ys FROM g GROUP BY grp),
+a AS (SELECT grp, xs, ys,
+      COALESCE(list_sum([xs[i]*ys[i+1] - xs[i+1]*ys[i]
+                         for i in range(1, len(xs) - 1 + 1)]), 0)
+      + xs[len(xs)]*ys[1] - xs[1]*ys[len(xs)] AS area2
+      FROM r),
+c AS (SELECT grp,
+      CASE WHEN area2 < 0
+           THEN list_reverse([[xs[i], ys[i]] for i in range(1, len(xs) + 1)])
+           ELSE [[xs[i], ys[i]] for i in range(1, len(xs) + 1)] END AS coords
+      FROM a),
+cl AS (SELECT grp, list_append(coords, coords[1]) AS closed FROM c)
+SELECT grp, to_json(struct_pack(type := 'Polygon', coordinates := [closed])) AS geojson
+FROM cl
 """
     o["bbox_union"] = """
 WITH g AS (SELECT o_custkey % 20 AS grp,

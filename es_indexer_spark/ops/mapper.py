@@ -515,6 +515,47 @@ def ring_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ring_to_geojson_polygon(ring: Column) -> Column:
+    """§2.9d: GeoJSON Polygon string from a ring of (x, y) structs — the
+    reference's polygon writer + RFC-7946 orientation rule, rebuilt as pure
+    column algebra (GeometryUtils.java:112-160 writing, :162-212 orientation):
+
+    - the shell is forced COUNTER-CLOCKWISE: if the shoelace signed area is
+      negative the ring is reversed (JTS ``Orientation.isCCW`` analog);
+    - the ring is CLOSED (first point appended last) as RFC 7946 requires;
+    - serialization via ``to_json`` (the reference uses a fixed 15-digit
+      GeoJSON writer; to_json emits shortest-round-trip doubles, which is
+      lossless — strictly more precise than truncation).
+    """
+    xs = F.transform(ring, lambda p: p["x"])
+    ys = F.transform(ring, lambda p: p["y"])
+    coords = F.transform(ring, lambda p: F.array(p["x"], p["y"]))
+    oriented = F.when(
+        shoelace_signed_area2(xs, ys) < 0, F.reverse(coords)
+    ).otherwise(coords)
+    closed = F.concat(oriented, F.slice(oriented, 1, 1))
+    return F.to_json(
+        F.struct(
+            F.lit("Polygon").alias("type"),
+            F.array(closed).alias("coordinates"),
+        )
+    )
+
+
+def polygon_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9d contract entry: deterministic ring per group (same derivation as
+    ring_orientation) -> RFC-7946-oriented, closed GeoJSON Polygon string."""
+    o = _load(spark, sf_dir, "orders")
+    lon = ((F.col("o_orderkey") * 37 % 360) - 180 + 0.5).cast("double")
+    lat = ((F.col("o_orderkey") * 53 % 180) - 90 + 0.5).cast("double")
+    g = o.select(
+        (F.col("o_custkey") % 20).alias("grp"),
+        F.struct(F.col("o_orderkey").alias("k"), lon.alias("x"), lat.alias("y")).alias("p"),
+    )
+    rings = g.groupBy("grp").agg(F.array_sort(F.collect_list("p")).alias("ring"))
+    return rings.select("grp", ring_to_geojson_polygon(F.col("ring")).alias("geojson"))
+
+
 def point_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9: GeoJSON point from lon/lat (GeometryUtils.java:112-115) —
     ``to_json(struct(type, [lon, lat]))``, one string per row."""

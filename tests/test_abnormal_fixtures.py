@@ -172,3 +172,36 @@ def test_shoelace_degenerate_rings(spark):
         ).collect()
     }
     assert got == {0: 0.0, 1: 0.0, 2: 0.0, 3: 32.0}
+
+
+def test_polygon_geojson_orientation_and_closure(spark):
+    """§2.9d polygon writer STRICT: a CLOCKWISE input ring is reversed to CCW
+    (RFC 7946 shell rule, GeometryUtils.java:162-212 analog) and the ring is
+    closed (first point repeated last); a CCW input is kept as-is."""
+    from es_indexer_spark.ops.mapper import ring_to_geojson_polygon
+
+    def ring(points):
+        return [{"k": i, "x": float(x), "y": float(y)} for i, (x, y) in enumerate(points)]
+
+    df = spark.createDataFrame(
+        [
+            (1, ring([(0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0)])),  # CW
+            (2, ring([(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)])),  # CCW
+        ],
+        "id long, ring array<struct<k:long,x:double,y:double>>",
+    )
+    got = {
+        r["id"]: r["gj"]
+        for r in df.select(
+            "id", ring_to_geojson_polygon(F.col("ring")).alias("gj")
+        ).collect()
+    }
+    ccw = (
+        '{"type":"Polygon","coordinates":'
+        "[[[4.0,0.0],[4.0,4.0],[0.0,4.0],[0.0,0.0],[4.0,0.0]]]}"
+    )
+    assert got[1] == ccw  # CW input: reversed, then closed
+    assert got[2] == (
+        '{"type":"Polygon","coordinates":'
+        "[[[0.0,0.0],[4.0,0.0],[4.0,4.0],[0.0,4.0],[0.0,0.0]]]}"
+    )

@@ -55,6 +55,30 @@ def test_minhash_lsh_finds_near_dups(dup_docs):
     assert (1, 3) in got
 
 
+def test_minhash_band_cap_loss_is_observable(dup_docs):
+    """The opt-in max_band_df cap drops whole near-dup clusters that exceed it
+    in every band (ADVICE r2); minhash_band_skew must surface exactly the
+    buckets the cap silenced so callers can reconcile the recall loss."""
+    from es_indexer_spark.ops.dedup import minhash_band_skew
+
+    uncapped = {
+        (r["doc1"], r["doc2"])
+        for r in minhash_lsh_pairs(dup_docs, "doc_id", "text", n=2, threshold=0.5).collect()
+    }
+    # cap of 1: docs 1/2/3 collide >1 deep in their shared band buckets -> all
+    # their candidate pairs vanish
+    capped = {
+        (r["doc1"], r["doc2"])
+        for r in minhash_lsh_pairs(
+            dup_docs, "doc_id", "text", n=2, threshold=0.5, max_band_df=1
+        ).collect()
+    }
+    assert capped < uncapped  # strict subset: the cap lost pairs
+    audit = minhash_band_skew(dup_docs, "doc_id", "text", n=2, max_band_df=1).collect()
+    assert audit  # ...and the audit reports the dropped buckets
+    assert all(r["bdf"] > 1 for r in audit)
+
+
 def test_simhash_near_pairs(dup_docs):
     got = {
         (r["doc1"], r["doc2"]): r["hamming"]
