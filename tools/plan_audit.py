@@ -115,6 +115,31 @@ def main() -> int:
         ],
     ))
 
+    # 6. batch query API: ONE postings scan for the whole batch (union of the
+    # queries' terms pushed down), one cogroup scoring stage, per-qid window
+    from es_indexer_spark.query.engine import topk_many
+
+    tm = topk_many(
+        spark, root,
+        {"qa": "spark join window", "qb": "the a key", "qc": "data stream"},
+        k=10,
+    )
+    p = formatted(tm)
+    import re
+
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", p, re.M))
+    n_arrow = len(re.findall(r"^\(\d+\) FlatMapGroupsInPandas", p, re.M))
+    sections.append((
+        "topk_many (batch BM25: one scan + one scoring pass for N queries)",
+        p,
+        [
+            ("exactly ONE parquet scan for the whole batch", n_scans == 1),
+            ("union-of-terms pushed to the scan", "PushedFilters" in p and "term" in p),
+            ("single Arrow scoring stage", n_arrow == 1),
+            ("per-qid window top-k", "Window" in p),
+        ],
+    ))
+
     failures = 0
     lines = [
         "# PLANS — physical-plan audit evidence",
