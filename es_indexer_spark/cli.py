@@ -27,6 +27,9 @@ Jobs:
   skips checkpointed stages (the `-running` + `beginWithUuid` analog,
   IndexerMetadataServiceImpl.java:478-523);
 - ``query``   — BM25 top-k through the block-max engine, prints one JSON line per hit;
+- ``batch``   — BM25 top-k for a BATCH of queries in one pass (``--queries-json
+  '{"qa": "spark join", ...}'`` — the ES ``msearch`` analog; one dictionary
+  lookup + one postings scan for the whole batch);
 - ``suggest`` — prefix suggestions from the dictionary (search_as_you_type analog);
 - ``phrase``  — positional phrase match (requires an index built with positions);
 - ``merge``   — metadata-speed segment merge of ``--delta`` into ``--index``
@@ -49,7 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--job",
         required=True,
-        choices=["build", "resume", "query", "suggest", "phrase", "merge"],
+        choices=["build", "resume", "query", "batch", "suggest", "phrase", "merge"],
+    )
+    p.add_argument(
+        "--queries-json",
+        help="batch job: JSON object {qid: query string}, inline or a file path",
     )
     p.add_argument("--delta", help="delta index root (merge job)")
     p.add_argument("--store-positions", action="store_true",
@@ -129,6 +136,22 @@ def main(argv: list[str] | None = None) -> int:
             hits = topk(spark, args.index, args.query, k=args.k, lang=args.lang)
             if args.fetch_meta:
                 hits = fetch_docs(spark, args.index, hits)
+            for r in hits.collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.job == "batch":
+            import os
+
+            from es_indexer_spark.query.engine import topk_many
+
+            raw = args.queries_json
+            if not raw:
+                print("--queries-json required for batch", file=sys.stderr)
+                return 2
+            if os.path.exists(raw):
+                with open(raw) as f:
+                    raw = f.read()
+            queries = json.loads(raw)
+            hits = topk_many(spark, args.index, queries, k=args.k, lang=args.lang)
             for r in hits.collect():
                 print(json.dumps(r.asDict(), default=str))
         elif args.job == "suggest":

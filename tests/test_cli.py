@@ -51,3 +51,31 @@ def test_cli_build_query_suggest_resume(spark, tmp_path, capsys):
 def test_cli_missing_args(spark, capsys):
     assert main(["--job", "build", "--index", "/tmp/x"]) == 2
     assert main(["--job", "query", "--index", "/tmp/x"]) == 2
+
+
+def test_cli_batch_job(spark, tmp_path, capsys):
+    root = str(tmp_path / "idx_b")
+    src = os.path.join(SF_DIR, "documents.parquet")
+    rc = main(
+        ["--job", "build", "--input", src, "--index", root, "--content-col",
+         "text", "--id-col", "doc_id", "--tokenizer", "standard",
+         "--n-buckets", "4", "--ckpt-batches", "2"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    qjson = json.dumps({"qa": "spark join window", "qb": "vector"})
+    rc = main(["--job", "batch", "--index", root, "--queries-json", qjson, "-k", "3"])
+    assert rc == 0
+    hits = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    by_qid = {}
+    for h in hits:
+        by_qid.setdefault(h["qid"], []).append(h)
+    assert set(by_qid) == {"qa", "qb"} and all(len(v) == 3 for v in by_qid.values())
+    # file-path form of --queries-json
+    qfile = tmp_path / "queries.json"
+    qfile.write_text(qjson)
+    rc = main(["--job", "batch", "--index", root, "--queries-json", str(qfile), "-k", "1"])
+    assert rc == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 2
+
+    assert main(["--job", "batch", "--index", root]) == 2  # missing --queries-json
