@@ -465,6 +465,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bm25_topk_batch"] = _batch
+
+    # ---- event-time windowed agg (streaming §2.10 surface, batch-checkable) ------
+    def _windowed(spark, sf):
+        from es_indexer_spark.streaming import windowed_event_counts
+
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return windowed_event_counts(ev)
+
+    q["windowed_counts"] = _windowed
     return q
 
 
@@ -933,6 +942,14 @@ FROM a
             ("qc", ["batch", "customer", "data", "stream"]),
         ]
     )
+    o["windowed_counts"] = """
+SELECT date_trunc('hour', ts) AS win_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+       event_type AS key,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2, 3
+"""
     o["point_geojson"] = """
 SELECT o_orderkey,
        to_json(struct_pack(type := 'Point',

@@ -39,7 +39,7 @@ def main() -> None:
     from es_indexer_spark.fixtures import code_files
     from es_indexer_spark.index.builder import build_index
     from es_indexer_spark.ops import relational as R
-    from es_indexer_spark.ops.dedup import minhash_lsh_pairs
+    from es_indexer_spark.ops.dedup import minhash_lsh_pairs, simhash_near_pairs
     from es_indexer_spark.ops.similarity import (
         ann_brute_topk,
         ann_ivf_topk,
@@ -162,6 +162,10 @@ def main() -> None:
         lambda: minhash_lsh_pairs(
             docs, "doc_id", "text", n=2, threshold=0.5, max_band_df=1 << 12
         ).count(),
+    )
+    timed(
+        "q_dedup_simhash",
+        lambda: simhash_near_pairs(docs, "doc_id", "text", max_hamming=3).count(),
     )
     qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
     timed("q_ann_brute", lambda: ann_brute_topk(emb, "vec_id", "embedding", qvec, k=10).collect())

@@ -78,7 +78,14 @@ def ngram_jaccard_pairs(
 
     Candidates come from an inverted index on shingles (equi-join), intersection
     sizes from a count over the joined pairs, |A|/|B| broadcast back in:
-    J = inter / (|A| + |B| - inter). All shuffles key on bounded-width values."""
+    J = inter / (|A| + |B| - inter). All shuffles key on bounded-width values.
+
+    Scale warning: the shingle self-join emits one row per co-occurring pair
+    per SHARED shingle, so a boilerplate shingle with df=d contributes O(d²)
+    rows — at corpus scale ALWAYS set ``max_shingle_df`` (which makes the
+    result exact only w.r.t. the surviving shingle sets; for cap-free
+    semantics at scale use minhash_lsh_pairs, whose verify join is restricted
+    to banded candidates)."""
     sh = _token_shingles(df, id_col, text_col, n)
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").agg(F.count("*").alias("sdf")).filter(

@@ -42,11 +42,166 @@ import shutil
 import tempfile
 from typing import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from es_indexer_spark.index import catalog
 from es_indexer_spark.index.builder import build_index
 from es_indexer_spark.index.merge import merge_indexes
+
+
+# --------------------------------------------------------------- event-time ops
+def windowed_event_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time windowed aggregation with a late-data watermark:
+    (win_start, win_end, key, n_events, sum_value).
+
+    Polymorphic over batch and streaming inputs — the SAME plan text:
+
+    - streaming: ``withWatermark`` bounds the window state and drops events
+      arriving later than ``watermark`` past the max observed event time
+      (pytest drives this through two availableNow restarts of a file stream);
+    - batch: the watermark is a no-op and the result is the complete history,
+      which is what the ``windowed_counts`` DuckDB oracle checks (Spark's
+      tumbling windows are epoch-aligned; so is date_trunc/time_bucket).
+
+    This is the streaming generalization of A1 (partial+final hash agg —
+    DataAccessServiceImpl.java:459-472 groups observations into per-month
+    buckets; here the bucket is an event-time window and the pipeline keeps
+    running)."""
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    win = (
+        F.window(ts_col, window_duration, slide)
+        if slide
+        else F.window(ts_col, window_duration)
+    )
+    return (
+        src.groupBy(win.alias("w"), F.col(key_col).alias("key"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "key",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SESSION_OUT = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+_SESSION_STATE = "start long, last long, n long"
+
+
+def sessionize_stream(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based session windows — the custom STATEFUL streaming operator that
+    ``F.window``/``session_window`` aggregation cannot replace when the emit
+    logic is bespoke: implemented with ``applyInPandasWithState``.
+
+    A session for a user is a maximal run of events with consecutive gaps
+    <= ``gap``. Sessions closed by a later event in the same batch are emitted
+    immediately; the open tail lives in bounded per-user state with an
+    EVENT-TIME timeout at ``last_event + gap`` — once the watermark passes it,
+    Spark calls the function with ``hasTimedOut`` and the final session is
+    flushed and its state removed. State is therefore bounded by the number of
+    users active inside one watermark horizon, never by history length.
+
+    Output: (user_id, session_start, session_end, n_events), update mode only.
+    """
+    import pandas as pd
+
+    gap_ms = int(pd.Timedelta(gap).total_seconds() * 1000)
+
+    def fn(key, pdfs, state):
+        uid = key[0]
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "session_start": [pd.Timestamp(start, unit="ms")],
+                    "session_end": [pd.Timestamp(last, unit="ms")],
+                    "n_events": [n],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs))
+        ts_ms = (
+            rows[ts_col].astype("int64") // 1_000_000
+        ).sort_values().to_numpy()  # ns -> ms, event-time order
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = int(ts_ms[0]), int(ts_ms[0]), 0
+        done_s, done_e, done_n = [], [], []
+        for t in ts_ms:  # per-user per-batch events: small; sessions need order
+            t = int(t)
+            if n > 0 and t - last > gap_ms:
+                done_s.append(start)
+                done_e.append(last)
+                done_n.append(n)
+                start, n = t, 0
+            last = max(last, t)
+            n += 1
+        state.update((start, last, n))
+        state.setTimeoutTimestamp(last + gap_ms)
+        if done_s:
+            yield pd.DataFrame(
+                {
+                    "user_id": uid,
+                    "session_start": pd.to_datetime(done_s, unit="ms"),
+                    "session_end": pd.to_datetime(done_e, unit="ms"),
+                    "n_events": done_n,
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            _SESSION_OUT,
+            _SESSION_STATE,
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def dedup_events_stream(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("event_id",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact-dedup: drop re-deliveries of the same key arriving
+    within ``watermark`` of each other (``dropDuplicatesWithinWatermark`` —
+    state is bounded by the watermark instead of growing forever, which is
+    the only shape that survives an unbounded stream). The streaming member
+    of the dedup family in :mod:`es_indexer_spark.ops.dedup`; on a batch
+    DataFrame use :func:`..ops.dedup.exact_duplicates` instead."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
 
 
 def _batch_manifest(root: str, batch_id: int) -> str:
