@@ -468,7 +468,12 @@ def _build_index_inner(
         if store_positions:
             # positions = in-document token offsets (Lucene .prx analog), carried
             # as flat_pos + per-term starts from the UDF; slice reassembles each
-            # posting's ascending position list JVM-side
+            # posting's ascending position list JVM-side. (Measured, round 3:
+            # slicing inside a transform BEFORE the explode — to avoid carrying
+            # flat_pos into every term row — is ~20% SLOWER here: the
+            # correlated outer-column lambda costs more than the explode's
+            # array duplication at real doc sizes. Keep the explode-then-slice
+            # shape.)
             ex = base.select(
                 "docid",
                 "doc_len",

@@ -347,13 +347,15 @@ def topk_many(
 def fetch_docs(spark: SparkSession, index_root: str, topk_df: DataFrame) -> DataFrame:
     """Join the ≤k scored docids back to the doc table (broadcast the k-row side —
     SURVEY.md J6; the docid point-filter prunes parquet row groups because docs are
-    written sorted by docid)."""
+    written sorted by docid). Schema-preserving: extra columns on the hits side
+    (e.g. ``qid`` from :func:`topk_many`) ride along, so the same fetch serves
+    single-query and batch results."""
     vdir = catalog.resolve(index_root)
     hits = topk_df.collect()
     if not hits:
-        return spark.createDataFrame([], "docid long, score double")
-    ids = [r["docid"] for r in hits]
+        return spark.createDataFrame([], topk_df.schema)
+    ids = sorted({r["docid"] for r in hits})
     docs = spark.read.parquet(os.path.join(vdir, "docs")).filter(
         F.col("docid").isin(ids)
     )
-    return spark.createDataFrame(hits, _SCORE_SCHEMA).join(docs, "docid", "left")
+    return spark.createDataFrame(hits, topk_df.schema).join(docs, "docid", "left")

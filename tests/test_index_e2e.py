@@ -269,3 +269,17 @@ def test_topk_many_empty_batch(spark, index_root):
 
     assert topk_many(spark, index_root, {}, k=5).count() == 0
     assert topk_many(spark, index_root, {"q": "zzz_not_in_corpus"}, k=5).count() == 0
+
+
+def test_fetch_docs_preserves_batch_columns(spark, index_root):
+    """fetch_docs on topk_many output keeps the qid column (J6 for batches)."""
+    from es_indexer_spark.query.engine import fetch_docs, topk_many
+
+    hits = topk_many(
+        spark, index_root, {"qa": "spark join window", "qb": "vector"}, k=3
+    )
+    out = fetch_docs(spark, index_root, hits)
+    rows = out.collect()
+    assert {r["qid"] for r in rows} == {"qa", "qb"}
+    assert all(r["doc_len"] is not None and r["sha256"] is not None for r in rows)
+    assert len(rows) == 6

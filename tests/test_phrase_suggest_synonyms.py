@@ -77,7 +77,18 @@ def _brute_phrase(documents, phrase_terms):
     return out
 
 
-@pytest.mark.parametrize("phrase", ["data stream", "the data", "slow query plan"])
+@pytest.mark.parametrize(
+    "phrase",
+    [
+        "data stream",
+        "the data",
+        "slow query plan",
+        # duplicate-term phrases: the vectorized scorer intersects the SAME
+        # sorted key array at two offsets — overlapping runs must count right
+        "the the",
+        "data data",
+    ],
+)
 def test_phrase_match_vs_brute(spark, documents, pos_index, phrase):
     got = {
         r["docid"]: r["phrase_tf"]
