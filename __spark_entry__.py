@@ -616,12 +616,17 @@ dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id)
 SELECT d.doc_id, COALESCE(dl.dl, 0)::BIGINT AS doc_len, sha256(d.text) AS sha256
 FROM documents d LEFT JOIN dl USING (doc_id)
 """
-    o["token_counts"] = _TOKS_CTE + """
+    # BPE-ish pattern must match es_indexer_spark.ops.textstats.BPE_PATTERN
+    # (constructs valid in BOTH Java regex and RE2; '' escapes ' in SQL)
+    _bpe_sql = "''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+|\\s+"
+    o["token_counts"] = _TOKS_CTE + f"""
 SELECT doc_id,
        (CASE WHEN length(trim(text)) = 0 THEN 0
              ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT AS n_ws_tokens,
        len(t)::BIGINT AS n_alnum_tokens,
-       len(list_distinct(t))::BIGINT AS n_unique_tokens
+       len(list_distinct(t))::BIGINT AS n_unique_tokens,
+       len(list_filter(regexp_extract_all(lower(text), '{_bpe_sql}'),
+                       x -> trim(x) <> ''))::BIGINT AS n_bpe_tokens
 FROM toks JOIN documents USING (doc_id)
 """
     o["lang_id"] = _TOKS_CTE + f"""

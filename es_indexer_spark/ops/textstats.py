@@ -28,19 +28,36 @@ def _alnum_tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda x: x != "")
 
 
+# GPT-2-style pre-tokenizer pattern, simplified to the lowercase alphabet and
+# restricted to constructs BOTH Java regex (Spark) and RE2 (DuckDB) support
+# (no lookaheads): contractions, letter runs, digit runs, symbol runs — each
+# optionally space-prefixed — and whitespace runs (filtered out of the count).
+BPE_PATTERN = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+|\\s+"
+
+
 def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, n_ws_tokens, n_alnum_tokens, n_unique_tokens) — whitespace + regex
-    token counting."""
+    """(id, n_ws_tokens, n_alnum_tokens, n_unique_tokens, n_bpe_tokens) —
+    whitespace, alnum-regex, and BPE-ish-regex token counting (the last is the
+    GPT-2 pre-tokenizer shape: what a byte-pair encoder would see as merge
+    units before learned merges — the cheap JVM-side proxy for LLM token
+    budgeting)."""
     text = F.col(text_col)
     toks = _alnum_tokens(text)
     ws = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
         F.size(F.split(F.trim(text), "\\s+"))
+    )
+    bpe = F.size(
+        F.filter(
+            F.regexp_extract_all(F.lower(text), F.lit(BPE_PATTERN), 0),
+            lambda x: F.trim(x) != "",
+        )
     )
     return df.select(
         F.col(id_col).alias("doc_id"),
         ws.cast("long").alias("n_ws_tokens"),
         F.size(toks).cast("long").alias("n_alnum_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
     )
 
 

@@ -297,3 +297,32 @@ def test_sample_frames_fanout(spark, documents):
         n_frames = max(1, src[d] // 1000 + 1)
         assert sorted(idxs) == list(range(0, n_frames, 10))
         assert len(set(idxs)) == len(idxs)
+
+
+def test_token_counts_bpe_matches_re_reference(spark):
+    """n_bpe_tokens == what Python's re produces with the same pattern —
+    a third engine (after DuckDB's RE2) agreeing on the pre-tokenizer count."""
+    import re
+
+    from es_indexer_spark.ops.textstats import BPE_PATTERN, token_counts
+
+    samples = [
+        "don't stop",                      # contraction split: don / 't / stop
+        "hello  world 123!",               # multi-space run, digit run, punct
+        "it's we're i'll they'd i'm you've",
+        "   ",                             # whitespace only -> 0
+        "",                                # empty -> 0
+        "CamelCase under_score 3.14 -- ok",
+    ]
+    pat = re.compile(BPE_PATTERN)
+    want = {
+        i: sum(1 for m in pat.findall(s.lower()) if m.strip())
+        for i, s in enumerate(samples)
+    }
+    df = spark.createDataFrame(list(enumerate(samples)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in token_counts(df, "doc_id", "text").collect()
+    }
+    assert got == want
+    assert want[0] == 3 and want[3] == 0 and want[4] == 0
