@@ -191,8 +191,12 @@ def _banded_rows(
     bands: int,
     hash_family: str,
     max_shingle_df: int | None,
-) -> tuple[DataFrame, DataFrame]:
-    """Shared LSH front half: (shingles, banded signature rows (doc_id, band, bh))."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared LSH front half: (shingles, signatures (with n_sh), banded rows).
+
+    The signature agg also carries ``n_sh`` (the doc's distinct-shingle count)
+    so the Jaccard verify never needs a second aggregation pass over the
+    shingle relation."""
     rows = num_hashes // bands
     sh = _token_shingles(df, id_col, text_col, n)
     if max_shingle_df is not None:
@@ -204,7 +208,7 @@ def _banded_rows(
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     pre, mins = _min_agg_exprs(num_hashes, hash_family)
     sig_src = sh.select("doc_id", "shingle", *pre) if pre else sh
-    sig = sig_src.groupBy("doc_id").agg(*mins)
+    sig = sig_src.groupBy("doc_id").agg(F.count("*").alias("n_sh"), *mins)
 
     def band_key(bi: int):
         cols = [F.col(f"h{bi * rows + j}") for j in range(rows)]
@@ -223,7 +227,7 @@ def _banded_rows(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bh")
-    return sh, banded
+    return sh, sig, banded
 
 
 def minhash_band_skew(
@@ -242,7 +246,7 @@ def minhash_band_skew(
     capped :func:`minhash_lsh_pairs` so the recall loss is observable instead
     of silent (ADVICE r2): any returned bucket may hide a near-dup cluster of
     up to ``bdf`` docs."""
-    _, banded = _banded_rows(
+    _, _, banded = _banded_rows(
         df, id_col, text_col, n, num_hashes, bands, hash_family, max_shingle_df
     )
     return (
@@ -263,6 +267,7 @@ def minhash_lsh_pairs(
     hash_family: str = "xx",
     max_band_df: int | None = None,
     max_shingle_df: int | None = None,
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified.
 
@@ -286,9 +291,22 @@ def minhash_lsh_pairs(
     Scale shape: cost = O(shingles) for signatures + O(|candidates|) verify;
     the only pair-wise work is on bucket-colliding pairs, df-capped when
     ``max_band_df`` is set (recommended at scale, with the audit above)."""
-    sh, banded = _banded_rows(
+    sh, sig, banded = _banded_rows(
         df, id_col, text_col, n, num_hashes, bands, hash_family, max_shingle_df
     )
+    if persist_intermediates:
+        # The DAG references the signature subtree twice (the candidate
+        # self-join's sides) and the shingle relation twice more (the verify
+        # joins) — unpersisted, each reference re-evaluates its lineage, i.e.
+        # RE-TOKENIZES the corpus. At 100 TB you materialize the tokenized
+        # relation once instead; MEMORY_AND_DISK spills rather than
+        # recomputes, and Spark evicts LRU. Signatures are n_docs rows — tiny
+        # at any scale. (Cache keying is by analyzed plan, so the banded/
+        # sizes/verify subtrees all hit these entries.)
+        from pyspark import StorageLevel
+
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     if max_band_df is not None:
         hot_b = (
             banded.groupBy("band", "bh")
@@ -304,7 +322,8 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # n_sh rides the signature agg — no second aggregation over the shingles
+    sizes = sig.select("doc_id", "n_sh")
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("doc1"), "shingle"), "doc1")
         .join(sh.select(F.col("doc_id").alias("doc2"), "shingle"), ["doc2", "shingle"])
