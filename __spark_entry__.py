@@ -446,6 +446,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["point_geojson"] = M.point_geojson            # §2.9 point GeoJSON
     q["polygon_geojson"] = M.polygon_geojson        # §2.9d polygon writer (round 3)
 
+    def _geoxml(spark, sf):                         # §2.9a ISO-XML polygon extraction
+        from es_indexer_spark.ops.geoxml import geoxml_extract
+
+        return geoxml_extract(spark, sf)
+
+    q["geoxml_extract"] = _geoxml
+
     # ---- batch query API (round 3: amortized msearch-style surface) -------------
     def _batch(spark, sf):
         from es_indexer_spark.query.engine import topk_many
@@ -980,6 +987,37 @@ c AS (SELECT grp,
 cl AS (SELECT grp, list_append(coords, coords[1]) AS closed FROM c)
 SELECT grp, to_json(struct_pack(type := 'Polygon', coordinates := [closed])) AS geojson
 FROM cl
+"""
+    # §2.9a: the Spark side BUILDS deterministic ISO-XML from this same doc_id
+    # arithmetic and PARSES it back with ops/geoxml.py (GeometryBase.java
+    # semantics: MultiSurface exterior-only, interior-within filter, east>=180
+    # clamp, degenerate-box Point, invalid-lat + CRS gates); the oracle derives
+    # the expected flattened coordinates directly.
+    o["geoxml_extract"] = """
+WITH d AS (
+  SELECT doc_id, doc_id % 6 AS cls,
+         ((doc_id * 7 % 280) - 140 + 0.25)::DOUBLE AS x0,
+         ((doc_id * 11 % 130) - 65 + 0.25)::DOUBLE AS y0,
+         (doc_id % 100 + 120 + 0.25)::DOUBLE AS er
+  FROM documents WHERE doc_id % 7 <> 3
+),
+sq(i, dx, dy) AS (VALUES (0, 0.0, 0.0), (1, 1.0, 0.0), (2, 1.0, 1.0), (3, 0.0, 1.0), (4, 0.0, 0.0)),
+bx(i, isw, iss) AS (VALUES (0, 1, 1), (1, 0, 1), (2, 0, 0), (3, 1, 0), (4, 1, 1))
+SELECT doc_id, 0 AS geom_idx, 'Polygon' AS geom_type, 0 AS ring_idx, i AS pt_idx,
+       x0 + 10 * dx AS lon, y0 + 10 * dy AS lat FROM d, sq WHERE cls = 0
+UNION ALL
+SELECT doc_id, 1, 'Polygon', 0, i, x0 + 12 + 6 * dx, y0 + 6 * dy FROM d, sq WHERE cls = 0
+UNION ALL
+SELECT doc_id, 0, 'Polygon', 0, i, x0 + 10 * dx, y0 + 10 * dy FROM d, sq WHERE cls IN (1, 2)
+UNION ALL
+SELECT doc_id, 0, 'Polygon', 1, i, x0 + 2 + 2 * dx, y0 + 2 + 2 * dy FROM d, sq WHERE cls = 1
+UNION ALL
+SELECT doc_id, 0, 'Polygon', 0, i,
+       CASE WHEN isw = 1 THEN x0 ELSE (CASE WHEN er >= 180 THEN 180.0 ELSE er END) END,
+       CASE WHEN iss = 1 THEN y0 ELSE y0 + 5 END
+FROM d, bx WHERE cls = 3
+UNION ALL
+SELECT doc_id, 0, 'Point', 0, 0, x0, y0 FROM d WHERE cls = 4
 """
     o["bbox_union"] = """
 WITH g AS (SELECT o_custkey % 20 AS grp,
