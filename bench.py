@@ -157,12 +157,21 @@ def main() -> None:
     # ---- ops over the provided sf tables -------------------------------------------
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # warm-up (untimed), same protocol as the build warm-up above: the first
+    # dedup plan pays one-off whole-stage-codegen of a very large generated
+    # class (~4 s on this box, independent of data volume — measured 9.1 s
+    # cold vs 3.5-5.4 s warm at sf0.1); sustained cost is the metric.
+    minhash_lsh_pairs(
+        docs.limit(500), "doc_id", "text", n=2, threshold=0.5, max_band_df=1 << 12
+    ).count()
+    spark.catalog.clearCache()  # drop the warm-up's persisted intermediates
     timed(
         "q_dedup_minhash",
         lambda: minhash_lsh_pairs(
             docs, "doc_id", "text", n=2, threshold=0.5, max_band_df=1 << 12
         ).count(),
     )
+    spark.catalog.clearCache()  # release the LSH run's persisted intermediates
     timed(
         "q_dedup_simhash",
         lambda: simhash_near_pairs(docs, "doc_id", "text", max_hamming=3).count(),

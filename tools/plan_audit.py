@@ -140,6 +140,22 @@ def main() -> int:
         ],
     ))
 
+    # 7. ISO-XML geometry extraction: partition-parallel, zero shuffle
+    from es_indexer_spark.ops.geoxml import geoxml_extract
+
+    gx = geoxml_extract(spark, sf_dir)
+    p = formatted(gx)
+    sections.append((
+        "geoxml_extract (ISO-XML polygon extraction, mapInPandas)",
+        p,
+        [
+            ("no Exchange (shuffle-free)", "Exchange" not in p),
+            ("single Arrow parse stage",
+             len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 1),
+            ("documents scan prunes to doc_id only", "ReadSchema: struct<doc_id" in p),
+        ],
+    ))
+
     failures = 0
     lines = [
         "# PLANS — physical-plan audit evidence",
