@@ -481,7 +481,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return windowed_event_counts(ev)
 
     q["windowed_counts"] = _windowed
-    return q
+
+    # ---- driver-gate rotation ----------------------------------------------------
+    # CORRECTNESS_r02 recorded exactly the first 50 entries by insertion order
+    # (55 registered; the 5 newest — positions 50+ — got no row), so the
+    # driver's correctness gate caps at 50. Rotate the entries that have never
+    # had a driver row to the FRONT so round 3 records them; the 9 displaced
+    # ones are all green in CORRECTNESS_r02, so across the two rounds every
+    # entry has a driver-verified row. (VERDICT r2 "Next round" item 1.)
+    never_driver_verified = [
+        "bbox_union", "error_routing", "doc_json", "ring_orientation",
+        "point_geojson", "polygon_geojson", "geoxml_extract",
+        "bm25_topk_batch", "windowed_counts",
+    ]
+    return {
+        k: q[k]
+        for k in never_driver_verified + [k for k in q if k not in never_driver_verified]
+    }
 
 
 def oracle_sql() -> dict[str, str]:

@@ -55,6 +55,23 @@ def test_minhash_lsh_finds_near_dups(dup_docs):
     assert (1, 3) in got
 
 
+def test_minhash_persist_off_is_identical(dup_docs, spark):
+    """persist_intermediates only changes materialization (the DAG references
+    the signature/shingle subtrees 2x/2x), never the pair set."""
+    on = {
+        (r["doc1"], r["doc2"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs(dup_docs, "doc_id", "text", n=2, threshold=0.5).collect()
+    }
+    spark.catalog.clearCache()
+    off = {
+        (r["doc1"], r["doc2"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs(
+            dup_docs, "doc_id", "text", n=2, threshold=0.5, persist_intermediates=False
+        ).collect()
+    }
+    assert on == off and on
+
+
 def test_minhash_band_cap_loss_is_observable(dup_docs):
     """The opt-in max_band_df cap drops whole near-dup clusters that exceed it
     in every band (ADVICE r2); minhash_band_skew must surface exactly the
