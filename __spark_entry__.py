@@ -117,15 +117,66 @@ def _bm25_engine(query: str, k: int = 10):
     return run
 
 
-def _bm25_sql(query_terms: list[str], k: int = 10) -> str:
+# docs logically deleted in the tombstone contract entries (deterministic)
+_DEAD_PRED_SQL = "doc_id % 7 <> 3"
+
+
+def _tomb_root(spark: SparkSession, sf_dir: str, compacted: bool) -> str:
+    """A private COPY of the cached index with doc_id % 7 == 3 logically
+    deleted (and, for ``compacted=True``, physically purged into a new
+    version). Copies keep the shared ``_index_root`` pristine for the other
+    BM25 entries; rebuilt once per process (cheap at contract scale)."""
+    import shutil
+
+    from es_indexer_spark.index import tombstones
+
+    base = _index_root(spark, sf_dir)
+    root = base + ("_tombc" if compacted else "_tombl")
+    if root in _BUILT:
+        return root
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    shutil.copytree(base, root)
+    dead = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 7 == 3)
+        .select(F.col("doc_id").cast("long").alias("docid"))
+    )
+    tombstones.delete_docs(spark, root, dead)
+    if compacted:
+        tombstones.compact_index(spark, root)
+    _BUILT.add(root)
+    return root
+
+
+def _bm25_tomb_engine(query: str, compacted: bool, k: int = 10):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        root = _tomb_root(spark, sf_dir, compacted)
+        return index_topk(spark, root, query, k=k).select(
+            F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+
+    return run
+
+
+def _bm25_sql(
+    query_terms: list[str],
+    k: int = 10,
+    src: str = "documents",
+    final_where: str = "",
+) -> str:
+    """Exact BM25 oracle. ``src`` swaps the corpus (e.g. a filtered subquery —
+    the compacted-index oracle, where stats exclude purged docs); ``final_where``
+    filters only the RESULT rows while stats still count every doc (the
+    logical-delete / Lucene live-docs oracle)."""
     tl = ", ".join(f"'{t}'" for t in query_terms)
     return f"""
-WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM {src} AS _d0),
 t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM t2 GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM t2 GROUP BY doc_id),
-st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-              ((SELECT COALESCE(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents))::DOUBLE AS avgdl),
+st AS (SELECT (SELECT count(*) FROM {src} AS _d1)::DOUBLE AS n,
+              ((SELECT COALESCE(sum(dl), 0) FROM dl) / (SELECT count(*) FROM {src} AS _d2))::DOUBLE AS avgdl),
 dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
 raw AS (
   SELECT tf.doc_id,
@@ -135,7 +186,7 @@ raw AS (
   WHERE tf.term IN ({tl})
   GROUP BY tf.doc_id)
 SELECT doc_id, round(score_raw::DOUBLE, 4) AS score
-FROM raw ORDER BY score_raw DESC, doc_id ASC LIMIT {k}
+FROM raw {final_where} ORDER BY score_raw DESC, doc_id ASC LIMIT {k}
 """
 
 
@@ -284,6 +335,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- inverted index + BM25 (the north-star path) ---------------------------
     q["bm25_topk_multi"] = _bm25_engine("spark join window")
+    # tombstone surface (reference deleteDocumentByUUID; Lucene live-docs
+    # semantics): logical delete hides docs but keeps build-time idf/avgdl;
+    # compaction purges physically, after which stats exclude the deleted docs
+    q["bm25_topk_deleted"] = _bm25_tomb_engine("spark join window", compacted=False)
+    q["bm25_topk_compacted"] = _bm25_tomb_engine("spark join window", compacted=True)
     q["bm25_topk_rare"] = _bm25_engine("dup")
     q["bm25_topk_stop"] = _bm25_engine("the")
     q["bm25_topk_tie"] = _bm25_engine("the a key")
@@ -493,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_union", "error_routing", "doc_json", "ring_orientation",
         "point_geojson", "polygon_geojson", "geoxml_extract",
         "bm25_topk_batch", "windowed_counts",
+        "bm25_topk_deleted", "bm25_topk_compacted",
     ]
     return {
         k: q[k]
@@ -503,6 +560,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o["bm25_topk_multi"] = _bm25_sql(["join", "spark", "window"])
+    # logical delete: stats over the FULL corpus, deleted docs filtered from
+    # the result only (Lucene live-docs semantics until compaction)
+    o["bm25_topk_deleted"] = _bm25_sql(
+        ["join", "spark", "window"], final_where=f"WHERE {_DEAD_PRED_SQL}"
+    )
+    # compaction: stats AND results over the filtered corpus
+    o["bm25_topk_compacted"] = _bm25_sql(
+        ["join", "spark", "window"],
+        src=f"(SELECT * FROM documents WHERE {_DEAD_PRED_SQL})",
+    )
     o["bm25_topk_rare"] = _bm25_sql(["dup"])
     o["bm25_topk_stop"] = _bm25_sql(["the"])
     o["bm25_topk_tie"] = _bm25_sql(["a", "key", "the"])

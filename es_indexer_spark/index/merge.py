@@ -173,6 +173,14 @@ def merge_indexes(
         "overwrite"
     ).parquet(os.path.join(vdir, "dict"))
 
+    # ---- tombstones: logical deletes survive the merge (main verbatim, delta
+    # remapped by the docid offset) — otherwise deleted docs would resurrect
+    from es_indexer_spark.index import tombstones as _tombstones
+
+    carried = _tombstones.carry(spark, mdir, vdir, 0) + _tombstones.carry(
+        spark, ddir, vdir, offset
+    )
+
     catalog.write_stats(
         vdir,
         {
@@ -191,6 +199,7 @@ def merge_indexes(
             "delta": ddir,
             "docid_offset": offset,
             "n_docs": merged_n,
+            "carried_tombstones": carried,
             "elapsed_sec": round(time.time() - t0, 3),
         },
     )

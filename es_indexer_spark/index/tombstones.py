@@ -1,0 +1,311 @@
+"""Per-document deletes (tombstones) + physical compaction.
+
+The reference deletes single records from the live index
+(``deleteDocumentByUUID``, indexer/src/main/java/au/org/aodn/esindexer/service/
+IndexerMetadataServiceImpl.java:453-474: ids query → delete → refresh) and
+Elasticsearch/Lucene implement that as a LOGICAL delete: the doc joins a
+live-docs bitset, every search path skips it, but postings, corpus stats
+(docCount, avgdl) and suggesters keep counting it until a segment merge
+physically purges it.  This module mirrors that public Lucene contract on the
+block-compressed index:
+
+* :func:`delete_docs` — append a tombstone file under the CURRENT version dir
+  (``<vdir>/_tombstones/``, parquet, append-mode: each delete batch is new
+  part files, never a rewrite — concurrent-delete safe, idempotent for
+  re-deleted ids).  The version dir's query artifacts (dict, postings, docs)
+  stay byte-identical, so the engine's per-version dictionary cache remains
+  valid.
+* query-time filtering — the BM25/phrase shard scorers drop tombstoned
+  docids right after block decode, and the point-read/scan surface anti-joins
+  them.  Rank-safety with block-max pruning is preserved: removing docs can
+  only LOWER the probe shard's k-th score θ, and block upper bounds computed
+  at build time remain upper bounds for the filtered blocks, so every skipped
+  block still cannot contain a filtered top-k doc.  Corpus stats are NOT
+  adjusted (Lucene semantics) — scores keep the build-time idf/avgdl until
+  compaction.
+* :func:`compact_index` — the segment-merge analog: decode every posting
+  block, drop tombstoned postings (and their positions), re-encode with the
+  post-delete ``avgdl``, re-derive the dictionary from the rewritten block
+  metadata (same df = Σ block n aggregation the builder uses), rewrite the
+  docs table, and atomically publish the result as a NEW version — readers
+  see the old version or the compacted one, never a partial state.
+
+Scale shape: the tombstone set is bounded by deletes-since-last-compaction
+(collected once per process per version and cached — zero extra Spark jobs
+per query after the first); compaction is one partition-parallel Arrow pass
+over the encoded blocks (orders of magnitude smaller than raw postings) plus
+one anti-join over the docs table — no shuffle except the final writes'
+range partitioning.  A workload whose delete volume rivals the corpus should
+rebuild instead (the builder is the faster path at that ratio).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Sequence
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.observation import Observation
+
+from es_indexer_spark.index import catalog
+from es_indexer_spark.index.codec import (
+    bm25_tf_factor,
+    decode_block,
+    decode_positions,
+    delta_encode,
+    encode_positions,
+    encode_varints,
+)
+
+_TOMB_DIRNAME = "_tombstones"
+
+# (applicationId, vdir, file-listing signature) -> sorted np.int64 docid array.
+# The listing signature changes on every append, so a stale entry can never be
+# served; bounded like the engine's dict cache.
+_TOMB_CACHE: dict[tuple[str, str, tuple[str, ...]], np.ndarray] = {}
+_TOMB_CACHE_MAX = 8
+
+
+def _tomb_dir(vdir: str) -> str:
+    return os.path.join(vdir, _TOMB_DIRNAME)
+
+
+def _listing(vdir: str) -> tuple[str, ...]:
+    d = _tomb_dir(vdir)
+    if not os.path.isdir(d):
+        return ()
+    return tuple(sorted(f for f in os.listdir(d) if f.endswith(".parquet")))
+
+
+def delete_docs(
+    spark: SparkSession, index_root: str, docids: Sequence[int] | DataFrame
+) -> None:
+    """Logically delete documents from the published index version.
+
+    ``docids``: a sequence of ints (the single-record surface — the
+    reference's per-uuid delete) or a DataFrame with a ``docid`` column (bulk
+    delete).  Takes effect immediately for every query path; physical purge is
+    :func:`compact_index`."""
+    vdir = catalog.resolve(index_root)
+    if isinstance(docids, DataFrame):
+        df = docids.select(F.col("docid").cast("long"))
+    else:
+        df = spark.createDataFrame(
+            [(int(d),) for d in docids], "docid long"
+        ).coalesce(1)
+    df.write.mode("append").parquet(_tomb_dir(vdir))
+
+
+def tombstone_df(spark: SparkSession, vdir: str) -> DataFrame | None:
+    """The tombstoned docids as a (distinct) DataFrame, or None when empty."""
+    if not _listing(vdir):
+        return None
+    return spark.read.parquet(_tomb_dir(vdir)).select("docid").distinct()
+
+
+def tombstone_array(spark: SparkSession, vdir: str) -> np.ndarray | None:
+    """Sorted np.int64 tombstone set for scorer-side filtering, cached per
+    (session, version, listing) — after the first call a query pays zero extra
+    Spark jobs for delete support."""
+    sig = _listing(vdir)
+    if not sig:
+        return None
+    key = (spark.sparkContext.applicationId, vdir, sig)
+    arr = _TOMB_CACHE.get(key)
+    if arr is None:
+        while len(_TOMB_CACHE) >= _TOMB_CACHE_MAX:
+            _TOMB_CACHE.pop(next(iter(_TOMB_CACHE)))
+        rows = spark.read.parquet(_tomb_dir(vdir)).select("docid").collect()
+        arr = np.unique(np.array([r["docid"] for r in rows], dtype=np.int64))
+        _TOMB_CACHE[key] = arr
+    return arr
+
+
+def live_mask(tomb: np.ndarray | None, docids: np.ndarray) -> np.ndarray | None:
+    """Boolean keep-mask of ``docids`` against the sorted tombstone set
+    (searchsorted — no per-call re-sort), or None when nothing is deleted."""
+    if tomb is None or tomb.size == 0 or docids.size == 0:
+        return None
+    idx = np.searchsorted(tomb, docids)
+    idx[idx == tomb.size] = tomb.size - 1
+    return tomb[idx] != docids
+
+
+def carry(
+    spark: SparkSession, src_vdir: str, dst_vdir: str, docid_offset: int = 0
+) -> int:
+    """Carry a segment's tombstones into a merged version dir (docids remapped
+    by the merge's ``docid_offset``) so logically deleted docs never resurrect
+    through a metadata-speed merge.  Returns the number of carried docids."""
+    if not _listing(src_vdir):
+        return 0
+    df = (
+        spark.read.parquet(_tomb_dir(src_vdir))
+        .select((F.col("docid") + docid_offset).alias("docid"))
+        .distinct()
+    )
+    n = df.count()
+    if n:
+        df.write.mode("append").parquet(_tomb_dir(dst_vdir))
+    return n
+
+
+def filter_live(spark: SparkSession, vdir: str, df: DataFrame) -> DataFrame:
+    """Drop tombstoned rows from a DataFrame with a ``docid`` column — the
+    doc-table query surface (point reads, scans, metadata joins).  Small
+    delete sets become a pushed-down NOT-IN filter (stays row-group-prunable);
+    larger ones a broadcast anti-join.  No-op when nothing is deleted."""
+    tomb = tombstone_array(spark, vdir)
+    if tomb is None or tomb.size == 0:
+        return df
+    if tomb.size <= 65536:
+        return df.filter(~F.col("docid").isin([int(x) for x in tomb]))
+    t = tombstone_df(spark, vdir)
+    return df.join(F.broadcast(t), "docid", "left_anti")
+
+
+# --------------------------------------------------------------------------- compaction
+def _rewrite_blocks(tomb: np.ndarray, avgdl: float, k1: float, b: float, positions: bool):
+    """mapInPandas: decode each block, drop tombstoned postings (and their
+    positions), re-encode; fully-deleted blocks disappear."""
+
+    def rewrite(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                d, t, l = decode_block(row.gaps, row.tfs, row.dls, row.first_docid)
+                d64 = d.astype(np.int64)
+                keep = live_mask(tomb, d64)
+                if keep is None or keep.all():
+                    # untouched postings — but max_score_free MUST be recomputed
+                    # against the post-delete avgdl: a larger avgdl shrinks the
+                    # BM25 length penalty, so the build-time bound would no
+                    # longer be an upper bound and block-max pruning would turn
+                    # rank-unsafe
+                    rows.append(
+                        tuple(row)[:-1]
+                        + (float(bm25_tf_factor(t, l, avgdl, k1, b).max()),)
+                    )
+                    continue
+                if not keep.any():
+                    continue
+                poss = None
+                if positions:
+                    flat = decode_positions(row.poss, t)
+                    poss = encode_positions(
+                        flat[np.repeat(keep, t.astype(np.int64))], t[keep]
+                    )
+                dk, tk, lk = d[keep], t[keep], l[keep]
+                rows.append(
+                    (
+                        row.bucket,
+                        row.term,
+                        row.shard,
+                        row.block_id,
+                        int(dk.size),
+                        int(dk[0]),
+                        int(dk[-1]),
+                        encode_varints(delta_encode(dk, base=int(dk[0]))),
+                        encode_varints(tk),
+                        encode_varints(lk),
+                        poss,
+                        int(tk.max()),
+                        int(tk.sum()),
+                        float(bm25_tf_factor(tk, lk, avgdl, k1, b).max()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=list(pdf.columns))
+
+    return rewrite
+
+
+def compact_index(spark: SparkSession, index_root: str) -> str:
+    """Physically purge tombstoned docs into a NEW atomically-published
+    version (the Lucene segment-merge analog — see module docstring).
+    Returns the new version dir (or the current one when nothing is
+    tombstoned).  After compaction, scores over the remaining corpus are
+    identical to a fresh build of the filtered corpus (pytest-pinned)."""
+    vdir = catalog.resolve(index_root)
+    tomb = tombstone_array(spark, vdir)
+    if tomb is None or tomb.size == 0:
+        return vdir
+    stats = catalog.read_stats(vdir)
+    k1, b, positions = stats["k1"], stats["b"], stats.get("positions", False)
+    t0 = time.time()
+
+    version = catalog.next_version(index_root)
+    new_vdir = os.path.join(index_root, version)
+
+    # docs: anti-join the tombstones, keep the docid-range-partitioned sorted
+    # layout (point reads / scan_after stay row-group-pruned)
+    docs = spark.read.parquet(os.path.join(vdir, "docs"))
+    kept = docs.join(
+        F.broadcast(tombstone_df(spark, vdir)), "docid", "left_anti"
+    )
+    obs = Observation("compact_docs")
+    n_parts = max(4, len(docs.inputFiles()))
+    (
+        kept.repartitionByRange(n_parts, "docid")
+        .sortWithinPartitions("docid")
+        .observe(obs, F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("dl"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(new_vdir, "docs"))
+    )
+    n_docs = int(obs.get["n"])
+    if n_docs == 0:
+        raise ValueError("compaction would delete every document — rebuild instead")
+    avgdl = float(obs.get["dl"]) / n_docs
+
+    # postings: one Arrow pass over the encoded blocks; re-encoded with the
+    # post-delete avgdl so block-max bounds match the new stats
+    blocks = spark.read.parquet(os.path.join(vdir, "postings")).drop("batch")
+    from es_indexer_spark.index.builder import BLOCK_SCHEMA
+
+    rewritten = blocks.select(
+        "bucket", "term", "shard", "block_id", "n", "first_docid", "last_docid",
+        "gaps", "tfs", "dls", "poss", "max_tf", "cf", "max_score_free",
+    ).mapInPandas(_rewrite_blocks(tomb, avgdl, k1, b, positions), BLOCK_SCHEMA)
+    rewritten.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(new_vdir, "postings", "batch=0")
+    )
+
+    # dictionary: re-derived from the rewritten block metadata — the exact
+    # aggregation the builder uses (df = Σ block n, cf = Σ block cf); terms
+    # whose every posting was deleted drop out here
+    newb = spark.read.parquet(os.path.join(new_vdir, "postings"))
+    d = newb.groupBy("term").agg(
+        F.sum("n").alias("df"),
+        F.sum("cf").alias("cf"),
+        F.first("bucket").alias("bucket"),
+    )
+    d.repartitionByRange(4, "term").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(new_vdir, "dict"))
+
+    catalog.write_stats(
+        new_vdir,
+        {
+            **stats,
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "compacted_from": os.path.basename(vdir),
+            "purged_docs": int(tomb.size),
+        },
+    )
+    catalog.ckpt_write(
+        new_vdir,
+        "_PUBLISHED",
+        {
+            "version": version,
+            "n_docs": n_docs,
+            "compacted_from": os.path.basename(vdir),
+            "purged_docs": int(tomb.size),
+            "elapsed_sec": round(time.time() - t0, 3),
+        },
+    )
+    catalog.publish(index_root, version)
+    return new_vdir

@@ -69,8 +69,22 @@ def _dict_df(spark: SparkSession, vdir: str) -> DataFrame:
     return df
 
 
-def _shard_scorer(idfs: dict[str, float], k1: float, b: float, theta: float, k: int, avgdl: float):
-    """applyInPandas per-shard scorer: block-max prune then exact vectorized DAAT."""
+def _shard_scorer(
+    idfs: dict[str, float],
+    k1: float,
+    b: float,
+    theta: float,
+    k: int,
+    avgdl: float,
+    tomb: np.ndarray | None = None,
+):
+    """applyInPandas per-shard scorer: block-max prune then exact vectorized DAAT.
+
+    ``tomb``: sorted tombstoned-docid array (index/tombstones.py) — logically
+    deleted docs are dropped right after block decode (Lucene live-docs-bitset
+    semantics: postings and corpus stats keep counting them until compaction).
+    Rank-safe under block-max pruning: removing docs can only LOWER the probe
+    shard's θ, and block upper bounds stay valid for the filtered blocks."""
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
@@ -94,14 +108,25 @@ def _shard_scorer(idfs: dict[str, float], k1: float, b: float, theta: float, k: 
         contrib_parts: list[np.ndarray] = []
         for row in pdf.itertuples(index=False):
             d, t, l = decode_block(row.gaps, row.tfs, row.dls, row.first_docid)
+            d64 = d.astype(np.int64)
+            if tomb is not None:
+                from es_indexer_spark.index.tombstones import live_mask
+
+                keep = live_mask(tomb, d64)
+                if keep is not None and not keep.all():
+                    d64, t, l = d64[keep], t[keep], l[keep]
+                if d64.size == 0:
+                    continue
             tf = t.astype(np.float64)
             dl = l.astype(np.float64)
             idf = idfs[row.term]
             contrib = (
                 idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
             )
-            docid_parts.append(d.astype(np.int64))
+            docid_parts.append(d64)
             contrib_parts.append(contrib)
+        if not docid_parts:
+            return pd.DataFrame({"docid": [], "score": []})
         docids = np.concatenate(docid_parts)
         contribs = np.concatenate(contrib_parts)
         uniq, inv = np.unique(docids, return_inverse=True)
@@ -143,10 +168,13 @@ def topk(
     never rewritten). Build rules with
     :func:`es_indexer_spark.analysis.synonyms.build_synonym_rules`.
     """
+    from es_indexer_spark.index.tombstones import tombstone_array
+
     vdir = catalog.resolve(index_root)
     stats = catalog.read_stats(vdir)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     k1, b = stats["k1"], stats["b"]
+    tomb = tombstone_array(spark, vdir)
 
     qterms = sorted(set(tokenize_one(query, stats["tokenizer"], lang=lang)))
     if synonyms:
@@ -202,7 +230,8 @@ def topk(
                 blocks.filter(F.col("shard") == probe_shard)
                 .groupBy("shard")
                 .applyInPandas(
-                    _shard_scorer(idfs, k1, b, float("-inf"), k, avgdl), _SCORE_SCHEMA
+                    _shard_scorer(idfs, k1, b, float("-inf"), k, avgdl, tomb),
+                    _SCORE_SCHEMA,
                 )
             )
             probe_rows = probe_df.collect()
@@ -212,7 +241,7 @@ def topk(
             blocks = blocks.filter(F.col("shard") != probe_shard)
 
     scored = blocks.groupBy("shard").applyInPandas(
-        _shard_scorer(idfs, k1, b, theta, k, avgdl), _SCORE_SCHEMA
+        _shard_scorer(idfs, k1, b, theta, k, avgdl, tomb), _SCORE_SCHEMA
     )
     if probe_df is not None:
         scored = scored.unionByName(probe_df)
@@ -226,6 +255,7 @@ def _batch_shard_scorer(
     b: float,
     k: int,
     avgdl: float,
+    tomb: np.ndarray | None = None,
 ):
     """applyInPandas per-shard scorer for a BATCH of queries. Each term's
     postings are decoded ONCE into (docid, contrib) arrays — a term's BM25
@@ -243,12 +273,23 @@ def _batch_shard_scorer(
             idf = idfs[term]
             for row in gg.itertuples(index=False):
                 d, t, l = decode_block(row.gaps, row.tfs, row.dls, row.first_docid)
+                d64 = d.astype(np.int64)
+                if tomb is not None:
+                    from es_indexer_spark.index.tombstones import live_mask
+
+                    keep = live_mask(tomb, d64)
+                    if keep is not None and not keep.all():
+                        d64, t, l = d64[keep], t[keep], l[keep]
+                    if d64.size == 0:
+                        continue
                 tf = t.astype(np.float64)
                 dl = l.astype(np.float64)
                 c_parts.append(
                     idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
                 )
-                d_parts.append(d.astype(np.int64))
+                d_parts.append(d64)
+            if not d_parts:
+                continue
             per_term[term] = (np.concatenate(d_parts), np.concatenate(c_parts))
         frames = []
         for qid, terms in query_terms.items():
@@ -294,10 +335,13 @@ def topk_many(
     queries containing it), then a per-qid window top-k inside the same job.
     At 100 TB this is also the better plan: the postings scan touches the
     union of the terms once instead of re-launching per query."""
+    from es_indexer_spark.index.tombstones import tombstone_array
+
     vdir = catalog.resolve(index_root)
     stats = catalog.read_stats(vdir)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     k1, b = stats["k1"], stats["b"]
+    tomb = tombstone_array(spark, vdir)
 
     def expand(q: str) -> list[str]:
         terms = sorted(set(tokenize_one(q, stats["tokenizer"], lang=lang)))
@@ -332,7 +376,7 @@ def topk_many(
 
     blocks = _load_blocks(spark, vdir, present, buckets)
     scored = blocks.groupBy("shard").applyInPandas(
-        _batch_shard_scorer(query_terms, idfs, k1, b, k, avgdl), out_schema
+        _batch_shard_scorer(query_terms, idfs, k1, b, k, avgdl, tomb), out_schema
     )
     from pyspark.sql import Window
 

@@ -26,10 +26,15 @@ def doc_lookup(
 ) -> DataFrame:
     """Fetch doc rows by exact docid (the `ids` query analog). The isin filter
     is pushed to parquet; docid-sorted files make it a row-group point read."""
+    from es_indexer_spark.index.tombstones import filter_live
+
     vdir = catalog.resolve(index_root)
-    return spark.read.parquet(os.path.join(vdir, "docs")).filter(
+    df = spark.read.parquet(os.path.join(vdir, "docs")).filter(
         F.col("docid").isin([int(d) for d in docids])
     )
+    # a logically deleted doc is gone from every read surface immediately
+    # (the reference's deleteDocumentByUUID contract)
+    return filter_live(spark, vdir, df)
 
 
 def scan_after(
@@ -41,8 +46,10 @@ def scan_after(
     """One page of the docid-ordered scan, resuming strictly after ``after``
     (keyset pagination — the `search_after` analog; the caller passes the last
     docid of the previous page as the next resume token)."""
+    from es_indexer_spark.index.tombstones import filter_live
+
     vdir = catalog.resolve(index_root)
     df = spark.read.parquet(os.path.join(vdir, "docs"))
     if after is not None:
         df = df.filter(F.col("docid") > int(after))
-    return df.orderBy(F.asc("docid")).limit(page_size)
+    return filter_live(spark, vdir, df).orderBy(F.asc("docid")).limit(page_size)

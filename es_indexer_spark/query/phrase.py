@@ -45,7 +45,14 @@ def _sorted_member(sorted_arr: np.ndarray, probes: np.ndarray) -> np.ndarray:
     return sorted_arr[idx] == probes
 
 
-def _phrase_shard_scorer(terms: list[str], sum_idf: float, k1: float, b: float, avgdl: float):
+def _phrase_shard_scorer(
+    terms: list[str],
+    sum_idf: float,
+    k1: float,
+    b: float,
+    avgdl: float,
+    tomb: np.ndarray | None = None,
+):
     """applyInPandas per-shard phrase scorer, fully vectorized (VERDICT r2 #4
     replaced a per-posting Python dict-building loop — O(postings) Python work
     per shard for stop-wordy phrases).
@@ -74,10 +81,21 @@ def _phrase_shard_scorer(terms: list[str], sum_idf: float, k1: float, b: float, 
                 d, t, l = decode_block(row.gaps, row.tfs, row.dls, row.first_docid)
                 flat = decode_positions(row.poss, t)
                 d64 = d.astype(np.int64)
+                if tomb is not None:
+                    from es_indexer_spark.index.tombstones import live_mask
+
+                    keep = live_mask(tomb, d64)
+                    if keep is not None and not keep.all():
+                        flat = flat[np.repeat(keep, t.astype(np.int64))]
+                        d64, t, l = d64[keep], t[keep], l[keep]
+                    if d64.size == 0:
+                        continue
                 doc_of_pos = np.repeat(d64, t.astype(np.int64))
                 key_parts.append((doc_of_pos << 32) | flat.astype(np.int64))
                 d_parts.append(d64)
                 l_parts.append(l.astype(np.int64))
+            if not key_parts:  # every posting of this term was tombstoned
+                continue
             keys = np.concatenate(key_parts)
             keys.sort()
             term_keys[term] = keys
@@ -126,6 +144,9 @@ def phrase_match(
         )
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     k1, b = stats["k1"], stats["b"]
+    from es_indexer_spark.index.tombstones import tombstone_array
+
+    tomb = tombstone_array(spark, vdir)
 
     terms = tokenize_one(phrase, stats["tokenizer"], lang=lang)
     if not terms:
@@ -147,7 +168,7 @@ def phrase_match(
         F.col("bucket").isin(buckets) & F.col("term").isin(uniq)
     )
     scored = blocks.groupBy("shard").applyInPandas(
-        _phrase_shard_scorer(terms, sum_idf, k1, b, avgdl), _PHRASE_SCHEMA
+        _phrase_shard_scorer(terms, sum_idf, k1, b, avgdl, tomb), _PHRASE_SCHEMA
     )
     out = scored.orderBy(F.desc("score"), F.asc("docid"))
     return out.limit(k) if k is not None else out

@@ -1,0 +1,185 @@
+"""Per-document deletes (tombstones) + compaction — the native analog of the
+reference's single-record delete surface (deleteDocumentByUUID,
+indexer/src/main/java/au/org/aodn/esindexer/service/IndexerMetadataServiceImpl.java:453-474)
+with public Lucene live-docs semantics:
+
+- logical delete takes effect immediately on EVERY query path (BM25 top-k,
+  batch top-k, phrase, point read, ordered scan);
+- corpus stats (idf/avgdl) keep counting deleted docs until compaction, so
+  surviving docs' scores are UNCHANGED by a logical delete;
+- block-max pruning stays rank-safe under deletion;
+- compaction physically purges: the result is score-identical to a fresh
+  build of the filtered corpus, and fully-deleted terms drop from the dict;
+- a metadata-speed merge carries tombstones (deleted docs never resurrect).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from es_indexer_spark.index import catalog
+from es_indexer_spark.index.builder import build_index
+from es_indexer_spark.index.merge import merge_indexes
+from es_indexer_spark.index.tombstones import compact_index, delete_docs
+from es_indexer_spark.query.engine import topk, topk_many
+from es_indexer_spark.query.lookup import doc_lookup, scan_after
+from es_indexer_spark.query.phrase import phrase_match
+
+QUERY = "spark join window"
+
+
+def _build(spark, df, root, **kw):
+    build_index(
+        spark, df, root,
+        content_col="text", id_col="doc_id", meta_cols=("lang",),
+        tokenizer="standard", n_buckets=8, shard_size=100,
+        n_ckpt_batches=2, store_positions=True, **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def deleted_index(spark, documents, tmp_path_factory):
+    """Index over the sf corpus with the top-1 doc of QUERY (and the top-1 doc
+    of the 'data stream' phrase) logically deleted. Returns
+    (root, pre-delete top-15 rows, deleted docid set)."""
+    root = str(tmp_path_factory.mktemp("idx_tomb"))
+    _build(spark, documents, root)
+    before = topk(spark, root, QUERY, k=15, use_blockmax=False).collect()
+    phrase_before = phrase_match(spark, root, "data stream", k=3).collect()
+    dead = {before[0]["docid"], phrase_before[0]["docid"]}
+    delete_docs(spark, root, sorted(dead))
+    return root, before, dead
+
+
+def test_delete_hides_doc_and_keeps_scores(spark, deleted_index):
+    root, before, dead = deleted_index
+    after = topk(spark, root, QUERY, k=10, use_blockmax=False).collect()
+    got = [(r["docid"], r["score"]) for r in after]
+    # Lucene semantics: the post-delete ranking is the pre-delete ranking with
+    # the dead docs removed — scores of survivors are bit-identical because
+    # idf/avgdl still count the deleted docs until compaction.
+    want = [(r["docid"], r["score"]) for r in before if r["docid"] not in dead][:10]
+    assert got == want
+    assert all(d not in {r["docid"] for r in after} for d in dead)
+
+
+def test_delete_blockmax_rank_safe(spark, deleted_index):
+    root, _, _ = deleted_index
+    bm = topk(spark, root, QUERY, k=10, use_blockmax=True,
+              probe_min_postings=0).collect()
+    exact = topk(spark, root, QUERY, k=10, use_blockmax=False).collect()
+    assert [r["docid"] for r in bm] == [r["docid"] for r in exact]
+    for g, w in zip(bm, exact):
+        assert g["score"] == pytest.approx(w["score"], rel=1e-12)
+
+
+def test_delete_batch_path(spark, deleted_index):
+    root, before, dead = deleted_index
+    rows = topk_many(spark, root, {"q": QUERY}, k=10).collect()
+    want = [r["docid"] for r in before if r["docid"] not in dead][:10]
+    assert [r["docid"] for r in sorted(rows, key=lambda r: (-r["score"], r["docid"]))] == want
+
+
+def test_delete_phrase_path(spark, deleted_index):
+    root, _, dead = deleted_index
+    hits = phrase_match(spark, root, "data stream", k=10).collect()
+    assert hits, "phrase should still match surviving docs"
+    assert not ({r["docid"] for r in hits} & dead)
+
+
+def test_delete_lookup_and_scan(spark, deleted_index):
+    root, _, dead = deleted_index
+    d = next(iter(dead))
+    assert doc_lookup(spark, root, [d]).count() == 0
+    live = doc_lookup(spark, root, [d, d + 1]).collect()
+    assert {r["docid"] for r in live} == {d + 1} - dead
+    page = scan_after(spark, root, after=None, page_size=10_000).collect()
+    scanned = {r["docid"] for r in page}
+    assert not (scanned & dead)
+
+
+def test_delete_idempotent_and_df_form(spark, deleted_index):
+    root, before, dead = deleted_index
+    d = next(iter(dead))
+    # re-delete one id as a DataFrame: results must not change
+    delete_docs(spark, root, spark.createDataFrame([(d,)], "docid long"))
+    after = topk(spark, root, QUERY, k=10, use_blockmax=False).collect()
+    want = [r["docid"] for r in before if r["docid"] not in dead][:10]
+    assert [r["docid"] for r in after] == want
+
+
+def test_compaction_equals_fresh_build(spark, documents, tmp_path_factory):
+    """compact_index purges physically: scores over the survivors must equal a
+    fresh build of the filtered corpus (stats now EXCLUDE the deleted docs),
+    and the new version carries no tombstones."""
+    dead_pred = F.col("doc_id") % 11 == 3
+    root = str(tmp_path_factory.mktemp("idx_compact"))
+    _build(spark, documents, root)
+    dead = [r["doc_id"] for r in documents.filter(dead_pred).select("doc_id").collect()]
+    delete_docs(spark, root, dead)
+    old_vdir = catalog.resolve(root)
+    new_vdir = compact_index(spark, root)
+    assert new_vdir != old_vdir
+    assert catalog.resolve(root) == new_vdir
+    assert not os.path.isdir(os.path.join(new_vdir, "_tombstones"))
+
+    fresh_root = str(tmp_path_factory.mktemp("idx_fresh"))
+    _build(spark, documents.filter(~dead_pred), fresh_root)
+
+    for q, bmx in ((QUERY, False), (QUERY, True), ("the", False), ("vector", True)):
+        got = topk(spark, root, q, k=10, use_blockmax=bmx,
+                   probe_min_postings=0).collect()
+        want = topk(spark, fresh_root, q, k=10, use_blockmax=bmx,
+                    probe_min_postings=0).collect()
+        assert [r["docid"] for r in got] == [r["docid"] for r in want], q
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w["score"], rel=1e-9)
+
+    # phrase path (positions survive the re-encode)
+    got = phrase_match(spark, root, "data stream", k=10).collect()
+    want = phrase_match(spark, fresh_root, "data stream", k=10).collect()
+    assert [(r["docid"], r["phrase_tf"]) for r in got] == [
+        (r["docid"], r["phrase_tf"]) for r in want
+    ]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], rel=1e-9)
+
+    # stats + dict match the fresh build exactly
+    cs, fs = catalog.read_stats(new_vdir), catalog.read_stats(catalog.resolve(fresh_root))
+    assert cs["n_docs"] == fs["n_docs"]
+    assert cs["avgdl"] == pytest.approx(fs["avgdl"], rel=1e-12)
+    cd = {r["term"]: (r["df"], r["cf"]) for r in
+          spark.read.parquet(os.path.join(new_vdir, "dict")).collect()}
+    fd = {r["term"]: (r["df"], r["cf"]) for r in
+          spark.read.parquet(os.path.join(catalog.resolve(fresh_root), "dict")).collect()}
+    assert cd == fd
+
+
+def test_merge_carries_tombstones(spark, documents, tmp_path_factory):
+    """A metadata-speed merge must not resurrect deleted docs: main-segment
+    tombstones carry verbatim, delta ones carry docid-offset-remapped."""
+    main_root = str(tmp_path_factory.mktemp("idx_main"))
+    delta_root = str(tmp_path_factory.mktemp("idx_delta"))
+    half = documents.filter(F.col("doc_id") < 250)
+    rest = (
+        documents.filter(F.col("doc_id") >= 250)
+        # delta ids restart at 0 so the merge's offset remap is exercised
+        .withColumn("doc_id", F.col("doc_id") - 250)
+    )
+    _build(spark, half, main_root)
+    _build(spark, rest, delta_root)
+    dead_main = topk(spark, main_root, QUERY, k=1, use_blockmax=False).collect()[0]["docid"]
+    dead_delta = topk(spark, delta_root, QUERY, k=1, use_blockmax=False).collect()[0]["docid"]
+    delete_docs(spark, main_root, [dead_main])
+    delete_docs(spark, delta_root, [dead_delta])
+
+    vdir = merge_indexes(spark, main_root, delta_root)
+    offset = catalog.ckpt_read(vdir, "merge")["docid_offset"]
+    merged_hits = {r["docid"] for r in
+                   topk(spark, main_root, QUERY, k=50, use_blockmax=False).collect()}
+    assert dead_main not in merged_hits
+    assert (dead_delta + offset) not in merged_hits
+    assert doc_lookup(spark, main_root, [dead_main, dead_delta + offset]).count() == 0
