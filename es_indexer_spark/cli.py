@@ -52,7 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--job",
         required=True,
-        choices=["build", "resume", "query", "batch", "suggest", "phrase", "merge"],
+        choices=["build", "resume", "query", "batch", "suggest", "phrase", "merge",
+                 "delete", "compact"],
+    )
+    p.add_argument(
+        "--ids", type=_csv, default=None,
+        help="delete job: comma-separated docids to tombstone "
+             "(the deleteDocumentByUUID analog; logical until --job compact)",
     )
     p.add_argument(
         "--queries-json",
@@ -180,6 +186,24 @@ def main(argv: list[str] | None = None) -> int:
             vdir = merge_indexes(spark, args.index, args.delta)
             meta = catalog.ckpt_read(vdir, "_PUBLISHED")
             print(json.dumps({"job": "merge", "version_dir": vdir, **meta}))
+        elif args.job == "delete":
+            from es_indexer_spark.index.tombstones import delete_docs
+
+            if not args.ids:
+                print("--ids required for delete", file=sys.stderr)
+                return 2
+            delete_docs(spark, args.index, [int(i) for i in args.ids])
+            print(json.dumps({"job": "delete", "n_ids": len(args.ids)}))
+        elif args.job == "compact":
+            from es_indexer_spark.index import catalog
+            from es_indexer_spark.index.tombstones import compact_index
+
+            vdir = compact_index(spark, args.index)
+            print(json.dumps(
+                {"job": "compact", "version_dir": vdir,
+                 **{k: v for k, v in catalog.read_stats(vdir).items()
+                    if k in ("n_docs", "avgdl", "compacted_from", "purged_docs")}}
+            ))
     finally:
         if not preexisting:  # embedded callers (tests) keep their session
             spark.stop()

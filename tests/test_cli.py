@@ -79,3 +79,38 @@ def test_cli_batch_job(spark, tmp_path, capsys):
     assert len(capsys.readouterr().out.strip().splitlines()) == 2
 
     assert main(["--job", "batch", "--index", root]) == 2  # missing --queries-json
+
+
+def test_cli_delete_and_compact(spark, tmp_path, capsys):
+    root = str(tmp_path / "idx_d")
+    src = os.path.join(SF_DIR, "documents.parquet")
+    rc = main(["--job", "build", "--input", src, "--index", root,
+               "--content-col", "text", "--id-col", "doc_id",
+               "--tokenizer", "standard", "--n-buckets", "4",
+               "--ckpt-batches", "2"])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main(["--job", "query", "--index", root, "--query", "spark join window", "-k", "1"])
+    assert rc == 0
+    top1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["docid"]
+
+    assert main(["--job", "delete", "--index", root]) == 2  # --ids required
+    capsys.readouterr()
+    rc = main(["--job", "delete", "--index", root, "--ids", str(top1)])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["n_ids"] == 1
+
+    rc = main(["--job", "query", "--index", root, "--query", "spark join window", "-k", "3"])
+    assert rc == 0
+    hits = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert top1 not in {h["docid"] for h in hits}
+
+    rc = main(["--job", "compact", "--index", root])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == 499 and out["purged_docs"] == 1
+    rc = main(["--job", "query", "--index", root, "--query", "spark join window", "-k", "3"])
+    assert rc == 0
+    hits = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert top1 not in {h["docid"] for h in hits}
