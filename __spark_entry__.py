@@ -538,6 +538,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["windowed_counts"] = _windowed
 
+    # ---- cloud-optimized data-index pipeline (SURVEY §0 second pipeline) -------
+    # points -> monthly per-cell counts -> GeoJSON FeatureCollection docs with
+    # the 9000-feature oversize splitter (max_features=40 here to force chunking;
+    # lon/lat synthesized deterministically from event_id — events carry no geo)
+    def _geo_fc(spark: SparkSession, sf: str) -> DataFrame:
+        from es_indexer_spark.ops.geoindex import feature_collections
+
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        pts = ev.select(
+            F.col("event_type").alias("collection"),
+            "ts",
+            ((F.col("event_id") * 7) % 360 - 180).alias("lon"),
+            ((F.col("event_id") * 13) % 170 - 85).alias("lat"),
+        )
+        return feature_collections(pts, max_features=40)
+
+    q["geo_feature_collections"] = _geo_fc
+
     # ---- driver-gate rotation ----------------------------------------------------
     # CORRECTNESS_r02 recorded exactly the first 50 entries by insertion order
     # (55 registered; the 5 newest — positions 50+ — got no row), so the
@@ -549,7 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_union", "error_routing", "doc_json", "ring_orientation",
         "point_geojson", "polygon_geojson", "geoxml_extract",
         "bm25_topk_batch", "windowed_counts",
-        "bm25_topk_deleted", "bm25_topk_compacted",
+        "bm25_topk_deleted", "bm25_topk_compacted", "geo_feature_collections",
     ]
     return {
         k: q[k]
@@ -1037,6 +1055,28 @@ FROM a
             ("qc", ["batch", "customer", "data", "stream"]),
         ]
     )
+    o["geo_feature_collections"] = """
+WITH pts AS (SELECT event_type AS collection,
+                    strftime(date_trunc('month', ts), '%Y-%m') AS month,
+                    (event_id*7)%360 - 180 AS lon,
+                    (event_id*13)%170 - 85 AS lat
+             FROM events),
+agg AS (SELECT collection, month, lon, lat, count(*)::BIGINT AS cnt
+        FROM pts GROUP BY collection, month, lon, lat),
+feat AS (SELECT collection, month, lon, lat, cnt,
+                '{"type":"Feature","geometry":{"type":"Point","coordinates":['
+                  || lon || ',' || lat || ']},"properties":{"date":"' || month
+                  || '","count":' || cnt || ',"collection":"' || collection
+                  || '"}}' AS f,
+                row_number() OVER (PARTITION BY collection, month
+                                   ORDER BY lon, lat) AS rn
+         FROM agg)
+SELECT collection, month, (rn - 1) // 40 AS chunk_id,
+       count(*)::BIGINT AS n_features,
+       '{"type":"FeatureCollection","features":['
+         || string_agg(f, ',' ORDER BY rn) || ']}' AS doc
+FROM feat GROUP BY collection, month, (rn - 1) // 40
+"""
     o["windowed_counts"] = """
 SELECT date_trunc('hour', ts) AS win_start,
        date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,

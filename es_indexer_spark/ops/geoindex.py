@@ -1,0 +1,130 @@
+"""Cloud-optimized data-index assembly — the reference's SECOND pipeline
+(cloudoptimized/ module, SURVEY.md §0): observation points → per-month count
+aggregates → GeoJSON FeatureCollection documents for the ``es-coindexer-*``
+data index (schema: stacmodel/src/main/resources/schema/data_index_schema.json:3-35
+— nested ``features[]`` with Point geometry and
+``properties.{date, count, collection}``), with the reference's oversize-doc
+splitter: FeatureCollections are chunked at ``max_features`` features
+(9000 — IndexCloudOptimizedServiceImpl.java:199-219).
+
+Spark-first shape (pure column algebra, zero Python in the hot path):
+
+1. partial+final hash agg of points by ``(collection, month, lon, lat)``
+   (the reference's only true partial/final agg —
+   DataAccessServiceImpl.java:459-472; Catalyst does map-side combine);
+2. one window per ``(collection, month)`` assigns a deterministic feature
+   rank (ORDER BY lon, lat) whose integer division yields the chunk id —
+   the splitter as arithmetic, not iteration;
+3. per-chunk assembly via ``sort_array(collect_list(struct(rank, feature)))``
+   → ``array_join`` (collect_list alone has no order guarantee).
+
+Scale: stage 1 reduces raw points to distinct cells before anything else, so
+the stage-2 window runs over cell counts, not observations; its partition key
+``(collection, month)`` is the reference's own fan-out unit
+(DatasetProvider.java:29-34 runs one task per YearMonth). A month whose
+DISTINCT-CELL count is itself huge would need a pre-bucketed rank (range
+partition on lon) — at the reference's data shapes cells/month ≪ 10^8, which
+one executor handles comfortably.
+
+Cross-engine determinism note: feature JSON is built by string concat of the
+raw column values, so lon/lat should be integral or decimal types when exact
+byte-equality against another engine matters (double formatting differs);
+production use with doubles is fine (the reference writes 15-digit doubles —
+that writer lives in ops/mapper.py ``polygon_geojson``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# the reference's hard cap on nested features per document
+MAX_FEATURES = 9000
+
+
+def point_features(
+    df: DataFrame,
+    *,
+    collection_col: str = "collection",
+    time_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Aggregate observation points into per-cell monthly counts with the
+    GeoJSON Feature string attached:
+    ``(collection, month, lon, lat, cnt, feature)``."""
+    s = lambda c: F.col(c).cast("string")  # noqa: E731
+    agg = (
+        df.select(
+            F.col(collection_col).alias("collection"),
+            F.date_format(F.date_trunc("month", F.col(time_col)), "yyyy-MM").alias(
+                "month"
+            ),
+            F.col(lon_col).alias("lon"),
+            F.col(lat_col).alias("lat"),
+        )
+        .groupBy("collection", "month", "lon", "lat")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return agg.withColumn(
+        "feature",
+        F.concat(
+            F.lit('{"type":"Feature","geometry":{"type":"Point","coordinates":['),
+            s("lon"), F.lit(","), s("lat"),
+            F.lit(']},"properties":{"date":"'), F.col("month"),
+            F.lit('","count":'), s("cnt"),
+            F.lit(',"collection":"'), F.col("collection"),
+            F.lit('"}}'),
+        ),
+    )
+
+
+def feature_collections(
+    df: DataFrame,
+    *,
+    collection_col: str = "collection",
+    time_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    max_features: int = MAX_FEATURES,
+) -> DataFrame:
+    """Assemble the data-index documents:
+    ``(collection, month, chunk_id, n_features, doc)`` where ``doc`` is a
+    GeoJSON FeatureCollection of at most ``max_features`` features (the
+    oversize splitter), features deterministically ordered by (lon, lat)."""
+    feats = point_features(
+        df,
+        collection_col=collection_col,
+        time_col=time_col,
+        lon_col=lon_col,
+        lat_col=lat_col,
+    )
+    w = Window.partitionBy("collection", "month").orderBy("lon", "lat")
+    ranked = feats.withColumn("rn", F.row_number().over(w)).withColumn(
+        "chunk_id", ((F.col("rn") - 1) / max_features).cast("long")
+    )
+    return (
+        ranked.groupBy("collection", "month", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.array_join(
+                # sort_array on struct(rn, feature) restores the window order —
+                # collect_list has no ordering guarantee
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rn", "feature"))),
+                    lambda x: x["feature"],
+                ),
+                ",",
+            ).alias("features_body"),
+        )
+        .select(
+            "collection",
+            "month",
+            "chunk_id",
+            "n_features",
+            F.concat(
+                F.lit('{"type":"FeatureCollection","features":['),
+                F.col("features_body"),
+                F.lit("]}"),
+            ).alias("doc"),
+        )
+    )
