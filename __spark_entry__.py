@@ -555,6 +555,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return feature_collections(pts, max_features=40)
 
     q["geo_feature_collections"] = _geo_fc
+    # ardcvocabs compute core: 3-level narrower tree assembled bottom-up
+    # (region -> nation -> supplier as the concept hierarchy)
+    q["vocab_tree_build"] = M.vocab_tree_build
 
     # ---- driver-gate rotation ----------------------------------------------------
     # CORRECTNESS_r02 recorded exactly the first 50 entries by insertion order
@@ -568,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_geojson", "polygon_geojson", "geoxml_extract",
         "bm25_topk_batch", "windowed_counts",
         "bm25_topk_deleted", "bm25_topk_compacted", "geo_feature_collections",
+        "vocab_tree_build",
     ]
     return {
         k: q[k]
@@ -1076,6 +1080,26 @@ SELECT collection, month, (rn - 1) // 40 AS chunk_id,
        '{"type":"FeatureCollection","features":['
          || string_agg(f, ',' ORDER BY rn) || ']}' AS doc
 FROM feat GROUP BY collection, month, (rn - 1) // 40
+"""
+    o["vocab_tree_build"] = """
+WITH leafj AS (
+  SELECT 'n' || s_nationkey AS parent, 's' || s_suppkey AS id,
+         '{"id":"s' || s_suppkey || '","label":"' || s_name || '"}' AS j
+  FROM supplier),
+l2 AS (
+  SELECT 'r' || n.n_regionkey AS parent, 'n' || n.n_nationkey AS id,
+         count(lf.id)::BIGINT AS n_leaves,
+         '{"id":"n' || n.n_nationkey || '","label":"' || n.n_name || '","narrower":['
+           || COALESCE(string_agg(lf.j, ',' ORDER BY lf.id), '') || ']}' AS j
+  FROM nation n LEFT JOIN leafj lf ON lf.parent = 'n' || n.n_nationkey
+  GROUP BY n.n_regionkey, n.n_nationkey, n.n_name)
+SELECT 'r' || r.r_regionkey AS root_id, r.r_name AS root_label,
+       count(l2.id)::BIGINT AS n_children,
+       COALESCE(sum(l2.n_leaves), 0)::BIGINT AS n_leaves,
+       '{"id":"r' || r.r_regionkey || '","label":"' || r.r_name || '","narrower":['
+         || COALESCE(string_agg(l2.j, ',' ORDER BY l2.id), '') || ']}' AS tree
+FROM region r LEFT JOIN l2 ON l2.parent = 'r' || r.r_regionkey
+GROUP BY r.r_regionkey, r.r_name
 """
     o["windowed_counts"] = """
 SELECT date_trunc('hour', ts) AS win_start,

@@ -419,6 +419,132 @@ def vocab_priority_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def build_vocab_tree(concepts: DataFrame, edges: DataFrame) -> DataFrame:
+    """Construct the 3-level nested ``narrower`` vocabulary tree from flat
+    concept + edge rows — the compute core of the reference's ardcvocabs
+    module (ardcvocabs/.../ArdcVocabServiceImpl.java:263-303: leaves attach to
+    internal nodes via ``broadMatch``, internal nodes to roots via
+    ``narrower``; the nested shape is vocabs_index_schema.json:5-87). The
+    reference walks the vocab HTTP API recursively per node; here the tree is
+    assembled bottom-up with two join+ordered-aggregate levels — O(edges)
+    work, no recursion, no driver loop, any number of trees at once.
+
+    ``concepts``: (id string, label string); ``edges``: (parent_id, child_id).
+    Node roles are derived by distance from the roots (root = never a child;
+    internal = child of a root; leaf = child of an internal node), so an
+    internal node with no leaves still appears with ``"narrower":[]`` instead
+    of silently dropping out. Strictly 3 levels, like the reference's
+    root/internal/leaf model; the headless-node promotion special case
+    (relatedMatch without broadMatch) is out of scope.
+
+    Returns one row per root: (root_id, root_label, n_children, n_leaves,
+    tree) where ``tree`` is the nested JSON document, children sorted by id
+    at every level for deterministic output."""
+    root_ids = edges.select(F.col("parent_id").alias("id")).subtract(
+        edges.select(F.col("child_id").alias("id"))
+    )
+    internal_ids = (
+        edges.join(root_ids, edges.parent_id == root_ids.id, "left_semi")
+        .select(F.col("child_id").alias("id"))
+        .distinct()
+    )
+    leaf_ids = (
+        edges.join(internal_ids, edges.parent_id == internal_ids.id, "left_semi")
+        .select(F.col("child_id").alias("id"))
+        .distinct()
+    )
+    leaves = concepts.join(leaf_ids, "id", "left_semi").select(
+        "id",
+        F.concat(
+            F.lit('{"id":"'), "id", F.lit('","label":"'), "label", F.lit('"}')
+        ).alias("j"),
+    )
+
+    def attach(nodes: DataFrame, carry_leaves: bool) -> DataFrame:
+        """Group ``nodes`` under their parents: (parent id, n_children,
+        n_leaves, ordered JSON array body)."""
+        child_leaves = (
+            F.col("n_leaves") if carry_leaves else F.lit(1)
+        )
+        joined = edges.join(nodes, edges.child_id == nodes.id, "inner")
+        return (
+            joined.groupBy(F.col("parent_id").alias("id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_children"),
+                F.sum(child_leaves).alias("n_leaves"),
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct(nodes.id.alias("cid"), "j"))
+                        ),
+                        lambda x: x["j"],
+                    ),
+                    ",",
+                ).alias("body"),
+            )
+        )
+
+    lvl2 = (
+        concepts.join(internal_ids, "id", "left_semi")
+        .join(attach(leaves, carry_leaves=False), "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_leaves", F.lit(0)).alias("n_leaves"),
+            F.concat(
+                F.lit('{"id":"'), "id", F.lit('","label":"'), "label",
+                F.lit('","narrower":['), F.coalesce("body", F.lit("")), F.lit("]}"),
+            ).alias("j"),
+        )
+    )
+    return (
+        concepts.join(root_ids, "id", "left_semi")
+        .join(attach(lvl2, carry_leaves=True), "id", "left")
+        .select(
+            F.col("id").alias("root_id"),
+            F.col("label").alias("root_label"),
+            F.coalesce("n_children", F.lit(0)).alias("n_children"),
+            F.coalesce("n_leaves", F.lit(0)).alias("n_leaves"),
+            F.concat(
+                F.lit('{"id":"'), "id", F.lit('","label":"'), "label",
+                F.lit('","narrower":['), F.coalesce("body", F.lit("")), F.lit("]}"),
+            ).alias("tree"),
+        )
+    )
+
+
+def vocab_tree_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract entry: region -> nation -> supplier as the 3-level concept
+    hierarchy ('r<k>'/'n<k>'/'s<k>' ids so child ordering is a plain string
+    sort both engines reproduce byte-for-byte)."""
+    region = _load(spark, sf_dir, "region").select(
+        F.concat(F.lit("r"), F.col("r_regionkey").cast("string")).alias("id"),
+        F.col("r_name").alias("label"),
+    )
+    nation = _load(spark, sf_dir, "nation")
+    supplier = _load(spark, sf_dir, "supplier")
+    concepts = region.unionByName(
+        nation.select(
+            F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("id"),
+            F.col("n_name").alias("label"),
+        )
+    ).unionByName(
+        supplier.select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("id"),
+            F.col("s_name").alias("label"),
+        )
+    )
+    edges = nation.select(
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("parent_id"),
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("child_id"),
+    ).unionByName(
+        supplier.select(
+            F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("parent_id"),
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("child_id"),
+        )
+    )
+    return build_vocab_tree(concepts, edges)
+
+
 # --------------------------------------------------------------------------- S7
 def route_invalid(df: DataFrame, id_col: str, text_col: str,
                   max_bytes: int = 400, min_tokens: int = 5) -> DataFrame:

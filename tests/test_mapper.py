@@ -236,3 +236,32 @@ def test_bbox_union_antimeridian(spark, tmp_path):
     assert (out[1]["min_lon"], out[1]["max_lon"]) == (170.0, -170.0)
     assert out[2]["crossed"] is False
     assert (out[2]["min_lon"], out[2]["max_lon"]) == (10.0, 30.0)
+
+
+def test_build_vocab_tree_structure_and_childless_internal(spark):
+    """ardcvocabs tree assembly: nested 3-level narrower JSON, children
+    id-sorted, and an internal node WITHOUT leaves stays in the tree with
+    narrower=[] (role = distance from root, not edge membership)."""
+    import json
+
+    from es_indexer_spark.ops.mapper import build_vocab_tree
+
+    concepts = spark.createDataFrame(
+        [("r1", "Root"), ("a", "A"), ("b", "B"), ("y", "Y"), ("x", "X")],
+        "id string, label string",
+    )
+    edges = spark.createDataFrame(
+        [("r1", "a"), ("r1", "b"), ("a", "y"), ("a", "x")],
+        "parent_id string, child_id string",
+    )
+    rows = build_vocab_tree(concepts, edges).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["root_id"], r["root_label"]) == ("r1", "Root")
+    assert r["n_children"] == 2 and r["n_leaves"] == 2
+    tree = json.loads(r["tree"])
+    kids = {k["id"]: k for k in tree["narrower"]}
+    assert [k["id"] for k in tree["narrower"]] == ["a", "b"], "children id-sorted"
+    assert kids["b"]["narrower"] == []
+    assert [c["id"] for c in kids["a"]["narrower"]] == ["x", "y"]
+    assert kids["a"]["narrower"][0] == {"id": "x", "label": "X"}
