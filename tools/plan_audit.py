@@ -156,6 +156,76 @@ def main() -> int:
         ],
     ))
 
+    # 9. geoindex FeatureCollection assembly: partial agg + shuffle reuse (the
+    # final per-chunk groupBy rides the window's (collection, month) hash
+    # partitioning — HashPartitioning on a subset of the grouping keys
+    # satisfies the clustered distribution, so no third shuffle)
+    from es_indexer_spark.ops.geoindex import feature_collections
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    pts = ev.select(
+        F.col("event_type").alias("collection"), "ts",
+        ((F.col("event_id") * 7) % 360 - 180).alias("lon"),
+        ((F.col("event_id") * 13) % 170 - 85).alias("lat"),
+    )
+    fc = feature_collections(pts, max_features=40)
+    p = formatted(fc)
+    sections.append((
+        "geoindex feature_collections (agg -> window -> chunk agg)",
+        p,
+        [
+            ("partial aggregation present", "partial" in p.lower()),
+            ("exactly 2 shuffles (agg + window; chunk agg reuses window partitioning)",
+             len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 2),
+            ("events scan prunes to 3 source columns",
+             "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,event_type:string>" in p),
+        ],
+    ))
+
+    # 10. tombstone compaction: the posting rewrite is ONE shuffle-free Arrow
+    # pass over encoded blocks; the docs rewrite anti-joins a BROADCAST
+    # tombstone set (never a sort-merge join)
+    import numpy as np
+
+    from es_indexer_spark.index.builder import BLOCK_SCHEMA
+    from es_indexer_spark.index.tombstones import _rewrite_blocks
+
+    blk = spark.read.parquet(os.path.join(vdir, "postings")).drop("batch").select(
+        "bucket", "term", "shard", "block_id", "n", "first_docid", "last_docid",
+        "gaps", "tfs", "dls", "poss", "max_tf", "cf", "max_score_free",
+    ).mapInPandas(
+        _rewrite_blocks(np.array([1, 2], dtype=np.int64), 50.0, 1.2, 0.75, True),
+        BLOCK_SCHEMA,
+    )
+    p = formatted(blk)
+    docs = spark.read.parquet(os.path.join(vdir, "docs"))
+    tomb_df = spark.range(2).select(F.col("id").alias("docid"))
+    kept = docs.join(F.broadcast(tomb_df), "docid", "left_anti")
+    p2 = formatted(kept)
+    sections.append((
+        "tombstone compaction (block rewrite + docs anti-join)",
+        p,
+        [
+            ("block rewrite is shuffle-free", "Exchange" not in p),
+            ("single Arrow stage", len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 1),
+            ("docs anti-join is broadcast", "BroadcastHashJoin" in p2 and "SortMergeJoin" not in p2),
+        ],
+    ))
+
+    # 11. vocab tree build: join+aggregate assembly, no cartesian anywhere
+    from es_indexer_spark.ops.mapper import vocab_tree_build
+
+    p = formatted(vocab_tree_build(spark, sf_dir))
+    sections.append((
+        "vocab_tree_build (3-level bottom-up assembly)",
+        p,
+        [
+            ("no CartesianProduct", "CartesianProduct" not in p),
+            ("no BroadcastNestedLoopJoin", "BroadcastNestedLoopJoin" not in p),
+            ("partial aggregation present", "partial" in p.lower()),
+        ],
+    ))
+
     failures = 0
     lines = [
         "# PLANS — physical-plan audit evidence",
