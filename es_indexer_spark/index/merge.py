@@ -73,6 +73,7 @@ def merge_indexes(
     out_root: str | None = None,
     publish_meta: dict | None = None,
     reject_duplicate_shas: bool = False,
+    tombstone_docids: DataFrame | None = None,
 ) -> str:
     """Merge the published versions of ``main_root`` and ``delta_root`` into a
     new version of ``out_root`` (default: ``main_root``), publish atomically,
@@ -80,14 +81,15 @@ def merge_indexes(
 
     **Merge is APPEND-ONLY**: re-ingesting a document that already exists in
     the main segment assigns a new docid and keeps both copies (queries return
-    both; df/cf count both). The reference's `_id`-keyed upsert semantics
-    (IndexerMetadataServiceImpl.java:430-435) are NOT reproduced by merge —
-    dropping main-segment docs would require decoding and rewriting posting
-    bytes, defeating the metadata-speed design. Callers that need upsert
-    semantics must dedupe upstream (e.g. anti-join new docs against the
-    published docs table on id/sha256 before building the delta) or set
-    ``reject_duplicate_shas=True`` to FAIL the merge when the delta's sha256
-    set overlaps the main segment's (detect, never silently double-count).
+    both; df/cf count both). For the reference's `_id`-keyed upsert semantics
+    (IndexerMetadataServiceImpl.java:430-435) use :func:`upsert_batch`, which
+    tombstones the superseded main docs into the merged version (Lucene
+    update = delete + add — still metadata-speed, no posting-bytes rewrite;
+    df/cf keep counting the dead copies until
+    :func:`..tombstones.compact_index`). Alternatively dedupe the delta
+    upstream, or set ``reject_duplicate_shas=True`` to FAIL the merge when
+    the delta's sha256 set overlaps the main segment's (detect, never
+    silently double-count).
 
     Segments must share the index layout (n_buckets, shard_size, block_size,
     tokenizer, k1, b, positions) — enforced, since bucket assignment and
@@ -180,6 +182,14 @@ def merge_indexes(
     carried = _tombstones.carry(spark, mdir, vdir, 0) + _tombstones.carry(
         spark, ddir, vdir, offset
     )
+    # upsert support: main-coordinate docids tombstoned INTO the merged
+    # version only — the published main version stays untouched, so the old
+    # copy disappears and its replacement appears in ONE CURRENT swap
+    upserted = 0
+    if tombstone_docids is not None:
+        upserted = tombstone_docids.count()
+        if upserted:
+            _tombstones.append_to_vdir(spark, vdir, tombstone_docids)
 
     catalog.write_stats(
         vdir,
@@ -200,6 +210,7 @@ def merge_indexes(
             "docid_offset": offset,
             "n_docs": merged_n,
             "carried_tombstones": carried,
+            "upserted_docs": upserted,
             "elapsed_sec": round(time.time() - t0, 3),
         },
     )
@@ -209,3 +220,53 @@ def merge_indexes(
     )
     catalog.publish(out_root, version)
     return vdir
+
+
+def upsert_batch(
+    spark: SparkSession,
+    main_root: str,
+    delta_root: str,
+    key_cols: Sequence[str] = ("docid",),
+    out_root: str | None = None,
+    publish_meta: dict | None = None,
+) -> str:
+    """The reference's ``_id``-keyed upsert semantics
+    (IndexerMetadataServiceImpl.java:430-435: ``_id = uuid`` makes re-index an
+    idempotent overwrite) as the Lucene update = DELETE + ADD: main-segment
+    docs whose ``key_cols`` match a delta doc are tombstoned into the merged
+    version (not the published one), then the delta is merged metadata-speed.
+    Readers flip from the old copy to its replacement in one atomic CURRENT
+    swap — no window where the doc is missing. Re-running the same upsert is
+    idempotent at the tombstone level (distinct) and append-only at the
+    segment level; physical purge of the dead copies is
+    :func:`es_indexer_spark.index.tombstones.compact_index`.
+
+    ``key_cols``: the external-identity columns present in BOTH docs tables.
+    ``("docid",)`` works for id_col-built indexes on the FIRST upsert only
+    (replacements get remapped docids); pipelines that upsert repeatedly
+    should carry the external id as a meta column (``meta_cols=("doc_id",)``)
+    and key on that."""
+    from es_indexer_spark.index import tombstones as _tombstones
+
+    mdir = catalog.resolve(main_root)
+    ddir = catalog.resolve(delta_root)
+    main_docs = spark.read.parquet(os.path.join(mdir, "docs"))
+    delta_keys = (
+        spark.read.parquet(os.path.join(ddir, "docs"))
+        .select(*key_cols)
+        .distinct()
+    )
+    # only currently-LIVE matches are superseded (already-dead copies from a
+    # previous upsert generation still match on the external key; re-deleting
+    # them would be harmless but would inflate the upserted_docs metric)
+    clash = _tombstones.filter_live(
+        spark, mdir, main_docs.join(delta_keys, list(key_cols), "left_semi")
+    ).select("docid")
+    return merge_indexes(
+        spark,
+        main_root,
+        delta_root,
+        out_root=out_root,
+        publish_meta=publish_meta,
+        tombstone_docids=clash,
+    )

@@ -81,6 +81,21 @@ def _listing(vdir: str) -> tuple[str, ...]:
     return tuple(sorted(f for f in os.listdir(d) if f.endswith(".parquet")))
 
 
+def append_to_vdir(
+    spark: SparkSession, vdir: str, docids: Sequence[int] | DataFrame
+) -> None:
+    """Append tombstones directly under a version dir (used by the merge-time
+    upsert path, which tombstones into the NOT-YET-PUBLISHED merged version so
+    replacement is atomic at the CURRENT swap)."""
+    if isinstance(docids, DataFrame):
+        df = docids.select(F.col("docid").cast("long"))
+    else:
+        df = spark.createDataFrame(
+            [(int(d),) for d in docids], "docid long"
+        ).coalesce(1)
+    df.write.mode("append").parquet(_tomb_dir(vdir))
+
+
 def delete_docs(
     spark: SparkSession, index_root: str, docids: Sequence[int] | DataFrame
 ) -> None:
@@ -90,14 +105,7 @@ def delete_docs(
     reference's per-uuid delete) or a DataFrame with a ``docid`` column (bulk
     delete).  Takes effect immediately for every query path; physical purge is
     :func:`compact_index`."""
-    vdir = catalog.resolve(index_root)
-    if isinstance(docids, DataFrame):
-        df = docids.select(F.col("docid").cast("long"))
-    else:
-        df = spark.createDataFrame(
-            [(int(d),) for d in docids], "docid long"
-        ).coalesce(1)
-    df.write.mode("append").parquet(_tomb_dir(vdir))
+    append_to_vdir(spark, catalog.resolve(index_root), docids)
 
 
 def tombstone_df(spark: SparkSession, vdir: str) -> DataFrame | None:

@@ -18,10 +18,11 @@ atomic CURRENT swap). A crash between publish and manifest-write is therefore
 recoverable: the replayed batch sees its id on the CURRENT version, rewrites
 the manifest, and skips the merge — no double-count window.
 
-Note the merge itself is APPEND-ONLY (see :func:`..index.merge.merge_indexes`):
+The merge is APPEND-ONLY by default (see :func:`..index.merge.merge_indexes`):
 a re-sent *document* (as opposed to a replayed batch) is indexed again under a
-new docid. Upsert-style pipelines should anti-join incoming docs against the
-published docs table (id/sha256) before handing batches to this sink.
+new docid. Pass ``upsert_keys=(...)`` to get the reference's ``_id``-keyed
+overwrite instead: each batch tombstones the docs it supersedes into the
+merged version (Lucene delete+add, atomic at the CURRENT swap).
 
 Usage::
 
@@ -222,12 +223,20 @@ def make_batch_indexer(
     shard_size: int = 1 << 16,
     store_positions: bool = False,
     work_dir: str | None = None,
+    upsert_keys: Sequence[str] | None = None,
 ):
     """Return a ``foreachBatch`` callback that delta-builds + merges each batch.
 
     Also directly callable on static DataFrames — ``fn(batch_df, batch_id)`` —
     which is how incremental *batch* ingestion (the reference's upsert path)
     uses it without a stream.
+
+    ``upsert_keys``: when set, each batch REPLACES existing docs that match it
+    on these docs-table columns (the reference's ``_id``-keyed overwrite —
+    Lucene delete+add via :func:`es_indexer_spark.index.merge.upsert_batch`)
+    instead of appending a second copy. Carry the external id as a meta
+    column (``meta_cols=("doc_id",)``) so replacements keep matching across
+    repeated upserts.
     """
 
     def _write_manifest(batch_id: int, vdir: str, n_docs) -> None:
@@ -284,7 +293,17 @@ def make_batch_indexer(
             )
             try:
                 build_index(spark, batch_df, delta_root, **kwargs)
-                vdir = merge_indexes(spark, root, delta_root, publish_meta=marker)
+                if upsert_keys:
+                    from es_indexer_spark.index.merge import upsert_batch
+
+                    vdir = upsert_batch(
+                        spark, root, delta_root,
+                        key_cols=tuple(upsert_keys), publish_meta=marker,
+                    )
+                else:
+                    vdir = merge_indexes(
+                        spark, root, delta_root, publish_meta=marker
+                    )
                 merged_n = catalog.read_stats(vdir)["n_docs"]
             finally:
                 shutil.rmtree(delta_root, ignore_errors=True)

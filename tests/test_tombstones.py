@@ -183,3 +183,100 @@ def test_merge_carries_tombstones(spark, documents, tmp_path_factory):
     assert dead_main not in merged_hits
     assert (dead_delta + offset) not in merged_hits
     assert doc_lookup(spark, main_root, [dead_main, dead_delta + offset]).count() == 0
+
+
+def test_upsert_batch_replaces_docs(spark, documents, tmp_path_factory):
+    """Reference _id-keyed upsert (IndexerMetadataServiceImpl.java:430-435) as
+    delete+add: the replacement appears, the old copy disappears, live doc
+    count is unchanged — across TWO upsert generations keyed on the external
+    id carried as a meta column."""
+    from es_indexer_spark.index.merge import upsert_batch
+
+    main_root = str(tmp_path_factory.mktemp("idx_ups_main"))
+    build_index(
+        spark, documents, main_root,
+        content_col="text", id_col="doc_id", meta_cols=("doc_id", "lang"),
+        tokenizer="standard", n_buckets=8, shard_size=100, n_ckpt_batches=2,
+    )
+
+    def _delta(tag, lo, hi):
+        d = documents.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        d = d.withColumn("text", F.concat(F.lit(tag + " "), F.col("text")))
+        root = str(tmp_path_factory.mktemp(f"idx_ups_{tag}"))
+        build_index(
+            spark, d, root,
+            content_col="text", id_col="doc_id", meta_cols=("doc_id", "lang"),
+            tokenizer="standard", n_buckets=8, shard_size=100, n_ckpt_batches=1,
+        )
+        return root
+
+    vdir = upsert_batch(
+        spark, main_root, _delta("zzzupserted", 100, 105), key_cols=("doc_id",)
+    )
+    meta = catalog.ckpt_read(vdir, "merge")
+    assert meta["upserted_docs"] == 5
+
+    from es_indexer_spark.query.lookup import scan_after
+
+    live = scan_after(spark, main_root, page_size=10_000).collect()
+    assert len(live) == 500, "one live copy per external id"
+    by_ext = {}
+    for r in live:
+        by_ext.setdefault(r["doc_id"], []).append(r)
+    assert all(len(v) == 1 for v in by_ext.values())
+
+    hits = topk(spark, main_root, "zzzupserted", k=20, use_blockmax=False).collect()
+    hit_ext = {by_ext_docid["doc_id"] for r in hits
+               for by_ext_docid in [next(x for v in by_ext.values() for x in v
+                                         if x["docid"] == r["docid"])]}
+    assert hit_ext == set(range(100, 105))
+    # old copies are dead on every path
+    assert doc_lookup(spark, main_root, list(range(100, 105))).count() == 0
+
+    # second generation: re-upsert 3 of the 5 (the replacements' docids are
+    # remapped, so only the external-id meta key can match them)
+    vdir = upsert_batch(
+        spark, main_root, _delta("yyysecond", 100, 103), key_cols=("doc_id",)
+    )
+    assert catalog.ckpt_read(vdir, "merge")["upserted_docs"] == 3
+    live = scan_after(spark, main_root, page_size=10_000).collect()
+    assert len(live) == 500
+    gen1 = topk(spark, main_root, "zzzupserted", k=20, use_blockmax=False).collect()
+    gen2 = topk(spark, main_root, "yyysecond", k=20, use_blockmax=False).collect()
+    live_by_docid = {r["docid"]: r for r in live}
+    gen1_ext = {live_by_docid[r["docid"]]["doc_id"] for r in gen1}
+    gen2_ext = {live_by_docid[r["docid"]]["doc_id"] for r in gen2}
+    assert gen2_ext == {100, 101, 102}
+    assert gen1_ext == {103, 104}, "first-generation copies of 100-102 are gone"
+
+    # physical purge keeps exactly the live set
+    new_vdir = compact_index(spark, main_root)
+    assert catalog.read_stats(new_vdir)["n_docs"] == 500
+
+
+def test_streaming_batch_indexer_upsert_mode(spark, documents, tmp_path_factory):
+    """make_batch_indexer(upsert_keys=...): batch 2 re-delivers changed docs
+    and replaces instead of appending."""
+    from es_indexer_spark.streaming import make_batch_indexer
+
+    root = str(tmp_path_factory.mktemp("idx_stream_ups"))
+    fn = make_batch_indexer(
+        spark, root,
+        content_col="text", id_col="doc_id", meta_cols=("doc_id",),
+        tokenizer="standard", n_buckets=8, shard_size=100,
+        upsert_keys=("doc_id",),
+    )
+    fn(documents, 0)
+    changed = documents.filter(F.col("doc_id") < 10).withColumn(
+        "text", F.concat(F.lit("qqqreplaced "), F.col("text"))
+    )
+    fn(changed, 1)
+    from es_indexer_spark.query.lookup import scan_after
+
+    live = scan_after(spark, root, page_size=10_000).collect()
+    assert len(live) == 500
+    hits = topk(spark, root, "qqqreplaced", k=20, use_blockmax=False).collect()
+    assert len(hits) == 10
+    # replayed batch (same id) is a no-op
+    fn(changed, 1)
+    assert len(scan_after(spark, root, page_size=10_000).collect()) == 500
