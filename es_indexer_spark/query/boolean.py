@@ -1,0 +1,258 @@
+"""ES/Lucene bool queries over the block-compressed index.
+
+The reference's read surface is ES query DSL: ``bool`` with ``must`` /
+``should`` / ``must_not`` / ``filter`` clauses (used directly at
+geonetwork4-api/.../GeoNetworkServiceImpl.java:114-120 — a
+``bool.filter(match_phrase)`` — and implicitly by the portal's search over the
+index schema — SURVEY.md §3.3). Public Lucene semantics reproduced here:
+
+- ``must``: every term required (conjunction); contributes to the score;
+- ``should``: optional; contributes when present (pure disjunction when no
+  required clauses exist — then Lucene requires >=1 should match, reproduced);
+- ``must_not``: any match excludes the doc; never contributes to score;
+- ``filter``: required like must but NON-SCORING (Lucene filter context);
+- ``filter_phrase``: a match_phrase in filter context — consecutive-token
+  exact match required, non-scoring (the reference's exact DSL shape);
+- score = Σ BM25(term) over the present must+should terms (same per-term
+  factor as the ranked-search path — one engine, one formula). A query with
+  only filter clauses is constant-score 0, as in ES filter context.
+
+Execution shape mirrors the BM25 path (query/engine.py): ONE dictionary
+lookup, ONE pruned postings scan, one applyInPandas over shards. The key
+scale property: blocks are shard-local by construction (shard = docid //
+shard_size), so conjunction, exclusion, phrase adjacency, and scoring all
+complete inside a shard with numpy set algebra — no cross-shard state, no
+driver-side docid sets, no matter how large the must_not term's df is.
+Per-shard top-k then a <= shards*k global merge, identical to the ranked path.
+
+An absent required term (not in the dictionary) means zero results, exactly
+like the conjunctive phrase path. Tombstoned docs are filtered right after
+block decode (Lucene live-docs semantics).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from es_indexer_spark.analysis.tokenizer import tokenize_one
+from es_indexer_spark.index import catalog
+from es_indexer_spark.index.codec import decode_block, decode_positions
+from es_indexer_spark.query.bm25 import lucene_idf
+from es_indexer_spark.query.phrase import _sorted_member
+
+_SCORE_SCHEMA = "docid long, score double"
+
+
+def _bool_shard_scorer(
+    must: list[str],
+    should: list[str],
+    must_not: list[str],
+    filt: list[str],
+    phrase: list[str],
+    idfs: dict[str, float],
+    k1: float,
+    b: float,
+    k: int,
+    avgdl: float,
+    tomb: np.ndarray | None,
+):
+    """applyInPandas per-shard bool evaluator: decode -> numpy set algebra."""
+
+    scoring = sorted(set(must) | set(should))
+    phrase_set = set(phrase)
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"docid": [], "score": []})
+        if len(pdf) == 0:
+            return empty
+        term_docs: dict[str, np.ndarray] = {}
+        term_contrib: dict[str, np.ndarray] = {}
+        term_keys: dict[str, np.ndarray] = {}  # packed docid<<32|pos, phrase terms
+        for term, gg in pdf.groupby("term", sort=False):
+            d_parts, c_parts, key_parts = [], [], []
+            want_score = term in idfs and term in scoring
+            want_pos = term in phrase_set
+            for row in gg.itertuples(index=False):
+                d, t, l = decode_block(row.gaps, row.tfs, row.dls, row.first_docid)
+                d64 = d.astype(np.int64)
+                flat = decode_positions(row.poss, t) if want_pos else None
+                if tomb is not None:
+                    from es_indexer_spark.index.tombstones import live_mask
+
+                    keep = live_mask(tomb, d64)
+                    if keep is not None and not keep.all():
+                        if flat is not None:
+                            flat = flat[np.repeat(keep, t.astype(np.int64))]
+                        d64, t, l = d64[keep], t[keep], l[keep]
+                    if d64.size == 0:
+                        continue
+                d_parts.append(d64)
+                if want_pos:
+                    doc_of_pos = np.repeat(d64, t.astype(np.int64))
+                    key_parts.append((doc_of_pos << 32) | flat.astype(np.int64))
+                if want_score:
+                    tf = t.astype(np.float64)
+                    dl = l.astype(np.float64)
+                    c_parts.append(
+                        idfs[term] * tf * (k1 + 1.0)
+                        / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                    )
+            if not d_parts:
+                continue
+            docs = np.concatenate(d_parts)
+            order = np.argsort(docs, kind="stable")
+            term_docs[term] = docs[order]
+            if want_score:
+                term_contrib[term] = np.concatenate(c_parts)[order]
+            if want_pos:
+                keys = np.concatenate(key_parts)
+                keys.sort()
+                term_keys[term] = keys
+
+        # required conjunction: must + filter terms (an absent required term in
+        # this shard kills the shard — doc postings are shard-local, so absence
+        # here IS absence for these docids)
+        required = list(dict.fromkeys(must + filt))
+        if required or phrase:
+            if any(t not in term_docs for t in required):
+                return empty
+            if any(t not in term_keys for t in phrase_set):
+                return empty
+            cand: np.ndarray | None = None
+            for t in required:
+                cand = (
+                    term_docs[t]
+                    if cand is None
+                    else np.intersect1d(cand, term_docs[t], assume_unique=False)
+                )
+            if phrase:
+                # phrase-start candidates via the packed-key adjacency chain
+                # (same construction as query/phrase.py — +i never crosses a
+                # docid boundary because positions stay far below 2^32)
+                pk = term_keys[phrase[0]]
+                for i, t in enumerate(phrase[1:], start=1):
+                    if pk.size == 0:
+                        return empty
+                    pk = pk[_sorted_member(term_keys[t], pk + i)]
+                if pk.size == 0:
+                    return empty
+                pdocs = np.unique(pk >> 32)
+                cand = pdocs if cand is None else np.intersect1d(cand, pdocs)
+        else:
+            # pure should: Lucene bool with no required clause needs >=1 match
+            present = [t for t in should if t in term_docs]
+            if not present:
+                return empty
+            cand = np.unique(np.concatenate([term_docs[t] for t in present]))
+        if cand is None or cand.size == 0:
+            return empty
+
+        # exclusion: drop docs carrying any must_not term
+        for t in must_not:
+            if t in term_docs:
+                cand = np.setdiff1d(cand, term_docs[t], assume_unique=False)
+                if cand.size == 0:
+                    return empty
+
+        # score: sum present must+should contributions over the candidates
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for t in scoring:
+            if t not in term_contrib:
+                continue
+            docs = term_docs[t]
+            hit = _sorted_member(docs, cand)
+            idx = np.searchsorted(docs, cand[hit])
+            scores[hit] += term_contrib[t][idx]
+
+        if cand.size > k:
+            order = np.lexsort((cand, -scores))[:k]
+        else:
+            order = np.argsort(-scores, kind="stable")
+        return pd.DataFrame({"docid": cand[order], "score": scores[order]})
+
+    return score
+
+
+def bool_query(
+    spark: SparkSession,
+    index_root: str,
+    *,
+    must: Sequence[str] = (),
+    should: Sequence[str] = (),
+    must_not: Sequence[str] = (),
+    filter_terms: Sequence[str] = (),
+    filter_phrase: str | None = None,
+    k: int = 10,
+    lang: str | None = None,
+) -> DataFrame:
+    """Top-k (docid, score) under ES bool semantics. Each clause is a query
+    string run through the document analysis chain (so a multi-word ``must``
+    string contributes each of its terms as a required term).
+    ``filter_terms`` / ``filter_phrase`` are Lucene filter context: required,
+    never scored — ``filter_phrase`` is the reference's
+    ``bool.filter(match_phrase)`` shape."""
+    vdir = catalog.resolve(index_root)
+    stats = catalog.read_stats(vdir)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    k1, b = stats["k1"], stats["b"]
+    from es_indexer_spark.index.tombstones import tombstone_array
+
+    tomb = tombstone_array(spark, vdir)
+
+    def toks(qs: Sequence[str]) -> list[str]:
+        out: list[str] = []
+        for q in qs:
+            out.extend(tokenize_one(q, stats["tokenizer"], lang=lang))
+        return sorted(set(out))
+
+    must_t, should_t = toks(must), toks(should)
+    not_t, filt_t = toks(must_not), toks(filter_terms)
+    phrase_t = (
+        tokenize_one(filter_phrase, stats["tokenizer"], lang=lang)
+        if filter_phrase
+        else []
+    )
+    if phrase_t and not stats.get("positions"):
+        raise ValueError(
+            f"index at {index_root} was built without store_positions=True"
+        )
+    if not (must_t or should_t or filt_t or phrase_t):
+        return spark.createDataFrame([], _SCORE_SCHEMA)
+
+    all_terms = sorted(set(must_t) | set(should_t) | set(not_t) | set(filt_t) | set(phrase_t))
+    from es_indexer_spark.query.engine import _dict_df, _load_blocks
+
+    dict_rows = _dict_df(spark, vdir).filter(F.col("term").isin(all_terms)).collect()
+    found = {r["term"]: r for r in dict_rows}
+    # an absent required term -> no results at all (conjunctive)
+    if any(t not in found for t in must_t + filt_t + phrase_t):
+        return spark.createDataFrame([], _SCORE_SCHEMA)
+    idfs = {
+        t: lucene_idf(n_docs, found[t]["df"])
+        for t in set(must_t) | set(should_t)
+        if t in found
+    }
+    # load postings for every clause's present terms (must_not included — the
+    # exclusion set is derived shard-locally from its postings)
+    present = sorted(t for t in all_terms if t in found)
+    if not present:
+        return spark.createDataFrame([], _SCORE_SCHEMA)
+    buckets = sorted({found[t]["bucket"] for t in present})
+    blocks = _load_blocks(spark, vdir, present, buckets)
+
+    scored = blocks.groupBy("shard").applyInPandas(
+        _bool_shard_scorer(
+            [t for t in must_t if t in found],
+            [t for t in should_t if t in found],
+            [t for t in not_t if t in found],
+            filt_t,
+            phrase_t,
+            idfs, k1, b, k, avgdl, tomb,
+        ),
+        _SCORE_SCHEMA,
+    )
+    return scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)

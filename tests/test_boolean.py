@@ -1,0 +1,209 @@
+"""ES bool-query semantics (must / should / must_not / filter / filter_phrase)
+against an independent Python brute-force reference.
+
+The reference's read path issues exactly this DSL shape —
+``bool.filter(match_phrase)`` at
+geonetwork4-api/.../GeoNetworkServiceImpl.java:114-120 — and the portal search
+layers must/should/must_not over the same index (SURVEY.md §3.3). Lucene
+semantics verified here:
+
+- must = scored conjunction, should = scored optional (>=1 required only when
+  no required clause exists), must_not = non-scoring exclusion,
+  filter/filter_phrase = non-scoring required (constant-score 0 when alone);
+- score identical to the ranked path's per-term BM25 factor, summed;
+- logical deletes (tombstones) hide docs without changing survivors' scores.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from es_indexer_spark.analysis.tokenizer import tokenize_one
+from es_indexer_spark.index.builder import build_index
+from es_indexer_spark.index.tombstones import delete_docs
+from es_indexer_spark.query.boolean import bool_query
+from es_indexer_spark.query.engine import topk
+from es_indexer_spark.query.phrase import phrase_match
+
+K1, B = 1.2, 0.75
+
+
+@pytest.fixture(scope="module")
+def bool_index(spark, documents, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx_bool"))
+    build_index(
+        spark, documents, root,
+        content_col="text", id_col="doc_id", meta_cols=("lang",),
+        tokenizer="standard", n_buckets=8, shard_size=100,
+        n_ckpt_batches=2, store_positions=True,
+    )
+    rows = documents.select("doc_id", "text").collect()
+    toks = {r["doc_id"]: tokenize_one(r["text"], "standard") for r in rows}
+    return root, toks
+
+
+def _brute(toks, must=(), should=(), must_not=(), filt=(), phrase=(), k=10):
+    """Independent per-doc bool evaluation over the Python-tokenized corpus."""
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfs = {}
+    for term in set(must) | set(should):
+        dfs[term] = sum(1 for t in toks.values() if term in t)
+    idf = {t: math.log(1 + (n - d + 0.5) / (d + 0.5)) for t, d in dfs.items()}
+    scoring = sorted(set(must) | set(should))
+    phrase = list(phrase)
+    out = []
+    for doc, t in toks.items():
+        ts = set(t)
+        if must or filt or phrase:
+            if not all(m in ts for m in must) or not all(m in ts for m in filt):
+                continue
+            if phrase and not any(
+                t[i : i + len(phrase)] == phrase
+                for i in range(len(t) - len(phrase) + 1)
+            ):
+                continue
+        elif not any(s in ts for s in should):
+            continue
+        if any(m in ts for m in must_not):
+            continue
+        dl = float(len(t))
+        s = 0.0
+        for term in scoring:
+            tf = float(t.count(term))
+            if tf:
+                s += idf[term] * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / avgdl))
+        out.append((doc, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+def _run(spark, root, **kw):
+    return [
+        (r["docid"], r["score"])
+        for r in bool_query(spark, root, **kw).collect()
+    ]
+
+
+def _clause_terms(strings):
+    out = []
+    for s in strings:
+        out.extend(tokenize_one(s, "standard"))
+    return sorted(set(out))
+
+
+def _check(spark, bool_index, **kw):
+    root, toks = bool_index
+    got = _run(spark, root, **kw)
+    exp = _brute(
+        toks,
+        must=_clause_terms(kw.get("must", ())),
+        should=_clause_terms(kw.get("should", ())),
+        must_not=_clause_terms(kw.get("must_not", ())),
+        filt=_clause_terms(kw.get("filter_terms", ())),
+        phrase=tokenize_one(kw["filter_phrase"], "standard")
+        if kw.get("filter_phrase") else (),
+        k=kw.get("k", 10),
+    )
+    _assert_same(got, exp)
+
+
+def _assert_same(got, exp):
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    assert [s for _, s in got] == pytest.approx([s for _, s in exp])
+
+
+def test_must_should_must_not(spark, bool_index):
+    _check(
+        spark, bool_index,
+        must=["data"], should=["stream", "batch"], must_not=["key"],
+    )
+
+
+def test_multi_term_must_conjunction(spark, bool_index):
+    _check(spark, bool_index, must=["data stream", "customer"], k=15)
+
+
+def test_pure_should_equals_ranked_topk(spark, bool_index):
+    """With only should clauses, bool == the ranked disjunctive engine."""
+    root, _ = bool_index
+    got = _run(spark, root, should=["spark join window"])
+    exp = [
+        (r["docid"], r["score"])
+        for r in topk(spark, root, "spark join window", k=10).collect()
+    ]
+    _assert_same(got, exp)
+
+
+def test_absent_must_term_empty(spark, bool_index):
+    root, _ = bool_index
+    assert _run(spark, root, must=["zzzmissing", "data"]) == []
+
+
+def test_must_not_only_filters_never_scores(spark, bool_index):
+    root, toks = bool_index
+    base = dict(must=["customer"], k=30)
+    with_not = _run(spark, root, must_not=["dup"], **base)
+    scores = {d: s for d, s in _run(spark, root, **base)}
+    dup_docs = {d for d, t in toks.items() if "dup" in t}
+    assert all(d not in dup_docs for d, _ in with_not)
+    # surviving docs keep their exact must-only scores
+    assert all(
+        s == pytest.approx(scores[d]) for d, s in with_not if d in scores
+    )
+    _check(spark, bool_index, **base, must_not=["dup"])
+
+
+def test_filter_terms_required_but_unscored(spark, bool_index):
+    root, toks = bool_index
+    _check(spark, bool_index, must=["data"], filter_terms=["stream"], k=20)
+    # filter context never changes a surviving doc's score
+    filtered = _run(spark, root, must=["data"], filter_terms=["stream"], k=500)
+    unfiltered = dict(_run(spark, root, must=["data"], k=500))
+    assert filtered and all(
+        s == pytest.approx(unfiltered[d]) for d, s in filtered
+    )
+
+
+def test_filter_phrase_matches_phrase_engine(spark, bool_index):
+    """bool.filter(match_phrase) alone: same docs as phrase_match, score 0."""
+    root, _ = bool_index
+    got = _run(spark, root, filter_phrase="data stream", k=500)
+    exp = {
+        r["docid"] for r in phrase_match(spark, root, "data stream", k=None).collect()
+    }
+    assert {d for d, _ in got} == exp
+    assert all(s == 0.0 for _, s in got)
+
+
+def test_filter_phrase_with_scored_must(spark, bool_index):
+    _check(spark, bool_index, must=["customer"], filter_phrase="data stream", k=20)
+
+
+def test_empty_query_empty_result(spark, bool_index):
+    root, _ = bool_index
+    assert _run(spark, root) == []
+    assert _run(spark, root, must_not=["data"]) == []
+
+
+def test_bool_respects_tombstones(spark, documents, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx_bool_tomb"))
+    build_index(
+        spark, documents, root,
+        content_col="text", id_col="doc_id", meta_cols=("lang",),
+        tokenizer="standard", n_buckets=8, shard_size=100,
+        n_ckpt_batches=2, store_positions=True,
+    )
+    kw = dict(must=["data"], should=["stream"], must_not=["key"], k=10)
+    before = _run(spark, root, **kw)
+    dead = before[0][0]
+    delete_docs(spark, root, [dead])
+    after = _run(spark, root, **kw)
+    assert dead not in {d for d, _ in after}
+    # logical delete: survivors keep their exact scores (stats unchanged)
+    before_scores = dict(before)
+    assert all(
+        s == pytest.approx(before_scores[d]) for d, s in after if d in before_scores
+    )
