@@ -1,0 +1,212 @@
+"""Multi-field BM25 search with per-field boosts (ES ``multi_match``).
+
+The portal's ranked search — the reference's actual read surface — scores ES
+default BM25 over SEVERAL analyzed fields with boosts (``title`` /
+``description`` / ``keywords``, portal_records_index_schema.json:100-168;
+SURVEY.md §3.3 last row). Public Lucene/ES semantics rebuilt natively:
+
+- each field is its own inverted index with its OWN df, doc length, and avgdl
+  (Lucene per-field statistics — a term rare in ``title`` but common in
+  ``description`` gets a different idf per field);
+- ``most_fields``: score = Σ_field boost_f · BM25_f(query) — ES most_fields;
+- ``best_fields``: score = max_field boost_f · BM25_f(query) +
+  tie_breaker · Σ_others — ES best_fields/dis-max (tie_breaker=0 default).
+
+Layout: ``build_multi_index`` builds one standard sub-index per field under
+``root/field_<name>`` (reusing the whole single-field build path — salting,
+checkpointing, atomic publish), with one SHARED ``shard_size`` so a docid
+lands in the same shard in every field's index. That alignment is the scale
+property: the per-shard combiner sees every field's postings for its docid
+range in ONE applyInPandas group — cross-field score combination needs no
+extra shuffle and no docid join, no matter how many fields or how big the
+corpus. Query-time work stays ≤|q| dictionary rows per field + a pruned
+postings scan per field, unioned into a single stage.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from es_indexer_spark.analysis.tokenizer import tokenize_one
+from es_indexer_spark.index import catalog
+from es_indexer_spark.index.builder import build_index
+from es_indexer_spark.index.codec import decode_block
+from es_indexer_spark.query.bm25 import lucene_idf
+
+_SCORE_SCHEMA = "docid long, score double"
+
+
+def field_dir(root: str, field: str) -> str:
+    return os.path.join(root, f"field_{field}")
+
+
+def build_multi_index(
+    spark: SparkSession,
+    src: DataFrame,
+    root: str,
+    *,
+    fields: dict[str, str],
+    id_col: str,
+    shard_size: int = 1 << 16,
+    **build_kw,
+) -> dict[str, str]:
+    """Build one sub-index per field (``fields`` maps field name -> source
+    column). All sub-indexes share ``shard_size`` (enforced at query time) so
+    shards align across fields. Returns field -> published version dir."""
+    out = {}
+    for fname, col in fields.items():
+        sub = src.select(F.col(id_col), F.col(col).alias("__content"))
+        out[fname] = build_index(
+            spark, sub, field_dir(root, fname),
+            content_col="__content", id_col=id_col,
+            shard_size=shard_size, **build_kw,
+        )
+    return out
+
+
+def _multi_shard_scorer(
+    field_params: dict[str, tuple[dict[str, float], float, float, float, float]],
+    match_type: str,
+    tie_breaker: float,
+    k: int,
+    tombs: dict[str, np.ndarray | None],
+):
+    """applyInPandas per-shard combiner. ``field_params`` maps field ->
+    (idfs, avgdl, k1, b, boost). Per-field BM25 totals are computed exactly
+    like the single-field scorer, then combined sum (most_fields) or
+    dis-max + tie_breaker (best_fields)."""
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"docid": [], "score": []})
+        if len(pdf) == 0:
+            return empty
+        per_field: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for (field, term), gg in pdf.groupby(["field", "term"], sort=False):
+            idfs, avgdl, k1, b, _boost = field_params[field]
+            if term not in idfs:
+                continue
+            tomb = tombs.get(field)
+            d_parts, c_parts = [], []
+            for row in gg.itertuples(index=False):
+                d, t, l = decode_block(row.gaps, row.tfs, row.dls, row.first_docid)
+                d64 = d.astype(np.int64)
+                if tomb is not None:
+                    from es_indexer_spark.index.tombstones import live_mask
+
+                    keep = live_mask(tomb, d64)
+                    if keep is not None and not keep.all():
+                        d64, t, l = d64[keep], t[keep], l[keep]
+                    if d64.size == 0:
+                        continue
+                tf = t.astype(np.float64)
+                dl = l.astype(np.float64)
+                c_parts.append(
+                    idfs[term] * tf * (k1 + 1.0)
+                    / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                )
+                d_parts.append(d64)
+            if not d_parts:
+                continue
+            dd, cc = per_field.get(field, (None, None))
+            d_new = np.concatenate(d_parts)
+            c_new = np.concatenate(c_parts)
+            per_field[field] = (
+                (d_new, c_new)
+                if dd is None
+                else (np.concatenate([dd, d_new]), np.concatenate([cc, c_new]))
+            )
+        if not per_field:
+            return empty
+        # per-field totals, boost applied
+        totals: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for field, (dd, cc) in per_field.items():
+            uniq, inv = np.unique(dd, return_inverse=True)
+            boost = field_params[field][4]
+            totals[field] = (uniq, np.bincount(inv, weights=cc) * boost)
+        union = np.unique(np.concatenate([u for u, _ in totals.values()]))
+        mat = np.zeros((len(totals), union.size), dtype=np.float64)
+        for i, (uniq, s) in enumerate(totals.values()):
+            mat[i, np.searchsorted(union, uniq)] = s
+        if match_type == "most_fields":
+            scores = mat.sum(axis=0)
+        else:  # best_fields: dis-max + tie_breaker * the rest
+            best = mat.max(axis=0)
+            scores = best + tie_breaker * (mat.sum(axis=0) - best)
+        if union.size > k:
+            order = np.lexsort((union, -scores))[:k]
+        else:
+            order = np.argsort(-scores, kind="stable")
+        return pd.DataFrame({"docid": union[order], "score": scores[order]})
+
+    return score
+
+
+def multi_match(
+    spark: SparkSession,
+    root: str,
+    query: str,
+    *,
+    boosts: dict[str, float],
+    k: int = 10,
+    match_type: str = "most_fields",
+    tie_breaker: float = 0.0,
+    lang: str | None = None,
+) -> DataFrame:
+    """Top-k (docid, score) of ``query`` across the boosted fields of a
+    ``build_multi_index`` layout. ``match_type``: ``most_fields`` (sum) or
+    ``best_fields`` (dis-max with ``tie_breaker``)."""
+    if match_type not in ("most_fields", "best_fields"):
+        raise ValueError(f"unknown match_type: {match_type}")
+    from es_indexer_spark.index.tombstones import tombstone_array
+    from es_indexer_spark.query.engine import _dict_df, _load_blocks
+
+    field_params: dict[str, tuple] = {}
+    tombs: dict[str, np.ndarray | None] = {}
+    shard_sizes = set()
+    parts: list[DataFrame] = []
+    for field, boost in boosts.items():
+        vdir = catalog.resolve(field_dir(root, field))
+        stats = catalog.read_stats(vdir)
+        shard_sizes.add(stats["shard_size"])
+        qterms = sorted(set(tokenize_one(query, stats["tokenizer"], lang=lang)))
+        if not qterms:
+            continue
+        dict_rows = (
+            _dict_df(spark, vdir).filter(F.col("term").isin(qterms)).collect()
+        )
+        if not dict_rows:
+            continue
+        idfs = {
+            r["term"]: lucene_idf(stats["n_docs"], r["df"]) for r in dict_rows
+        }
+        field_params[field] = (
+            idfs, stats["avgdl"], stats["k1"], stats["b"], float(boost)
+        )
+        tombs[field] = tombstone_array(spark, vdir)
+        buckets = sorted({r["bucket"] for r in dict_rows})
+        parts.append(
+            _load_blocks(spark, vdir, sorted(idfs), buckets)
+            .select(
+                F.lit(field).alias("field"), "term", "shard",
+                "gaps", "tfs", "dls", "first_docid",
+            )
+        )
+    if len(shard_sizes) > 1:
+        raise ValueError(
+            f"sub-indexes disagree on shard_size ({sorted(shard_sizes)}); "
+            "rebuild with build_multi_index so shards align across fields"
+        )
+    if not parts:
+        return spark.createDataFrame([], _SCORE_SCHEMA)
+    blocks = parts[0]
+    for p in parts[1:]:
+        blocks = blocks.unionByName(p)
+    scored = blocks.groupBy("shard").applyInPandas(
+        _multi_shard_scorer(field_params, match_type, tie_breaker, k, tombs),
+        _SCORE_SCHEMA,
+    )
+    return scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)

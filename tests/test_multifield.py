@@ -1,0 +1,185 @@
+"""Multi-field boosted BM25 (ES multi_match) vs an independent Python brute.
+
+The portal's ranked search scores BM25 over title/description/keywords with
+boosts (portal_records_index_schema.json:100-168; SURVEY.md §3.3) — Lucene
+per-field statistics semantics verified here:
+
+- each field carries its own df/dl/avgdl (same term, different idf per field);
+- most_fields = Σ boost_f · BM25_f; best_fields = dis-max + tie_breaker;
+- a single-field multi_match is exactly the single-field ranked engine;
+- misaligned shard_size across sub-indexes is rejected (the shard-alignment
+  invariant the no-extra-shuffle combiner depends on).
+
+The synthetic ``title`` field is the first 8 tokens of ``text`` — derived
+identically in Spark, Python, and the DuckDB contract oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from es_indexer_spark.analysis.tokenizer import tokenize_one
+from es_indexer_spark.index.builder import build_index
+from es_indexer_spark.query.engine import topk
+from es_indexer_spark.query.multifield import build_multi_index, multi_match
+
+K1, B = 1.2, 0.75
+BOOSTS = {"title": 2.0, "text": 1.0}
+
+
+def _with_title(documents):
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    return documents.withColumn("title", F.array_join(F.slice(toks, 1, 8), " "))
+
+
+@pytest.fixture(scope="module")
+def multi_index(spark, documents, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx_multi"))
+    build_multi_index(
+        spark, _with_title(documents), root,
+        fields={"title": "title", "text": "text"},
+        id_col="doc_id", shard_size=100, n_buckets=8, n_ckpt_batches=2,
+    )
+    rows = documents.select("doc_id", "text").collect()
+    text_toks = {r["doc_id"]: tokenize_one(r["text"], "standard") for r in rows}
+    field_toks = {
+        "text": text_toks,
+        "title": {d: t[:8] for d, t in text_toks.items()},
+    }
+    return root, field_toks
+
+
+def _field_bm25(toks, qterms):
+    """Per-doc BM25 total for one field's token map."""
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    out = {}
+    for term in set(qterms):
+        df = sum(1 for t in toks.values() if term in t)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for doc, t in toks.items():
+            tf = float(t.count(term))
+            if tf:
+                dl = float(len(t))
+                out[doc] = out.get(doc, 0.0) + (
+                    idf * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / avgdl))
+                )
+    return out
+
+
+def _brute(field_toks, query, boosts, match_type="most_fields", tie=0.0, k=10):
+    qterms = tokenize_one(query, "standard")
+    per_field = {
+        f: _field_bm25(field_toks[f], qterms) for f in boosts
+    }
+    docs = set().union(*(s.keys() for s in per_field.values()))
+    out = []
+    for d in docs:
+        vals = [boosts[f] * per_field[f].get(d, 0.0) for f in boosts]
+        if match_type == "most_fields":
+            s = sum(vals)
+        else:
+            s = max(vals) + tie * (sum(vals) - max(vals))
+        out.append((d, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+def _run(spark, root, query, **kw):
+    return [
+        (r["docid"], r["score"])
+        for r in multi_match(spark, root, query, **kw).collect()
+    ]
+
+
+def _assert_same(got, exp):
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    assert [s for _, s in got] == pytest.approx([s for _, s in exp])
+
+
+def test_most_fields_matches_brute(spark, multi_index):
+    root, field_toks = multi_index
+    got = _run(spark, root, "data stream", boosts=BOOSTS)
+    _assert_same(got, _brute(field_toks, "data stream", BOOSTS))
+
+
+def test_best_fields_dismax(spark, multi_index):
+    root, field_toks = multi_index
+    got = _run(
+        spark, root, "data stream", boosts=BOOSTS, match_type="best_fields"
+    )
+    _assert_same(
+        got, _brute(field_toks, "data stream", BOOSTS, "best_fields")
+    )
+
+
+def test_best_fields_tie_breaker(spark, multi_index):
+    root, field_toks = multi_index
+    got = _run(
+        spark, root, "customer batch", boosts=BOOSTS,
+        match_type="best_fields", tie_breaker=0.3,
+    )
+    _assert_same(
+        got, _brute(field_toks, "customer batch", BOOSTS, "best_fields", 0.3)
+    )
+
+
+def test_per_field_stats_differ(spark, multi_index):
+    """Same term, different per-field idf/avgdl: title-boosted ranking must
+    differ from a pure text ranking somewhere in the top 20."""
+    root, field_toks = multi_index
+    title_heavy = _run(spark, root, "data", boosts={"title": 5.0, "text": 0.01}, k=20)
+    text_only = _run(spark, root, "data", boosts={"text": 1.0}, k=20)
+    assert [d for d, _ in title_heavy] != [d for d, _ in text_only]
+
+
+def test_single_field_equals_ranked_engine(spark, multi_index):
+    """boosts={text:1} through the multi path == the single-field engine over
+    the text sub-index (same index content, same scorer math)."""
+    from es_indexer_spark.query.multifield import field_dir
+
+    root, _ = multi_index
+    got = _run(spark, root, "spark join window", boosts={"text": 1.0})
+    exp = [
+        (r["docid"], r["score"])
+        for r in topk(
+            spark, field_dir(root, "text"), "spark join window", k=10
+        ).collect()
+    ]
+    _assert_same(got, exp)
+
+
+def test_absent_everywhere_empty(spark, multi_index):
+    root, _ = multi_index
+    assert _run(spark, root, "zzznope", boosts=BOOSTS) == []
+    assert _run(spark, root, "", boosts=BOOSTS) == []
+
+
+def test_unknown_match_type_raises(spark, multi_index):
+    root, _ = multi_index
+    with pytest.raises(ValueError, match="match_type"):
+        multi_match(spark, root, "data", boosts=BOOSTS, match_type="cross_fields")
+
+
+def test_shard_misalignment_rejected(spark, documents, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx_multi_bad"))
+    docs = _with_title(documents)
+    build_index(
+        spark, docs.select("doc_id", F.col("title").alias("__content")),
+        f"{root}/field_title", content_col="__content", id_col="doc_id",
+        shard_size=100, n_buckets=8, n_ckpt_batches=2,
+    )
+    build_index(
+        spark, docs.select("doc_id", F.col("text").alias("__content")),
+        f"{root}/field_text", content_col="__content", id_col="doc_id",
+        shard_size=128, n_buckets=8, n_ckpt_batches=2,
+    )
+    with pytest.raises(ValueError, match="shard_size"):
+        multi_match(spark, root, "data", boosts=BOOSTS)
