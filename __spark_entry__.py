@@ -57,7 +57,13 @@ from es_indexer_spark.ops.multimodal import (
 from es_indexer_spark.ops.similarity import ann_ivf_topk
 from es_indexer_spark.query.bm25 import bm25_topk_brute
 from es_indexer_spark.query.engine import fetch_docs, topk as index_topk
-from es_indexer_spark.query.lookup import doc_lookup, scan_after
+from es_indexer_spark.query.lookup import (
+    analyze_df,
+    doc_lookup,
+    scan_after,
+    term_count,
+    term_query,
+)
 from es_indexer_spark.query.phrase import phrase_match
 from es_indexer_spark.query.suggest import phrase_suggestions, suggest_prefix
 
@@ -516,6 +522,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_lookup"] = lambda spark, sf: doc_lookup(
         spark, _index_root(spark, sf), [3, 7, 42, 99]
     ).select(F.col("docid").alias("doc_id"), "doc_len", "sha256")
+    # §3.3 `term` exact keyword query: fetch-all shape + the ES count call
+    # (size(1) first-id is pytest-covered — a LIMIT 1 of the same plan)
+    q["term_keyword"] = lambda spark, sf: term_query(
+        spark, _index_root(spark, sf), "lang", "en"
+    ).select(F.col("docid").alias("doc_id"), "lang", "source")
+    q["term_count"] = lambda spark, sf: term_count(
+        spark, _index_root(spark, sf), "lang", "en"
+    )
+    # §3.3 `_analyze` tokenization service (position-explode, codegen-only)
+    q["analyze_tokens"] = lambda spark, sf: analyze_df(
+        _docs(spark, sf), "text", "doc_id"
+    )
     q["scan_after"] = lambda spark, sf: scan_after(
         spark, _index_root(spark, sf), after=120, page_size=50
     ).select(F.col("docid").alias("doc_id"), "doc_len")
@@ -738,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never_driver_verified = [
         "bool_must_not", "bool_filter_phrase",
         "multi_match_most", "multi_match_best",
+        "term_keyword", "term_count", "analyze_tokens",
         "bbox_union", "error_routing", "doc_json", "ring_orientation",
         "point_geojson", "polygon_geojson", "geoxml_extract",
         "bm25_topk_batch", "windowed_counts",
@@ -891,6 +910,18 @@ t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
 dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id)
 SELECT d.doc_id, COALESCE(dl.dl, 0)::BIGINT AS doc_len, sha256(d.text) AS sha256
 FROM documents d LEFT JOIN dl USING (doc_id) WHERE d.doc_id IN (3, 7, 42, 99)
+"""
+    o["term_keyword"] = """
+SELECT doc_id, lang, source FROM documents WHERE lang = 'en'
+"""
+    o["term_count"] = """
+SELECT count(*)::BIGINT AS doc_count FROM documents WHERE lang = 'en'
+"""
+    o["analyze_tokens"] = """
+WITH toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+               FROM documents)
+SELECT doc_id, (i - 1)::INT AS position, t[i] AS token
+FROM toksl, unnest([i for i in range(1, len(t) + 1)]) AS u(i)
 """
     o["scan_after"] = """
 WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),

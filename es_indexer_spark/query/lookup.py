@@ -4,7 +4,12 @@ analogs of the reference's non-ranked query surface (SURVEY.md §3.3):
 - ``ids`` point lookup by _id (IndexerMetadataServiceImpl.java:122-127,
   getDocumentByUUID IndexerController.java:116-142) -> :func:`doc_lookup`;
 - ``match_all`` + sort + ``search_after`` keyset pagination
-  (GeoNetworkServiceImpl.java:586-604, page size 100) -> :func:`scan_after`.
+  (GeoNetworkServiceImpl.java:586-604, page size 100) -> :func:`scan_after`;
+- ``term`` exact keyword match with its two reference call shapes — hit count
+  and size(1) first-id (ElasticSearchIndexService.java:54-78) ->
+  :func:`term_query`;
+- ``_analyze`` tokenization service (IndexerMetadataServiceImpl.java:177-195)
+  -> :func:`analyze_df`.
 
 Physical behavior: the docs table is written range-partitioned and sorted by
 docid, so both operators reduce to parquet min/max row-group pruning — a point
@@ -53,3 +58,65 @@ def scan_after(
     if after is not None:
         df = df.filter(F.col("docid") > int(after))
     return filter_live(spark, vdir, df).orderBy(F.asc("docid")).limit(page_size)
+
+
+def term_query(
+    spark: SparkSession,
+    index_root: str,
+    field: str,
+    value: str,
+    size: int | None = None,
+) -> DataFrame:
+    """Exact (untokenized) keyword match on a stored meta field — the ES
+    ``term`` query. ``size=1`` reproduces the reference's first-id probe;
+    ``size=None`` fetches all hits. The equality predicate is pushed to
+    parquet (dictionary/row-group pruning on the docs store); results come
+    back docid-ordered so size(1) is deterministic."""
+    from es_indexer_spark.index.tombstones import filter_live
+
+    vdir = catalog.resolve(index_root)
+    df = spark.read.parquet(os.path.join(vdir, "docs")).filter(
+        F.col(field) == value
+    )
+    df = filter_live(spark, vdir, df).orderBy(F.asc("docid"))
+    return df.limit(size) if size is not None else df
+
+
+def term_count(
+    spark: SparkSession, index_root: str, field: str, value: str
+) -> DataFrame:
+    """Hit count of a ``term`` query (the reference's ES count call) as a
+    1-row DataFrame — a map-side pre-aggregated count over the pruned scan."""
+    return term_query(spark, index_root, field, value).agg(
+        F.count("*").alias("doc_count")
+    )
+
+
+def analyze_df(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    tokenizer: str = "standard",
+    lang_col: str | None = None,
+) -> DataFrame:
+    """The ``_analyze`` service as a set-returning operator: one row per
+    (id, position, token) through the same analysis chain the index build
+    uses. For the ``standard`` chain this stays whole-stage-codegen column
+    algebra (split + filter + posexplode — no Python); other chains go
+    through the tokenizer's Arrow UDF (``code`` consumes ``lang_col`` for
+    lang-tagged terms)."""
+    if tokenizer == "standard":
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        )
+    else:
+        from es_indexer_spark.analysis.tokenizer import get_tokenizer_udf
+
+        udf = get_tokenizer_udf(tokenizer)
+        if tokenizer == "code":
+            lang = F.col(lang_col) if lang_col else F.lit(None).cast("string")
+            toks = udf(F.col(text_col), lang)
+        else:
+            toks = udf(F.col(text_col))
+    return df.select(F.col(id_col), F.posexplode(toks).alias("position", "token"))

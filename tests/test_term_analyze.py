@@ -1,0 +1,86 @@
+"""§3.3 `term` exact-keyword query (count + size(1) first-id,
+ElasticSearchIndexService.java:54-78) and the `_analyze` tokenization service
+(IndexerMetadataServiceImpl.java:177-195) as native operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from es_indexer_spark.analysis.tokenizer import tokenize_one
+from es_indexer_spark.index.builder import build_index
+from es_indexer_spark.index.tombstones import delete_docs
+from es_indexer_spark.query.lookup import analyze_df, term_count, term_query
+
+
+@pytest.fixture(scope="module")
+def term_index(spark, documents, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx_term"))
+    build_index(
+        spark, documents, root,
+        content_col="text", id_col="doc_id", meta_cols=("lang", "source"),
+        tokenizer="standard", n_buckets=8, shard_size=100, n_ckpt_batches=2,
+    )
+    return root
+
+
+def test_term_query_exact_match_ordered(spark, documents, term_index):
+    exp = sorted(
+        r["doc_id"] for r in documents.filter("lang = 'en'").collect()
+    )
+    got = [r["docid"] for r in term_query(spark, term_index, "lang", "en").collect()]
+    assert got == exp
+    # size(1): the reference's first-id probe
+    first = term_query(spark, term_index, "lang", "en", size=1).collect()
+    assert [r["docid"] for r in first] == exp[:1]
+
+
+def test_term_count(spark, documents, term_index):
+    exp = documents.filter("source = 'src3'").count()
+    row = term_count(spark, term_index, "source", "src3").collect()
+    assert row[0]["doc_count"] == exp
+
+
+def test_term_query_no_match(spark, term_index):
+    assert term_query(spark, term_index, "lang", "xx").count() == 0
+    assert term_count(spark, term_index, "lang", "xx").collect()[0]["doc_count"] == 0
+
+
+def test_term_query_respects_tombstones(spark, documents, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx_term_tomb"))
+    build_index(
+        spark, documents, root,
+        content_col="text", id_col="doc_id", meta_cols=("lang",),
+        tokenizer="standard", n_buckets=8, shard_size=100, n_ckpt_batches=2,
+    )
+    before = [r["docid"] for r in term_query(spark, root, "lang", "en").collect()]
+    delete_docs(spark, root, before[:2])
+    after = [r["docid"] for r in term_query(spark, root, "lang", "en").collect()]
+    assert after == before[2:]
+    assert (
+        term_count(spark, root, "lang", "en").collect()[0]["doc_count"]
+        == len(before) - 2
+    )
+
+
+def test_analyze_standard_matches_python_chain(spark, documents):
+    sample = documents.filter("doc_id < 20")
+    got = {}
+    for r in analyze_df(sample, "text", "doc_id").collect():
+        got.setdefault(r["doc_id"], []).append((r["position"], r["token"]))
+    for r in sample.collect():
+        exp = list(enumerate(tokenize_one(r["text"], "standard")))
+        assert sorted(got.get(r["doc_id"], [])) == exp
+
+
+def test_analyze_code_tokenizer_chain(spark):
+    df = spark.createDataFrame(
+        [(1, "parseHttpRequest snake_case_id x9", "java")], "id long, s string, lang string"
+    )
+    toks = [
+        r["token"]
+        for r in analyze_df(df, "s", "id", tokenizer="code", lang_col="lang")
+        .orderBy("position")
+        .collect()
+    ]
+    assert toks == tokenize_one("parseHttpRequest snake_case_id x9", "code", lang="java")
+    assert "parse" in toks and "http" in toks  # camelCase split happened
