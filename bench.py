@@ -45,7 +45,9 @@ def main() -> None:
         ann_ivf_topk,
         build_ivf_index,
     )
+    from es_indexer_spark.query.boolean import bool_query
     from es_indexer_spark.query.engine import topk, topk_many
+    from es_indexer_spark.query.multifield import build_multi_index, multi_match
     from es_indexer_spark.query.phrase import phrase_match
     from es_indexer_spark.query.suggest import suggest_prefix
     from es_indexer_spark.session import get_spark
@@ -153,6 +155,39 @@ def main() -> None:
         lambda: [topk(spark, idx_root, s, k=10).collect() for s in batch15.values()],
     )
     timed("q_batch15", lambda: topk_many(spark, idx_root, batch15, k=10).collect())
+    # ES bool DSL over the main index; phrase-filter variant over the
+    # positional (warm, 20k-file) index — round-3 surfaces
+    timed(
+        "q_bool",
+        lambda: bool_query(
+            spark, idx_root,
+            must=["index"], should=["query score"], must_not=["import"], k=10,
+        ).collect(),
+    )
+    timed(
+        "q_bool_phrase",
+        lambda: bool_query(
+            spark, os.path.join(work, "warm"),
+            must=["def"], filter_phrase="return self", k=10,
+        ).collect(),
+    )
+    # multi_match over a two-field (path^3 + content) index; the field builds
+    # are index-build work (untimed, same rule as build_ivf_index below)
+    multi_root = os.path.join(work, "midx")
+    build_multi_index(
+        spark, corpus.limit(40000), multi_root,
+        fields={"path": "path", "content": "content"}, id_col=None,
+        order_cols=("repo", "path", "commit"), tokenizer="code",
+        lang_col="lang", n_buckets=max(32, cpus * 2), shard_size=1 << 14,
+        n_ckpt_batches=2,
+    )
+    timed(
+        "q_multi_match",
+        lambda: multi_match(
+            spark, multi_root, "index query score",
+            boosts={"path": 3.0, "content": 1.0}, k=10,
+        ).collect(),
+    )
 
     # ---- ops over the provided sf tables -------------------------------------------
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))

@@ -50,19 +50,21 @@ def build_multi_index(
     root: str,
     *,
     fields: dict[str, str],
-    id_col: str,
+    id_col: str | None,
     shard_size: int = 1 << 16,
     **build_kw,
 ) -> dict[str, str]:
     """Build one sub-index per field (``fields`` maps field name -> source
     column). All sub-indexes share ``shard_size`` (enforced at query time) so
-    shards align across fields. Returns field -> published version dir."""
+    shards align across fields; with ``id_col=None`` the builder's
+    order_cols-derived docids agree across fields because every sub-index
+    sees the same source ordering. Returns field -> published version dir."""
     out = {}
     for fname, col in fields.items():
-        sub = src.select(F.col(id_col), F.col(col).alias("__content"))
+        sub = src.withColumn("__mf_content", F.col(col))
         out[fname] = build_index(
             spark, sub, field_dir(root, fname),
-            content_col="__content", id_col=id_col,
+            content_col="__mf_content", id_col=id_col,
             shard_size=shard_size, **build_kw,
         )
     return out

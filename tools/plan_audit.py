@@ -226,6 +226,48 @@ def main() -> int:
         ],
     ))
 
+    # 12. ES bool query: same one-shuffle shape as the ranked path — pruned
+    # postings scan -> single shard-grouped Arrow stage -> global top-k
+    from es_indexer_spark.query.boolean import bool_query
+
+    p = formatted(bool_query(
+        spark, root, must=["data"], should=["stream"], must_not=["key"], k=10
+    ))
+    sections.append((
+        "bool_query (must/should/must_not, one shuffle, one Arrow stage)",
+        p,
+        [
+            ("postings bucket dirs pruned", "PartitionFilters" in p and "bucket" in p),
+            ("term filter pushed to parquet", "PushedFilters" in p and "term" in p),
+            ("single shard shuffle", len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1),
+            ("single Arrow stage", len(re.findall(r"^\(\d+\) FlatMapGroupsInPandas", p, re.M)) == 1),
+            ("top-k merge, no global sort", "TakeOrderedAndProject" in p),
+        ],
+    ))
+
+    # 13. multi_match: per-field pruned scans UNIONed into ONE shard-grouped
+    # Arrow stage — cross-field combination without any join or extra shuffle
+    from es_indexer_spark.query.multifield import multi_match
+
+    mroot = entry._multi_root(spark, sf_dir)
+    p = formatted(multi_match(
+        spark, mroot, "data stream", boosts={"title": 2.0, "text": 1.0}, k=10
+    ))
+    sections.append((
+        "multi_match (two boosted fields, union -> one Arrow combine, no join)",
+        p,
+        [
+            ("per-field scans unioned", "Union" in p),
+            ("term filter pushed to parquet", "PushedFilters" in p and "term" in p),
+            ("single shard shuffle", len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1),
+            ("single Arrow stage (no cross-field join)",
+             len(re.findall(r"^\(\d+\) FlatMapGroupsInPandas", p, re.M)) == 1
+             and "SortMergeJoin" not in p and "BroadcastHashJoin" not in p),
+            ("no cartesian anywhere", "CartesianProduct" not in p
+             and "BroadcastNestedLoopJoin" not in p),
+        ],
+    ))
+
     failures = 0
     lines = [
         "# PLANS — physical-plan audit evidence",
