@@ -60,6 +60,7 @@ from es_indexer_spark.query.engine import fetch_docs, topk as index_topk
 from es_indexer_spark.query.lookup import (
     analyze_df,
     doc_lookup,
+    facet_counts,
     scan_after,
     term_count,
     term_query,
@@ -199,6 +200,7 @@ def _bm25_sql(
     k: int = 10,
     src: str = "documents",
     final_where: str = "",
+    offset: int = 0,
 ) -> str:
     """Exact BM25 oracle. ``src`` swaps the corpus (e.g. a filtered subquery —
     the compacted-index oracle, where stats exclude purged docs); ``final_where``
@@ -221,7 +223,7 @@ raw AS (
   WHERE tf.term IN ({tl})
   GROUP BY tf.doc_id)
 SELECT doc_id, round(score_raw::DOUBLE, 4) AS score
-FROM raw {final_where} ORDER BY score_raw DESC, doc_id ASC LIMIT {k}
+FROM raw {final_where} ORDER BY score_raw DESC, doc_id ASC LIMIT {k} OFFSET {offset}
 """
 
 
@@ -522,6 +524,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_lookup"] = lambda spark, sf: doc_lookup(
         spark, _index_root(spark, sf), [3, 7, 42, 99]
     ).select(F.col("docid").alias("doc_id"), "doc_len", "sha256")
+    # §3.3 ranked search_after: page 2 via the page-1 (score, docid) cursor
+    def _bm25_page2(spark: SparkSession, sf: str) -> DataFrame:
+        root = _index_root(spark, sf)
+        p1 = index_topk(spark, root, "spark join window", k=10).collect()
+        cur = (p1[-1]["score"], p1[-1]["docid"])
+        return index_topk(spark, root, "spark join window", k=10, after=cur).select(
+            F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+
+    q["bm25_search_after"] = _bm25_page2
+    # ES `terms` facet aggregation over a stored keyword field
+    q["facet_lang"] = lambda spark, sf: facet_counts(
+        spark, _index_root(spark, sf), "lang", size=10
+    )
     # §3.3 `term` exact keyword query: fetch-all shape + the ES count call
     # (size(1) first-id is pytest-covered — a LIMIT 1 of the same plan)
     q["term_keyword"] = lambda spark, sf: term_query(
@@ -757,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_must_not", "bool_filter_phrase",
         "multi_match_most", "multi_match_best",
         "term_keyword", "term_count", "analyze_tokens",
+        "bm25_search_after", "facet_lang",
         "bbox_union", "error_routing", "doc_json", "ring_orientation",
         "point_geojson", "polygon_geojson", "geoxml_extract",
         "bm25_topk_batch", "windowed_counts",
@@ -910,6 +927,11 @@ t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
 dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id)
 SELECT d.doc_id, COALESCE(dl.dl, 0)::BIGINT AS doc_len, sha256(d.text) AS sha256
 FROM documents d LEFT JOIN dl USING (doc_id) WHERE d.doc_id IN (3, 7, 42, 99)
+"""
+    o["bm25_search_after"] = _bm25_sql(["join", "spark", "window"], offset=10)
+    o["facet_lang"] = """
+SELECT lang, count(*)::BIGINT AS doc_count FROM documents
+GROUP BY lang ORDER BY doc_count DESC, lang ASC LIMIT 10
 """
     o["term_keyword"] = """
 SELECT doc_id, lang, source FROM documents WHERE lang = 'en'

@@ -77,6 +77,7 @@ def _shard_scorer(
     k: int,
     avgdl: float,
     tomb: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ):
     """applyInPandas per-shard scorer: block-max prune then exact vectorized DAAT.
 
@@ -131,6 +132,16 @@ def _shard_scorer(
         contribs = np.concatenate(contrib_parts)
         uniq, inv = np.unique(docids, return_inverse=True)
         scores = np.bincount(inv, weights=contribs)
+        if after is not None:
+            # ranked search_after: keep only docs strictly after the cursor in
+            # (score desc, docid asc) order. Scores are recomputed bit-identically
+            # across pages (same float64 reduction per doc), so the == leg of the
+            # tiebreak is exact.
+            s_a, d_a = after
+            keep = (scores < s_a) | ((scores == s_a) & (uniq > d_a))
+            uniq, scores = uniq[keep], scores[keep]
+            if uniq.size == 0:
+                return pd.DataFrame({"docid": [], "score": []})
         if uniq.size > k:
             # partition-local top-k (score desc, docid asc) — global merge re-sorts
             order = np.lexsort((uniq, -scores))[:k]
@@ -160,6 +171,7 @@ def topk(
     lang: str | None = None,
     synonyms: dict[str, list[str]] | None = None,
     probe_min_postings: int = 1 << 17,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Top-k (docid, score) for ``query`` against the published index version.
 
@@ -167,7 +179,15 @@ def topk(
     only (search-time synonym_graph semantics — SURVEY.md §1.3; documents are
     never rewritten). Build rules with
     :func:`es_indexer_spark.analysis.synonyms.build_synonym_rules`.
-    """
+
+    ``after``: ranked keyset pagination (ES ``search_after`` on the ranked
+    surface — SURVEY.md §3.3): pass the previous page's last (score, docid)
+    to get the next k hits strictly after it in (score desc, docid asc)
+    order. Pages concatenate exactly to a single larger-k ranking. The
+    block-max probe is disabled under ``after`` (a theta derived from the
+    UNfiltered ranking could prune blocks whose docs belong on later pages);
+    the dictionary lookup and pruned scan are unchanged, so deep pagination
+    never rescans more than the query's posting lists."""
     from es_indexer_spark.index.tombstones import tombstone_array
 
     vdir = catalog.resolve(index_root)
@@ -209,7 +229,7 @@ def topk(
     # pruning pays off exactly when postings are large, which is when Σ df crosses
     # this bound; at 100 TB every stop-wordy query takes the probe path.
     total_postings = sum(r["df"] for r in dict_rows)
-    if total_postings < probe_min_postings:
+    if total_postings < probe_min_postings or after is not None:
         use_blockmax = False
     if use_blockmax:
         # probe the densest shard exactly; its kth score lower-bounds the global
@@ -241,7 +261,7 @@ def topk(
             blocks = blocks.filter(F.col("shard") != probe_shard)
 
     scored = blocks.groupBy("shard").applyInPandas(
-        _shard_scorer(idfs, k1, b, theta, k, avgdl, tomb), _SCORE_SCHEMA
+        _shard_scorer(idfs, k1, b, theta, k, avgdl, tomb, after), _SCORE_SCHEMA
     )
     if probe_df is not None:
         scored = scored.unionByName(probe_df)

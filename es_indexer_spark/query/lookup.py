@@ -92,6 +92,30 @@ def term_count(
     )
 
 
+def facet_counts(
+    spark: SparkSession,
+    index_root: str,
+    field: str,
+    size: int = 10,
+) -> DataFrame:
+    """ES ``terms`` aggregation over a stored keyword field (the portal's
+    filter facets — e.g. per-language or per-source bucket counts). A
+    partial+final hash aggregation over the column-pruned docs scan; buckets
+    ordered by doc_count desc then key asc (ES terms-agg ordering),
+    tombstone-aware like every other read surface."""
+    from es_indexer_spark.index.tombstones import filter_live
+
+    vdir = catalog.resolve(index_root)
+    df = spark.read.parquet(os.path.join(vdir, "docs")).select(field, "docid")
+    return (
+        filter_live(spark, vdir, df)
+        .groupBy(field)
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc(field))
+        .limit(size)
+    )
+
+
 def analyze_df(
     df: DataFrame,
     text_col: str,

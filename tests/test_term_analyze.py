@@ -1,6 +1,7 @@
 """§3.3 `term` exact-keyword query (count + size(1) first-id,
-ElasticSearchIndexService.java:54-78) and the `_analyze` tokenization service
-(IndexerMetadataServiceImpl.java:177-195) as native operators."""
+ElasticSearchIndexService.java:54-78), the `_analyze` tokenization service
+(IndexerMetadataServiceImpl.java:177-195), ES `terms` facet aggregation, and
+ranked `search_after` pagination — as native operators."""
 
 from __future__ import annotations
 
@@ -9,7 +10,13 @@ import pytest
 from es_indexer_spark.analysis.tokenizer import tokenize_one
 from es_indexer_spark.index.builder import build_index
 from es_indexer_spark.index.tombstones import delete_docs
-from es_indexer_spark.query.lookup import analyze_df, term_count, term_query
+from es_indexer_spark.query.engine import topk
+from es_indexer_spark.query.lookup import (
+    analyze_df,
+    facet_counts,
+    term_count,
+    term_query,
+)
 
 
 @pytest.fixture(scope="module")
@@ -60,6 +67,69 @@ def test_term_query_respects_tombstones(spark, documents, tmp_path_factory):
         term_count(spark, root, "lang", "en").collect()[0]["doc_count"]
         == len(before) - 2
     )
+    # facet buckets shrink with the tombstones too
+    facets = {
+        r["lang"]: r["doc_count"]
+        for r in facet_counts(spark, root, "lang", size=10).collect()
+    }
+    assert facets["en"] == len(before) - 2
+
+
+def test_facet_counts_terms_agg(spark, documents, term_index):
+    exp = sorted(
+        (
+            (r["lang"], r["count"])
+            for r in documents.groupBy("lang").count().collect()
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )
+    got = [
+        (r["lang"], r["doc_count"])
+        for r in facet_counts(spark, term_index, "lang", size=10).collect()
+    ]
+    assert got == exp[:10]
+    # size caps the bucket list
+    assert facet_counts(spark, term_index, "source", size=3).count() == 3
+
+
+def test_ranked_search_after_pages_concatenate(spark, term_index):
+    """Three k=10 pages via (score, docid) cursors == one k=30 ranking."""
+    full = [
+        (r["docid"], r["score"])
+        for r in topk(spark, term_index, "spark join window", k=30).collect()
+    ]
+    pages, after = [], None
+    for _ in range(3):
+        page = [
+            (r["docid"], r["score"])
+            for r in topk(
+                spark, term_index, "spark join window", k=10, after=after
+            ).collect()
+        ]
+        pages.extend(page)
+        after = (page[-1][1], page[-1][0])  # ES sort-values order: (score, docid)
+    assert [d for d, _ in pages] == [d for d, _ in full]
+    assert [s for _, s in pages] == pytest.approx([s for _, s in full])
+
+
+def test_ranked_search_after_ties_and_end(spark, term_index):
+    # tie-heavy query: the == leg of the cursor comparison must hold exactly
+    full = [
+        (r["docid"], r["score"])
+        for r in topk(spark, term_index, "the a key", k=40).collect()
+    ]
+    mid = (full[19][1], full[19][0])
+    rest = [
+        (r["docid"], r["score"])
+        for r in topk(spark, term_index, "the a key", k=20, after=mid).collect()
+    ]
+    assert [d for d, _ in rest] == [d for d, _ in full[20:40]]
+    # cursor past the last hit -> empty page
+    tail = topk(
+        spark, term_index, "zzz dup", k=10,
+        after=(-1.0, 1 << 40),
+    ).collect()
+    assert tail == []
 
 
 def test_analyze_standard_matches_python_chain(spark, documents):
