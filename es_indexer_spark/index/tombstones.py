@@ -108,6 +108,62 @@ def delete_docs(
     append_to_vdir(spark, catalog.resolve(index_root), docids)
 
 
+def delete_by_query(
+    spark: SparkSession,
+    index_root: str,
+    *,
+    field: str | None = None,
+    value: str | None = None,
+    must: Sequence[str] = (),
+    must_not: Sequence[str] = (),
+    filter_phrase: str | None = None,
+    match_all: bool = False,
+) -> int:
+    """ES ``delete_by_query``: tombstone every LIVE doc matching the query
+    (the reference issues the match_all shape for test cleanup,
+    indexer/src/test/java/.../BaseTestClass.java:61-73; the general shape is
+    the public ES surface). Composes the engine's own read paths:
+
+    - ``field``/``value``: a ``term`` keyword query on a stored meta field;
+    - ``must``/``must_not``/``filter_phrase``: the bool DSL (full-text);
+    - ``match_all=True``: everything (the reference's cleanup call).
+
+    The matching docids never land on the driver — the tombstone append is a
+    DataFrame write of the (already tombstone-filtered) match. Returns the
+    number of newly deleted docs. Deleting does NOT change corpus stats until
+    :func:`compact_index`, like every other delete path here."""
+    vdir = catalog.resolve(index_root)
+    if match_all:
+        hits = filter_live(
+            spark, vdir,
+            spark.read.parquet(os.path.join(vdir, "docs")).select("docid"),
+        )
+    elif field is not None:
+        from es_indexer_spark.query.lookup import term_query
+
+        if value is None:
+            raise ValueError("field requires value")
+        hits = term_query(spark, index_root, field, value).select("docid")
+    elif must or filter_phrase:
+        from es_indexer_spark.query.boolean import bool_query
+
+        hits = bool_query(
+            spark, index_root,
+            must=must, must_not=must_not, filter_phrase=filter_phrase,
+            k=(1 << 31) - 1,
+        ).select("docid")
+    else:
+        raise ValueError(
+            "pass field/value, must/filter_phrase, or match_all=True"
+        )
+    n = hits.count()
+    if n:
+        # the per-process tombstone-array cache is keyed by the tombstone-file
+        # listing, so the append below invalidates it automatically
+        delete_docs(spark, index_root, hits)
+    return n
+
+
 def tombstone_df(spark: SparkSession, vdir: str) -> DataFrame | None:
     """The tombstoned docids as a (distinct) DataFrame, or None when empty."""
     if not _listing(vdir):

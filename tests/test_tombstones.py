@@ -280,3 +280,35 @@ def test_streaming_batch_indexer_upsert_mode(spark, documents, tmp_path_factory)
     # replayed batch (same id) is a no-op
     fn(changed, 1)
     assert len(scan_after(spark, root, page_size=10_000).collect()) == 500
+
+
+def test_delete_by_query_surfaces(spark, documents, tmp_path_factory):
+    """ES delete_by_query: term / bool / match_all shapes (the reference's
+    cleanup call is match_all, BaseTestClass.java:61-73)."""
+    from es_indexer_spark.index.tombstones import delete_by_query
+    from es_indexer_spark.query.lookup import scan_after, term_count
+
+    root = str(tmp_path_factory.mktemp("idx_dbq"))
+    _build(spark, documents, root)
+    n_total = documents.count()
+
+    # term shape: every live 'lang=en' doc goes, count reported
+    n_en = documents.filter("lang = 'en'").count()
+    assert delete_by_query(spark, root, field="lang", value="en") == n_en
+    assert term_count(spark, root, "lang", "en").collect()[0]["doc_count"] == 0
+    # idempotent: nothing live matches anymore
+    assert delete_by_query(spark, root, field="lang", value="en") == 0
+
+    # bool shape: docs containing the rare term 'dup' (only live ones count)
+    n_dup = delete_by_query(spark, root, must=["dup"])
+    assert n_dup > 0
+    assert topk(spark, root, "dup", k=5, use_blockmax=False).collect() == []
+
+    # match_all: the reference's cleanup — everything else goes too
+    n_rest = delete_by_query(spark, root, match_all=True)
+    assert n_en + n_dup + n_rest == n_total
+    assert scan_after(spark, root, page_size=10_000).collect() == []
+    assert delete_by_query(spark, root, match_all=True) == 0
+
+    with pytest.raises(ValueError):
+        delete_by_query(spark, root)
