@@ -11,6 +11,7 @@ Pure-python/numpy properties — no SparkSession needed, so this module is fast.
 from __future__ import annotations
 
 import numpy as np
+import pytest
 import pandas as pd
 from hypothesis import given, settings, strategies as st
 
@@ -162,3 +163,156 @@ def test_encoder_blockmax_bound_holds(postings):
             t.astype(np.float64), l.astype(np.float64), 10.0, 1.2, 0.75
         )
         assert row.max_score_free >= factors.max() - 1e-12
+
+
+# ---------------------------------------------------------------------------
+# ES bool-query shard evaluator: random corpora through the REAL codec vs a
+# per-doc brute evaluator (conjunction / exclusion / phrase adjacency /
+# scoring / tombstones). Pure numpy+pandas — no SparkSession.
+# ---------------------------------------------------------------------------
+
+import math
+
+from es_indexer_spark.index.codec import encode_blocks, encode_positions
+from es_indexer_spark.query.boolean import _bool_shard_scorer
+
+_VOCAB = "abcdef"
+_K1, _B = 1.2, 0.75
+
+
+def _mk_block_frame(corpus: dict[int, list[str]], avgdl: float) -> pd.DataFrame:
+    """Encode a one-shard corpus into the scorer's block frame with the real
+    codec (block_size=3 forces multi-block posting lists)."""
+    rows = []
+    vocab = sorted({t for toks in corpus.values() for t in toks})
+    for term in vocab:
+        post = [
+            (d, [i for i, x in enumerate(toks) if x == term], len(toks))
+            for d, toks in sorted(corpus.items())
+            if term in toks
+        ]
+        docids = np.array([p[0] for p in post], dtype=np.uint64)
+        tfs = np.array([len(p[1]) for p in post], dtype=np.uint64)
+        dls = np.array([p[2] for p in post], dtype=np.uint64)
+        flat = np.array([i for p in post for i in p[1]], dtype=np.uint64)
+        tf_off = np.concatenate([[0], np.cumsum(tfs)]).astype(np.int64)
+        for bi, blk in enumerate(
+            encode_blocks(docids, tfs, dls, avgdl, _K1, _B, block_size=3)
+        ):
+            lo, hi = bi * 3, bi * 3 + blk["n"]
+            rows.append(
+                {
+                    "term": term,
+                    "gaps": blk["gaps"],
+                    "tfs": blk["tfs"],
+                    "dls": blk["dls"],
+                    "first_docid": blk["first_docid"],
+                    "poss": encode_positions(
+                        flat[tf_off[lo] : tf_off[hi]], tfs[lo:hi]
+                    ),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def _brute_bool(corpus, live, must, should, must_not, filt, phrase, idfs, avgdl, k):
+    scoring = sorted(set(must) | set(should))
+    out = []
+    for d in sorted(live):
+        toks = corpus[d]
+        ts = set(toks)
+        if must or filt or phrase:
+            if not all(t in ts for t in must) or not all(t in ts for t in filt):
+                continue
+            if phrase and not any(
+                toks[i : i + len(phrase)] == phrase
+                for i in range(len(toks) - len(phrase) + 1)
+            ):
+                continue
+        elif not any(t in ts for t in should):
+            continue
+        if any(t in ts for t in must_not):
+            continue
+        dl = float(len(toks))
+        s = 0.0
+        for t in scoring:
+            tf = float(toks.count(t))
+            if tf and t in idfs:
+                s += idfs[t] * tf * (_K1 + 1) / (tf + _K1 * (1 - _B + _B * dl / avgdl))
+        out.append((d, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+_tok_lists = st.lists(
+    st.sampled_from(list(_VOCAB[:5])), min_size=1, max_size=8
+)
+_clause = st.lists(st.sampled_from(list(_VOCAB)), max_size=2, unique=True)
+
+
+@given(
+    docs=st.lists(_tok_lists, min_size=1, max_size=12),
+    must=_clause,
+    should=_clause,
+    must_not=_clause,
+    filt=_clause,
+    phrase=st.one_of(
+        st.just([]),
+        st.lists(st.sampled_from(list(_VOCAB[:5])), min_size=2, max_size=2),
+    ),
+    tomb_mask=st.lists(st.booleans(), min_size=12, max_size=12),
+)
+@settings(max_examples=150, deadline=None)
+def test_bool_shard_scorer_matches_brute(
+    docs, must, should, must_not, filt, phrase, tomb_mask
+):
+    corpus = {i: d for i, d in enumerate(docs)}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n
+    found = {t for toks in corpus.values() for t in toks}
+
+    def df(t):
+        return sum(1 for toks in corpus.values() if t in toks)
+
+    idfs = {
+        t: math.log(1 + (n - df(t) + 0.5) / (df(t) + 0.5))
+        for t in set(must) | set(should)
+        if t in found
+    }
+    tomb_ids = sorted(i for i in corpus if tomb_mask[i])
+    tomb = np.array(tomb_ids, dtype=np.int64) if tomb_ids else None
+    live = set(corpus) - set(tomb_ids)
+    k = 5
+
+    # driver-side early exit: an absent required term kills the whole query
+    if any(t not in found for t in list(must) + list(filt) + list(phrase)):
+        expected = []
+    else:
+        expected = _brute_bool(
+            corpus, live, must, should, must_not, filt, phrase, idfs, avgdl, k
+        )
+    if not (must or should or filt or phrase):
+        expected = []
+
+    if expected or found:  # scorer call mirrors bool_query's filtered clauses
+        if any(t not in found for t in list(must) + list(filt) + list(phrase)):
+            got = []
+        else:
+            scorer = _bool_shard_scorer(
+                [t for t in must if t in found],
+                [t for t in should if t in found],
+                [t for t in must_not if t in found],
+                list(filt),
+                list(phrase),
+                idfs, _K1, _B, k, avgdl, tomb,
+            )
+            res = scorer(_mk_block_frame(corpus, avgdl))
+            got = [
+                (int(r.docid), float(r.score))
+                for r in res.itertuples(index=False)
+            ]
+            got.sort(key=lambda x: (-x[1], x[0]))
+    else:
+        got = []
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    assert [s for _, s in got] == pytest.approx([s for _, s in expected])
