@@ -157,10 +157,13 @@ def multi_match(
     match_type: str = "most_fields",
     tie_breaker: float = 0.0,
     lang: str | None = None,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Top-k (docid, score) of ``query`` across the boosted fields of a
     ``build_multi_index`` layout. ``match_type``: ``most_fields`` (sum) or
-    ``best_fields`` (dis-max with ``tie_breaker``)."""
+    ``best_fields`` (dis-max with ``tie_breaker``). ``synonyms``: search-time
+    acronym→expansion rules, applied per field through that field's analysis
+    chain — the same semantics as the single-field engine's ``topk``."""
     if match_type not in ("most_fields", "best_fields"):
         raise ValueError(f"unknown match_type: {match_type}")
     from es_indexer_spark.index.tombstones import tombstone_array
@@ -175,6 +178,18 @@ def multi_match(
         stats = catalog.read_stats(vdir)
         shard_sizes.add(stats["shard_size"])
         qterms = sorted(set(tokenize_one(query, stats["tokenizer"], lang=lang)))
+        if synonyms:
+            from es_indexer_spark.analysis.synonyms import expand_terms
+
+            qterms = sorted(
+                set(
+                    expand_terms(
+                        qterms,
+                        synonyms,
+                        lambda s: tokenize_one(s, stats["tokenizer"], lang=lang),
+                    )
+                )
+            )
         if not qterms:
             continue
         dict_rows = (

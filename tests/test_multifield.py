@@ -183,3 +183,14 @@ def test_shard_misalignment_rejected(spark, documents, tmp_path_factory):
     )
     with pytest.raises(ValueError, match="shard_size"):
         multi_match(spark, root, "data", boosts=BOOSTS)
+
+
+def test_multi_match_synonym_expansion(spark, multi_index):
+    """Search-time synonym expansion == querying the expansion directly
+    (same rule semantics as the single-field engine)."""
+    root, _ = multi_index
+    got = _run(
+        spark, root, "jw", boosts=BOOSTS, synonyms={"jw": ["join window"]}
+    )
+    exp = _run(spark, root, "join window", boosts=BOOSTS)
+    assert got and got == exp
