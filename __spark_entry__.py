@@ -534,6 +534,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bm25_search_after"] = _bm25_page2
+    # Lucene _explain: per-term BM25 breakdown for one (query, doc) pair
+    def _explain(spark: SparkSession, sf: str) -> DataFrame:
+        from es_indexer_spark.query.engine import explain
+
+        return explain(spark, _index_root(spark, sf), "spark join window", 42).select(
+            "term",
+            "tf",
+            "df",
+            "doc_len",
+            F.round("idf", 6).alias("idf"),
+            F.round("contribution", 6).alias("contribution"),
+        )
+
+    q["explain_score"] = _explain
     # ES `terms` facet aggregation over a stored keyword field
     q["facet_lang"] = lambda spark, sf: facet_counts(
         spark, _index_root(spark, sf), "lang", size=10
@@ -773,7 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_must_not", "bool_filter_phrase",
         "multi_match_most", "multi_match_best",
         "term_keyword", "term_count", "analyze_tokens",
-        "bm25_search_after", "facet_lang",
+        "bm25_search_after", "facet_lang", "explain_score",
         "bbox_union", "error_routing", "doc_json", "ring_orientation",
         "point_geojson", "polygon_geojson", "geoxml_extract",
         "bm25_topk_batch", "windowed_counts",
@@ -929,6 +943,21 @@ SELECT d.doc_id, COALESCE(dl.dl, 0)::BIGINT AS doc_len, sha256(d.text) AS sha256
 FROM documents d LEFT JOIN dl USING (doc_id) WHERE d.doc_id IN (3, 7, 42, 99)
 """
     o["bm25_search_after"] = _bm25_sql(["join", "spark", "window"], offset=10)
+    o["explain_score"] = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM t2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM t2 GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              ((SELECT COALESCE(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents))::DOUBLE AS avgdl),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+SELECT tf.term, tf.tf::BIGINT AS tf, dfq.df::BIGINT AS df, dl.dl::BIGINT AS doc_len,
+       round(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)), 6) AS idf,
+       round(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+             tf.tf * {K1 + 1} / (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / st.avgdl)), 6) AS contribution
+FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+WHERE tf.doc_id = 42 AND tf.term IN ('join', 'spark', 'window')
+"""
     o["facet_lang"] = """
 SELECT lang, count(*)::BIGINT AS doc_count FROM documents
 GROUP BY lang ORDER BY doc_count DESC, lang ASC LIMIT 10

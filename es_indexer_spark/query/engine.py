@@ -408,6 +408,108 @@ def topk_many(
     )
 
 
+_EXPLAIN_SCHEMA = (
+    "term string, tf long, df long, doc_len long, idf double, contribution double"
+)
+
+
+def explain(
+    spark: SparkSession,
+    index_root: str,
+    query: str,
+    docid: int,
+    *,
+    lang: str | None = None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Lucene's ``_explain`` API: the per-term BM25 breakdown of ``docid``'s
+    score for ``query`` — one row per matched term with the exact tf, df,
+    idf, and contribution the ranked scorer uses (Σ contribution == the
+    ``topk`` score, bit-identical: same float64 expression).
+
+    Physical shape: dictionary lookup (cached), then the postings scan is
+    pruned THREE ways — bucket partition dirs, the term filter, and the
+    single shard ``docid`` lives in (shard = docid // shard_size) plus the
+    block [first_docid, last_docid] range — so explaining one doc reads a
+    handful of blocks no matter the corpus size. Tombstoned docs explain to
+    zero rows (they are gone from every read surface)."""
+    from es_indexer_spark.index.tombstones import tombstone_array, live_mask
+
+    vdir = catalog.resolve(index_root)
+    stats = catalog.read_stats(vdir)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    k1, b = stats["k1"], stats["b"]
+    docid = int(docid)
+    tomb = tombstone_array(spark, vdir)
+    if tomb is not None:
+        m = live_mask(tomb, np.array([docid], dtype=np.int64))
+        if m is not None and not m[0]:
+            return spark.createDataFrame([], _EXPLAIN_SCHEMA)
+
+    qterms = sorted(set(tokenize_one(query, stats["tokenizer"], lang=lang)))
+    if synonyms:
+        from es_indexer_spark.analysis.synonyms import expand_terms
+
+        qterms = sorted(
+            set(
+                expand_terms(
+                    qterms,
+                    synonyms,
+                    lambda s: tokenize_one(s, stats["tokenizer"], lang=lang),
+                )
+            )
+        )
+    if not qterms:
+        return spark.createDataFrame([], _EXPLAIN_SCHEMA)
+    dict_rows = _dict_df(spark, vdir).filter(F.col("term").isin(qterms)).collect()
+    if not dict_rows:
+        return spark.createDataFrame([], _EXPLAIN_SCHEMA)
+    idfs = {r["term"]: lucene_idf(n_docs, r["df"]) for r in dict_rows}
+    dfs = {r["term"]: int(r["df"]) for r in dict_rows}
+    buckets = sorted({r["bucket"] for r in dict_rows})
+    shard = docid // stats["shard_size"]
+
+    blocks = (
+        _load_blocks(spark, vdir, sorted(idfs), buckets)
+        .filter(
+            (F.col("shard") == shard)
+            & (F.col("first_docid") <= docid)
+            & (F.col("last_docid") >= docid)
+        )
+        .select("term", "gaps", "tfs", "dls", "first_docid")
+    )
+
+    def expl(it):
+        for pdf in it:
+            terms, tfl, dll = [], [], []
+            for row in pdf.itertuples(index=False):
+                d, t, l = decode_block(row.gaps, row.tfs, row.dls, row.first_docid)
+                hit = np.nonzero(d.astype(np.int64) == docid)[0]
+                if hit.size:
+                    terms.append(row.term)
+                    tfl.append(int(t[hit[0]]))
+                    dll.append(int(l[hit[0]]))
+            yield pd.DataFrame({"term": terms, "tf": tfl, "doc_len": dll})
+
+    rows = blocks.mapInPandas(expl, "term string, tf long, doc_len long")
+    # ≤|q|-row dictionary side, broadcast — no Python in the plan
+    dict_small = spark.createDataFrame(
+        [(t, dfs[t], float(idfs[t])) for t in sorted(idfs)],
+        "term string, df long, idf double",
+    )
+    tf, dl = F.col("tf").cast("double"), F.col("doc_len").cast("double")
+    return (
+        rows.join(F.broadcast(dict_small), "term")
+        .withColumn(
+            "contribution",
+            F.col("idf") * tf * F.lit(k1 + 1.0)
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))),
+        )
+        .select("term", "tf", "df", "doc_len", "idf", "contribution")
+        .orderBy(F.asc("term"))
+    )
+
+
 def fetch_docs(spark: SparkSession, index_root: str, topk_df: DataFrame) -> DataFrame:
     """Join the ≤k scored docids back to the doc table (broadcast the k-row side —
     SURVEY.md J6; the docid point-filter prunes parquet row groups because docs are

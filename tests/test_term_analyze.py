@@ -73,6 +73,10 @@ def test_term_query_respects_tombstones(spark, documents, tmp_path_factory):
         for r in facet_counts(spark, root, "lang", size=10).collect()
     }
     assert facets["en"] == len(before) - 2
+    # a tombstoned doc explains to zero rows (gone from every read surface)
+    from es_indexer_spark.query.engine import explain
+
+    assert explain(spark, root, "spark join window", before[0]).collect() == []
 
 
 def test_facet_counts_terms_agg(spark, documents, term_index):
@@ -130,6 +134,35 @@ def test_ranked_search_after_ties_and_end(spark, term_index):
         after=(-1.0, 1 << 40),
     ).collect()
     assert tail == []
+
+
+def test_explain_breakdown_sums_to_topk_score(spark, documents, term_index):
+    """_explain: per-term rows reproduce tf/df exactly and sum to the ranked
+    score bit-identically (same float64 expression as the scorer)."""
+    from es_indexer_spark.query.engine import explain
+
+    hits = topk(spark, term_index, "spark join window", k=3).collect()
+    top = hits[0]
+    rows = explain(spark, term_index, "spark join window", top["docid"]).collect()
+    assert sum(r["contribution"] for r in rows) == pytest.approx(
+        top["score"], abs=1e-12
+    )
+    doc = documents.filter(f"doc_id = {top['docid']}").collect()[0]
+    toks = tokenize_one(doc["text"], "standard")
+    for r in rows:
+        assert r["tf"] == toks.count(r["term"])
+        assert r["doc_len"] == len(toks)
+    # df is the corpus-wide document frequency
+    all_toks = {
+        d["doc_id"]: set(tokenize_one(d["text"], "standard"))
+        for d in documents.collect()
+    }
+    for r in rows:
+        assert r["df"] == sum(1 for s in all_toks.values() if r["term"] in s)
+    # absent query -> no rows
+    from es_indexer_spark.query.engine import explain as _e
+
+    assert _e(spark, term_index, "zzznope", top["docid"]).collect() == []
 
 
 def test_analyze_standard_matches_python_chain(spark, documents):
