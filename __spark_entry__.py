@@ -511,6 +511,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang",
         "source",
     )
+    # ES prefix query (constant-score rewrite, dictionary expansion)
+    def _prefix_q(spark: SparkSession, sf: str) -> DataFrame:
+        from es_indexer_spark.query.suggest import prefix_query
+
+        return prefix_query(spark, _index_root(spark, sf), "dup", k=100_000).select(
+            F.col("docid").alias("doc_id"), "score"
+        )
+
+    q["prefix_query_docs"] = _prefix_q
     q["suggest_prefix"] = lambda spark, sf: suggest_prefix(
         spark, _index_root(spark, sf), "d", k=10
     )
@@ -787,7 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_must_not", "bool_filter_phrase",
         "multi_match_most", "multi_match_best",
         "term_keyword", "term_count", "analyze_tokens",
-        "bm25_search_after", "facet_lang", "explain_score",
+        "bm25_search_after", "facet_lang", "explain_score", "prefix_query_docs",
         "bbox_union", "error_routing", "doc_json", "ring_orientation",
         "point_geojson", "polygon_geojson", "geoxml_extract",
         "bm25_topk_batch", "windowed_counts",
@@ -861,6 +870,11 @@ topk AS (SELECT doc_id, round(score_raw::DOUBLE, 4) AS score
          FROM raw ORDER BY score_raw DESC, doc_id ASC LIMIT 10)
 SELECT t.doc_id, t.score, COALESCE(dl.dl, 0)::BIGINT AS doc_len, d.lang, d.source
 FROM topk t JOIN documents d USING (doc_id) LEFT JOIN dl USING (doc_id)
+"""
+    o["prefix_query_docs"] = """
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents)
+SELECT doc_id, 1.0 AS score FROM (SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'dup%')
+ORDER BY doc_id ASC LIMIT 100000
 """
     o["suggest_prefix"] = """
 WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),

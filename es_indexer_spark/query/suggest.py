@@ -48,6 +48,78 @@ def suggest_prefix(
     )
 
 
+def prefix_query(
+    spark: SparkSession,
+    index_root: str,
+    prefix: str,
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES ``prefix`` query with Lucene's constant-score rewrite: expand the
+    prefix against the term dictionary (capped at ``max_expansions`` like
+    Lucene's top-terms rewrites, highest-df terms kept — the cap is what
+    keeps a one-letter prefix from exploding into the whole vocabulary at
+    scale), then return docs containing ANY expansion, constant score 1.0,
+    docid-ordered.
+
+    Physical shape: the dict prefix scan is a contiguous row-group range of
+    the term-sorted parquet; the postings scan is bucket-dir pruned + term
+    pushed exactly like the ranked path; distinct docids come from a
+    map-side-combined aggregation over decoded blocks. Tombstoned docs are
+    dropped at decode, same as every scorer."""
+    import numpy as np
+    import pandas as pd
+
+    from es_indexer_spark.index.tombstones import live_mask, tombstone_array
+
+    vdir = catalog.resolve(index_root)
+    p = prefix.lower()
+    d = spark.read.parquet(os.path.join(vdir, "dict"))
+    exp = (
+        d.filter(F.col("term").startswith(p))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    if not exp:
+        return spark.createDataFrame([], "docid long, score double")
+    terms = sorted(r["term"] for r in exp)
+    buckets = sorted({r["bucket"] for r in exp})
+    tomb = tombstone_array(spark, vdir)
+    from es_indexer_spark.index.codec import decode_block
+    from es_indexer_spark.query.engine import _load_blocks
+
+    def docids(it):
+        for pdf in it:
+            parts = []
+            for row in pdf.itertuples(index=False):
+                dd, _t, _l = decode_block(
+                    row.gaps, row.tfs, row.dls, row.first_docid
+                )
+                d64 = dd.astype(np.int64)
+                if tomb is not None:
+                    keep = live_mask(tomb, d64)
+                    if keep is not None and not keep.all():
+                        d64 = d64[keep]
+                parts.append(d64)
+            u = (
+                np.unique(np.concatenate(parts))
+                if parts
+                else np.array([], dtype=np.int64)
+            )
+            yield pd.DataFrame({"docid": u})
+
+    hits = _load_blocks(spark, vdir, terms, buckets).mapInPandas(
+        docids, "docid long"
+    )
+    return (
+        hits.distinct()
+        .select("docid", F.lit(1.0).alias("score"))
+        .orderBy(F.asc("docid"))
+        .limit(k)
+    )
+
+
 def phrase_suggestions(
     df: DataFrame,
     id_col: str,

@@ -201,3 +201,41 @@ def test_positional_index_scores_unchanged(spark, documents, pos_index):
     assert [(r["docid"]) for r in got] == [(r["docid"]) for r in want]
     for g, w in zip(got, want):
         assert g["score"] == pytest.approx(w["score"], abs=1e-9)
+
+
+def test_prefix_query_constant_score(spark, documents, pos_index):
+    """ES prefix query: docs containing ANY dictionary expansion of the
+    prefix, constant score 1.0 (Lucene constant-score rewrite)."""
+    from es_indexer_spark.query.suggest import prefix_query
+
+    got = prefix_query(spark, pos_index, "d", k=10_000).collect()
+    exp = {
+        r["doc_id"]
+        for r in documents.collect()
+        if any(
+            t.startswith("d")
+            for t in tokenize_one(r["text"], "standard")
+        )
+    }
+    assert {r["docid"] for r in got} == exp
+    assert all(r["score"] == 1.0 for r in got)
+    # docid-ordered
+    ids = [r["docid"] for r in got]
+    assert ids == sorted(ids)
+    # absent prefix -> empty
+    assert prefix_query(spark, pos_index, "zzz").collect() == []
+
+
+def test_prefix_query_expansion_cap(spark, documents, pos_index):
+    """max_expansions keeps only the highest-df expansions (Lucene
+    top-terms rewrite): capped result must be a subset of the full one."""
+    from es_indexer_spark.query.suggest import prefix_query
+
+    full = {r["docid"] for r in prefix_query(spark, pos_index, "s", k=10_000).collect()}
+    capped = {
+        r["docid"]
+        for r in prefix_query(
+            spark, pos_index, "s", k=10_000, max_expansions=1
+        ).collect()
+    }
+    assert capped and capped <= full
