@@ -227,6 +227,40 @@ FROM raw {final_where} ORDER BY score_raw DESC, doc_id ASC LIMIT {k} OFFSET {off
 """
 
 
+_JACCARD_PAIRS_CTE = """
+toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id, g AS shingle
+       FROM toks, unnest(CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+                              ELSE [array_to_string(t[i:i+1], ' ') for i in range(1, len(t) - 1 + 1)] END) AS u(g)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+pr AS (SELECT doc1, doc2 FROM inter
+       JOIN sizes s1 ON doc1 = s1.doc_id JOIN sizes s2 ON doc2 = s2.doc_id
+       WHERE i::DOUBLE / (s1.n + s2.n - i) >= 0.5)
+"""
+
+
+def _cc_sql(select: str, steps: int = 5) -> str:
+    """Connected components over the jaccard pair graph: ``steps`` unrolled
+    Hash-Min rounds (min label within distance ``steps``; near-dup clusters
+    are near-cliques, so this converges with margin — the Spark side runs to
+    an exact convergence check and the hash equality confirms both settled)."""
+    parts = [
+        "WITH " + _JACCARD_PAIRS_CTE.strip() + """,
+edges AS (SELECT doc1 AS a, doc2 AS b FROM pr UNION SELECT doc2, doc1 FROM pr),
+l0 AS (SELECT a AS node, a AS label FROM (SELECT DISTINCT a FROM edges))"""
+    ]
+    for s in range(1, steps + 1):
+        parts.append(f""",
+l{s} AS (SELECT l.node, least(l.label, COALESCE(m.nl, l.label)) AS label
+       FROM l{s - 1} l LEFT JOIN (SELECT e.a AS node, min(x.label) AS nl
+                            FROM edges e JOIN l{s - 1} x ON x.node = e.b GROUP BY e.a) m USING (node))""")
+    parts.append("\n" + select.replace("__L__", f"l{steps}"))
+    return "".join(parts)
+
+
 def _multifield_sql(query_terms: list[str], match_type: str, tie: float, k: int = 10) -> str:
     """ES multi_match oracle (query/multifield.py) over title^2 + text, where
     ``title`` = first 8 tokens of text (derived identically on both sides).
@@ -610,6 +644,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(spark, sf), "vec_id", "embedding", threshold=0.4, tile_size=256
     )
 
+    # pairs -> clusters: connected components + canonical survivor selection
+    def _components(spark, sf):
+        from es_indexer_spark.ops.dedup import dedup_components
+
+        return dedup_components(_docs(spark, sf), "doc_id", "text")
+
+    def _survivors(spark, sf):
+        from es_indexer_spark.ops.dedup import dedup_survivors
+
+        return dedup_survivors(_docs(spark, sf), "doc_id", "text").select("doc_id")
+
+    q["dedup_clusters"] = _components
+    q["dedup_survivor_ids"] = _survivors
+
     # ---- similarity search -------------------------------------------------------
     def _qvec(spark, sf):
         return [float(x) for x in _emb(spark, sf).filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
@@ -797,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_most", "multi_match_best",
         "term_keyword", "term_count", "analyze_tokens",
         "bm25_search_after", "facet_lang", "explain_score", "prefix_query_docs",
+        "dedup_clusters", "dedup_survivor_ids",
         "bbox_union", "error_routing", "doc_json", "ring_orientation",
         "point_geojson", "polygon_geojson", "geoxml_extract",
         "bm25_topk_batch", "windowed_counts",
@@ -871,6 +920,14 @@ topk AS (SELECT doc_id, round(score_raw::DOUBLE, 4) AS score
 SELECT t.doc_id, t.score, COALESCE(dl.dl, 0)::BIGINT AS doc_len, d.lang, d.source
 FROM topk t JOIN documents d USING (doc_id) LEFT JOIN dl USING (doc_id)
 """
+    o["dedup_clusters"] = _cc_sql(
+        "SELECT node AS doc_id, label AS component FROM __L__"
+    )
+    o["dedup_survivor_ids"] = _cc_sql(
+        """SELECT d.doc_id FROM documents d
+LEFT JOIN (SELECT node FROM __L__ WHERE label <> node) x ON d.doc_id = x.node
+WHERE x.node IS NULL"""
+    )
     o["prefix_query_docs"] = """
 WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents)
 SELECT doc_id, 1.0 AS score FROM (SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'dup%')

@@ -549,3 +549,110 @@ def embedding_cosine_pairs(
         .cogroup(b.groupby("cid"))
         .applyInPandas(compare, "doc1 long, doc2 long, cosine double")
     )
+
+
+# ---------------------------------------------------------------------------
+# pairs -> clusters: the step a training-data dedup pipeline runs AFTER pair
+# generation (exact/jaccard/minhash/simhash/cosine all emit pairs).
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    col1: str = "doc1",
+    col2: str = "doc2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, component) for every node in ``pairs`` — component = the
+    minimum doc_id reachable through the near-duplicate graph (Hash-Min
+    label propagation, the standard map-reduce connected-components
+    construction).
+
+    Scale shape: each round is ONE shuffle join (edges x labels) plus a
+    map-side-combined min aggregation, and the loop runs O(max component
+    eccentricity) rounds with an exact distributed convergence check (count
+    of changed labels). Near-duplicate components are near-cliques (every
+    member pairs with most others), so 2-3 rounds is typical no matter the
+    corpus size; a pathological chain still terminates in diameter rounds,
+    bounded by ``max_iter``. Nodes in no pair are singletons and are not
+    emitted (their component is trivially themselves)."""
+    e = pairs.select(
+        F.col(col1).cast("long").alias("a"), F.col(col2).cast("long").alias("b")
+    )
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(
+                    labels.select(F.col("node").alias("b"), "label"), "b"
+                )
+                .groupBy("a")
+                .agg(F.min("label").alias("nl"))
+                .withColumnRenamed("a", "node")
+            )
+            new_labels = (
+                labels.withColumnRenamed("label", "old")
+                .join(nbr_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("old"), F.coalesce("nl", "old")).alias("label"),
+                    "old",
+                )
+                .persist()
+            )
+            changed = new_labels.filter(F.col("label") != F.col("old")).count()
+            labels.unpersist()
+            labels = new_labels.select("node", "label").persist()
+            new_labels.unpersist()
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("component")
+        )
+    finally:
+        edges.unpersist()
+
+
+def dedup_components(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id, component) clusters of near-duplicate docs via n-gram Jaccard
+    pairs + connected components."""
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    return connected_components(pairs)
+
+
+def dedup_survivors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """``df`` minus non-canonical near-duplicates: each cluster keeps only its
+    min-id member (the deterministic canonical choice); singletons all
+    survive. The final filter is a left-anti join against the drop set
+    (doc_id != component); AQE picks broadcast when the drop set is small and
+    falls back to a shuffled anti-join for heavily-duplicated corpora, so the
+    plan is safe at either extreme."""
+    comps = dedup_components(df, id_col, text_col, n=n, threshold=threshold)
+    losers = comps.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -343,3 +343,73 @@ def test_token_counts_bpe_matches_re_reference(spark):
     }
     assert got == want
     assert want[0] == 3 and want[3] == 0 and want[4] == 0
+
+
+# ---- pairs -> clusters (connected components + survivor selection) ----------
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A diameter-4 chain forces >1 propagation round; min label wins."""
+    from es_indexer_spark.ops.dedup import connected_components
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(pairs, "doc1 long, doc2 long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_dedup_components_matches_union_find(spark, documents):
+    from es_indexer_spark.ops.dedup import dedup_components, ngram_jaccard_pairs
+
+    pairs = [
+        (r["doc1"], r["doc2"])
+        for r in ngram_jaccard_pairs(
+            documents, "doc_id", "text", n=2, threshold=0.5
+        ).collect()
+    ]
+    assert pairs  # corpus has near-dups by construction
+    exp = _union_find(pairs)
+    got = {
+        r["doc_id"]: r["component"]
+        for r in dedup_components(documents, "doc_id", "text").collect()
+    }
+    assert got == exp
+
+
+def test_dedup_survivors_keep_canonical(spark, documents):
+    from es_indexer_spark.ops.dedup import dedup_survivors, ngram_jaccard_pairs
+
+    pairs = [
+        (r["doc1"], r["doc2"])
+        for r in ngram_jaccard_pairs(
+            documents, "doc_id", "text", n=2, threshold=0.5
+        ).collect()
+    ]
+    comp = _union_find(pairs)
+    drop = {d for d, c in comp.items() if d != c}
+    all_ids = {r["doc_id"] for r in documents.select("doc_id").collect()}
+    got = {
+        r["doc_id"]
+        for r in dedup_survivors(documents, "doc_id", "text").collect()
+    }
+    assert got == all_ids - drop
