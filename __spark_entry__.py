@@ -554,6 +554,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["prefix_query_docs"] = _prefix_q
+
+    # ES fuzzy query (Levenshtein expansion, similarity-boosted BM25)
+    def _fuzzy(spark: SparkSession, sf: str) -> DataFrame:
+        from es_indexer_spark.query.engine import fuzzy_topk
+
+        return fuzzy_topk(spark, _index_root(spark, sf), "strea", k=10).select(
+            F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+
+    q["fuzzy_match"] = _fuzzy
     q["suggest_prefix"] = lambda spark, sf: suggest_prefix(
         spark, _index_root(spark, sf), "d", k=10
     )
@@ -845,7 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_most", "multi_match_best",
         "term_keyword", "term_count", "analyze_tokens",
         "bm25_search_after", "facet_lang", "explain_score", "prefix_query_docs",
-        "dedup_clusters", "dedup_survivor_ids",
+        "dedup_clusters", "dedup_survivor_ids", "fuzzy_match",
         "bbox_union", "error_routing", "doc_json", "ring_orientation",
         "point_geojson", "polygon_geojson", "geoxml_extract",
         "bm25_topk_batch", "windowed_counts",
@@ -928,6 +938,29 @@ FROM topk t JOIN documents d USING (doc_id) LEFT JOIN dl USING (doc_id)
 LEFT JOIN (SELECT node FROM __L__ WHERE label <> node) x ON d.doc_id = x.node
 WHERE x.node IS NULL"""
     )
+    o["fuzzy_match"] = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM t2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM t2 GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              ((SELECT COALESCE(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents))::DOUBLE AS avgdl),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+exp AS (SELECT term, df,
+               1.0 - levenshtein(term, 'strea')::DOUBLE / greatest(5, length(term)) AS boost
+        FROM dfq
+        WHERE term LIKE 's%' AND length(term) BETWEEN 4 AND 6
+          AND levenshtein(term, 'strea') <= 1
+        ORDER BY df DESC, term ASC LIMIT 50),
+raw AS (
+  SELECT tf.doc_id,
+         sum(exp.boost * ln(1 + (st.n - exp.df + 0.5) / (exp.df + 0.5)) *
+             tf.tf * {K1 + 1} / (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / st.avgdl))) AS score_raw
+  FROM tf JOIN exp USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score_raw::DOUBLE, 4) AS score
+FROM raw ORDER BY score_raw DESC, doc_id ASC LIMIT 10
+"""
     o["prefix_query_docs"] = """
 WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents)
 SELECT doc_id, 1.0 AS score FROM (SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'dup%')

@@ -408,6 +408,86 @@ def topk_many(
     )
 
 
+def fuzzy_topk(
+    spark: SparkSession,
+    index_root: str,
+    term: str,
+    k: int = 10,
+    *,
+    fuzziness: int = 1,
+    prefix_length: int = 1,
+    max_expansions: int = 50,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``fuzzy`` query: expand ``term`` against the dictionary within
+    ``fuzziness`` edits, then rank the disjunction with each expansion's BM25
+    contribution damped by the Lucene-style similarity boost
+    ``1 - distance / max(len(term), len(expansion))`` (exact matches boost 1).
+
+    Expansion stays JVM-side and pruned: ``prefix_length`` (Lucene's default
+    guard) becomes a ``startswith`` range over the term-sorted dict parquet
+    (row-group pruning), a length-window pre-filter bounds the candidates,
+    and ``F.levenshtein`` runs in whole-stage codegen — no Python, no full
+    vocabulary materialized on the driver. ``max_expansions`` keeps the
+    highest-df expansions, like every Lucene multi-term rewrite. Scoring
+    reuses the ranked shard scorer with the boost folded into each
+    expansion's idf (contribution is linear in idf)."""
+    from es_indexer_spark.index.tombstones import tombstone_array
+
+    vdir = catalog.resolve(index_root)
+    stats = catalog.read_stats(vdir)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    k1, b = stats["k1"], stats["b"]
+    toks = tokenize_one(term, stats["tokenizer"], lang=lang)
+    if len(toks) != 1:
+        raise ValueError("fuzzy_topk takes a single analyzed term")
+    t = toks[0]
+    prefix = t[:prefix_length]
+    d = _dict_df(spark, vdir)
+    cand = d
+    if prefix:
+        cand = cand.filter(F.col("term").startswith(prefix))
+    exp = (
+        cand.filter(
+            (F.length("term") >= len(t) - fuzziness)
+            & (F.length("term") <= len(t) + fuzziness)
+            & (F.levenshtein(F.col("term"), F.lit(t)) <= fuzziness)
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    if not exp:
+        return spark.createDataFrame([], _SCORE_SCHEMA)
+    tomb = tombstone_array(spark, vdir)
+    idfs = {}
+    for r in exp:
+        dist = _levenshtein(t, r["term"])
+        boost = 1.0 - dist / max(len(t), len(r["term"]))
+        idfs[r["term"]] = boost * lucene_idf(n_docs, r["df"])
+    buckets = sorted({r["bucket"] for r in exp})
+    blocks = _load_blocks(spark, vdir, sorted(idfs), buckets)
+    scored = blocks.groupBy("shard").applyInPandas(
+        _shard_scorer(idfs, k1, b, float("-inf"), k, avgdl, tomb), _SCORE_SCHEMA
+    )
+    return scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Plain DP edit distance for the ≤max_expansions driver-side boosts."""
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
 _EXPLAIN_SCHEMA = (
     "term string, tf long, df long, doc_len long, idf double, contribution double"
 )

@@ -187,3 +187,37 @@ def test_analyze_code_tokenizer_chain(spark):
     ]
     assert toks == tokenize_one("parseHttpRequest snake_case_id x9", "code", lang="java")
     assert "parse" in toks and "http" in toks  # camelCase split happened
+
+def test_fuzzy_topk_single_edit(spark, term_index):
+    """'strea' expands (within 1 edit, prefix 's') to exactly 'stream': same
+    ranking as topk('stream'), scores damped by the boost 1 - 1/6."""
+    from es_indexer_spark.query.engine import fuzzy_topk
+
+    got = [
+        (r["docid"], r["score"])
+        for r in fuzzy_topk(spark, term_index, "strea", k=10).collect()
+    ]
+    exact = [
+        (r["docid"], r["score"])
+        for r in topk(spark, term_index, "stream", k=10).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in exact]
+    boost = 1.0 - 1.0 / 6.0
+    assert [s for _, s in got] == pytest.approx([boost * s for _, s in exact])
+
+
+def test_fuzzy_topk_exact_and_edges(spark, term_index):
+    from es_indexer_spark.query.engine import fuzzy_topk
+
+    got = [
+        (r["docid"], r["score"])
+        for r in fuzzy_topk(spark, term_index, "stream", fuzziness=0).collect()
+    ]
+    exact = [
+        (r["docid"], r["score"])
+        for r in topk(spark, term_index, "stream", k=10).collect()
+    ]
+    assert got == exact
+    assert fuzzy_topk(spark, term_index, "zzzz").collect() == []
+    with pytest.raises(ValueError, match="single"):
+        fuzzy_topk(spark, term_index, "two words")
