@@ -268,6 +268,47 @@ def main() -> int:
         ],
     ))
 
+    # 14. connected-components round: edges x labels shuffle join + map-side
+    # combined min agg — no cartesian, partial aggregation present
+    from es_indexer_spark.ops.dedup import connected_components
+
+    cc_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc1 long, doc2 long"
+    )
+    p = formatted(connected_components(cc_pairs, max_iter=1))
+    sections.append((
+        "connected_components round (Hash-Min label propagation)",
+        p,
+        [
+            ("no CartesianProduct", "CartesianProduct" not in p),
+            ("no BroadcastNestedLoopJoin", "BroadcastNestedLoopJoin" not in p),
+            ("map-side partial min agg", "partial_min" in p or "partial" in p.lower()),
+        ],
+    ))
+
+    # 15. fuzzy/prefix dictionary expansion: in production the dict is the
+    # engine's persisted per-version cache (_dict_df), so the StartsWith +
+    # levenshtein filter applies on the InMemoryTableScan (and would push to
+    # parquet on a cold read); levenshtein stays inside whole-stage codegen
+    dict_df = spark.read.parquet(os.path.join(vdir, "dict"))
+    p = formatted(
+        dict_df.filter(
+            F.col("term").startswith("s")
+            & (F.levenshtein(F.col("term"), F.lit("strea")) <= 1)
+        )
+    )
+    sections.append((
+        "fuzzy/prefix dictionary expansion (cached dict scan + codegen levenshtein)",
+        p,
+        [
+            ("StartsWith filters the (cached) dict scan",
+             "StartsWith" in p and ("PushedFilters" in p or "InMemoryTableScan" in p)),
+            ("levenshtein evaluated in codegen",
+             "levenshtein" in p and re.search(r"Filter \[codegen id", p) is not None),
+            ("no shuffle in the expansion", "Exchange" not in p),
+        ],
+    ))
+
     failures = 0
     lines = [
         "# PLANS — physical-plan audit evidence",
