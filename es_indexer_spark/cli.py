@@ -33,7 +33,14 @@ Jobs:
 - ``suggest`` — prefix suggestions from the dictionary (search_as_you_type analog);
 - ``phrase``  — positional phrase match (requires an index built with positions);
 - ``merge``   — metadata-speed segment merge of ``--delta`` into ``--index``
-  (append-only; the incremental-ingest publish step).
+  (append-only; the incremental-ingest publish step);
+- ``bool``    — ES bool DSL (``--must/--should/--must-not/--filter-phrase``);
+- ``fuzzy``   — Levenshtein-expanded term query (``--fuzziness``);
+- ``prefix``  — constant-score prefix query;
+- ``explain`` — per-term BM25 breakdown for ``--query`` + ``--docid``;
+- ``delete-query`` — tombstone every live doc matching ``--field/--value``,
+  ``--must``/``--filter-phrase``, or ``--match-all``;
+- ``delete`` / ``compact`` — id-list tombstones / physical purge.
 """
 
 from __future__ import annotations
@@ -53,8 +60,20 @@ def build_parser() -> argparse.ArgumentParser:
         "--job",
         required=True,
         choices=["build", "resume", "query", "batch", "suggest", "phrase", "merge",
-                 "delete", "compact"],
+                 "delete", "compact", "bool", "fuzzy", "prefix", "explain",
+                 "delete-query"],
     )
+    p.add_argument("--must", type=_csv, default=[], help="bool/delete-query clauses")
+    p.add_argument("--should", type=_csv, default=[], help="bool job clauses")
+    p.add_argument("--must-not", type=_csv, default=[], help="bool job clauses")
+    p.add_argument("--filter-phrase", default=None,
+                   help="bool/delete-query: match_phrase in filter context")
+    p.add_argument("--docid", type=int, default=None, help="explain job target doc")
+    p.add_argument("--field", default=None, help="delete-query: term field")
+    p.add_argument("--value", default=None, help="delete-query: term value")
+    p.add_argument("--match-all", action="store_true",
+                   help="delete-query: tombstone every live doc")
+    p.add_argument("--fuzziness", type=int, default=1, help="fuzzy job max edits")
     p.add_argument(
         "--ids", type=_csv, default=None,
         help="delete job: comma-separated docids to tombstone "
@@ -186,6 +205,53 @@ def main(argv: list[str] | None = None) -> int:
             vdir = merge_indexes(spark, args.index, args.delta)
             meta = catalog.ckpt_read(vdir, "_PUBLISHED")
             print(json.dumps({"job": "merge", "version_dir": vdir, **meta}))
+        elif args.job == "bool":
+            from es_indexer_spark.query.boolean import bool_query
+
+            hits = bool_query(
+                spark, args.index,
+                must=args.must, should=args.should, must_not=args.must_not,
+                filter_phrase=args.filter_phrase, k=args.k, lang=args.lang,
+            )
+            for r in hits.collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.job == "fuzzy":
+            from es_indexer_spark.query.engine import fuzzy_topk
+
+            if not args.query:
+                print("--query required", file=sys.stderr)
+                return 2
+            hits = fuzzy_topk(
+                spark, args.index, args.query, k=args.k,
+                fuzziness=args.fuzziness, lang=args.lang,
+            )
+            for r in hits.collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.job == "prefix":
+            from es_indexer_spark.query.suggest import prefix_query
+
+            if not args.query:
+                print("--query required", file=sys.stderr)
+                return 2
+            for r in prefix_query(spark, args.index, args.query, k=args.k).collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.job == "explain":
+            from es_indexer_spark.query.engine import explain
+
+            if not args.query or args.docid is None:
+                print("--query and --docid required", file=sys.stderr)
+                return 2
+            for r in explain(spark, args.index, args.query, args.docid).collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.job == "delete-query":
+            from es_indexer_spark.index.tombstones import delete_by_query
+
+            n = delete_by_query(
+                spark, args.index,
+                field=args.field, value=args.value, must=args.must,
+                filter_phrase=args.filter_phrase, match_all=args.match_all,
+            )
+            print(json.dumps({"job": "delete-query", "deleted": n}))
         elif args.job == "delete":
             from es_indexer_spark.index.tombstones import delete_docs
 

@@ -114,3 +114,51 @@ def test_cli_delete_and_compact(spark, tmp_path, capsys):
     assert rc == 0
     hits = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert top1 not in {h["docid"] for h in hits}
+
+
+def test_cli_round3_query_jobs(spark, tmp_path, capsys):
+    """bool / fuzzy / prefix / explain / delete-query dispatch."""
+    root = str(tmp_path / "idx_r3")
+    src = os.path.join(SF_DIR, "documents.parquet")
+    rc = main(
+        ["--job", "build", "--input", src, "--index", root,
+         "--content-col", "text", "--id-col", "doc_id",
+         "--tokenizer", "standard", "--n-buckets", "4", "--ckpt-batches", "2",
+         "--store-positions"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main(["--job", "bool", "--index", root, "--must", "data",
+               "--should", "stream,batch", "--must-not", "key", "-k", "3"])
+    assert rc == 0
+    hits = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(hits) == 3 and hits[0]["score"] >= hits[1]["score"]
+
+    rc = main(["--job", "bool", "--index", root, "--must", "customer",
+               "--filter-phrase", "data stream", "-k", "3"])
+    assert rc == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 3
+
+    rc = main(["--job", "fuzzy", "--index", root, "--query", "strea", "-k", "3"])
+    assert rc == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 3
+
+    rc = main(["--job", "prefix", "--index", root, "--query", "dup", "-k", "5"])
+    assert rc == 0
+    pref = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert pref and all(h["score"] == 1.0 for h in pref)
+
+    rc = main(["--job", "explain", "--index", root,
+               "--query", "spark join window", "--docid", "42"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {r["term"] for r in rows} <= {"spark", "join", "window"}
+
+    rc = main(["--job", "delete-query", "--index", root, "--must", "dup"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["deleted"] > 0
+    rc = main(["--job", "delete-query", "--index", root, "--must", "dup"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["deleted"] == 0
