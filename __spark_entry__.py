@@ -564,6 +564,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fuzzy_match"] = _fuzzy
+
+    # ES highlight: top-k with tagged snippet fragments from the source table
+    def _highlight(spark: SparkSession, sf: str) -> DataFrame:
+        from es_indexer_spark.query.highlight import highlight
+
+        return highlight(
+            spark, _index_root(spark, sf), _docs(spark, sf), "doc_id", "text",
+            "spark join window", k=10,
+        ).select(
+            F.col("docid").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+            "fragment",
+        )
+
+    q["highlight_topk"] = _highlight
     q["suggest_prefix"] = lambda spark, sf: suggest_prefix(
         spark, _index_root(spark, sf), "d", k=10
     )
@@ -855,7 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_most", "multi_match_best",
         "term_keyword", "term_count", "analyze_tokens",
         "bm25_search_after", "facet_lang", "explain_score", "prefix_query_docs",
-        "dedup_clusters", "dedup_survivor_ids", "fuzzy_match",
+        "dedup_clusters", "dedup_survivor_ids", "fuzzy_match", "highlight_topk",
         "bbox_union", "error_routing", "doc_json", "ring_orientation",
         "point_geojson", "polygon_geojson", "geoxml_extract",
         "bm25_topk_batch", "windowed_counts",
@@ -965,6 +980,32 @@ FROM raw ORDER BY score_raw DESC, doc_id ASC LIMIT 10
 WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents)
 SELECT doc_id, 1.0 AS score FROM (SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'dup%')
 ORDER BY doc_id ASC LIMIT 100000
+"""
+    _HLPAT = r"\b(join|spark|window)\b"
+    o["highlight_topk"] = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM t2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM t2 GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              ((SELECT COALESCE(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents))::DOUBLE AS avgdl),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+raw AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+             tf.tf * {K1 + 1} / (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / st.avgdl))) AS score_raw
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('join', 'spark', 'window')
+  GROUP BY tf.doc_id),
+topk AS (SELECT doc_id, round(score_raw::DOUBLE, 4) AS score
+         FROM raw ORDER BY score_raw DESC, doc_id ASC LIMIT 10)
+SELECT t.doc_id, t.score,
+       regexp_replace(
+         substr(d.text,
+                greatest(1, length(regexp_extract(d.text, '^([\\s\\S]*?){_HLPAT}', 1)) + 1 - 80),
+                160),
+         '{_HLPAT}', '<em>\\1</em>', 'g') AS fragment
+FROM topk t JOIN documents d USING (doc_id)
 """
     o["suggest_prefix"] = """
 WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),

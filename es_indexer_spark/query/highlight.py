@@ -1,0 +1,93 @@
+"""ES-style highlighting: a snippet fragment per hit with query-term matches
+wrapped in tags (the ES ``highlight`` block every search UI consumes — the
+portal renders highlighted title/description snippets from the same index
+this engine replaces; public ES behavior: unified highlighter, fragment
+windows around the first match, ``<em>`` tags).
+
+The index stores no raw text (like a Lucene index without stored fields), so
+highlighting joins the ≤k hits back to the SOURCE table — the k-row side is
+broadcast, the source read is pruned to the hit ids (docs parquet is
+id-sorted → row-group point reads). Everything else is whole-stage-codegen
+column algebra: the first-match position comes from a lazy prefix capture
+(``^([\\s\\S]*?)\\b(term|...)\\b``) so the window math and the tag injection
+are plain string expressions — no Python, no UDF, identical semantics on any
+SQL engine (the DuckDB oracle replays it expression for expression)."""
+
+from __future__ import annotations
+
+import re as _re
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from es_indexer_spark.analysis.tokenizer import tokenize_one
+from es_indexer_spark.index import catalog
+from es_indexer_spark.query.engine import topk
+
+
+def term_pattern(terms: list[str]) -> str:
+    """Word-boundary alternation over the analyzed query terms (sorted for
+    determinism; terms are analyzer output — no regex metacharacters — but
+    escape anyway)."""
+    return r"\b(" + "|".join(_re.escape(t) for t in sorted(set(terms))) + r")\b"
+
+
+def highlight_hits(
+    hits: DataFrame,
+    src: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    *,
+    fragment_size: int = 160,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+) -> DataFrame:
+    """(docid, score, fragment) for scored ``hits`` against source text.
+
+    Fragment = ``fragment_size`` chars starting ``fragment_size // 2`` before
+    the first whole-word query-term match, with every in-window match wrapped
+    in the tags."""
+    pat = term_pattern(terms)
+    pos = F.length(
+        F.regexp_extract(F.col(text_col), r"^([\s\S]*?)" + pat, 1)
+    ) + F.lit(1)
+    start = F.greatest(F.lit(1), pos - F.lit(fragment_size // 2))
+    frag = F.substring(F.col(text_col), start, fragment_size)
+    lit_hits = F.broadcast(hits.select("docid", "score"))
+    return (
+        src.join(lit_hits, src[id_col] == lit_hits["docid"])
+        .select(
+            "docid",
+            "score",
+            F.regexp_replace(frag, pat, pre_tag + "$1" + post_tag).alias(
+                "fragment"
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc("docid"))
+    )
+
+
+def highlight(
+    spark: SparkSession,
+    index_root: str,
+    src: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 10,
+    *,
+    fragment_size: int = 160,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+    lang: str | None = None,
+) -> DataFrame:
+    """BM25 top-k with highlighted fragments: run the ranked engine, then
+    decorate the ≤k hits from the source table."""
+    vdir = catalog.resolve(index_root)
+    stats = catalog.read_stats(vdir)
+    terms = tokenize_one(query, stats["tokenizer"], lang=lang)
+    hits = topk(spark, index_root, query, k=k, lang=lang)
+    return highlight_hits(
+        hits, src, id_col, text_col, terms,
+        fragment_size=fragment_size, pre_tag=pre_tag, post_tag=post_tag,
+    )

@@ -221,3 +221,42 @@ def test_fuzzy_topk_exact_and_edges(spark, term_index):
     assert fuzzy_topk(spark, term_index, "zzzz").collect() == []
     with pytest.raises(ValueError, match="single"):
         fuzzy_topk(spark, term_index, "two words")
+
+
+def test_highlight_fragments_match_python(spark, documents, term_index):
+    """Highlight: fragment window + tag injection replicate a python re
+    reference exactly; ranking order preserved."""
+    import re
+
+    from es_indexer_spark.query.highlight import highlight
+
+    got = highlight(
+        spark, term_index, documents, "doc_id", "text", "spark join window", k=5
+    ).collect()
+    exact = topk(spark, term_index, "spark join window", k=5).collect()
+    assert [r["docid"] for r in got] == [r["docid"] for r in exact]
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in documents.filter(
+            documents.doc_id.isin([r["docid"] for r in got])
+        ).collect()
+    }
+    pat = re.compile(r"\b(join|spark|window)\b")
+    for r in got:
+        text = texts[r["docid"]]
+        m = pat.search(text)
+        start = max(1, (m.start() + 1) - 80)
+        frag = text[start - 1 : start - 1 + 160]
+        assert r["fragment"] == pat.sub(r"<em>\1</em>", frag)
+        assert "<em>" in r["fragment"]
+
+
+def test_highlight_no_hits_empty(spark, documents, term_index):
+    from es_indexer_spark.query.highlight import highlight
+
+    assert (
+        highlight(
+            spark, term_index, documents, "doc_id", "text", "zzznope", k=5
+        ).collect()
+        == []
+    )
