@@ -89,6 +89,56 @@ def ckpt_write(vdir: str, stage: str, payload: dict) -> None:
     os.replace(tmp, ckpt_path(vdir, stage))
 
 
+def index_exists(root: str) -> bool:
+    """ES ``indices.exists`` analog: a published version is reachable."""
+    return current_version(root) is not None
+
+
+def delete_index(root: str) -> None:
+    """ES delete-index analog (ElasticSearchIndexService.java:41-52): remove
+    every version and the CURRENT pointer. Readers holding the old vdir path
+    keep working until their process ends (same guarantee a Lucene reader has
+    over deleted segment files on POSIX); new resolves fail."""
+    import shutil
+
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+
+
+def cat_indices(root: str) -> list[dict]:
+    """``_cat/indices`` analog: one row per version dir with its publish
+    state, doc count, avgdl, tombstone count, and on-disk bytes — the
+    monitoring surface an operator reads before compaction/cleanup."""
+    cur = current_version(root)
+    out = []
+    for v in version_dirs(root):
+        vdir = os.path.join(root, v)
+        row = {"version": v, "published": v == cur}
+        try:
+            st = read_stats(vdir)
+            row["n_docs"] = st.get("n_docs")
+            row["avgdl"] = st.get("avgdl")
+        except FileNotFoundError:
+            row["n_docs"] = None
+            row["avgdl"] = None
+        tomb = os.path.join(vdir, "_tombstones")
+        row["n_tombstone_files"] = (
+            len([f for f in os.listdir(tomb) if f.endswith(".parquet")])
+            if os.path.isdir(tomb)
+            else 0
+        )
+        size = 0
+        for dirpath, _dirs, files in os.walk(vdir):
+            for f in files:
+                try:
+                    size += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+        row["bytes"] = size
+        out.append(row)
+    return out
+
+
 def read_stats(vdir: str) -> dict:
     with open(os.path.join(vdir, "stats.json")) as f:
         return json.load(f)

@@ -260,3 +260,34 @@ def test_highlight_no_hits_empty(spark, documents, term_index):
         ).collect()
         == []
     )
+
+
+def test_catalog_lifecycle_cat_exists_delete(spark, documents, tmp_path):
+    """ES index-lifecycle analogs: exists, _cat/indices, delete-index."""
+    import shutil
+
+    from es_indexer_spark.index import catalog
+    from es_indexer_spark.index.tombstones import compact_index, delete_docs
+
+    root = str(tmp_path / "idx_cat")
+    assert not catalog.index_exists(root)
+    build_index(
+        spark, documents, root,
+        content_col="text", id_col="doc_id", meta_cols=("lang",),
+        tokenizer="standard", n_buckets=4, shard_size=100, n_ckpt_batches=2,
+    )
+    assert catalog.index_exists(root)
+    rows = catalog.cat_indices(root)
+    assert len(rows) == 1 and rows[0]["published"] and rows[0]["n_docs"] == 500
+    assert rows[0]["bytes"] > 0 and rows[0]["n_tombstone_files"] == 0
+
+    delete_docs(spark, root, [1, 2, 3])
+    compact_index(spark, root)
+    rows = {r["version"]: r for r in catalog.cat_indices(root)}
+    assert len(rows) == 2
+    assert rows["v1"]["n_tombstone_files"] > 0 and not rows["v1"]["published"]
+    assert rows["v2"]["published"] and rows["v2"]["n_docs"] == 497
+
+    catalog.delete_index(root)
+    assert not catalog.index_exists(root)
+    assert catalog.cat_indices(root) == []
