@@ -981,7 +981,7 @@ WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+'
 SELECT doc_id, 1.0 AS score FROM (SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'dup%')
 ORDER BY doc_id ASC LIMIT 100000
 """
-    _HLPAT = r"\b(join|spark|window)\b"
+    _HLPAT = r"\b(join|spark|window)\b"  # (?i) prepended inline below
     o["highlight_topk"] = f"""
 WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
 t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
@@ -1002,9 +1002,9 @@ topk AS (SELECT doc_id, round(score_raw::DOUBLE, 4) AS score
 SELECT t.doc_id, t.score,
        regexp_replace(
          substr(d.text,
-                greatest(1, length(regexp_extract(d.text, '^([\\s\\S]*?){_HLPAT}', 1)) + 1 - 80),
+                greatest(1, length(regexp_extract(d.text, '(?i)^([\\s\\S]*?){_HLPAT}', 1)) + 1 - 80),
                 160),
-         '{_HLPAT}', '<em>\\1</em>', 'g') AS fragment
+         '(?i){_HLPAT}', '<em>\\1</em>', 'g') AS fragment
 FROM topk t JOIN documents d USING (doc_id)
 """
     o["suggest_prefix"] = """

@@ -249,7 +249,8 @@ def main(argv: list[str] | None = None) -> int:
             n = delete_by_query(
                 spark, args.index,
                 field=args.field, value=args.value, must=args.must,
-                filter_phrase=args.filter_phrase, match_all=args.match_all,
+                must_not=args.must_not, filter_phrase=args.filter_phrase,
+                match_all=args.match_all,
             )
             print(json.dumps({"job": "delete-query", "deleted": n}))
         elif args.job == "delete":

@@ -96,9 +96,12 @@ def index_exists(root: str) -> bool:
 
 def delete_index(root: str) -> None:
     """ES delete-index analog (ElasticSearchIndexService.java:41-52): remove
-    every version and the CURRENT pointer. Readers holding the old vdir path
-    keep working until their process ends (same guarantee a Lucene reader has
-    over deleted segment files on POSIX); new resolves fail."""
+    every version and the CURRENT pointer; new resolves fail. In-flight
+    Spark queries that already planned against the old files may fail on
+    re-read (path-based lazy reads — not the POSIX-fd guarantee). A rebuild
+    at the same root reuses version names (v1, ...), which is safe for the
+    engine's per-version caches because they key on the dict directory's
+    mtime as well as its path (query/engine.py _dict_df)."""
     import shutil
 
     if os.path.isdir(root):

@@ -147,20 +147,27 @@ def delete_by_query(
     elif must or filter_phrase:
         from es_indexer_spark.query.boolean import bool_query
 
+        # k=None: every match, no global sort — the tombstone set is unordered
         hits = bool_query(
             spark, index_root,
             must=must, must_not=must_not, filter_phrase=filter_phrase,
-            k=(1 << 31) - 1,
+            k=None,
         ).select("docid")
     else:
         raise ValueError(
             "pass field/value, must/filter_phrase, or match_all=True"
         )
-    n = hits.count()
-    if n:
-        # the per-process tombstone-array cache is keyed by the tombstone-file
-        # listing, so the append below invalidates it automatically
-        delete_docs(spark, index_root, hits)
+    # persist so the (expensive) match query runs ONCE — the count and the
+    # tombstone write below share the materialized hit set
+    hits = hits.persist()
+    try:
+        n = hits.count()
+        if n:
+            # the per-process tombstone-array cache is keyed by the
+            # tombstone-file listing, so the append invalidates it
+            delete_docs(spark, index_root, hits)
+    finally:
+        hits.unpersist()
     return n
 
 

@@ -590,37 +590,41 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist()
     )
-    try:
-        for _ in range(max_iter):
-            nbr_min = (
-                edges.join(
-                    labels.select(F.col("node").alias("b"), "label"), "b"
-                )
-                .groupBy("a")
-                .agg(F.min("label").alias("nl"))
-                .withColumnRenamed("a", "node")
+    cached = labels  # the persisted handle backing the current `labels` view
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("b"), "label"), "b"
             )
-            new_labels = (
-                labels.withColumnRenamed("label", "old")
-                .join(nbr_min, "node", "left")
-                .select(
-                    "node",
-                    F.least(F.col("old"), F.coalesce("nl", "old")).alias("label"),
-                    "old",
-                )
-                .persist()
-            )
-            changed = new_labels.filter(F.col("label") != F.col("old")).count()
-            labels.unpersist()
-            labels = new_labels.select("node", "label").persist()
-            new_labels.unpersist()
-            if changed == 0:
-                break
-        return labels.select(
-            F.col("node").alias("doc_id"), F.col("label").alias("component")
+            .groupBy("a")
+            .agg(F.min("label").alias("nl"))
+            .withColumnRenamed("a", "node")
         )
-    finally:
-        edges.unpersist()
+        new_labels = (
+            labels.withColumnRenamed("label", "old")
+            .join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("old"), F.coalesce("nl", "old")).alias("label"),
+                "old",
+            )
+            .persist()
+        )
+        # the count materializes new_labels' cache; only THEN drop the prior
+        # round's cache (unpersisting first would force each round to replay
+        # the whole lineage from round 0 — quadratic instead of linear)
+        changed = new_labels.filter(F.col("label") != F.col("old")).count()
+        cached.unpersist()
+        cached = new_labels
+        labels = new_labels.select("node", "label")  # view over the cached round
+        if changed == 0:
+            break
+    # edges stays cached until here; the result is backed by the final
+    # round's materialized cache, so consuming it does not replay the loop
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
 
 
 def dedup_components(

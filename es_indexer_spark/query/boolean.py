@@ -186,7 +186,7 @@ def bool_query(
     must_not: Sequence[str] = (),
     filter_terms: Sequence[str] = (),
     filter_phrase: str | None = None,
-    k: int = 10,
+    k: int | None = 10,
     lang: str | None = None,
 ) -> DataFrame:
     """Top-k (docid, score) under ES bool semantics. Each clause is a query
@@ -194,7 +194,9 @@ def bool_query(
     string contributes each of its terms as a required term).
     ``filter_terms`` / ``filter_phrase`` are Lucene filter context: required,
     never scored — ``filter_phrase`` is the reference's
-    ``bool.filter(match_phrase)`` shape."""
+    ``bool.filter(match_phrase)`` shape. ``k=None`` returns EVERY matching
+    doc with no global sort (the delete-by-query / scroll shape — per-shard
+    evaluation is unchanged, only the top-k merge is skipped)."""
     vdir = catalog.resolve(index_root)
     stats = catalog.read_stats(vdir)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
@@ -244,6 +246,7 @@ def bool_query(
     buckets = sorted({found[t]["bucket"] for t in present})
     blocks = _load_blocks(spark, vdir, present, buckets)
 
+    shard_k = (1 << 62) if k is None else k
     scored = blocks.groupBy("shard").applyInPandas(
         _bool_shard_scorer(
             [t for t in must_t if t in found],
@@ -251,8 +254,10 @@ def bool_query(
             [t for t in not_t if t in found],
             filt_t,
             phrase_t,
-            idfs, k1, b, k, avgdl, tomb,
+            idfs, k1, b, shard_k, avgdl, tomb,
         ),
         _SCORE_SCHEMA,
     )
+    if k is None:
+        return scored
     return scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)

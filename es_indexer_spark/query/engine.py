@@ -49,12 +49,19 @@ _SCORE_SCHEMA = "docid long, score double"
 # are keyed by (spark application, vdir) — a DataFrame is bound to the session
 # that created it — and bounded: oldest entries are unpersisted and evicted,
 # so long-lived multi-version processes don't pin stale versions' cache blocks.
-_DICT_CACHE: dict[tuple[str, str], DataFrame] = {}
+_DICT_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 _DICT_CACHE_MAX = 8
 
 
 def _dict_df(spark: SparkSession, vdir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, vdir)
+    # the dict dir's mtime is in the key so a delete_index + rebuild that
+    # reuses the same version path (v1, ...) can never serve a stale cache
+    dict_dir = os.path.join(vdir, "dict")
+    key = (
+        spark.sparkContext.applicationId,
+        vdir,
+        os.stat(dict_dir).st_mtime_ns,
+    )
     df = _DICT_CACHE.get(key)
     if df is None:
         while len(_DICT_CACHE) >= _DICT_CACHE_MAX:
@@ -130,6 +137,13 @@ def _shard_scorer(
             return pd.DataFrame({"docid": [], "score": []})
         docids = np.concatenate(docid_parts)
         contribs = np.concatenate(contrib_parts)
+        # canonicalize the summation order: Spark does not keep the block-row
+        # arrival order stable across jobs, and float64 addition does not
+        # commute bitwise — sorting the (docid, contribution) pairs makes the
+        # per-doc sum bit-identical on every run (equal values commute), which
+        # the search_after cursor's == leg depends on across page jobs
+        order = np.lexsort((contribs, docids))
+        docids, contribs = docids[order], contribs[order]
         uniq, inv = np.unique(docids, return_inverse=True)
         scores = np.bincount(inv, weights=contribs)
         if after is not None:

@@ -25,10 +25,14 @@ from es_indexer_spark.query.engine import topk
 
 
 def term_pattern(terms: list[str]) -> str:
-    """Word-boundary alternation over the analyzed query terms (sorted for
+    """Case-insensitive word-boundary alternation over the analyzed query
+    terms (the analyzer lowercases, the source text may not — ES highlighters
+    are analysis-aware, so 'Spark' must tag for the term 'spark'). Sorted for
     determinism; terms are analyzer output — no regex metacharacters — but
-    escape anyway)."""
-    return r"\b(" + "|".join(_re.escape(t) for t in sorted(set(terms))) + r")\b"
+    escape anyway."""
+    return (
+        r"(?i)\b(" + "|".join(_re.escape(t) for t in sorted(set(terms))) + r")\b"
+    )
 
 
 def highlight_hits(
@@ -48,17 +52,25 @@ def highlight_hits(
     the first whole-word query-term match, with every in-window match wrapped
     in the tags."""
     pat = term_pattern(terms)
-    pos = F.length(
-        F.regexp_extract(F.col(text_col), r"^([\s\S]*?)" + pat, 1)
-    ) + F.lit(1)
+    # (?i) must stay the pattern's first element — splice the prefix capture
+    # in after it so both the position probe and the tag injection match
+    # case-insensitively
+    pos_pat = r"(?i)^([\s\S]*?)" + pat[len(r"(?i)"):]
+    pos = F.length(F.regexp_extract(F.col(text_col), pos_pat, 1)) + F.lit(1)
     start = F.greatest(F.lit(1), pos - F.lit(fragment_size // 2))
     frag = F.substring(F.col(text_col), start, fragment_size)
-    lit_hits = F.broadcast(hits.select("docid", "score"))
+    # alias the hit columns so a source table that itself has docid/score
+    # (e.g. the engine's own docs store) never makes the select ambiguous
+    lit_hits = F.broadcast(
+        hits.select(
+            F.col("docid").alias("__hit_docid"), F.col("score").alias("__hit_score")
+        )
+    )
     return (
-        src.join(lit_hits, src[id_col] == lit_hits["docid"])
+        src.join(lit_hits, src[id_col] == lit_hits["__hit_docid"])
         .select(
-            "docid",
-            "score",
+            F.col("__hit_docid").alias("docid"),
+            F.col("__hit_score").alias("score"),
             F.regexp_replace(frag, pat, pre_tag + "$1" + post_tag).alias(
                 "fragment"
             ),

@@ -72,9 +72,13 @@ def prefix_query(
 
     from es_indexer_spark.index.tombstones import live_mask, tombstone_array
 
+    from es_indexer_spark.query.engine import _dict_df
+
     vdir = catalog.resolve(index_root)
     p = prefix.lower()
-    d = spark.read.parquet(os.path.join(vdir, "dict"))
+    # the engine's per-version persisted dictionary (same serving cache the
+    # ranked/fuzzy paths use — a cold call still pushes the scan to parquet)
+    d = _dict_df(spark, vdir)
     exp = (
         d.filter(F.col("term").startswith(p))
         .orderBy(F.desc("df"), F.asc("term"))

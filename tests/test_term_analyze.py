@@ -291,3 +291,43 @@ def test_catalog_lifecycle_cat_exists_delete(spark, documents, tmp_path):
     catalog.delete_index(root)
     assert not catalog.index_exists(root)
     assert catalog.cat_indices(root) == []
+
+
+def test_highlight_case_insensitive_and_ambiguous_src(spark):
+    """ES highlighters are analysis-aware: 'Spark' tags for term 'spark';
+    a source table carrying its own docid/score columns must not break."""
+    from es_indexer_spark.query.highlight import highlight_hits
+
+    src = spark.createDataFrame(
+        [(1, 0.5, "Spark joins the Window stage of the plan")],
+        "docid long, score double, text string",
+    )
+    hits = spark.createDataFrame([(1, 2.5)], "docid long, score double")
+    rows = highlight_hits(hits, src, "docid", "text", ["spark", "window"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["score"] == 2.5  # the HIT score, not the src column
+    assert "<em>Spark</em>" in rows[0]["fragment"]
+    assert "<em>Window</em>" in rows[0]["fragment"]
+
+
+def test_dict_cache_survives_delete_and_rebuild(spark, documents, tmp_path):
+    """delete_index + rebuild reuses version path v1 — the engine's dict
+    cache must key on more than the path or it serves the stale dictionary."""
+    from es_indexer_spark.index import catalog
+
+    root = str(tmp_path / "idx_rebuild")
+    build_index(
+        spark, documents.filter("doc_id < 50"), root,
+        content_col="text", id_col="doc_id",
+        tokenizer="standard", n_buckets=4, shard_size=100, n_ckpt_batches=2,
+    )
+    first = topk(spark, root, "data", k=5, use_blockmax=False).collect()
+    assert first
+    catalog.delete_index(root)
+    build_index(
+        spark, documents.filter("doc_id >= 400"), root,
+        content_col="text", id_col="doc_id",
+        tokenizer="standard", n_buckets=4, shard_size=100, n_ckpt_batches=2,
+    )
+    again = topk(spark, root, "data", k=500, use_blockmax=False).collect()
+    assert again and all(r["docid"] >= 400 for r in again)
