@@ -363,6 +363,17 @@ ORDER BY COALESCE(r.score_raw, 0) DESC, f.doc_id ASC LIMIT {k}
 """
 
 
+# shared BM25 statistics preamble for the hand-written oracles (tf/dl/df/st
+# over the standard-analyzed documents table)
+_BM25_PREAMBLE = """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM t2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM t2 GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              ((SELECT COALESCE(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents))::DOUBLE AS avgdl),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)"""
+
+
 def _hexdig(h: str, p: int) -> str:
     """DuckDB expr: value of the p-th (1-indexed) hex digit of column/expr ``h``."""
     return f"(strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
@@ -925,14 +936,8 @@ FROM pf CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
     )
     o["multi_match_most"] = _multifield_sql(["data", "stream"], "most_fields", 0.0)
     o["multi_match_best"] = _multifield_sql(["batch", "customer"], "best_fields", 0.3)
-    o["bm25_with_meta"] = """
-WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
-t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
-tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM t2 GROUP BY doc_id, term),
-dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM t2 GROUP BY doc_id),
-st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-              ((SELECT COALESCE(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents))::DOUBLE AS avgdl),
-dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+    o["bm25_with_meta"] = f"""
+{_BM25_PREAMBLE},
 raw AS (
   SELECT tf.doc_id,
          sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
@@ -954,13 +959,7 @@ LEFT JOIN (SELECT node FROM __L__ WHERE label <> node) x ON d.doc_id = x.node
 WHERE x.node IS NULL"""
     )
     o["fuzzy_match"] = f"""
-WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
-t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
-tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM t2 GROUP BY doc_id, term),
-dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM t2 GROUP BY doc_id),
-st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-              ((SELECT COALESCE(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents))::DOUBLE AS avgdl),
-dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+{_BM25_PREAMBLE},
 exp AS (SELECT term, df,
                1.0 - levenshtein(term, 'strea')::DOUBLE / greatest(5, length(term)) AS boost
         FROM dfq
@@ -983,13 +982,7 @@ ORDER BY doc_id ASC LIMIT 100000
 """
     _HLPAT = r"\b(join|spark|window)\b"  # (?i) prepended inline below
     o["highlight_topk"] = f"""
-WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
-t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
-tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM t2 GROUP BY doc_id, term),
-dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM t2 GROUP BY doc_id),
-st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-              ((SELECT COALESCE(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents))::DOUBLE AS avgdl),
-dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+{_BM25_PREAMBLE},
 raw AS (
   SELECT tf.doc_id,
          sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
@@ -1089,13 +1082,7 @@ FROM documents d LEFT JOIN dl USING (doc_id) WHERE d.doc_id IN (3, 7, 42, 99)
 """
     o["bm25_search_after"] = _bm25_sql(["join", "spark", "window"], offset=10)
     o["explain_score"] = f"""
-WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
-t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
-tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM t2 GROUP BY doc_id, term),
-dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM t2 GROUP BY doc_id),
-st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-              ((SELECT COALESCE(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents))::DOUBLE AS avgdl),
-dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+{_BM25_PREAMBLE}
 SELECT tf.term, tf.tf::BIGINT AS tf, dfq.df::BIGINT AS df, dl.dl::BIGINT AS doc_len,
        round(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)), 6) AS idf,
        round(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *

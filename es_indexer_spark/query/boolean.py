@@ -42,6 +42,7 @@ from es_indexer_spark.analysis.tokenizer import tokenize_one
 from es_indexer_spark.index import catalog
 from es_indexer_spark.index.codec import decode_block, decode_positions
 from es_indexer_spark.query.bm25 import lucene_idf
+from es_indexer_spark.index.tombstones import live_mask
 from es_indexer_spark.query.phrase import _sorted_member
 
 _SCORE_SCHEMA = "docid long, score double"
@@ -81,8 +82,6 @@ def _bool_shard_scorer(
                 d64 = d.astype(np.int64)
                 flat = decode_positions(row.poss, t) if want_pos else None
                 if tomb is not None:
-                    from es_indexer_spark.index.tombstones import live_mask
-
                     keep = live_mask(tomb, d64)
                     if keep is not None and not keep.all():
                         if flat is not None:

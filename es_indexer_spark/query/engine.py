@@ -29,7 +29,6 @@ embarrassingly parallel over shards; step 5 shuffles ≤ shards × k rows.
 from __future__ import annotations
 
 import os
-from typing import Iterable
 
 import numpy as np
 import pandas as pd
@@ -39,16 +38,19 @@ from es_indexer_spark.analysis.tokenizer import tokenize_one
 from es_indexer_spark.index import catalog
 from es_indexer_spark.index.codec import decode_block
 from es_indexer_spark.query.bm25 import lucene_idf
+from es_indexer_spark.index.tombstones import live_mask
 
 _SCORE_SCHEMA = "docid long, score double"
 
 # per-process cache of the dictionary DataFrame per index version (persisted —
 # the broadcast-dictionary design of the north_star; repeated queries skip the
-# parquet listing + scan. The version dir is immutable once published, so an
-# entry can never go stale; a republished index resolves to a new vdir. Entries
-# are keyed by (spark application, vdir) — a DataFrame is bound to the session
-# that created it — and bounded: oldest entries are unpersisted and evicted,
-# so long-lived multi-version processes don't pin stale versions' cache blocks.
+# parquet listing + scan. A published version dir is immutable and a republish
+# resolves to a new vdir; the one way the same path can carry NEW content —
+# delete_index + rebuild reusing v1 — is covered by the dict-dir mtime in the
+# key. Entries are keyed by (spark application, vdir, mtime) — a DataFrame is
+# bound to the session that created it — and bounded: oldest entries are
+# unpersisted and evicted, so long-lived multi-version processes don't pin
+# stale versions' cache blocks.
 _DICT_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 _DICT_CACHE_MAX = 8
 
@@ -118,8 +120,6 @@ def _shard_scorer(
             d, t, l = decode_block(row.gaps, row.tfs, row.dls, row.first_docid)
             d64 = d.astype(np.int64)
             if tomb is not None:
-                from es_indexer_spark.index.tombstones import live_mask
-
                 keep = live_mask(tomb, d64)
                 if keep is not None and not keep.all():
                     d64, t, l = d64[keep], t[keep], l[keep]
@@ -309,8 +309,6 @@ def _batch_shard_scorer(
                 d, t, l = decode_block(row.gaps, row.tfs, row.dls, row.first_docid)
                 d64 = d.astype(np.int64)
                 if tomb is not None:
-                    from es_indexer_spark.index.tombstones import live_mask
-
                     keep = live_mask(tomb, d64)
                     if keep is not None and not keep.all():
                         d64, t, l = d64[keep], t[keep], l[keep]

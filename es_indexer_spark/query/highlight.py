@@ -24,15 +24,18 @@ from es_indexer_spark.index import catalog
 from es_indexer_spark.query.engine import topk
 
 
-def term_pattern(terms: list[str]) -> str:
-    """Case-insensitive word-boundary alternation over the analyzed query
-    terms (the analyzer lowercases, the source text may not — ES highlighters
-    are analysis-aware, so 'Spark' must tag for the term 'spark'). Sorted for
+def _pattern_body(terms: list[str]) -> str:
+    """Word-boundary alternation over the analyzed query terms (sorted for
     determinism; terms are analyzer output — no regex metacharacters — but
-    escape anyway."""
-    return (
-        r"(?i)\b(" + "|".join(_re.escape(t) for t in sorted(set(terms))) + r")\b"
-    )
+    escape anyway). Callers prepend flags/anchors."""
+    return r"\b(" + "|".join(_re.escape(t) for t in sorted(set(terms))) + r")\b"
+
+
+def term_pattern(terms: list[str]) -> str:
+    """Case-insensitive match pattern for the query terms (the analyzer
+    lowercases, the source text may not — ES highlighters are
+    analysis-aware, so 'Spark' must tag for the term 'spark')."""
+    return "(?i)" + _pattern_body(terms)
 
 
 def highlight_hits(
@@ -52,10 +55,7 @@ def highlight_hits(
     the first whole-word query-term match, with every in-window match wrapped
     in the tags."""
     pat = term_pattern(terms)
-    # (?i) must stay the pattern's first element — splice the prefix capture
-    # in after it so both the position probe and the tag injection match
-    # case-insensitively
-    pos_pat = r"(?i)^([\s\S]*?)" + pat[len(r"(?i)"):]
+    pos_pat = r"(?i)^([\s\S]*?)" + _pattern_body(terms)
     pos = F.length(F.regexp_extract(F.col(text_col), pos_pat, 1)) + F.lit(1)
     start = F.greatest(F.lit(1), pos - F.lit(fragment_size // 2))
     frag = F.substring(F.col(text_col), start, fragment_size)

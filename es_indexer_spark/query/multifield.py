@@ -36,6 +36,7 @@ from es_indexer_spark.index import catalog
 from es_indexer_spark.index.builder import build_index
 from es_indexer_spark.index.codec import decode_block
 from es_indexer_spark.query.bm25 import lucene_idf
+from es_indexer_spark.index.tombstones import live_mask
 
 _SCORE_SCHEMA = "docid long, score double"
 
@@ -97,8 +98,6 @@ def _multi_shard_scorer(
                 d, t, l = decode_block(row.gaps, row.tfs, row.dls, row.first_docid)
                 d64 = d.astype(np.int64)
                 if tomb is not None:
-                    from es_indexer_spark.index.tombstones import live_mask
-
                     keep = live_mask(tomb, d64)
                     if keep is not None and not keep.all():
                         d64, t, l = d64[keep], t[keep], l[keep]

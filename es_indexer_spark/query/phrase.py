@@ -30,6 +30,7 @@ from es_indexer_spark.analysis.tokenizer import tokenize_one
 from es_indexer_spark.index import catalog
 from es_indexer_spark.index.codec import decode_block, decode_positions
 from es_indexer_spark.query.bm25 import lucene_idf
+from es_indexer_spark.index.tombstones import live_mask
 
 _PHRASE_SCHEMA = "docid long, phrase_tf long, score double"
 
@@ -82,8 +83,6 @@ def _phrase_shard_scorer(
                 flat = decode_positions(row.poss, t)
                 d64 = d.astype(np.int64)
                 if tomb is not None:
-                    from es_indexer_spark.index.tombstones import live_mask
-
                     keep = live_mask(tomb, d64)
                     if keep is not None and not keep.all():
                         flat = flat[np.repeat(keep, t.astype(np.int64))]
