@@ -65,6 +65,7 @@ from es_indexer_spark.query.lookup import (
     term_count,
     term_query,
 )
+from es_indexer_spark.query import aggs
 from es_indexer_spark.query.phrase import phrase_match
 from es_indexer_spark.query.suggest import phrase_suggestions, suggest_prefix
 
@@ -78,6 +79,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 
 def _index_root(spark: SparkSession, sf_dir: str) -> str:
@@ -869,6 +874,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (region -> nation -> supplier as the concept hierarchy)
     q["vocab_tree_build"] = M.vocab_tree_build
 
+    # ES aggregation family (query/aggs.py) over the events table — the
+    # search request's "aggs" block beyond the terms facet. The contract
+    # entries run the auditable exact variants (exact=True); the sketch
+    # defaults (HLL++/percentile_approx — the ES-parity scale paths) are
+    # bounded against these in tests/test_aggs.py.
+    q["agg_date_histogram"] = lambda spark, sf: aggs.date_histogram(
+        _events(spark, sf), "ts", "day"
+    )
+    q["agg_histogram"] = lambda spark, sf: aggs.histogram(
+        _events(spark, sf), "value", 25.0
+    )
+    q["agg_stats"] = lambda spark, sf: aggs.stats_agg(_events(spark, sf), "value")
+    q["agg_extended_stats"] = lambda spark, sf: aggs.extended_stats_agg(
+        _events(spark, sf), "value"
+    )
+    q["agg_cardinality"] = lambda spark, sf: aggs.cardinality_agg(
+        _events(spark, sf), "user_id", exact=True
+    )
+    q["agg_percentiles"] = lambda spark, sf: aggs.percentiles_agg(
+        _events(spark, sf), "value", exact=True
+    )
+    q["agg_top_hits"] = lambda spark, sf: aggs.top_hits_by_bucket(
+        _events(spark, sf).select("event_type", "event_id", "value"),
+        "event_type", "value", n=3, tiebreak_col="event_id",
+    )
+    q["agg_date_histogram_stats"] = lambda spark, sf: aggs.date_histogram_stats(
+        _events(spark, sf), "ts", "value", "month"
+    )
+
     # ---- driver-gate rotation ----------------------------------------------------
     # CORRECTNESS_r02 recorded exactly the first 50 entries by insertion order
     # (55 registered; the 5 newest — positions 50+ — got no row), so the
@@ -877,6 +911,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ones are all green in CORRECTNESS_r02, so across the two rounds every
     # entry has a driver-verified row. (VERDICT r2 "Next round" item 1.)
     never_driver_verified = [
+        "agg_date_histogram", "agg_histogram", "agg_stats",
+        "agg_extended_stats", "agg_cardinality", "agg_percentiles",
+        "agg_top_hits", "agg_date_histogram_stats",
         "bool_must_not", "bool_filter_phrase",
         "multi_match_most", "multi_match_best",
         "term_keyword", "term_count", "analyze_tokens",
@@ -1578,5 +1615,51 @@ SELECT grp,
   (pmax - pmin > 180) AS crossed,
   n_points
 FROM a
+"""
+    # ES aggregation family (query/aggs.py) — the exact/auditable variants
+    o["agg_date_histogram"] = """
+SELECT date_trunc('day', ts)::TIMESTAMP AS bucket, count(*)::BIGINT AS doc_count
+FROM events GROUP BY 1 ORDER BY 1
+"""
+    o["agg_histogram"] = """
+SELECT (floor(value / 25.0) * 25.0)::DOUBLE AS bucket, count(*)::BIGINT AS doc_count
+FROM events GROUP BY 1 ORDER BY 1
+"""
+    o["agg_stats"] = """
+SELECT count(value)::BIGINT AS "count", min(value) AS "min", max(value) AS "max",
+       round(avg(value), 6) AS avg, round(sum(value), 6) AS sum
+FROM events
+"""
+    o["agg_extended_stats"] = """
+SELECT count(value)::BIGINT AS "count", min(value) AS "min", max(value) AS "max",
+       round(avg(value), 4) AS avg, round(sum(value), 4) AS sum,
+       round(sum(value * value), 4) AS sum_of_squares,
+       round(var_pop(value), 4) AS variance,
+       round(stddev_pop(value), 4) AS std_deviation
+FROM events
+"""
+    o["agg_cardinality"] = (
+        "SELECT count(DISTINCT user_id)::BIGINT AS value FROM events"
+    )
+    o["agg_percentiles"] = """
+WITH q AS (SELECT quantile_cont(value, [0.25, 0.5, 0.75, 0.95, 0.99]) AS qs
+           FROM events)
+SELECT unnest([25.0, 50.0, 75.0, 95.0, 99.0])::DOUBLE AS percent,
+       round(unnest(qs), 6)::DOUBLE AS value
+FROM q
+"""
+    o["agg_top_hits"] = """
+SELECT event_type, event_id, value, hit_rank FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS hit_rank
+  FROM events)
+WHERE hit_rank <= 3
+"""
+    o["agg_date_histogram_stats"] = """
+SELECT date_trunc('month', ts)::TIMESTAMP AS bucket, count(*)::BIGINT AS doc_count,
+       min(value) AS "min", max(value) AS "max",
+       round(avg(value), 6) AS avg, round(sum(value), 6) AS sum
+FROM events GROUP BY 1 ORDER BY 1
 """
     return o

@@ -1,0 +1,212 @@
+"""ES search aggregations over any table or the live docs store.
+
+The reference delegates every analytics question to ES's ``aggs`` block
+(the portal facets over ``portal_records_index_schema.json`` fields; the
+``terms`` facet is query/lookup.py:facet_counts). This module adds the rest
+of the ES aggregation family a portal user would reach for, each as pure
+Catalyst column algebra — partial+final hash aggregation, no Python in the
+data path, so every one of them is a single map-side-combined shuffle at any
+scale:
+
+- :func:`date_histogram`    — ES ``date_histogram`` (calendar_interval);
+- :func:`histogram`         — ES ``histogram`` (fixed numeric interval,
+  bucket key = floor(value/interval)*interval, exactly ES's bucketing);
+- :func:`stats_agg`         — ES ``stats`` (count/min/max/avg/sum);
+- :func:`extended_stats_agg`— ES ``extended_stats`` (+ sum_of_squares,
+  population variance/std — ES reports population moments);
+- :func:`cardinality_agg`   — ES ``cardinality``: ES runs HyperLogLog++;
+  Spark's ``approx_count_distinct`` is the same HLL++ sketch, so the
+  ``exact=False`` default IS the ES behavior (mergeable sketch, bounded
+  memory at any cardinality). ``exact=True`` is the auditable path;
+- :func:`percentiles_agg`   — ES ``percentiles``: ES runs t-digest; the
+  ``exact=False`` default maps to Spark's ``percentile_approx`` (also a
+  mergeable quantile sketch). ``exact=True`` = interpolated exact quantiles;
+- :func:`top_hits_by_bucket`— ES ``terms`` + ``top_hits`` sub-aggregation
+  (rank window inside each bucket; per-bucket k, never a global sort);
+- :func:`date_histogram_stats` — bucket agg with a metric sub-aggregation
+  (ES nests sub-aggs under buckets; on Spark that is the SAME single
+  groupBy — no second pass).
+
+Scale notes: bucket aggs shuffle one row per bucket after map-side combine;
+the sketch aggs (HLL++, percentile_approx) keep executor memory constant
+regardless of distinct-count, which is why they are the default — at 100 TB
+an exact count-distinct is a full shuffle of the key column, a sketch is a
+few KB per partition. ``top_hits_by_bucket`` shuffles on the bucket key
+only; a skewed bucket still ranks in one task, which matches ES (a hot term
+bucket lives on one shard-coordinator too) — salt upstream if a single
+bucket exceeds a task's memory.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from es_indexer_spark.index import catalog
+
+_INTERVALS = ("year", "quarter", "month", "week", "day", "hour", "minute")
+
+
+def index_docs(spark: SparkSession, index_root: str) -> DataFrame:
+    """The live docs store of a published index — the frame ES aggregations
+    run over when the search targets the index (tombstone-aware like every
+    read surface)."""
+    from es_indexer_spark.index.tombstones import filter_live
+
+    vdir = catalog.resolve(index_root)
+    return filter_live(spark, vdir, spark.read.parquet(os.path.join(vdir, "docs")))
+
+
+def date_histogram(
+    df: DataFrame,
+    ts_col: str,
+    interval: str = "month",
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """ES ``date_histogram`` with a calendar interval: one row per truncated
+    bucket with its doc_count, bucket-key ascending. ``min_doc_count=0``
+    (emit empty buckets) needs a generated calendar — not reproduced; ES's
+    default of dropping empty buckets is ``min_doc_count=1``."""
+    if interval not in _INTERVALS:
+        raise ValueError(f"interval must be one of {_INTERVALS}")
+    out = (
+        df.groupBy(F.date_trunc(interval, F.col(ts_col)).alias("bucket"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy("bucket")
+    )
+    if min_doc_count > 1:
+        out = out.filter(F.col("doc_count") >= min_doc_count)
+    return out
+
+
+def histogram(df: DataFrame, col: str, interval: float) -> DataFrame:
+    """ES ``histogram``: fixed-width numeric buckets keyed at
+    floor(value/interval)*interval (ES's exact bucket-key rule, correct for
+    negative values too), ascending."""
+    key = F.floor(F.col(col) / F.lit(float(interval))) * F.lit(float(interval))
+    return (
+        df.groupBy(key.alias("bucket"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy("bucket")
+    )
+
+
+def stats_agg(df: DataFrame, col: str, ndigits: int = 6) -> DataFrame:
+    """ES ``stats``: one row of count/min/max/avg/sum. Rounded so the result
+    is replay-stable across summation orders (floating sums are
+    order-dependent under parallel reduce)."""
+    c = F.col(col)
+    return df.agg(
+        F.count(c).alias("count"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.round(F.avg(c), ndigits).alias("avg"),
+        F.round(F.sum(c), ndigits).alias("sum"),
+    )
+
+
+def extended_stats_agg(df: DataFrame, col: str, ndigits: int = 4) -> DataFrame:
+    """ES ``extended_stats``: stats plus sum_of_squares and POPULATION
+    variance/std (ES's reported moments are population, not sample)."""
+    c = F.col(col)
+    return df.agg(
+        F.count(c).alias("count"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.round(F.avg(c), ndigits).alias("avg"),
+        F.round(F.sum(c), ndigits).alias("sum"),
+        F.round(F.sum(c * c), ndigits).alias("sum_of_squares"),
+        F.round(F.var_pop(c), ndigits).alias("variance"),
+        F.round(F.stddev_pop(c), ndigits).alias("std_deviation"),
+    )
+
+
+def cardinality_agg(
+    df: DataFrame, col: str, exact: bool = False, rsd: float = 0.05
+) -> DataFrame:
+    """ES ``cardinality``. Default = the ES path: HyperLogLog++ sketch
+    (``approx_count_distinct``, relative error ``rsd``) — mergeable,
+    constant memory, the only viable shape at web scale. ``exact=True``
+    shuffles the distinct keys (auditable, and what the SQL oracle
+    replays)."""
+    c = F.col(col)
+    v = F.count_distinct(c) if exact else F.approx_count_distinct(c, rsd)
+    return df.agg(v.alias("value"))
+
+
+def percentiles_agg(
+    df: DataFrame,
+    col: str,
+    percents: Sequence[float] = (25.0, 50.0, 75.0, 95.0, 99.0),
+    exact: bool = False,
+    ndigits: int = 6,
+) -> DataFrame:
+    """ES ``percentiles`` — long format: one row per requested percent.
+    Default = sketch (``percentile_approx``, the t-digest analog); ES also
+    documents its percentiles as approximate. ``exact=True`` = interpolated
+    exact quantiles (Spark ``percentile`` ≡ SQL ``quantile_cont``)."""
+    fracs = [float(p) / 100.0 for p in percents]
+    arr = F.array(*[F.lit(f) for f in fracs])
+    q = (
+        F.percentile(F.col(col), arr)
+        if exact
+        else F.percentile_approx(F.col(col), arr)
+    )
+    one = df.agg(q.alias("_q")).select(F.posexplode("_q").alias("pos", "value"))
+    pmap = F.array(*[F.lit(float(p)) for p in percents])
+    return one.select(
+        F.element_at(pmap, F.col("pos") + 1).alias("percent"),
+        F.round(F.col("value"), ndigits).alias("value"),
+    )
+
+
+def top_hits_by_bucket(
+    df: DataFrame,
+    bucket_col: str,
+    sort_col: str,
+    n: int = 3,
+    descending: bool = True,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """ES ``terms`` bucket agg with a ``top_hits`` sub-aggregation: the top-n
+    rows of every bucket by ``sort_col``. One rank window partitioned by the
+    bucket — per-bucket top-k, no global sort; ties broken by
+    ``tiebreak_col`` (required for deterministic output when sort values
+    repeat)."""
+    s = F.col(sort_col)
+    order = [s.desc() if descending else s.asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(bucket_col).orderBy(*order)
+    return (
+        df.withColumn("hit_rank", F.row_number().over(w))
+        .filter(F.col("hit_rank") <= n)
+    )
+
+
+def date_histogram_stats(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    interval: str = "month",
+    ndigits: int = 6,
+) -> DataFrame:
+    """ES bucket aggregation with a metric sub-aggregation (``date_histogram``
+    wrapping ``stats``): per-bucket count/min/max/avg/sum in the SAME single
+    partial+final groupBy — ES's nested-agg tree flattens to one shuffle."""
+    if interval not in _INTERVALS:
+        raise ValueError(f"interval must be one of {_INTERVALS}")
+    v = F.col(value_col)
+    return (
+        df.groupBy(F.date_trunc(interval, F.col(ts_col)).alias("bucket"))
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.min(v).alias("min"),
+            F.max(v).alias("max"),
+            F.round(F.avg(v), ndigits).alias("avg"),
+            F.round(F.sum(v), ndigits).alias("sum"),
+        )
+        .orderBy("bucket")
+    )

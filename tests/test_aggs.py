@@ -1,0 +1,133 @@
+"""ES aggregation family (query/aggs.py): STRICT golden cases on a tiny
+hand-built frame plus sketch-vs-exact error bounds on the events table."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from es_indexer_spark.query import aggs
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    ts = datetime.datetime
+    rows = [
+        (1, ts(2024, 1, 10, 5), "a", 10.0),
+        (2, ts(2024, 1, 20, 6), "a", 30.0),
+        (3, ts(2024, 2, 1, 7), "b", -5.0),
+        (4, ts(2024, 2, 15, 8), "b", 25.0),
+        (5, ts(2024, 2, 28, 9), "a", 25.0),
+    ]
+    return spark.createDataFrame(rows, "id long, ts timestamp, k string, v double")
+
+
+def test_date_histogram_strict(tiny):
+    got = [(r["bucket"], r["doc_count"]) for r in aggs.date_histogram(tiny, "ts", "month").collect()]
+    ts = datetime.datetime
+    assert got == [(ts(2024, 1, 1), 2), (ts(2024, 2, 1), 3)]
+
+
+def test_date_histogram_min_doc_count(tiny):
+    got = aggs.date_histogram(tiny, "ts", "month", min_doc_count=3).collect()
+    assert [(r["bucket"], r["doc_count"]) for r in got] == [
+        (datetime.datetime(2024, 2, 1), 3)
+    ]
+
+
+def test_date_histogram_bad_interval(tiny):
+    with pytest.raises(ValueError):
+        aggs.date_histogram(tiny, "ts", "fortnight")
+
+
+def test_histogram_strict_negative_bucket(tiny):
+    # ES bucket key floor(v/10)*10: -5 lands in -10, not 0
+    got = [(r["bucket"], r["doc_count"]) for r in aggs.histogram(tiny, "v", 10.0).collect()]
+    assert got == [(-10.0, 1), (10.0, 1), (20.0, 2), (30.0, 1)]
+
+
+def test_stats_strict(tiny):
+    r = aggs.stats_agg(tiny, "v").collect()[0]
+    assert (r["count"], r["min"], r["max"], r["avg"], r["sum"]) == (5, -5.0, 30.0, 17.0, 85.0)
+
+
+def test_extended_stats_population_moments(tiny):
+    r = aggs.extended_stats_agg(tiny, "v").collect()[0]
+    # population variance of [10,30,-5,25,25] = 830/5 = 166.0 (sample: 207.5)
+    assert r["sum_of_squares"] == 2275.0
+    assert r["variance"] == pytest.approx(166.0)
+    assert r["std_deviation"] == pytest.approx(166.0 ** 0.5, abs=1e-4)
+
+
+def test_cardinality_exact_vs_sketch(events):
+    exact = aggs.cardinality_agg(events, "user_id", exact=True).collect()[0]["value"]
+    approx = aggs.cardinality_agg(events, "user_id", rsd=0.05).collect()[0]["value"]
+    assert exact > 0
+    assert abs(approx - exact) <= max(1, 0.15 * exact)  # 3x rsd slack
+
+
+def test_percentiles_exact_interpolation(tiny):
+    got = {r["percent"]: r["value"] for r in aggs.percentiles_agg(tiny, "v", (50.0,), exact=True).collect()}
+    assert got == {50.0: 25.0}
+
+
+def test_percentiles_sketch_close_to_exact(events):
+    exact = {
+        r["percent"]: r["value"]
+        for r in aggs.percentiles_agg(events, "value", (50.0, 95.0), exact=True).collect()
+    }
+    approx = {
+        r["percent"]: r["value"]
+        for r in aggs.percentiles_agg(events, "value", (50.0, 95.0)).collect()
+    }
+    for p, v in exact.items():
+        assert abs(approx[p] - v) <= 0.05 * max(1.0, v)
+
+
+def test_top_hits_by_bucket_strict(tiny):
+    got = [
+        (r["k"], r["id"], r["hit_rank"])
+        for r in aggs.top_hits_by_bucket(tiny, "k", "v", n=2, tiebreak_col="id")
+        .orderBy("k", "hit_rank")
+        .collect()
+    ]
+    # bucket a: 30 (id2) then the 25-tie broken by id asc -> id5
+    assert got == [("a", 2, 1), ("a", 5, 2), ("b", 4, 1), ("b", 3, 2)]
+
+
+def test_date_histogram_stats_single_shuffle(tiny):
+    df = aggs.date_histogram_stats(tiny, "ts", "v", "month")
+    rows = [(r["bucket"].month, r["doc_count"], r["min"], r["max"], r["avg"], r["sum"]) for r in df.collect()]
+    assert rows == [(1, 2, 10.0, 30.0, 20.0, 40.0), (2, 3, -5.0, 25.0, 15.0, 45.0)]
+    # ES's nested agg tree must flatten to ONE aggregation exchange (AQE's
+    # string repeats the pre-AQE plan after '== Initial Plan ==' — count only
+    # the executed section)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+
+
+def test_index_docs_live(spark, tmp_path):
+    from es_indexer_spark.index.builder import build_index
+    from es_indexer_spark.index.tombstones import delete_docs
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).limit(50)
+    root = str(tmp_path / "aggidx")
+    build_index(spark, docs, root, content_col="text", id_col="doc_id",
+                meta_cols=("lang",), tokenizer="standard", n_buckets=2,
+                shard_size=32, n_ckpt_batches=1)
+    before = aggs.cardinality_agg(aggs.index_docs(spark, root), "lang", exact=True).collect()[0]["value"]
+    n_before = aggs.index_docs(spark, root).count()
+    delete_docs(spark, root, [0, 1, 2])
+    assert aggs.index_docs(spark, root).count() == n_before - 3
+    assert before >= 1
