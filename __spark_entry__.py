@@ -95,9 +95,12 @@ def _index_root(spark: SparkSession, sf_dir: str) -> str:
     try:
         vdir = catalog.resolve(root)
         stats = catalog.read_stats(vdir)
-        need = (not stats.get("positions")) or stats["n_docs"] != _docs(
-            spark, sf_dir
-        ).count()
+        docs_cols = spark.read.parquet(os.path.join(vdir, "docs")).columns
+        need = (
+            (not stats.get("positions"))
+            or "n_chars" not in docs_cols  # meta set grew in round 3
+            or stats["n_docs"] != _docs(spark, sf_dir).count()
+        )
     except (FileNotFoundError, KeyError):
         need = True
     if need:
@@ -107,7 +110,7 @@ def _index_root(spark: SparkSession, sf_dir: str) -> str:
             root,
             content_col="text",
             id_col="doc_id",
-            meta_cols=("lang", "source"),
+            meta_cols=("lang", "source", "n_chars"),
             tokenizer="standard",
             n_buckets=8,
             shard_size=256,
@@ -309,11 +312,15 @@ def _bool_sql(
     must_not: list[str] = (),
     phrase: list[str] = (),
     k: int = 10,
+    rng: str | None = None,
 ) -> str:
     """ES bool-query oracle (query/boolean.py): must = scored conjunction,
     should = scored optional, must_not = non-scoring exclusion, ``phrase`` =
     the reference's ``bool.filter(match_phrase)`` — required consecutive
-    tokens, never scored. Same BM25 core as ``_bm25_sql``."""
+    tokens, never scored. ``rng`` = a SQL predicate over the documents row
+    (the ``bool.filter(range)`` clause — required, non-scoring, and lifts
+    the pure-should >=1 rule like any filter clause). Same BM25 core as
+    ``_bm25_sql``."""
     def inlist(ts):
         return ", ".join(f"'{t}'" for t in ts)
 
@@ -340,8 +347,13 @@ def _bool_sql(
             f"WHERE len([i for i in range(1, len(t) + 1) if {cond}]) > 0)"
         )
         ph_join = "JOIN ph USING (doc_id)"
+    rng_cte, rng_join = "", ""
+    if rng:
+        rng_cte = f",\nrngd AS (SELECT doc_id FROM documents WHERE {rng})"
+        rng_join = "JOIN rngd USING (doc_id)"
     where = [f"f.n_must = {len(set(must))}", "f.bad = 0"]
-    if not must and not phrase:  # pure should: Lucene needs >=1 should match
+    if not must and not phrase and not rng:
+        # pure should with no required context: Lucene needs >=1 should match
         where.append("f.n_should >= 1")
     return f"""
 WITH toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
@@ -353,7 +365,7 @@ st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
               ((SELECT COALESCE(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents))::DOUBLE AS avgdl),
 dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
 flags AS (SELECT doc_id, {n_must_expr} AS n_must, {bad_expr} AS bad, {n_should_expr} AS n_should
-          FROM tf GROUP BY doc_id){ph_cte},
+          FROM tf GROUP BY doc_id){ph_cte}{rng_cte},
 raw AS (
   SELECT tf.doc_id,
          sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
@@ -362,7 +374,7 @@ raw AS (
   WHERE tf.term IN ({inlist(scoring)})
   GROUP BY tf.doc_id)
 SELECT f.doc_id, round(COALESCE(r.score_raw, 0)::DOUBLE, 4) AS score
-FROM flags f LEFT JOIN raw r USING (doc_id) {ph_join}
+FROM flags f LEFT JOIN raw r USING (doc_id) {ph_join} {rng_join}
 WHERE {" AND ".join(where)}
 ORDER BY COALESCE(r.score_raw, 0) DESC, f.doc_id ASC LIMIT {k}
 """
@@ -826,6 +838,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bool_must_not"] = _bool_basic
     q["bool_filter_phrase"] = _bool_phrase
 
+    # ---- ES range query: standalone + bool.filter(range) ------------------------
+    def _range_docs(spark, sf):
+        from es_indexer_spark.query.lookup import range_query
+
+        return range_query(
+            spark, _index_root(spark, sf), "n_chars", {"gte": 150, "lt": 400}
+        ).select(F.col("docid").alias("doc_id"), "n_chars")
+
+    def _bool_range(spark, sf):
+        from es_indexer_spark.query.boolean import bool_query
+
+        return bool_query(
+            spark, _index_root(spark, sf),
+            must=["data"], should=["stream", "batch"],
+            filter_range=("n_chars", {"gte": 100, "lt": 500}), k=10,
+        ).select(F.col("docid").alias("doc_id"), F.round("score", 4).alias("score"))
+
+    q["range_docs"] = _range_docs
+    q["bool_filter_range"] = _bool_range
+
     # ---- multi-field boosted BM25 (the portal's actual ranked search) -----------
     def _multi(match_type: str, query: str, tie: float = 0.0):
         def run(spark: SparkSession, sf: str) -> DataFrame:
@@ -914,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_date_histogram", "agg_histogram", "agg_stats",
         "agg_extended_stats", "agg_cardinality", "agg_percentiles",
         "agg_top_hits", "agg_date_histogram_stats",
+        "range_docs", "bool_filter_range",
         "bool_must_not", "bool_filter_phrase",
         "multi_match_most", "multi_match_best",
         "term_keyword", "term_count", "analyze_tokens",
@@ -971,6 +1004,14 @@ FROM pf CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
     o["bool_filter_phrase"] = _bool_sql(
         must=["customer"], phrase=["data", "stream"]
     )
+    o["bool_filter_range"] = _bool_sql(
+        must=["data"], should=["stream", "batch"],
+        rng="n_chars >= 100 AND n_chars < 500",
+    )
+    o["range_docs"] = """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars >= 150 AND n_chars < 400 ORDER BY doc_id
+"""
     o["multi_match_most"] = _multifield_sql(["data", "stream"], "most_fields", 0.0)
     o["multi_match_best"] = _multifield_sql(["batch", "customer"], "best_fields", 0.3)
     o["bm25_with_meta"] = f"""

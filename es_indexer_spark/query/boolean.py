@@ -66,9 +66,14 @@ def _bool_shard_scorer(
     scoring = sorted(set(must) | set(should))
     phrase_set = set(phrase)
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+    def score(pdf: pd.DataFrame, allowed: np.ndarray | None = None) -> pd.DataFrame:
+        """``allowed``: sorted docids passing the non-scoring range filter for
+        this shard (cogrouped in from the docs store). Like any ES filter
+        clause it is required context — its presence also lifts the pure-
+        should >=1 rule (Lucene min_should_match defaults to 0 once the bool
+        has a filter/must clause)."""
         empty = pd.DataFrame({"docid": [], "score": []})
-        if len(pdf) == 0:
+        if len(pdf) == 0 and allowed is None:
             return empty
         term_docs: dict[str, np.ndarray] = {}
         term_contrib: dict[str, np.ndarray] = {}
@@ -141,6 +146,12 @@ def _bool_shard_scorer(
                     return empty
                 pdocs = np.unique(pk >> 32)
                 cand = pdocs if cand is None else np.intersect1d(cand, pdocs)
+            if allowed is not None:
+                cand = np.intersect1d(cand, allowed)
+        elif allowed is not None:
+            # the range filter is the required context: every allowed doc is a
+            # candidate (score 0 unless should terms contribute)
+            cand = allowed
         else:
             # pure should: Lucene bool with no required clause needs >=1 match
             present = [t for t in should if t in term_docs]
@@ -185,6 +196,7 @@ def bool_query(
     must_not: Sequence[str] = (),
     filter_terms: Sequence[str] = (),
     filter_phrase: str | None = None,
+    filter_range: tuple[str, dict] | None = None,
     k: int | None = 10,
     lang: str | None = None,
 ) -> DataFrame:
@@ -193,9 +205,19 @@ def bool_query(
     string contributes each of its terms as a required term).
     ``filter_terms`` / ``filter_phrase`` are Lucene filter context: required,
     never scored — ``filter_phrase`` is the reference's
-    ``bool.filter(match_phrase)`` shape. ``k=None`` returns EVERY matching
-    doc with no global sort (the delete-by-query / scroll shape — per-shard
-    evaluation is unchanged, only the top-k merge is skipped)."""
+    ``bool.filter(match_phrase)`` shape. ``filter_range=("n_chars", {"gte":
+    200, "lt": 800})`` is ES ``bool.filter(range)``: required, non-scoring,
+    and like any filter clause it lifts the pure-should >=1 rule. ``k=None``
+    returns EVERY matching doc with no global sort (the delete-by-query /
+    scroll shape — per-shard evaluation is unchanged, only the top-k merge
+    is skipped).
+
+    Range execution shape: the bounds are pushed into the docs-store parquet
+    scan (row-group pruned), the passing docids get their shard key
+    (docid // shard_size) and COGROUP with the postings blocks — so the
+    filter set flows shard-partitioned through the same single shuffle as
+    the blocks, never through the driver or a broadcast, no matter how many
+    docs pass the range."""
     vdir = catalog.resolve(index_root)
     stats = catalog.read_stats(vdir)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
@@ -221,8 +243,33 @@ def bool_query(
         raise ValueError(
             f"index at {index_root} was built without store_positions=True"
         )
+    rng_df = None
+    if filter_range is not None:
+        from es_indexer_spark.query.lookup import range_pred
+        from es_indexer_spark.index.tombstones import filter_live
+
+        field, bounds = filter_range
+        import os as _os
+
+        rng_df = filter_live(
+            spark,
+            vdir,
+            spark.read.parquet(_os.path.join(vdir, "docs"))
+            .filter(range_pred(field, bounds))
+            .select("docid"),
+        ).select(
+            "docid",
+            F.floor(F.col("docid") / F.lit(int(stats["shard_size"])))
+            .cast("long")
+            .alias("shard"),
+        )
     if not (must_t or should_t or filt_t or phrase_t):
-        return spark.createDataFrame([], _SCORE_SCHEMA)
+        if rng_df is None:
+            return spark.createDataFrame([], _SCORE_SCHEMA)
+        # filter(range) with no term clause: constant-score match of the
+        # range scan itself — no postings needed at all
+        out = rng_df.select("docid", F.lit(0.0).alias("score"))
+        return out if k is None else out.orderBy(F.asc("docid")).limit(k)
 
     all_terms = sorted(set(must_t) | set(should_t) | set(not_t) | set(filt_t) | set(phrase_t))
     from es_indexer_spark.query.engine import _dict_df, _load_blocks
@@ -240,23 +287,42 @@ def bool_query(
     # load postings for every clause's present terms (must_not included — the
     # exclusion set is derived shard-locally from its postings)
     present = sorted(t for t in all_terms if t in found)
-    if not present:
+    if not present and rng_df is None:
         return spark.createDataFrame([], _SCORE_SCHEMA)
-    buckets = sorted({found[t]["bucket"] for t in present})
-    blocks = _load_blocks(spark, vdir, present, buckets)
 
     shard_k = (1 << 62) if k is None else k
-    scored = blocks.groupBy("shard").applyInPandas(
-        _bool_shard_scorer(
-            [t for t in must_t if t in found],
-            [t for t in should_t if t in found],
-            [t for t in not_t if t in found],
-            filt_t,
-            phrase_t,
-            idfs, k1, b, shard_k, avgdl, tomb,
-        ),
-        _SCORE_SCHEMA,
+    scorer = _bool_shard_scorer(
+        [t for t in must_t if t in found],
+        [t for t in should_t if t in found],
+        [t for t in not_t if t in found],
+        filt_t,
+        phrase_t,
+        idfs, k1, b, shard_k, avgdl, tomb,
     )
+    if present:
+        buckets = sorted({found[t]["bucket"] for t in present})
+        blocks = _load_blocks(spark, vdir, present, buckets)
+    else:
+        # every term clause was absent from the dictionary but the (required)
+        # range still defines the candidates — drive the cogroup with an
+        # empty left side so each allowed shard emits its score-0 docs
+        blocks = spark.createDataFrame([], "shard long, term string")
+    if rng_df is None:
+        # single-arg wrapper: applyInPandas dispatches on arity, and the
+        # scorer's optional ``allowed`` parameter would read as (key, pdf)
+        scored = blocks.groupBy("shard").applyInPandas(
+            lambda pdf: scorer(pdf), _SCORE_SCHEMA
+        )
+    else:
+        def rng_scorer(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            allowed = np.unique(right["docid"].to_numpy(dtype=np.int64))
+            return scorer(left, allowed)
+
+        scored = (
+            blocks.groupBy("shard")
+            .cogroup(rng_df.groupBy("shard"))
+            .applyInPandas(rng_scorer, _SCORE_SCHEMA)
+        )
     if k is None:
         return scored
     return scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)

@@ -82,6 +82,47 @@ def term_query(
     return df.limit(size) if size is not None else df
 
 
+_RANGE_OPS = ("gte", "gt", "lte", "lt")
+
+
+def range_pred(field: str, bounds: dict) -> "F.Column":
+    """ES ``range`` bounds (gte/gt/lte/lt, any subset) as one Column
+    predicate — a plain comparison conjunction, so parquet min/max row-group
+    pruning applies to every bound."""
+    bad = set(bounds) - set(_RANGE_OPS)
+    if bad or not bounds:
+        raise ValueError(f"range bounds must be a non-empty subset of {_RANGE_OPS}")
+    c = F.col(field)
+    p = None
+    for op, v in bounds.items():
+        e = {"gte": c >= v, "gt": c > v, "lte": c <= v, "lt": c < v}[op]
+        p = e if p is None else (p & e)
+    return p
+
+
+def range_query(
+    spark: SparkSession,
+    index_root: str,
+    field: str,
+    bounds: dict,
+    size: int | None = None,
+) -> DataFrame:
+    """ES ``range`` query on a stored (numeric/date/keyword) field — e.g.
+    ``range_query(spark, root, "n_chars", {"gte": 200, "lt": 800})``.
+    Standalone range context is non-scoring in ES (constant score); here the
+    doc rows come back docid-ordered with the bounds pushed into the parquet
+    scan (docid-sorted files + column min/max stats = row-group pruning),
+    tombstone-aware like every read surface."""
+    from es_indexer_spark.index.tombstones import filter_live
+
+    vdir = catalog.resolve(index_root)
+    df = spark.read.parquet(os.path.join(vdir, "docs")).filter(
+        range_pred(field, bounds)
+    )
+    df = filter_live(spark, vdir, df).orderBy(F.asc("docid"))
+    return df.limit(size) if size is not None else df
+
+
 def term_count(
     spark: SparkSession, index_root: str, field: str, value: str
 ) -> DataFrame:

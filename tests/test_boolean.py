@@ -35,7 +35,7 @@ def bool_index(spark, documents, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("idx_bool"))
     build_index(
         spark, documents, root,
-        content_col="text", id_col="doc_id", meta_cols=("lang",),
+        content_col="text", id_col="doc_id", meta_cols=("lang", "n_chars"),
         tokenizer="standard", n_buckets=8, shard_size=100,
         n_ckpt_batches=2, store_positions=True,
     )
@@ -44,8 +44,16 @@ def bool_index(spark, documents, tmp_path_factory):
     return root, toks
 
 
-def _brute(toks, must=(), should=(), must_not=(), filt=(), phrase=(), k=10):
-    """Independent per-doc bool evaluation over the Python-tokenized corpus."""
+@pytest.fixture(scope="module")
+def nchars(documents):
+    return {r["doc_id"]: r["n_chars"] for r in documents.select("doc_id", "n_chars").collect()}
+
+
+def _brute(toks, must=(), should=(), must_not=(), filt=(), phrase=(), k=10,
+           rng=None, nch=None):
+    """Independent per-doc bool evaluation over the Python-tokenized corpus.
+    ``rng``: (lo, hi) half-open n_chars bound (the filter_range clause —
+    required context, lifts the pure-should >=1 rule)."""
     n = len(toks)
     avgdl = sum(len(t) for t in toks.values()) / n
     dfs = {}
@@ -54,6 +62,7 @@ def _brute(toks, must=(), should=(), must_not=(), filt=(), phrase=(), k=10):
     idf = {t: math.log(1 + (n - d + 0.5) / (d + 0.5)) for t, d in dfs.items()}
     scoring = sorted(set(must) | set(should))
     phrase = list(phrase)
+    required = bool(must or filt or phrase or rng)
     out = []
     for doc, t in toks.items():
         ts = set(t)
@@ -65,7 +74,9 @@ def _brute(toks, must=(), should=(), must_not=(), filt=(), phrase=(), k=10):
                 for i in range(len(t) - len(phrase) + 1)
             ):
                 continue
-        elif not any(s in ts for s in should):
+        if rng is not None and not (rng[0] <= nch[doc] < rng[1]):
+            continue
+        if not required and not any(s in ts for s in should):
             continue
         if any(m in ts for m in must_not):
             continue
@@ -94,9 +105,10 @@ def _clause_terms(strings):
     return sorted(set(out))
 
 
-def _check(spark, bool_index, **kw):
+def _check(spark, bool_index, nch=None, **kw):
     root, toks = bool_index
     got = _run(spark, root, **kw)
+    fr = kw.get("filter_range")
     exp = _brute(
         toks,
         must=_clause_terms(kw.get("must", ())),
@@ -106,6 +118,8 @@ def _check(spark, bool_index, **kw):
         phrase=tokenize_one(kw["filter_phrase"], "standard")
         if kw.get("filter_phrase") else (),
         k=kw.get("k", 10),
+        rng=(fr[1]["gte"], fr[1]["lt"]) if fr else None,
+        nch=nch,
     )
     _assert_same(got, exp)
 
@@ -215,3 +229,69 @@ def test_bool_k_none_returns_all_matches(spark, bool_index):
     top = _run(spark, root, must=["data"], must_not=["key"], k=10_000)
     assert sorted(allm) == sorted(top)
     assert len(allm) > 10
+
+
+def test_filter_range_with_must(spark, bool_index, nchars):
+    _check(
+        spark, bool_index, nch=nchars,
+        must=["data"], should=["stream", "batch"],
+        filter_range=("n_chars", {"gte": 100, "lt": 500}),
+    )
+
+
+def test_filter_range_lifts_pure_should_rule(spark, bool_index, nchars):
+    # ES: a filter clause makes should purely optional (min_should_match=0) —
+    # in-range docs with NO should term still match at score 0
+    root, toks = bool_index
+    got = _run(
+        spark, root, should=["customer"],
+        filter_range=("n_chars", {"gte": 150, "lt": 200}), k=None,
+    )
+    in_range = {d for d, n in nchars.items() if 150 <= n < 200}
+    assert {d for d, _ in got} == in_range
+    zero_scored = [d for d, s in got if s == 0.0]
+    assert any(d for d in zero_scored if "customer" not in toks[d])
+
+
+def test_filter_range_only_constant_score(spark, bool_index, nchars):
+    root, _ = bool_index
+    got = _run(spark, root, filter_range=("n_chars", {"gte": 150, "lt": 200}), k=5)
+    exp = sorted(d for d, n in nchars.items() if 150 <= n < 200)[:5]
+    assert got == [(d, 0.0) for d in exp]
+
+
+def test_filter_range_excludes_all(spark, bool_index):
+    root, _ = bool_index
+    assert _run(spark, root, must=["data"],
+                filter_range=("n_chars", {"gte": 10**9})) == []
+
+
+def test_filter_range_with_must_not_and_phrase(spark, bool_index, nchars):
+    _check(
+        spark, bool_index, nch=nchars,
+        must=["customer"], must_not=["key"], filter_phrase="data stream",
+        filter_range=("n_chars", {"gte": 0, "lt": 600}),
+    )
+
+
+def test_range_query_standalone_bounds(spark, bool_index, nchars):
+    from es_indexer_spark.query.lookup import range_query
+
+    root, _ = bool_index
+    lo = min(nchars.values())
+    got = [r["docid"] for r in range_query(spark, root, "n_chars", {"gt": lo, "lte": lo + 50}).collect()]
+    exp = sorted(d for d, n in nchars.items() if lo < n <= lo + 50)
+    assert got == exp
+    # size cap
+    got1 = [r["docid"] for r in range_query(spark, root, "n_chars", {"gte": lo}, size=3).collect()]
+    assert got1 == sorted(nchars)[:3]
+
+
+def test_range_query_rejects_bad_bounds(spark, bool_index):
+    from es_indexer_spark.query.lookup import range_query
+
+    root, _ = bool_index
+    with pytest.raises(ValueError):
+        range_query(spark, root, "n_chars", {})
+    with pytest.raises(ValueError):
+        range_query(spark, root, "n_chars", {"between": 3})
