@@ -858,6 +858,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["range_docs"] = _range_docs
     q["bool_filter_range"] = _bool_range
 
+    # ---- ES wildcard + match_phrase_prefix ---------------------------------------
+    def _wildcard(spark, sf):
+        from es_indexer_spark.query.suggest import wildcard_query
+
+        # 's?a*' exercises both wildcard kinds (scan/small/spark at this corpus)
+        return wildcard_query(
+            spark, _index_root(spark, sf), "s?a*", k=100000
+        ).select(F.col("docid").alias("doc_id"), "score")
+
+    def _mpp(spark, sf):
+        from es_indexer_spark.query.phrase import match_phrase_prefix
+
+        return match_phrase_prefix(
+            spark, _index_root(spark, sf), "data s", k=None
+        ).select(
+            F.col("docid").alias("doc_id"),
+            "phrase_tf",
+            F.round("score", 4).alias("score"),
+        )
+
+    q["wildcard_docs"] = _wildcard
+    q["phrase_prefix"] = _mpp
+
     # ---- multi-field boosted BM25 (the portal's actual ranked search) -----------
     def _multi(match_type: str, query: str, tie: float = 0.0):
         def run(spark: SparkSession, sf: str) -> DataFrame:
@@ -947,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_extended_stats", "agg_cardinality", "agg_percentiles",
         "agg_top_hits", "agg_date_histogram_stats",
         "range_docs", "bool_filter_range",
+        "wildcard_docs", "phrase_prefix",
         "bool_must_not", "bool_filter_phrase",
         "multi_match_most", "multi_match_best",
         "term_keyword", "term_count", "analyze_tokens",
@@ -1011,6 +1035,38 @@ FROM pf CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
     o["range_docs"] = """
 SELECT doc_id, n_chars FROM documents
 WHERE n_chars >= 150 AND n_chars < 400 ORDER BY doc_id
+"""
+    # wildcard 's?a*' (constant-score rewrite; expansions under the cap here,
+    # so the SQL full-semantics replay is exact)
+    o["wildcard_docs"] = """
+WITH toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+               FROM documents)
+SELECT doc_id, 1.0::DOUBLE AS score FROM toksl
+WHERE len(list_filter(t, x -> regexp_matches(x, '^s.a.*$'))) > 0
+ORDER BY doc_id ASC LIMIT 100000
+"""
+    # match_phrase_prefix 'data s': fixed term 'data' followed by any term
+    # LIKE 's%'; score = PhraseQuery formula with the expanded position's idf
+    # taken at the union-df upper bound (same rule as query/phrase.py)
+    o["phrase_prefix"] = """
+WITH toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+               FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT sum(len(t)) FROM toksl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+dfq AS (SELECT term, count(*)::DOUBLE AS df
+        FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toksl)
+        GROUP BY term),
+u AS (SELECT least((SELECT n FROM st), (SELECT sum(df) FROM dfq WHERE term LIKE 's%')) AS udf),
+idf AS (SELECT ln(1 + (st.n - (SELECT df FROM dfq WHERE term = 'data') + 0.5)
+                    / ((SELECT df FROM dfq WHERE term = 'data') + 0.5))
+             + ln(1 + (st.n - u.udf + 0.5) / (u.udf + 0.5)) AS sum_idf
+        FROM st CROSS JOIN u),
+pf AS (SELECT doc_id, len(t)::DOUBLE AS dl,
+              len([i for i in range(1, len(t)) if t[i] = 'data' AND t[i+1] LIKE 's%']) AS ptf
+       FROM toksl)
+SELECT doc_id, ptf::BIGINT AS phrase_tf,
+       round(idf.sum_idf * ptf * 2.2 / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)), 4) AS score
+FROM pf CROSS JOIN st CROSS JOIN idf WHERE ptf > 0
 """
     o["multi_match_most"] = _multifield_sql(["data", "stream"], "most_fields", 0.0)
     o["multi_match_best"] = _multifield_sql(["batch", "customer"], "best_fields", 0.3)

@@ -171,3 +171,166 @@ def phrase_match(
     )
     out = scored.orderBy(F.desc("score"), F.asc("docid"))
     return out.limit(k) if k is not None else out
+
+
+def _mpp_shard_scorer(
+    fixed: list[str],
+    expansions: list[str],
+    sum_idf: float,
+    k1: float,
+    b: float,
+    avgdl: float,
+    tomb: np.ndarray | None = None,
+):
+    """Per-shard match_phrase_prefix evaluator: the fixed terms chain exactly
+    like the phrase scorer; the LAST position matches the union of the
+    expansion terms' position keys (Lucene MultiPhraseQuery's or-position)."""
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"docid": [], "phrase_tf": [], "score": []})
+        if len(pdf) == 0:
+            return empty
+        term_keys: dict[str, np.ndarray] = {}
+        term_docs: dict[str, np.ndarray] = {}
+        term_lens: dict[str, np.ndarray] = {}
+        for term, gg in pdf.groupby("term", sort=False):
+            key_parts, d_parts, l_parts = [], [], []
+            for row in gg.itertuples(index=False):
+                d, t, l = decode_block(row.gaps, row.tfs, row.dls, row.first_docid)
+                flat = decode_positions(row.poss, t)
+                d64 = d.astype(np.int64)
+                if tomb is not None:
+                    keep = live_mask(tomb, d64)
+                    if keep is not None and not keep.all():
+                        flat = flat[np.repeat(keep, t.astype(np.int64))]
+                        d64, t, l = d64[keep], t[keep], l[keep]
+                    if d64.size == 0:
+                        continue
+                doc_of_pos = np.repeat(d64, t.astype(np.int64))
+                key_parts.append((doc_of_pos << 32) | flat.astype(np.int64))
+                d_parts.append(d64)
+                l_parts.append(l.astype(np.int64))
+            if not key_parts:
+                continue
+            keys = np.concatenate(key_parts)
+            keys.sort()
+            term_keys[term] = keys
+            term_docs[term] = np.concatenate(d_parts)
+            term_lens[term] = np.concatenate(l_parts)
+        if any(t not in term_keys for t in fixed):
+            return empty  # a fixed term absent from this shard → no match
+        present_exp = [t for t in expansions if t in term_keys]
+        if not present_exp:
+            return empty
+        union_keys = np.concatenate([term_keys[t] for t in present_exp])
+        union_keys.sort()
+        if fixed:
+            cand = term_keys[fixed[0]]
+            for i, t in enumerate(fixed[1:], start=1):
+                if cand.size == 0:
+                    return empty
+                cand = cand[_sorted_member(term_keys[t], cand + i)]
+            if cand.size == 0:
+                return empty
+            cand = cand[_sorted_member(union_keys, cand + len(fixed))]
+        else:
+            cand = union_keys  # bare prefix: every expansion occurrence
+        if cand.size == 0:
+            return empty
+        docids, ptf = np.unique(cand >> 32, return_counts=True)
+        # doc lengths: a fixed term's postings cover every final doc; with no
+        # fixed terms, merge the expansions' (docid, len) pairs
+        if fixed:
+            doc_arr, len_arr = term_docs[fixed[0]], term_lens[fixed[0]]
+        else:
+            doc_arr = np.concatenate([term_docs[t] for t in present_exp])
+            len_arr = np.concatenate([term_lens[t] for t in present_exp])
+        order = np.argsort(doc_arr, kind="stable")
+        dl = len_arr[order][np.searchsorted(doc_arr[order], docids)].astype(np.float64)
+        ptf_f = ptf.astype(np.float64)
+        s = sum_idf * ptf_f * (k1 + 1.0) / (ptf_f + k1 * (1.0 - b + b * dl / avgdl))
+        return pd.DataFrame(
+            {"docid": docids, "phrase_tf": ptf.astype(np.int64), "score": s}
+        )
+
+    return score
+
+
+def match_phrase_prefix(
+    spark: SparkSession,
+    index_root: str,
+    query: str,
+    k: int | None = 10,
+    max_expansions: int = 50,
+    *,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``match_phrase_prefix`` (type-ahead phrase search): the final query
+    token is treated as a PREFIX, dictionary-expanded (capped at
+    ``max_expansions``, highest-df kept — Lucene's top-terms rewrite bound),
+    and a doc matches where the fixed tokens are consecutive and followed by
+    ANY expansion. ``phrase_tf`` counts such occurrences.
+
+    Scoring: Lucene's MultiPhraseQuery treats the expanded position as one
+    or-position. We score with the PhraseQuery formula where the expanded
+    position contributes ``idf(min(n_docs, Σ df(expansion)))`` — the union
+    df upper bound, a deterministic, SQL-replayable analog of the or-position
+    (NOT bit-identical to Lucene's MultiPhrase idf, which sums all expansion
+    idfs and overweights wide prefixes; documented divergence).
+
+    Execution = the phrase path: one dictionary lookup (prefix row-group
+    range), one pruned postings scan, per-shard vectorized key-chain merge,
+    global top-k."""
+    vdir = catalog.resolve(index_root)
+    stats = catalog.read_stats(vdir)
+    if not stats.get("positions"):
+        raise ValueError(
+            f"index at {index_root} was built without store_positions=True"
+        )
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    k1, b = stats["k1"], stats["b"]
+    from es_indexer_spark.index.tombstones import tombstone_array
+
+    tomb = tombstone_array(spark, vdir)
+    toks = tokenize_one(query, stats["tokenizer"], lang=lang)
+    if not toks:
+        return spark.createDataFrame([], _PHRASE_SCHEMA)
+    fixed, prefix = toks[:-1], toks[-1]
+
+    from es_indexer_spark.query.engine import _dict_df
+
+    d = _dict_df(spark, vdir)
+    exp_rows = (
+        d.filter(F.col("term").startswith(prefix))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    if not exp_rows:
+        return spark.createDataFrame([], _PHRASE_SCHEMA)
+    uniq_fixed = sorted(set(fixed))
+    fixed_rows = (
+        d.filter(F.col("term").isin(uniq_fixed)).collect() if uniq_fixed else []
+    )
+    found = {r["term"]: r for r in fixed_rows}
+    if any(t not in found for t in uniq_fixed):
+        return spark.createDataFrame([], _PHRASE_SCHEMA)
+    union_df = min(n_docs, sum(r["df"] for r in exp_rows))
+    sum_idf = float(
+        sum(lucene_idf(n_docs, found[t]["df"]) for t in fixed)
+        + lucene_idf(n_docs, union_df)
+    )
+    expansions = sorted(r["term"] for r in exp_rows)
+    all_terms = sorted(set(uniq_fixed) | set(expansions))
+    buckets = sorted(
+        {r["bucket"] for r in fixed_rows} | {r["bucket"] for r in exp_rows}
+    )
+    blocks = spark.read.parquet(os.path.join(vdir, "postings")).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
+    )
+    scored = blocks.groupBy("shard").applyInPandas(
+        _mpp_shard_scorer(fixed, expansions, sum_idf, k1, b, avgdl, tomb),
+        _PHRASE_SCHEMA,
+    )
+    out = scored.orderBy(F.desc("score"), F.asc("docid"))
+    return out.limit(k) if k is not None else out

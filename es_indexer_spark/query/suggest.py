@@ -26,6 +26,7 @@ would apply if materialized).
 from __future__ import annotations
 
 import os
+import re as _re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -48,50 +49,29 @@ def suggest_prefix(
     )
 
 
-def prefix_query(
-    spark: SparkSession,
-    index_root: str,
-    prefix: str,
-    k: int = 10,
-    max_expansions: int = 50,
+def _expansion_docids(
+    spark: SparkSession, vdir: str, exp_rows, k: int
 ) -> DataFrame:
-    """ES ``prefix`` query with Lucene's constant-score rewrite: expand the
-    prefix against the term dictionary (capped at ``max_expansions`` like
-    Lucene's top-terms rewrites, highest-df terms kept — the cap is what
-    keeps a one-letter prefix from exploding into the whole vocabulary at
-    scale), then return docs containing ANY expansion, constant score 1.0,
-    docid-ordered.
+    """Shared tail of the multi-term constant-score rewrites (prefix /
+    wildcard): docs containing ANY of the expanded dictionary terms,
+    constant score 1.0, docid-ordered, top-k.
 
-    Physical shape: the dict prefix scan is a contiguous row-group range of
-    the term-sorted parquet; the postings scan is bucket-dir pruned + term
-    pushed exactly like the ranked path; distinct docids come from a
+    Physical shape: the postings scan is bucket-dir pruned + term pushed
+    exactly like the ranked path; distinct docids come from a
     map-side-combined aggregation over decoded blocks. Tombstoned docs are
     dropped at decode, same as every scorer."""
     import numpy as np
     import pandas as pd
 
-    from es_indexer_spark.index.tombstones import live_mask, tombstone_array
-
-    from es_indexer_spark.query.engine import _dict_df
-
-    vdir = catalog.resolve(index_root)
-    p = prefix.lower()
-    # the engine's per-version persisted dictionary (same serving cache the
-    # ranked/fuzzy paths use — a cold call still pushes the scan to parquet)
-    d = _dict_df(spark, vdir)
-    exp = (
-        d.filter(F.col("term").startswith(p))
-        .orderBy(F.desc("df"), F.asc("term"))
-        .limit(max_expansions)
-        .collect()
-    )
-    if not exp:
-        return spark.createDataFrame([], "docid long, score double")
-    terms = sorted(r["term"] for r in exp)
-    buckets = sorted({r["bucket"] for r in exp})
-    tomb = tombstone_array(spark, vdir)
     from es_indexer_spark.index.codec import decode_block
+    from es_indexer_spark.index.tombstones import live_mask, tombstone_array
     from es_indexer_spark.query.engine import _load_blocks
+
+    if not exp_rows:
+        return spark.createDataFrame([], "docid long, score double")
+    terms = sorted(r["term"] for r in exp_rows)
+    buckets = sorted({r["bucket"] for r in exp_rows})
+    tomb = tombstone_array(spark, vdir)
 
     def docids(it):
         for pdf in it:
@@ -122,6 +102,85 @@ def prefix_query(
         .orderBy(F.asc("docid"))
         .limit(k)
     )
+
+
+def prefix_query(
+    spark: SparkSession,
+    index_root: str,
+    prefix: str,
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES ``prefix`` query with Lucene's constant-score rewrite: expand the
+    prefix against the term dictionary (capped at ``max_expansions`` like
+    Lucene's top-terms rewrites, highest-df terms kept — the cap is what
+    keeps a one-letter prefix from exploding into the whole vocabulary at
+    scale), then return docs containing ANY expansion, constant score 1.0,
+    docid-ordered. The dict prefix scan is a contiguous row-group range of
+    the term-sorted parquet."""
+    from es_indexer_spark.query.engine import _dict_df
+
+    vdir = catalog.resolve(index_root)
+    p = prefix.lower()
+    # the engine's per-version persisted dictionary (same serving cache the
+    # ranked/fuzzy paths use — a cold call still pushes the scan to parquet)
+    exp = (
+        _dict_df(spark, vdir)
+        .filter(F.col("term").startswith(p))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    return _expansion_docids(spark, vdir, exp, k)
+
+
+def wildcard_pattern_to_regex(pattern: str) -> str:
+    """Translate an ES/Lucene wildcard pattern (``*`` = any run, ``?`` = one
+    char) into an anchored regex, escaping everything else."""
+    out = []
+    for ch in pattern.lower():
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def wildcard_query(
+    spark: SparkSession,
+    index_root: str,
+    pattern: str,
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES ``wildcard`` query (``*``/``?``), Lucene constant-score rewrite:
+    match the pattern against the term dictionary, cap at ``max_expansions``
+    (highest-df kept), return docs containing ANY expansion at constant
+    score 1.0, docid-ordered.
+
+    Scale note, faithful to Lucene: a LEADING wildcard cannot prune the
+    term-sorted dictionary — it is a full dict scan (columnar + predicate-
+    pushed, but every row-group). A leading literal prefix is extracted and
+    pushed as a ``startswith`` range so ``spa*k?`` style patterns keep the
+    contiguous row-group pruning of the prefix path."""
+    from es_indexer_spark.query.engine import _dict_df
+
+    p = pattern.lower()
+    vdir = catalog.resolve(index_root)
+    d = _dict_df(spark, vdir)
+    # push the literal prefix (chars before the first wildcard) as a range
+    lit = _re.match(r"^[^*?]*", p).group(0)
+    if lit:
+        d = d.filter(F.col("term").startswith(lit))
+    exp = (
+        d.filter(F.col("term").rlike(wildcard_pattern_to_regex(p)))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    return _expansion_docids(spark, vdir, exp, k)
 
 
 def phrase_suggestions(

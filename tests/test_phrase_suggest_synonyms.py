@@ -239,3 +239,96 @@ def test_prefix_query_expansion_cap(spark, documents, pos_index):
         ).collect()
     }
     assert capped and capped <= full
+
+
+def test_wildcard_query_vs_brute(spark, documents, pos_index):
+    """ES wildcard query: '?' = one char, '*' = any run; constant score."""
+    import re
+
+    from es_indexer_spark.query.suggest import wildcard_query
+
+    for pat, rx in [("s?a*", r"^s.a.*$"), ("*dup*", r"^.*dup.*$"), ("jo?n", r"^jo.n$")]:
+        got = wildcard_query(spark, pos_index, pat, k=10_000).collect()
+        crx = re.compile(rx)
+        exp = {
+            r["doc_id"]
+            for r in documents.collect()
+            if any(crx.match(t) for t in tokenize_one(r["text"], "standard"))
+        }
+        assert {r["docid"] for r in got} == exp, pat
+        assert all(r["score"] == 1.0 for r in got)
+    assert wildcard_query(spark, pos_index, "zz*qq").collect() == []
+
+
+def test_wildcard_pattern_translation():
+    from es_indexer_spark.query.suggest import wildcard_pattern_to_regex
+
+    assert wildcard_pattern_to_regex("s?a*") == "^s.a.*$"
+    # regex metacharacters in the literal part are escaped
+    assert wildcard_pattern_to_regex("a.b*") == r"^a\.b.*$"
+
+
+def test_match_phrase_prefix_vs_brute(spark, documents, pos_index):
+    """Fixed tokens consecutive, then any expansion of the trailing prefix."""
+    from es_indexer_spark.query.bm25 import lucene_idf
+    from es_indexer_spark.query.phrase import match_phrase_prefix
+
+    toks = {
+        r["doc_id"]: tokenize_one(r["text"], "standard")
+        for r in documents.collect()
+    }
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    vocab = {t for ts in toks.values() for t in ts}
+
+    def brute(fixed, pref, k=10):
+        exp = sorted(v for v in vocab if v.startswith(pref))
+        dfs = {
+            v: sum(1 for t in toks.values() if v in t)
+            for v in set(fixed) | set(exp)
+        }
+        union_df = min(n, sum(dfs[e] for e in exp))
+        sum_idf = sum(lucene_idf(n, dfs[f]) for f in fixed) + lucene_idf(n, union_df)
+        out = []
+        for d, t in toks.items():
+            ptf = sum(
+                1
+                for i in range(len(t) - len(fixed))
+                if t[i : i + len(fixed)] == fixed and t[i + len(fixed)].startswith(pref)
+            )
+            if ptf:
+                dl = float(len(t))
+                s = sum_idf * ptf * 2.2 / (ptf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                out.append((d, ptf, s))
+        out.sort(key=lambda x: (-x[2], x[0]))
+        return out[:k]
+
+    for q, fixed, pref in [
+        ("data s", ["data"], "s"),
+        ("customer data s", ["customer", "data"], "s"),
+        ("st", [], "st"),
+    ]:
+        got = [
+            (r["docid"], r["phrase_tf"], r["score"])
+            for r in match_phrase_prefix(spark, pos_index, q, k=10).collect()
+        ]
+        exp = brute(fixed, pref)
+        assert [(d, p) for d, p, _ in got] == [(d, p) for d, p, _ in exp], q
+        assert [s for _, _, s in got] == pytest.approx([s for _, _, s in exp])
+
+
+def test_match_phrase_prefix_edges(spark, pos_index):
+    from es_indexer_spark.query.phrase import match_phrase_prefix
+
+    # absent prefix -> empty; absent fixed term -> empty
+    assert match_phrase_prefix(spark, pos_index, "data zzz").collect() == []
+    assert match_phrase_prefix(spark, pos_index, "zzzmissing s").collect() == []
+    # expansion cap keeps a subset
+    full = {r["docid"] for r in match_phrase_prefix(spark, pos_index, "data s", k=None).collect()}
+    capped = {
+        r["docid"]
+        for r in match_phrase_prefix(
+            spark, pos_index, "data s", k=None, max_expansions=1
+        ).collect()
+    }
+    assert capped <= full
