@@ -881,6 +881,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["wildcard_docs"] = _wildcard
     q["phrase_prefix"] = _mpp
 
+    # ---- ES more_like_this (like = doc 42's source text) -------------------------
+    def _mlt(spark, sf):
+        from es_indexer_spark.query.engine import more_like_this
+
+        like = (
+            _docs(spark, sf).filter(F.col("doc_id") == 42).select("text").collect()
+        )[0]["text"]
+        return more_like_this(
+            spark, _index_root(spark, sf), like,
+            k=10, max_query_terms=5, min_term_freq=2, min_doc_freq=5,
+        ).select(F.col("docid").alias("doc_id"), F.round("score", 4).alias("score"))
+
+    q["more_like_this"] = _mlt
+
     # ---- multi-field boosted BM25 (the portal's actual ranked search) -----------
     def _multi(match_type: str, query: str, tie: float = 0.0):
         def run(spark: SparkSession, sf: str) -> DataFrame:
@@ -970,7 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_extended_stats", "agg_cardinality", "agg_percentiles",
         "agg_top_hits", "agg_date_histogram_stats",
         "range_docs", "bool_filter_range",
-        "wildcard_docs", "phrase_prefix",
+        "wildcard_docs", "phrase_prefix", "more_like_this",
         "bool_must_not", "bool_filter_phrase",
         "multi_match_most", "multi_match_best",
         "term_keyword", "term_count", "analyze_tokens",
@@ -1712,6 +1726,29 @@ SELECT grp,
   (pmax - pmin > 180) AS crossed,
   n_points
 FROM a
+"""
+    # more_like_this: like = doc 42's text; selection = tf >= 2, df >= 5,
+    # top-5 by classic-TFIDF interestingness tf*(ln(n/(df+1))+1), tie by
+    # term; then a plain BM25 disjunction over the selected terms — the
+    # exact rule of query/engine.py more_like_this
+    o["more_like_this"] = f"""
+{_BM25_PREAMBLE},
+lt AS (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+       FROM documents WHERE doc_id = 42),
+ltf AS (SELECT term, count(*)::DOUBLE AS ltf FROM lt WHERE term <> '' GROUP BY term),
+sel AS (SELECT l.term FROM ltf l JOIN dfq d USING (term) CROSS JOIN st
+        WHERE l.ltf >= 2 AND d.df >= 5
+        ORDER BY l.ltf * (ln(st.n / (d.df + 1)) + 1) DESC, l.term ASC
+        LIMIT 5),
+raw AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+             tf.tf * {K1 + 1} / (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / st.avgdl))) AS score_raw
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN (SELECT term FROM sel)
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score_raw::DOUBLE, 4) AS score
+FROM raw ORDER BY score_raw DESC, doc_id ASC LIMIT 10
 """
     # ES aggregation family (query/aggs.py) — the exact/auditable variants
     o["agg_date_histogram"] = """

@@ -617,3 +617,60 @@ def fetch_docs(spark: SparkSession, index_root: str, topk_df: DataFrame) -> Data
         F.col("docid").isin(ids)
     )
     return spark.createDataFrame(hits, topk_df.schema).join(docs, "docid", "left")
+
+
+def more_like_this(
+    spark: SparkSession,
+    index_root: str,
+    like_text: str,
+    k: int = 10,
+    *,
+    max_query_terms: int = 25,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+    use_blockmax: bool = True,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``more_like_this`` with ``like`` given as text (ES accepts raw text
+    or document ids; for an id, pass the stored source text). Public
+    Lucene/ES semantics:
+
+    1. analyze the like-text with the index's chain and count term freqs;
+    2. keep terms with ``tf >= min_term_freq`` and corpus
+       ``df >= min_doc_freq`` (ES defaults 2 and 5);
+    3. rank candidate terms by classic-TFIDF interestingness
+       ``tf * (ln(n_docs / (df + 1)) + 1)`` and keep the top
+       ``max_query_terms`` (ES default 25);
+    4. run the selected terms as a pure-should disjunction through the
+       ranked BM25 engine — scoring, block-max pruning, tombstones and
+       pagination come from the one scorer.
+
+    Term selection is a driver-side computation over ≤|like-text| dictionary
+    rows (the same ≤|q|-row lookup every query path does); the data-path
+    work is exactly one ranked query."""
+    import math
+
+    vdir = catalog.resolve(index_root)
+    stats = catalog.read_stats(vdir)
+    n_docs = stats["n_docs"]
+    toks = tokenize_one(like_text, stats["tokenizer"], lang=lang)
+    if not toks:
+        return spark.createDataFrame([], _SCORE_SCHEMA)
+    tf: dict[str, int] = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    uniq = sorted(tf)
+    rows = _dict_df(spark, vdir).filter(F.col("term").isin(uniq)).collect()
+    dfs = {r["term"]: int(r["df"]) for r in rows}
+    cands = [
+        (t, tf[t], dfs[t])
+        for t in uniq
+        if tf[t] >= min_term_freq and dfs.get(t, 0) >= min_doc_freq
+    ]
+    if not cands:
+        return spark.createDataFrame([], _SCORE_SCHEMA)
+    cands.sort(key=lambda c: (-c[1] * (math.log(n_docs / (c[2] + 1)) + 1.0), c[0]))
+    sel = sorted(t for t, _, _ in cands[:max_query_terms])
+    return topk(
+        spark, index_root, " ".join(sel), k=k, use_blockmax=use_blockmax, lang=lang
+    )

@@ -331,3 +331,53 @@ def test_dict_cache_survives_delete_and_rebuild(spark, documents, tmp_path):
     )
     again = topk(spark, root, "data", k=500, use_blockmax=False).collect()
     assert again and all(r["docid"] >= 400 for r in again)
+
+
+def test_more_like_this_matches_manual_selection(spark, documents, term_index):
+    """MLT term selection (tf>=min_tf, df>=min_df, top max_query_terms by
+    tf*(ln(n/(df+1))+1)) replicated in Python; ranked result must equal
+    topk over the same selected terms."""
+    import math
+
+    from es_indexer_spark.query.engine import more_like_this
+
+    rows = documents.collect()
+    like = next(r["text"] for r in rows if r["doc_id"] == 42)
+    toks = {r["doc_id"]: tokenize_one(r["text"], "standard") for r in rows}
+    n = len(toks)
+    lt = tokenize_one(like, "standard")
+    tf = {t: lt.count(t) for t in set(lt)}
+    dfs = {t: sum(1 for v in toks.values() if t in v) for t in tf}
+    cands = [t for t in tf if tf[t] >= 2 and dfs[t] >= 5]
+    cands.sort(key=lambda t: (-tf[t] * (math.log(n / (dfs[t] + 1)) + 1.0), t))
+    sel = sorted(cands[:5])
+    assert sel  # the corpus makes a non-trivial selection
+
+    got = [
+        (r["docid"], r["score"])
+        for r in more_like_this(
+            spark, term_index, like, k=10,
+            max_query_terms=5, min_term_freq=2, min_doc_freq=5,
+        ).collect()
+    ]
+    exp = [
+        (r["docid"], r["score"])
+        for r in topk(spark, term_index, " ".join(sel), k=10).collect()
+    ]
+    assert got == exp
+
+
+def test_more_like_this_edges(spark, term_index):
+    from es_indexer_spark.query.engine import more_like_this
+
+    # empty like-text and nothing-passes-thresholds both return empty
+    assert more_like_this(spark, term_index, "").collect() == []
+    assert more_like_this(
+        spark, term_index, "data stream", min_term_freq=99
+    ).collect() == []
+    # min_doc_freq filters rare terms: 'dup' (df ~ 2% of docs) must not drive
+    # the query when min_doc_freq exceeds its df
+    rare_only = more_like_this(
+        spark, term_index, "dup dup dup", min_doc_freq=10_000
+    )
+    assert rare_only.collect() == []
