@@ -46,10 +46,10 @@ def main() -> None:
         build_ivf_index,
     )
     from es_indexer_spark.query.boolean import bool_query
-    from es_indexer_spark.query.engine import topk, topk_many
+    from es_indexer_spark.query.engine import more_like_this, topk, topk_many
     from es_indexer_spark.query.multifield import build_multi_index, multi_match
-    from es_indexer_spark.query.phrase import phrase_match
-    from es_indexer_spark.query.suggest import suggest_prefix
+    from es_indexer_spark.query.phrase import match_phrase_prefix, phrase_match
+    from es_indexer_spark.query.suggest import suggest_prefix, wildcard_query
     from es_indexer_spark.session import get_spark
 
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
@@ -198,6 +198,32 @@ def main() -> None:
             boosts={"path": 3.0, "content": 1.0}, k=10,
         ).collect(),
     )
+    # round-3 additions: range-filtered bool (keyword range over the repo
+    # meta — the docs-store scan cogroups with the postings blocks),
+    # wildcard (constant-score dictionary rewrite), match_phrase_prefix
+    # (positional index), more_like_this (TFIDF selection -> one ranked query)
+    timed(
+        "q_bool_range",
+        lambda: bool_query(
+            spark, idx_root, must=["index"], should=["query"],
+            filter_range=("repo", {"gte": "a", "lt": "n"}), k=10,
+        ).collect(),
+    )
+    timed(
+        "q_wildcard",
+        lambda: wildcard_query(spark, idx_root, "quer?", k=10).collect(),
+    )
+    timed(
+        "q_phrase_prefix",
+        lambda: match_phrase_prefix(
+            spark, os.path.join(work, "warm"), "return se", k=10
+        ).collect(),
+    )
+    mlt_like = corpus.limit(1).collect()[0]["content"]
+    timed(
+        "q_mlt",
+        lambda: more_like_this(spark, idx_root, mlt_like, k=10).collect(),
+    )
 
     # ---- ops over the provided sf tables -------------------------------------------
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -238,6 +264,14 @@ def main() -> None:
     timed("q_tpch_q1", lambda: R.filter_project_agg(spark, sf_dir).collect())
     timed("q_join_dims", lambda: R.join_broadcast_dims(spark, sf_dir).collect())
     timed("q_window_latest", lambda: R.window_latest_per_key(spark, sf_dir).count())
+    # ES aggs family representative: bucket + metric sub-agg in one groupBy
+    from es_indexer_spark.query import aggs as A
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    timed(
+        "q_agg_dh_stats",
+        lambda: A.date_histogram_stats(events, "ts", "value", "day").collect(),
+    )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -309,6 +309,50 @@ def main() -> int:
         ],
     ))
 
+    # 16. bool.filter(range): the range bounds must be PUSHED into the
+    # docs-store parquet scan (row-group pruning), and the filter set flows
+    # shard-partitioned into the cogroup — FlatMapCoGroupsInPandas with no
+    # cartesian/broadcast of the range side
+    from es_indexer_spark.query.boolean import bool_query
+
+    p = formatted(
+        bool_query(
+            spark, root, must=["data"],
+            filter_range=("n_chars", {"gte": 100, "lt": 500}), k=10,
+        )
+    )
+    sections.append((
+        "bool.filter(range): pushed bounds + shard-cogrouped filter set",
+        p,
+        [
+            ("range bounds pushed to the docs parquet scan",
+             "n_chars" in p and "PushedFilters" in p
+             and ("GreaterThanOrEqual(n_chars,100)" in p or "GreaterThanOrEqual(n_chars, 100)" in p)),
+            ("cogroup evaluation (FlatMapCoGroupsInPandas)",
+             "FlatMapCoGroupsInPandas" in p),
+            ("no CartesianProduct", "CartesianProduct" not in p),
+            ("no BroadcastNestedLoopJoin", "BroadcastNestedLoopJoin" not in p),
+        ],
+    ))
+
+    # 17. ES aggs: bucket + metric sub-agg tree flattens to ONE partial+final
+    # hash aggregation (a single hashpartitioning exchange before the sort)
+    from es_indexer_spark.query.aggs import date_histogram_stats
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    p = formatted(date_histogram_stats(events, "ts", "value", "month"))
+    sections.append((
+        "ES aggs sub-agg tree (date_histogram + stats): one partial+final agg",
+        p,
+        [
+            ("map-side partial aggregation", "partial_count" in p or "partial" in p.lower()),
+            ("exactly one hash-partitioning exchange",
+             p.count("hashpartitioning(") == 1),
+            ("only ts/value read from the scan (column pruning)",
+             "ReadSchema" in p and "event_type" not in p.split("ReadSchema")[1][:200]),
+        ],
+    ))
+
     failures = 0
     lines = [
         "# PLANS — physical-plan audit evidence",
