@@ -971,6 +971,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["agg_date_histogram_stats"] = lambda spark, sf: aggs.date_histogram_stats(
         _events(spark, sf), "ts", "value", "month"
     )
+    q["agg_composite"] = lambda spark, sf: aggs.composite_agg(
+        _events(spark, sf), ["event_type", "user_id"], size=10, after=("click", 5)
+    )
+    q["agg_significant_terms"] = lambda spark, sf: aggs.significant_terms(
+        _docs(spark, sf), "text", F.col("lang") == "en", size=10, min_doc_count=3
+    )
 
     # ---- driver-gate rotation ----------------------------------------------------
     # CORRECTNESS_r02 recorded exactly the first 50 entries by insertion order
@@ -983,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_date_histogram", "agg_histogram", "agg_stats",
         "agg_extended_stats", "agg_cardinality", "agg_percentiles",
         "agg_top_hits", "agg_date_histogram_stats",
+        "agg_composite", "agg_significant_terms",
         "range_docs", "bool_filter_range",
         "wildcard_docs", "phrase_prefix", "more_like_this",
         "bool_must_not", "bool_filter_phrase",
@@ -1795,5 +1802,31 @@ SELECT date_trunc('month', ts)::TIMESTAMP AS bucket, count(*)::BIGINT AS doc_cou
        min(value) AS "min", max(value) AS "max",
        round(avg(value), 6) AS avg, round(sum(value), 6) AS sum
 FROM events GROUP BY 1 ORDER BY 1
+"""
+    # composite agg page 2: after-key ('click', 5), lexicographic keyset
+    o["agg_composite"] = """
+SELECT * FROM (
+  SELECT event_type, user_id, count(*)::BIGINT AS doc_count
+  FROM events GROUP BY 1, 2)
+WHERE (event_type > 'click') OR (event_type = 'click' AND user_id > 5)
+ORDER BY event_type, user_id LIMIT 10
+"""
+    # significant_terms (JLH) over lang='en' foreground; operation order in
+    # the score expression mirrors query/aggs.py exactly (rounded at 8)
+    o["agg_significant_terms"] = """
+WITH toksl AS (SELECT doc_id, lang = 'en' AS fg,
+                      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+               FROM documents),
+per AS (SELECT doc_id, fg, unnest(list_distinct(t)) AS term FROM toksl),
+tot AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS nf,
+               count(*)::DOUBLE AS na FROM documents),
+cnt AS (SELECT term, sum(CASE WHEN fg THEN 1 ELSE 0 END)::BIGINT AS fg_count,
+               count(*)::BIGINT AS bg_count
+        FROM per GROUP BY term)
+SELECT term, fg_count, bg_count,
+       round((fg_count / tot.nf - bg_count / tot.na)
+             * ((fg_count / tot.nf) / (bg_count / tot.na)), 8) AS score
+FROM cnt CROSS JOIN tot WHERE fg_count >= 3
+ORDER BY score DESC, term ASC LIMIT 10
 """
     return o

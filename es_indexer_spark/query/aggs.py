@@ -186,6 +186,92 @@ def top_hits_by_bucket(
     )
 
 
+def composite_agg(
+    df: DataFrame,
+    sources: Sequence[str],
+    size: int = 10,
+    after: Sequence | None = None,
+) -> DataFrame:
+    """ES ``composite`` aggregation: bucket on a key tuple, returned in key
+    order, paginated with ``after`` (the last bucket key of the previous
+    page). THIS is ES's answer to unbounded-cardinality bucket aggs — and
+    the same property holds here: each page is a groupBy + keyset filter +
+    limit, so no single response ever materializes the full bucket set, no
+    matter how many distinct keys exist. The ``after`` tuple filter is a
+    lexicographic keyset predicate (same construction as search_after),
+    evaluated before the limit so Spark's TakeOrderedAndProject keeps only
+    ``size`` buckets per partition."""
+    if not sources:
+        raise ValueError("composite_agg needs at least one source column")
+    out = df.groupBy(*[F.col(s) for s in sources]).agg(
+        F.count("*").alias("doc_count")
+    )
+    if after is not None:
+        if len(after) != len(sources):
+            raise ValueError("after must have one value per source")
+        # lexicographic strictly-greater: (a > x) or (a = x and b > y) or ...
+        pred = None
+        for i in range(len(sources)):
+            eq = None
+            for j in range(i):
+                e = F.col(sources[j]) == F.lit(after[j])
+                eq = e if eq is None else (eq & e)
+            gt = F.col(sources[i]) > F.lit(after[i])
+            term = gt if eq is None else (eq & gt)
+            pred = term if pred is None else (pred | term)
+        out = out.filter(pred)
+    return out.orderBy(*[F.asc(s) for s in sources]).limit(size)
+
+
+def significant_terms(
+    df: DataFrame,
+    text_col: str,
+    foreground: "F.Column",
+    size: int = 10,
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """ES ``significant_terms`` over an analyzed text field: terms unusually
+    frequent in the ``foreground`` doc set relative to the whole corpus,
+    scored with the published JLH heuristic
+    ``(fg_pct - bg_pct) * (fg_pct / bg_pct)`` over document frequencies.
+    Ties broken by term asc; ``min_doc_count`` suppresses noise terms (ES
+    default 3).
+
+    One pass: tokenize → per-(term) distinct-doc counts for foreground and
+    background in the SAME partial+final aggregation (conditional count),
+    then score and top-k — no second scan of the corpus."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    fg_flag = F.when(foreground, F.lit(1)).otherwise(F.lit(0))
+    per_doc = (
+        df.select(fg_flag.alias("_fg"), F.explode(F.array_distinct(toks)).alias("term"))
+    )
+    totals = df.agg(
+        F.sum(fg_flag).alias("nf"), F.count("*").alias("na")
+    ).collect()[0]
+    n_fg, n_all = totals["nf"] or 0, totals["na"]
+    if n_fg == 0 or n_all == 0:
+        raise ValueError("foreground selects no documents")
+    counts = per_doc.groupBy("term").agg(
+        F.sum("_fg").alias("fg_count"),
+        F.count("*").alias("bg_count"),
+    )
+    fg_pct = F.col("fg_count") / F.lit(float(n_fg))
+    bg_pct = F.col("bg_count") / F.lit(float(n_all))
+    return (
+        counts.filter(F.col("fg_count") >= min_doc_count)
+        .select(
+            "term",
+            F.col("fg_count").cast("long").alias("fg_count"),
+            F.col("bg_count").cast("long").alias("bg_count"),
+            F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 8).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(size)
+    )
+
+
 def date_histogram_stats(
     df: DataFrame,
     ts_col: str,

@@ -131,3 +131,67 @@ def test_index_docs_live(spark, tmp_path):
     delete_docs(spark, root, [0, 1, 2])
     assert aggs.index_docs(spark, root).count() == n_before - 3
     assert before >= 1
+
+
+def test_composite_agg_pagination_covers_all_buckets(events):
+    full = [
+        (r["event_type"], r["user_id"], r["doc_count"])
+        for r in aggs.composite_agg(
+            events, ["event_type", "user_id"], size=10_000
+        ).collect()
+    ]
+    assert full == sorted(full)
+    paged, after = [], None
+    while True:
+        page = [
+            (r["event_type"], r["user_id"], r["doc_count"])
+            for r in aggs.composite_agg(
+                events, ["event_type", "user_id"], size=7, after=after
+            ).collect()
+        ]
+        if not page:
+            break
+        paged.extend(page)
+        after = page[-1][:2]
+    assert paged == full
+
+
+def test_composite_agg_validation(events):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        aggs.composite_agg(events, [])
+    with _pt.raises(ValueError):
+        aggs.composite_agg(events, ["event_type"], after=("a", "b"))
+
+
+def test_significant_terms_jlh_strict(spark):
+    # 4 docs: 'rare' appears in every foreground doc, never in background;
+    # 'common' appears everywhere (JLH score 0)
+    rows = [
+        (1, "common rare alpha", "en"),
+        (2, "common rare beta", "en"),
+        (3, "common rare gamma", "en"),
+        (4, "common delta", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["term"]: (r["fg_count"], r["bg_count"], r["score"])
+        for r in aggs.significant_terms(
+            df, "text", F.col("lang") == "en", size=10, min_doc_count=1
+        ).collect()
+    }
+    # rare: fg_pct = 3/3 = 1, bg_pct = 3/4 -> (1 - .75) * (1/.75) = 1/3
+    assert got["rare"] == (3, 3, pytest.approx(0.33333333))
+    # common: fg_pct = bg_pct = 1 -> score 0
+    assert got["common"][2] == 0.0
+    # min_doc_count prunes the singletons (alpha/beta/gamma at 1 < 2)
+    pruned = {
+        r["term"]
+        for r in aggs.significant_terms(
+            df, "text", F.col("lang") == "en", min_doc_count=2
+        ).collect()
+    }
+    assert pruned == {"rare", "common"}
+    with pytest.raises(ValueError):
+        aggs.significant_terms(df, "text", F.col("lang") == "zz").collect()
