@@ -895,6 +895,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["more_like_this"] = _mlt
 
+    # ---- terms (multi-value), exists, simple_query_string -------------------------
+    def _terms_kw(spark, sf):
+        from es_indexer_spark.query.lookup import terms_query
+
+        return terms_query(
+            spark, _index_root(spark, sf), "lang", ["en", "fr"]
+        ).select(F.col("docid").alias("doc_id"), "lang", "source")
+
+    def _exists(spark, sf):
+        from es_indexer_spark.query.lookup import exists_query
+
+        return exists_query(spark, _index_root(spark, sf), "source").select(
+            F.col("docid").alias("doc_id"), "source"
+        )
+
+    def _sqs(spark, sf):
+        from es_indexer_spark.query.querystring import simple_query_string
+
+        return simple_query_string(
+            spark, _index_root(spark, sf), '+data -key batch "data stream"', k=10
+        ).select(F.col("docid").alias("doc_id"), F.round("score", 4).alias("score"))
+
+    q["terms_keyword"] = _terms_kw
+    q["exists_docs"] = _exists
+    q["simple_qs"] = _sqs
+
     # ---- multi-field boosted BM25 (the portal's actual ranked search) -----------
     def _multi(match_type: str, query: str, tie: float = 0.0):
         def run(spark: SparkSession, sf: str) -> DataFrame:
@@ -992,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_composite", "agg_significant_terms",
         "range_docs", "bool_filter_range",
         "wildcard_docs", "phrase_prefix", "more_like_this",
+        "terms_keyword", "exists_docs", "simple_qs",
         "bool_must_not", "bool_filter_phrase",
         "multi_match_most", "multi_match_best",
         "term_keyword", "term_count", "analyze_tokens",
@@ -1048,6 +1075,17 @@ FROM pf CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
     )
     o["bool_filter_phrase"] = _bool_sql(
         must=["customer"], phrase=["data", "stream"]
+    )
+    o["terms_keyword"] = """
+SELECT doc_id, lang, source FROM documents WHERE lang IN ('en', 'fr')
+"""
+    o["exists_docs"] = """
+SELECT doc_id, source FROM documents WHERE source IS NOT NULL
+"""
+    # '+data -key batch "data stream"' parses to exactly this bool shape
+    o["simple_qs"] = _bool_sql(
+        must=["data"], should=["batch"], must_not=["key"],
+        phrase=["data", "stream"],
     )
     o["bool_filter_range"] = _bool_sql(
         must=["data"], should=["stream", "batch"],

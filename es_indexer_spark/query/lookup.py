@@ -123,6 +123,44 @@ def range_query(
     return df.limit(size) if size is not None else df
 
 
+def terms_query(
+    spark: SparkSession,
+    index_root: str,
+    field: str,
+    values: Sequence,
+    size: int | None = None,
+) -> DataFrame:
+    """ES ``terms`` query: exact keyword match against ANY of ``values``
+    (the multi-value form of ``term``). The isin predicate pushes to parquet
+    as an In filter (dictionary/row-group pruning); docid-ordered."""
+    from es_indexer_spark.index.tombstones import filter_live
+
+    vdir = catalog.resolve(index_root)
+    df = spark.read.parquet(os.path.join(vdir, "docs")).filter(
+        F.col(field).isin(list(values))
+    )
+    df = filter_live(spark, vdir, df).orderBy(F.asc("docid"))
+    return df.limit(size) if size is not None else df
+
+
+def exists_query(
+    spark: SparkSession,
+    index_root: str,
+    field: str,
+    size: int | None = None,
+) -> DataFrame:
+    """ES ``exists`` query: docs whose stored ``field`` is non-null (parquet
+    null-count statistics prune all-null row groups); docid-ordered."""
+    from es_indexer_spark.index.tombstones import filter_live
+
+    vdir = catalog.resolve(index_root)
+    df = spark.read.parquet(os.path.join(vdir, "docs")).filter(
+        F.col(field).isNotNull()
+    )
+    df = filter_live(spark, vdir, df).orderBy(F.asc("docid"))
+    return df.limit(size) if size is not None else df
+
+
 def term_count(
     spark: SparkSession, index_root: str, field: str, value: str
 ) -> DataFrame:

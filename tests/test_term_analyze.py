@@ -6,6 +6,7 @@ ranked `search_after` pagination — as native operators."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from es_indexer_spark.analysis.tokenizer import tokenize_one
 from es_indexer_spark.index.builder import build_index
@@ -381,3 +382,74 @@ def test_more_like_this_edges(spark, term_index):
         spark, term_index, "dup dup dup", min_doc_freq=10_000
     )
     assert rare_only.collect() == []
+
+
+def test_terms_query_multi_value(spark, documents, term_index):
+    from es_indexer_spark.query.lookup import term_query, terms_query
+
+    got = [r["docid"] for r in terms_query(spark, term_index, "lang", ["en", "fr"]).collect()]
+    exp = sorted(
+        r["doc_id"] for r in documents.collect() if r["lang"] in ("en", "fr")
+    )
+    assert got == exp
+    # single-value terms == term
+    one = [r["docid"] for r in terms_query(spark, term_index, "lang", ["en"]).collect()]
+    assert one == [r["docid"] for r in term_query(spark, term_index, "lang", "en").collect()]
+    assert terms_query(spark, term_index, "lang", ["zz"]).collect() == []
+
+
+def test_exists_query_nulls(spark, documents, tmp_path):
+    from es_indexer_spark.index.builder import build_index
+    from es_indexer_spark.query.lookup import exists_query
+
+    # null out 'source' for every third doc, rebuild, exists must drop them
+    docs = documents.limit(60).withColumn(
+        "source",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(F.col("source")),
+    )
+    root = str(tmp_path / "existsidx")
+    build_index(spark, docs, root, content_col="text", id_col="doc_id",
+                meta_cols=("lang", "source"), tokenizer="standard",
+                n_buckets=2, shard_size=32, n_ckpt_batches=1)
+    got = {r["docid"] for r in exists_query(spark, root, "source").collect()}
+    exp = {r["doc_id"] for r in docs.collect() if r["source"] is not None}
+    assert got == exp and len(got) < 60
+
+
+def test_parse_simple_query():
+    from es_indexer_spark.query.querystring import parse_simple_query
+
+    c = parse_simple_query('+data -key batch "data stream" other')
+    assert c == {
+        "must": ["data"], "should": ["batch", "other"],
+        "must_not": ["key"], "filter_phrase": "data stream",
+    }
+    # default_operator=and promotes bare terms to must
+    c2 = parse_simple_query("a b", default_operator="and")
+    assert c2["must"] == ["a", "b"] and c2["should"] == []
+    # empty quoted phrase and dangling +/- are dropped, not crashes
+    c3 = parse_simple_query('"" + - x')
+    assert c3 == {"must": [], "should": ["x"], "must_not": [], "filter_phrase": None}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        parse_simple_query("a | b")
+    with _pt.raises(ValueError):
+        parse_simple_query('"a" "b"')
+
+
+def test_simple_query_string_equals_bool(spark, documents, term_index):
+    from es_indexer_spark.query.boolean import bool_query
+    from es_indexer_spark.query.querystring import simple_query_string
+
+    got = [
+        (r["docid"], r["score"])
+        for r in simple_query_string(spark, term_index, "+data -key batch", k=10).collect()
+    ]
+    exp = [
+        (r["docid"], r["score"])
+        for r in bool_query(
+            spark, term_index, must=["data"], should=["batch"], must_not=["key"], k=10
+        ).collect()
+    ]
+    assert got == exp
