@@ -921,6 +921,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["exists_docs"] = _exists
     q["simple_qs"] = _sqs
 
+    # ---- ES rescore: phrase re-rank of the top window ------------------------------
+    def _rescore(spark, sf):
+        from es_indexer_spark.query.engine import rescore_phrase
+
+        return rescore_phrase(
+            spark, _index_root(spark, sf), "spark join window", "data stream",
+            k=10, window_size=30, query_weight=1.0, rescore_query_weight=2.0,
+        ).select(F.col("docid").alias("doc_id"), F.round("score", 4).alias("score"))
+
+    q["rescore_phrase"] = _rescore
+
     # ---- multi-field boosted BM25 (the portal's actual ranked search) -----------
     def _multi(match_type: str, query: str, tie: float = 0.0):
         def run(spark: SparkSession, sf: str) -> DataFrame:
@@ -1018,7 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_composite", "agg_significant_terms",
         "range_docs", "bool_filter_range",
         "wildcard_docs", "phrase_prefix", "more_like_this",
-        "terms_keyword", "exists_docs", "simple_qs",
+        "terms_keyword", "exists_docs", "simple_qs", "rescore_phrase",
         "bool_must_not", "bool_filter_phrase",
         "multi_match_most", "multi_match_best",
         "term_keyword", "term_count", "analyze_tokens",
@@ -1087,6 +1098,34 @@ SELECT doc_id, source FROM documents WHERE source IS NOT NULL
         must=["data"], should=["batch"], must_not=["key"],
         phrase=["data", "stream"],
     )
+    # rescore: top-30 window of the ranked query, phrase score added at
+    # weight 2 (score_mode=total), re-ranked, top-10
+    o["rescore_phrase"] = f"""
+{_BM25_PREAMBLE},
+raw AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+             tf.tf * {K1 + 1} / (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / st.avgdl))) AS score_raw
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('join', 'spark', 'window')
+  GROUP BY tf.doc_id),
+win AS (SELECT doc_id, score_raw FROM raw ORDER BY score_raw DESC, doc_id ASC LIMIT 30),
+toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+          FROM documents),
+dfs2 AS (SELECT (SELECT count(*) FROM toksl WHERE list_contains(t, 'data'))::DOUBLE AS df1,
+                (SELECT count(*) FROM toksl WHERE list_contains(t, 'stream'))::DOUBLE AS df2),
+pf AS (SELECT doc_id, len(t)::DOUBLE AS dl2,
+              len([i for i in range(1, len(t)) if t[i] = 'data' AND t[i+1] = 'stream']) AS ptf
+       FROM toksl),
+ph AS (SELECT pf.doc_id,
+              (ln(1 + (st.n - dfs2.df1 + 0.5) / (dfs2.df1 + 0.5))
+             + ln(1 + (st.n - dfs2.df2 + 0.5) / (dfs2.df2 + 0.5)))
+              * ptf * {K1 + 1} / (ptf + {K1} * ({1 - B} + {B} * dl2 / st.avgdl)) AS phs
+       FROM pf CROSS JOIN st CROSS JOIN dfs2 WHERE ptf > 0)
+SELECT w.doc_id, round((1.0 * w.score_raw + 2.0 * COALESCE(ph.phs, 0))::DOUBLE, 4) AS score
+FROM win w LEFT JOIN ph USING (doc_id)
+ORDER BY (1.0 * w.score_raw + 2.0 * COALESCE(ph.phs, 0)) DESC, w.doc_id ASC LIMIT 10
+"""
     o["bool_filter_range"] = _bool_sql(
         must=["data"], should=["stream", "batch"],
         rng="n_chars >= 100 AND n_chars < 500",

@@ -674,3 +674,41 @@ def more_like_this(
     return topk(
         spark, index_root, " ".join(sel), k=k, use_blockmax=use_blockmax, lang=lang
     )
+
+
+def rescore_phrase(
+    spark: SparkSession,
+    index_root: str,
+    query: str,
+    phrase: str,
+    k: int = 10,
+    *,
+    window_size: int = 50,
+    query_weight: float = 1.0,
+    rescore_query_weight: float = 1.0,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``rescore`` with a match_phrase rescorer (score_mode=total, the ES
+    default): take the top ``window_size`` hits of the ranked query, add the
+    phrase query's score for those that contain the phrase, and re-rank —
+    ``query_weight * original + rescore_query_weight * phrase`` (docs in the
+    window without the phrase keep their weighted original score).
+
+    Execution: the window is one ranked query (block-max pruned, rank-safe);
+    the phrase pass is the vectorized positional scorer; the combine is a
+    broadcast join of the ≤window_size-row window against the phrase result
+    — Catalyst broadcasts the tiny side, so the rescore adds no shuffle."""
+    from es_indexer_spark.query.phrase import phrase_match
+
+    base = topk(spark, index_root, query, k=window_size, lang=lang)
+    ph = phrase_match(spark, index_root, phrase, k=None, lang=lang).select(
+        "docid", F.col("score").alias("_ph")
+    )
+    out = base.join(ph, "docid", "left").select(
+        "docid",
+        (
+            F.lit(float(query_weight)) * F.col("score")
+            + F.lit(float(rescore_query_weight)) * F.coalesce(F.col("_ph"), F.lit(0.0))
+        ).alias("score"),
+    )
+    return out.orderBy(F.desc("score"), F.asc("docid")).limit(k)

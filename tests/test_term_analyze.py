@@ -453,3 +453,51 @@ def test_simple_query_string_equals_bool(spark, documents, term_index):
         ).collect()
     ]
     assert got == exp
+
+
+def test_rescore_phrase_semantics(spark, documents, tmp_path_factory):
+    """Rescore = query_weight*original + rescore_weight*phrase for docs in
+    the window; zero-weight rescore is a no-op; weights scale linearly."""
+    from es_indexer_spark.query.engine import rescore_phrase
+    from es_indexer_spark.query.phrase import phrase_match
+
+    root = str(tmp_path_factory.mktemp("idx_rescore"))
+    build_index(
+        spark, documents, root,
+        content_col="text", id_col="doc_id", meta_cols=("lang",),
+        tokenizer="standard", n_buckets=4, shard_size=100,
+        n_ckpt_batches=1, store_positions=True,
+    )
+    base = {
+        r["docid"]: r["score"]
+        for r in topk(spark, root, "spark join window", k=30).collect()
+    }
+    ph = {
+        r["docid"]: r["score"]
+        for r in phrase_match(spark, root, "data stream", k=None).collect()
+    }
+    got = {
+        r["docid"]: r["score"]
+        for r in rescore_phrase(
+            spark, root, "spark join window", "data stream",
+            k=30, window_size=30, rescore_query_weight=2.0,
+        ).collect()
+    }
+    exp = {d: s + 2.0 * ph.get(d, 0.0) for d, s in base.items()}
+    assert set(got) == set(exp)
+    for d in got:
+        assert got[d] == pytest.approx(exp[d])
+    # zero rescore weight reproduces the original ranking exactly
+    noop = [
+        (r["docid"], r["score"])
+        for r in rescore_phrase(
+            spark, root, "spark join window", "data stream",
+            k=10, window_size=30, rescore_query_weight=0.0,
+        ).collect()
+    ]
+    orig = [
+        (r["docid"], r["score"])
+        for r in topk(spark, root, "spark join window", k=30).collect()
+    ][:10]
+    assert [d for d, _ in noop] == [d for d, _ in orig]
+    assert [s for _, s in noop] == pytest.approx([s for _, s in orig])
