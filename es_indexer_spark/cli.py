@@ -61,8 +61,16 @@ def build_parser() -> argparse.ArgumentParser:
         required=True,
         choices=["build", "resume", "query", "batch", "suggest", "phrase", "merge",
                  "delete", "compact", "bool", "fuzzy", "prefix", "explain",
-                 "delete-query"],
+                 "delete-query", "wildcard", "phrase-prefix", "mlt",
+                 "simple-qs", "rescore", "range"],
     )
+    p.add_argument("--gte", default=None, help="range job: inclusive lower bound")
+    p.add_argument("--lt", default=None, help="range job: exclusive upper bound")
+    p.add_argument("--rescore-phrase", default=None, help="rescore job phrase")
+    p.add_argument("--rescore-weight", type=float, default=1.0)
+    p.add_argument("--window-size", type=int, default=50, help="rescore window")
+    p.add_argument("--default-operator", default="or", choices=["or", "and"],
+                   help="simple-qs bare-term operator")
     p.add_argument("--must", type=_csv, default=[], help="bool/delete-query clauses")
     p.add_argument("--should", type=_csv, default=[], help="bool job clauses")
     p.add_argument("--must-not", type=_csv, default=[], help="bool job clauses")
@@ -242,6 +250,82 @@ def main(argv: list[str] | None = None) -> int:
                 print("--query and --docid required", file=sys.stderr)
                 return 2
             for r in explain(spark, args.index, args.query, args.docid).collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.job == "wildcard":
+            from es_indexer_spark.query.suggest import wildcard_query
+
+            if not args.query:
+                print("--query required", file=sys.stderr)
+                return 2
+            for r in wildcard_query(spark, args.index, args.query, k=args.k).collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.job == "phrase-prefix":
+            from es_indexer_spark.query.phrase import match_phrase_prefix
+
+            if not args.query:
+                print("--query required", file=sys.stderr)
+                return 2
+            hits = match_phrase_prefix(spark, args.index, args.query, k=args.k,
+                                       lang=args.lang)
+            for r in hits.collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.job == "mlt":
+            from es_indexer_spark.query.engine import more_like_this
+
+            if not args.query:
+                print("--query required (the like-text)", file=sys.stderr)
+                return 2
+            hits = more_like_this(spark, args.index, args.query, k=args.k,
+                                  lang=args.lang)
+            for r in hits.collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.job == "simple-qs":
+            from es_indexer_spark.query.querystring import simple_query_string
+
+            if not args.query:
+                print("--query required", file=sys.stderr)
+                return 2
+            hits = simple_query_string(
+                spark, args.index, args.query, k=args.k,
+                default_operator=args.default_operator, lang=args.lang,
+            )
+            for r in hits.collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.job == "rescore":
+            from es_indexer_spark.query.engine import rescore_phrase
+
+            if not args.query or not args.rescore_phrase:
+                print("--query and --rescore-phrase required", file=sys.stderr)
+                return 2
+            hits = rescore_phrase(
+                spark, args.index, args.query, args.rescore_phrase, k=args.k,
+                window_size=args.window_size,
+                rescore_query_weight=args.rescore_weight, lang=args.lang,
+            )
+            for r in hits.collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.job == "range":
+            from es_indexer_spark.query.lookup import range_query
+
+            if not args.field or (args.gte is None and args.lt is None):
+                print("--field and --gte/--lt required", file=sys.stderr)
+                return 2
+
+            def _num(v):
+                if v is None:
+                    return None
+                try:
+                    return float(v) if "." in v else int(v)
+                except ValueError:
+                    return v  # keyword (string) range
+
+            bounds = {}
+            if args.gte is not None:
+                bounds["gte"] = _num(args.gte)
+            if args.lt is not None:
+                bounds["lt"] = _num(args.lt)
+            for r in range_query(spark, args.index, args.field, bounds,
+                                 size=args.k).collect():
                 print(json.dumps(r.asDict(), default=str))
         elif args.job == "delete-query":
             from es_indexer_spark.index.tombstones import delete_by_query

@@ -168,3 +168,54 @@ def test_cli_round3_query_jobs(spark, tmp_path, capsys):
     rc = main(["--job", "delete-query", "--index", root, "--must", "dup"])
     assert rc == 0
     assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["deleted"] == 0
+
+
+def test_cli_late_round3_query_jobs(spark, tmp_path, capsys):
+    """wildcard / phrase-prefix / mlt / simple-qs / rescore / range dispatch."""
+    root = str(tmp_path / "idx_r3b")
+    src = os.path.join(SF_DIR, "documents.parquet")
+    rc = main(
+        ["--job", "build", "--input", src, "--index", root,
+         "--content-col", "text", "--id-col", "doc_id",
+         "--meta-cols", "lang,n_chars",
+         "--tokenizer", "standard", "--n-buckets", "4", "--ckpt-batches", "2",
+         "--store-positions"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main(["--job", "wildcard", "--index", root, "--query", "s?a*", "-k", "3"])
+    assert rc == 0
+    hits = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(hits) == 3 and all(h["score"] == 1.0 for h in hits)
+
+    rc = main(["--job", "phrase-prefix", "--index", root, "--query", "data s", "-k", "3"])
+    assert rc == 0
+    hits = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert hits and all(h["phrase_tf"] >= 1 for h in hits)
+
+    rc = main(["--job", "mlt", "--index", root,
+               "--query", "data stream data stream batch batch", "-k", "3"])
+    assert rc == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 3
+
+    rc = main(["--job", "simple-qs", "--index", root,
+               "--query", '+data -key batch', "-k", "3"])
+    assert rc == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 3
+
+    rc = main(["--job", "rescore", "--index", root,
+               "--query", "spark join window", "--rescore-phrase", "data stream",
+               "--window-size", "20", "--rescore-weight", "2.0", "-k", "3"])
+    assert rc == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 3
+
+    rc = main(["--job", "range", "--index", root, "--field", "n_chars",
+               "--gte", "150", "--lt", "400", "-k", "5"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows and all(150 <= r["n_chars"] < 400 for r in rows)
+
+    # missing required args -> exit 2, not a crash
+    assert main(["--job", "rescore", "--index", root, "--query", "x"]) == 2
+    assert main(["--job", "range", "--index", root, "--field", "n_chars"]) == 2
