@@ -162,6 +162,18 @@ def tokenize_one(text: str, tokenizer: str = "standard", lang: str | None = None
     raise ValueError(f"unknown tokenizer: {tokenizer}")
 
 
+def split_lang_marker(tokens: list[str]) -> tuple[list[str], str | None]:
+    """Separate the trailing ``lang:<x>`` marker the code chain appends from
+    the positional tokens. Positional queries (phrase, match_phrase_prefix)
+    must NOT treat the marker as a chain element — in documents it sits at
+    the very end of the token stream, so requiring it at a phrase position
+    silently matches nothing. Callers use the marker as a required FILTER
+    term instead (the lang-filter semantics it exists for)."""
+    if tokens and tokens[-1].startswith("lang:"):
+        return tokens[:-1], tokens[-1]
+    return tokens, None
+
+
 def term_stats_frame(tok_lists: pd.Series, with_positions: bool) -> pd.DataFrame:
     """Per-doc term statistics, computed map-side (no shuffle needed downstream):
     parallel primitive arrays (Arrow-friendly) instead of per-token rows.

@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--gte", default=None, help="range job: inclusive lower bound")
     p.add_argument("--lt", default=None, help="range job: exclusive upper bound")
+    p.add_argument("--keyword-range", action="store_true",
+                   help="range job: treat bounds as strings (lexicographic "
+                        "keyword range) even if they look numeric")
     p.add_argument("--rescore-phrase", default=None, help="rescore job phrase")
     p.add_argument("--rescore-weight", type=float, default=1.0)
     p.add_argument("--window-size", type=int, default=50, help="rescore window")
@@ -312,10 +315,14 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
 
             def _num(v):
-                if v is None:
-                    return None
+                if v is None or args.keyword_range:
+                    return v
                 try:
-                    return float(v) if "." in v else int(v)
+                    return int(v)
+                except ValueError:
+                    pass
+                try:
+                    return float(v)  # handles 1e5, .5, inf notations too
                 except ValueError:
                     return v  # keyword (string) range
 

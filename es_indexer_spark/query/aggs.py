@@ -85,6 +85,8 @@ def histogram(df: DataFrame, col: str, interval: float) -> DataFrame:
     """ES ``histogram``: fixed-width numeric buckets keyed at
     floor(value/interval)*interval (ES's exact bucket-key rule, correct for
     negative values too), ascending."""
+    if not interval > 0:
+        raise ValueError("histogram interval must be > 0")
     key = F.floor(F.col(col) / F.lit(float(interval))) * F.lit(float(interval))
     return (
         df.groupBy(key.alias("bucket"))
@@ -203,6 +205,11 @@ def composite_agg(
     ``size`` buckets per partition."""
     if not sources:
         raise ValueError("composite_agg needs at least one source column")
+    # ES composite default missing_bucket=false: docs with a null source key
+    # form no bucket. (This also keeps the keyset filter total — a null in an
+    # after-tuple would null out the comparison and silently end pagination.)
+    for s in sources:
+        df = df.filter(F.col(s).isNotNull())
     out = df.groupBy(*[F.col(s) for s in sources]).agg(
         F.count("*").alias("doc_count")
     )
@@ -237,9 +244,14 @@ def significant_terms(
     Ties broken by term asc; ``min_doc_count`` suppresses noise terms (ES
     default 3).
 
-    One pass: tokenize → per-(term) distinct-doc counts for foreground and
-    background in the SAME partial+final aggregation (conditional count),
-    then score and top-k — no second scan of the corpus."""
+    One pass over the tokens: per-term foreground and background distinct-doc
+    counts come from the SAME partial+final aggregation (conditional count);
+    the two corpus totals are a separate column-pruned aggregate folded into
+    the SAME lazy plan via a broadcast cross-join — nothing executes until
+    the result is consumed, like every other agg here. An empty foreground
+    yields an empty result (every fg_count is 0 < min_doc_count)."""
+    if min_doc_count < 1:
+        raise ValueError("min_doc_count must be >= 1")
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != F.lit("")
     )
@@ -248,19 +260,18 @@ def significant_terms(
         df.select(fg_flag.alias("_fg"), F.explode(F.array_distinct(toks)).alias("term"))
     )
     totals = df.agg(
-        F.sum(fg_flag).alias("nf"), F.count("*").alias("na")
-    ).collect()[0]
-    n_fg, n_all = totals["nf"] or 0, totals["na"]
-    if n_fg == 0 or n_all == 0:
-        raise ValueError("foreground selects no documents")
+        F.coalesce(F.sum(fg_flag), F.lit(0)).cast("double").alias("_nf"),
+        F.count("*").cast("double").alias("_na"),
+    )
     counts = per_doc.groupBy("term").agg(
         F.sum("_fg").alias("fg_count"),
         F.count("*").alias("bg_count"),
     )
-    fg_pct = F.col("fg_count") / F.lit(float(n_fg))
-    bg_pct = F.col("bg_count") / F.lit(float(n_all))
+    fg_pct = F.col("fg_count") / F.col("_nf")
+    bg_pct = F.col("bg_count") / F.col("_na")
     return (
-        counts.filter(F.col("fg_count") >= min_doc_count)
+        counts.crossJoin(F.broadcast(totals))
+        .filter(F.col("fg_count") >= min_doc_count)
         .select(
             "term",
             F.col("fg_count").cast("long").alias("fg_count"),

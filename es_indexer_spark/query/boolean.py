@@ -239,6 +239,14 @@ def bool_query(
         if filter_phrase
         else []
     )
+    if phrase_t:
+        # the code chain's lang:<x> marker is a filter term, never a phrase
+        # position (it sits at the end of every doc's stream)
+        from es_indexer_spark.analysis.tokenizer import split_lang_marker
+
+        phrase_t, _marker = split_lang_marker(phrase_t)
+        if _marker and _marker not in filt_t:
+            filt_t = sorted(set(filt_t) | {_marker})
     if phrase_t and not stats.get("positions"):
         raise ValueError(
             f"index at {index_root} was built without store_positions=True"
@@ -263,13 +271,18 @@ def bool_query(
             .cast("long")
             .alias("shard"),
         )
-    if not (must_t or should_t or filt_t or phrase_t):
+    if not (must_t or should_t or filt_t or phrase_t or not_t):
         if rng_df is None:
             return spark.createDataFrame([], _SCORE_SCHEMA)
-        # filter(range) with no term clause: constant-score match of the
-        # range scan itself — no postings needed at all
+        # filter(range) with NO term clause at all: constant-score match of
+        # the range scan itself — no postings needed. (A must_not alongside
+        # the range falls through to the cogroup path so the exclusion
+        # applies — it must never be silently dropped.)
         out = rng_df.select("docid", F.lit(0.0).alias("score"))
         return out if k is None else out.orderBy(F.asc("docid")).limit(k)
+    if not (must_t or should_t or filt_t or phrase_t) and rng_df is None:
+        # must_not alone: nothing to exclude from (documented empty result)
+        return spark.createDataFrame([], _SCORE_SCHEMA)
 
     all_terms = sorted(set(must_t) | set(should_t) | set(not_t) | set(filt_t) | set(phrase_t))
     from es_indexer_spark.query.engine import _dict_df, _load_blocks

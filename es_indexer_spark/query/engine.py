@@ -186,8 +186,14 @@ def topk(
     synonyms: dict[str, list[str]] | None = None,
     probe_min_postings: int = 1 << 17,
     after: tuple[float, int] | None = None,
+    analyzed_terms: list[str] | None = None,
 ) -> DataFrame:
     """Top-k (docid, score) for ``query`` against the published index version.
+
+    ``analyzed_terms``: already-analyzed dictionary terms to score instead of
+    tokenizing ``query`` — for callers that selected terms straight from the
+    dictionary (more_like_this), where re-running the analysis chain is not
+    an identity (e.g. the code tokenizer re-splits some dictionary terms).
 
     ``synonyms``: optional acronym→expansion rules applied to the *query* terms
     only (search-time synonym_graph semantics — SURVEY.md §1.3; documents are
@@ -210,7 +216,11 @@ def topk(
     k1, b = stats["k1"], stats["b"]
     tomb = tombstone_array(spark, vdir)
 
-    qterms = sorted(set(tokenize_one(query, stats["tokenizer"], lang=lang)))
+    qterms = sorted(
+        set(analyzed_terms)
+        if analyzed_terms is not None
+        else set(tokenize_one(query, stats["tokenizer"], lang=lang))
+    )
     if synonyms:
         from es_indexer_spark.analysis.synonyms import expand_terms
 
@@ -671,8 +681,12 @@ def more_like_this(
         return spark.createDataFrame([], _SCORE_SCHEMA)
     cands.sort(key=lambda c: (-c[1] * (math.log(n_docs / (c[2] + 1)) + 1.0), c[0]))
     sel = sorted(t for t, _, _ in cands[:max_query_terms])
+    # the selection is already dictionary terms — score them directly; a
+    # re-analysis round-trip is not an identity for the code chain (it would
+    # re-split some dictionary terms and score a different set)
     return topk(
-        spark, index_root, " ".join(sel), k=k, use_blockmax=use_blockmax, lang=lang
+        spark, index_root, " ".join(sel), k=k, use_blockmax=use_blockmax,
+        lang=lang, analyzed_terms=sel,
     )
 
 
@@ -694,17 +708,31 @@ def rescore_phrase(
     ``query_weight * original + rescore_query_weight * phrase`` (docs in the
     window without the phrase keep their weighted original score).
 
-    Execution: the window is one ranked query (block-max pruned, rank-safe);
-    the phrase pass is the vectorized positional scorer; the combine is a
-    broadcast join of the ≤window_size-row window against the phrase result
-    — Catalyst broadcasts the tiny side, so the rescore adds no shuffle."""
+    Execution, window-pruned like ES's rescorer (which only re-scores the
+    coordinator's window): the window is one ranked query (block-max pruned,
+    rank-safe) whose ≤window_size rows come back to the driver — the same
+    role ES's coordinator plays; the phrase pass then reads ONLY the shards
+    containing window docs (shard-pruned postings scan, never the corpus)
+    and keeps only window docids; the combine broadcast-joins that
+    ≤window_size-row phrase side, so no shuffle is added."""
     from es_indexer_spark.query.phrase import phrase_match
 
-    base = topk(spark, index_root, query, k=window_size, lang=lang)
-    ph = phrase_match(spark, index_root, phrase, k=None, lang=lang).select(
-        "docid", F.col("score").alias("_ph")
+    vdir = catalog.resolve(index_root)
+    shard_size = int(catalog.read_stats(vdir)["shard_size"])
+    base_rows = topk(spark, index_root, query, k=window_size, lang=lang).collect()
+    if not base_rows:
+        return spark.createDataFrame([], _SCORE_SCHEMA)
+    ids = [int(r["docid"]) for r in base_rows]
+    shards = sorted({i // shard_size for i in ids})
+    ph = (
+        phrase_match(spark, index_root, phrase, k=None, lang=lang, shards=shards)
+        .filter(F.col("docid").isin(ids))
+        .select("docid", F.col("score").alias("_ph"))
     )
-    out = base.join(ph, "docid", "left").select(
+    base = spark.createDataFrame(
+        [(i, float(r["score"])) for i, r in zip(ids, base_rows)], _SCORE_SCHEMA
+    )
+    out = base.join(F.broadcast(ph), "docid", "left").select(
         "docid",
         (
             F.lit(float(query_weight)) * F.col("score")

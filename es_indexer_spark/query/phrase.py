@@ -21,6 +21,7 @@ scales exactly like the scoring path.
 from __future__ import annotations
 
 import os
+from collections.abc import Sequence
 
 import numpy as np
 import pandas as pd
@@ -53,6 +54,7 @@ def _phrase_shard_scorer(
     b: float,
     avgdl: float,
     tomb: np.ndarray | None = None,
+    filter_term: str | None = None,
 ):
     """applyInPandas per-shard phrase scorer, fully vectorized (VERDICT r2 #4
     replaced a per-posting Python dict-building loop — O(postings) Python work
@@ -76,6 +78,7 @@ def _phrase_shard_scorer(
         term_keys: dict[str, np.ndarray] = {}
         doc_arr: np.ndarray | None = None
         len_arr: np.ndarray | None = None
+        filt_docs: np.ndarray | None = None
         for term, gg in pdf.groupby("term", sort=False):
             key_parts, d_parts, l_parts = [], [], []
             for row in gg.itertuples(index=False):
@@ -95,6 +98,9 @@ def _phrase_shard_scorer(
                 l_parts.append(l.astype(np.int64))
             if not key_parts:  # every posting of this term was tombstoned
                 continue
+            if term == filter_term:
+                # lang-marker filter: required containment, not a chain slot
+                filt_docs = np.sort(np.concatenate(d_parts))
             keys = np.concatenate(key_parts)
             keys.sort()
             term_keys[term] = keys
@@ -103,6 +109,8 @@ def _phrase_shard_scorer(
                 len_arr = np.concatenate(l_parts)
         if any(t not in term_keys for t in uniq_terms):
             return empty  # conjunctive: a term absent from this shard → no match
+        if filter_term is not None and filt_docs is None:
+            return empty  # required lang marker absent from this shard
         # phrase-start candidates: keys of term_0 whose +i offset exists in term_i
         cand = term_keys[terms[0]]
         for i, t in enumerate(terms[1:], start=1):
@@ -112,6 +120,11 @@ def _phrase_shard_scorer(
         if cand.size == 0:
             return empty
         docids, ptf = np.unique(cand >> 32, return_counts=True)
+        if filt_docs is not None:
+            m = _sorted_member(filt_docs, docids)
+            docids, ptf = docids[m], ptf[m]
+            if docids.size == 0:
+                return empty
         order = np.argsort(doc_arr, kind="stable")
         dl = len_arr[order][np.searchsorted(doc_arr[order], docids)].astype(np.float64)
         ptf = ptf.astype(np.float64)
@@ -130,10 +143,16 @@ def phrase_match(
     k: int | None = 10,
     *,
     lang: str | None = None,
+    shards: Sequence[int] | None = None,
 ) -> DataFrame:
     """Docs containing ``phrase`` as consecutive tokens, Lucene-PhraseQuery-scored.
 
     ``k=None`` returns every matching doc (ordered); otherwise top-k.
+
+    ``shards``: restrict evaluation to these shard ids (shard = docid //
+    shard_size) — a PRUNING hook for callers that only care about a known
+    docid set (rescore's window): matches outside the listed shards are NOT
+    returned, so plain phrase search must leave it None.
     """
     vdir = catalog.resolve(index_root)
     stats = catalog.read_stats(vdir)
@@ -147,11 +166,18 @@ def phrase_match(
 
     tomb = tombstone_array(spark, vdir)
 
-    terms = tokenize_one(phrase, stats["tokenizer"], lang=lang)
+    from es_indexer_spark.analysis.tokenizer import split_lang_marker
+
+    # the code chain appends a lang:<x> marker as the LAST token — it is a
+    # lang-filter term, never a phrase position (it sits at the end of every
+    # doc's stream, so chaining it would silently match nothing)
+    terms, marker = split_lang_marker(
+        tokenize_one(phrase, stats["tokenizer"], lang=lang)
+    )
     if not terms:
         return spark.createDataFrame([], _PHRASE_SCHEMA)
 
-    uniq = sorted(set(terms))
+    uniq = sorted(set(terms) | ({marker} if marker else set()))
     from es_indexer_spark.query.engine import _dict_df
 
     dict_rows = _dict_df(spark, vdir).filter(F.col("term").isin(uniq)).collect()
@@ -159,15 +185,19 @@ def phrase_match(
     if any(t not in found for t in uniq):  # conjunctive: a missing term → no match
         return spark.createDataFrame([], _PHRASE_SCHEMA)
     # Lucene PhraseQuery idf: sum of the individual term idfs (duplicate terms in
-    # the phrase each contribute — Lucene sums over phrase positions)
+    # the phrase each contribute — Lucene sums over phrase positions); the lang
+    # marker is filter context and does not score
     sum_idf = float(sum(lucene_idf(n_docs, found[t]["df"]) for t in terms))
     buckets = sorted({r["bucket"] for r in dict_rows})
 
     blocks = spark.read.parquet(os.path.join(vdir, "postings")).filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(uniq)
     )
+    if shards is not None:
+        blocks = blocks.filter(F.col("shard").isin([int(s) for s in shards]))
     scored = blocks.groupBy("shard").applyInPandas(
-        _phrase_shard_scorer(terms, sum_idf, k1, b, avgdl, tomb), _PHRASE_SCHEMA
+        _phrase_shard_scorer(terms, sum_idf, k1, b, avgdl, tomb, filter_term=marker),
+        _PHRASE_SCHEMA,
     )
     out = scored.orderBy(F.desc("score"), F.asc("docid"))
     return out.limit(k) if k is not None else out
@@ -181,6 +211,7 @@ def _mpp_shard_scorer(
     b: float,
     avgdl: float,
     tomb: np.ndarray | None = None,
+    filter_term: str | None = None,
 ):
     """Per-shard match_phrase_prefix evaluator: the fixed terms chain exactly
     like the phrase scorer; the LAST position matches the union of the
@@ -219,6 +250,8 @@ def _mpp_shard_scorer(
             term_lens[term] = np.concatenate(l_parts)
         if any(t not in term_keys for t in fixed):
             return empty  # a fixed term absent from this shard → no match
+        if filter_term is not None and filter_term not in term_docs:
+            return empty  # required lang marker absent from this shard
         present_exp = [t for t in expansions if t in term_keys]
         if not present_exp:
             return empty
@@ -238,6 +271,11 @@ def _mpp_shard_scorer(
         if cand.size == 0:
             return empty
         docids, ptf = np.unique(cand >> 32, return_counts=True)
+        if filter_term is not None:
+            m = _sorted_member(np.sort(term_docs[filter_term]), docids)
+            docids, ptf = docids[m], ptf[m]
+            if docids.size == 0:
+                return empty
         # doc lengths: a fixed term's postings cover every final doc; with no
         # fixed terms, merge the expansions' (docid, len) pairs
         if fixed:
@@ -292,7 +330,14 @@ def match_phrase_prefix(
     from es_indexer_spark.index.tombstones import tombstone_array
 
     tomb = tombstone_array(spark, vdir)
-    toks = tokenize_one(query, stats["tokenizer"], lang=lang)
+    from es_indexer_spark.analysis.tokenizer import split_lang_marker
+
+    # the lang marker is the code chain's LAST token — without the split it
+    # would be mistaken for the user's prefix (and the real prefix demoted
+    # to an exact term); it acts as a required filter term instead
+    toks, marker = split_lang_marker(
+        tokenize_one(query, stats["tokenizer"], lang=lang)
+    )
     if not toks:
         return spark.createDataFrame([], _PHRASE_SCHEMA)
     fixed, prefix = toks[:-1], toks[-1]
@@ -308,7 +353,7 @@ def match_phrase_prefix(
     )
     if not exp_rows:
         return spark.createDataFrame([], _PHRASE_SCHEMA)
-    uniq_fixed = sorted(set(fixed))
+    uniq_fixed = sorted(set(fixed) | ({marker} if marker else set()))
     fixed_rows = (
         d.filter(F.col("term").isin(uniq_fixed)).collect() if uniq_fixed else []
     )
@@ -329,7 +374,8 @@ def match_phrase_prefix(
         F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
     )
     scored = blocks.groupBy("shard").applyInPandas(
-        _mpp_shard_scorer(fixed, expansions, sum_idf, k1, b, avgdl, tomb),
+        _mpp_shard_scorer(fixed, expansions, sum_idf, k1, b, avgdl, tomb,
+                          filter_term=marker),
         _PHRASE_SCHEMA,
     )
     out = scored.orderBy(F.desc("score"), F.asc("docid"))

@@ -193,5 +193,21 @@ def test_significant_terms_jlh_strict(spark):
         ).collect()
     }
     assert pruned == {"rare", "common"}
+    # empty foreground: every fg_count is 0 -> empty result, no crash
+    assert aggs.significant_terms(df, "text", F.col("lang") == "zz").collect() == []
     with pytest.raises(ValueError):
-        aggs.significant_terms(df, "text", F.col("lang") == "zz").collect()
+        aggs.significant_terms(df, "text", F.col("lang") == "en", min_doc_count=0)
+
+
+def test_composite_agg_drops_null_keys(spark):
+    rows = [(1, "a"), (2, None), (3, "b"), (4, None)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    got = [(r["k"], r["doc_count"]) for r in aggs.composite_agg(df, ["k"]).collect()]
+    assert got == [("a", 1), ("b", 1)]  # ES missing_bucket=false
+
+
+def test_histogram_rejects_bad_interval(tiny):
+    with pytest.raises(ValueError):
+        aggs.histogram(tiny, "v", 0.0)
+    with pytest.raises(ValueError):
+        aggs.histogram(tiny, "v", -5.0)

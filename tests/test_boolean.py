@@ -295,3 +295,17 @@ def test_range_query_rejects_bad_bounds(spark, bool_index):
         range_query(spark, root, "n_chars", {})
     with pytest.raises(ValueError):
         range_query(spark, root, "n_chars", {"between": 3})
+
+
+def test_must_not_with_range_only_is_not_dropped(spark, bool_index, nchars):
+    """Regression: must_not alongside a range filter (and no other clause)
+    must exclude — the range-only shortcut used to silently drop it."""
+    root, toks = bool_index
+    got = _run(
+        spark, root, must_not=["key"],
+        filter_range=("n_chars", {"gte": 0, "lt": 10**9}), k=None,
+    )
+    key_docs = {d for d, t in toks.items() if "key" in t}
+    assert got and all(d not in key_docs for d, _ in got)
+    assert {d for d, _ in got} == set(toks) - key_docs
+    assert all(s == 0.0 for _, s in got)

@@ -332,3 +332,56 @@ def test_match_phrase_prefix_edges(spark, pos_index):
         ).collect()
     }
     assert capped <= full
+
+
+@pytest.fixture(scope="module")
+def code_lang_index(spark, tmp_path_factory):
+    """Positional code-tokenizer index with lang markers, two languages."""
+    rows = [
+        (1, "def parse tree node", "python"),
+        (2, "def parse tree leaf", "python"),
+        (3, "def parse tree node", "java"),
+        (4, "tree parse def", "python"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, body string, lang string")
+    root = str(tmp_path_factory.mktemp("idx_codelang"))
+    build_index(
+        spark, df, root, content_col="body", id_col="doc_id",
+        lang_col="lang", tokenizer="code", n_buckets=2, shard_size=16,
+        n_ckpt_batches=1, store_positions=True,
+    )
+    return root
+
+
+def test_phrase_match_lang_marker_is_filter_not_chain(spark, code_lang_index):
+    """Regression: with lang set on a code index the trailing lang:<x>
+    marker must act as a required filter, never a phrase position."""
+    got = {
+        r["docid"]
+        for r in phrase_match(
+            spark, code_lang_index, "parse tree", k=None, lang="python"
+        ).collect()
+    }
+    assert got == {1, 2}  # doc 3 is java; doc 4 lacks the adjacency
+    all_langs = {
+        r["docid"]
+        for r in phrase_match(spark, code_lang_index, "parse tree", k=None).collect()
+    }
+    assert all_langs == {1, 2, 3}
+
+
+def test_match_phrase_prefix_lang_marker(spark, code_lang_index):
+    """Regression: the marker must not be mistaken for the user's prefix."""
+    from es_indexer_spark.query.phrase import match_phrase_prefix
+
+    got = {
+        r["docid"]
+        for r in match_phrase_prefix(
+            spark, code_lang_index, "parse tr", k=None, lang="python"
+        ).collect()
+    }
+    assert got == {1, 2}
+    # absent lang -> empty, not garbage
+    assert match_phrase_prefix(
+        spark, code_lang_index, "parse tr", k=None, lang="rust"
+    ).collect() == []
