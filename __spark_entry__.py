@@ -932,6 +932,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rescore_phrase"] = _rescore
 
+    # ---- ES collapse + function_score(field_value_factor) -------------------------
+    def _collapse(spark, sf):
+        from es_indexer_spark.query.engine import collapse_topk
+
+        return collapse_topk(
+            spark, _index_root(spark, sf), "spark join window", "lang", k=10
+        ).select(
+            F.col("docid").alias("doc_id"), "lang",
+            F.round("score", 4).alias("score"),
+        )
+
+    def _fscore(spark, sf):
+        from es_indexer_spark.query.engine import function_score_topk
+
+        return function_score_topk(
+            spark, _index_root(spark, sf), "spark join window", "n_chars",
+            k=10, modifier="ln1p", boost_mode="multiply",
+        ).select(F.col("docid").alias("doc_id"), F.round("score", 4).alias("score"))
+
+    q["collapse_by_field"] = _collapse
+    q["function_score"] = _fscore
+
     # ---- multi-field boosted BM25 (the portal's actual ranked search) -----------
     def _multi(match_type: str, query: str, tie: float = 0.0):
         def run(spark: SparkSession, sf: str) -> DataFrame:
@@ -1030,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_docs", "bool_filter_range",
         "wildcard_docs", "phrase_prefix", "more_like_this",
         "terms_keyword", "exists_docs", "simple_qs", "rescore_phrase",
+        "collapse_by_field", "function_score",
         "bool_must_not", "bool_filter_phrase",
         "multi_match_most", "multi_match_best",
         "term_keyword", "term_count", "analyze_tokens",
@@ -1130,6 +1153,41 @@ ORDER BY (1.0 * w.score_raw + 2.0 * COALESCE(ph.phs, 0)) DESC, w.doc_id ASC LIMI
         must=["data"], should=["stream", "batch"],
         rng="n_chars >= 100 AND n_chars < 500",
     )
+    # collapse by lang: best hit per language, scores rounded at 6 BEFORE the
+    # rank window (the ulp-stability rule of query/engine.py collapse_topk)
+    o["collapse_by_field"] = f"""
+{_BM25_PREAMBLE},
+raw AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+             tf.tf * {K1 + 1} / (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / st.avgdl))) AS score_raw
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('join', 'spark', 'window')
+  GROUP BY tf.doc_id),
+r6 AS (SELECT raw.doc_id, d.lang, round(raw.score_raw, 6) AS s
+       FROM raw JOIN documents d USING (doc_id)),
+rk AS (SELECT doc_id, lang, s,
+              row_number() OVER (PARTITION BY lang ORDER BY s DESC, doc_id ASC) AS rn
+       FROM r6)
+SELECT doc_id, lang, round(s::DOUBLE, 4) AS score
+FROM rk WHERE rn = 1 ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+    # function_score field_value_factor: bm25 * ln(1 + n_chars), rounded at 6
+    # before ranking (same rule)
+    o["function_score"] = f"""
+{_BM25_PREAMBLE},
+raw AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+             tf.tf * {K1 + 1} / (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / st.avgdl))) AS score_raw
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('join', 'spark', 'window')
+  GROUP BY tf.doc_id),
+r6 AS (SELECT raw.doc_id, round(raw.score_raw * ln(1.0 + d.n_chars), 6) AS s
+       FROM raw JOIN documents d USING (doc_id))
+SELECT doc_id, round(s::DOUBLE, 4) AS score
+FROM r6 ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
     o["range_docs"] = """
 SELECT doc_id, n_chars FROM documents
 WHERE n_chars >= 150 AND n_chars < 400 ORDER BY doc_id

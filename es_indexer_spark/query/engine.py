@@ -740,3 +740,101 @@ def rescore_phrase(
         ).alias("score"),
     )
     return out.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+
+def collapse_topk(
+    spark: SparkSession,
+    index_root: str,
+    query: str,
+    collapse_field: str,
+    k: int = 10,
+    *,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``collapse``: the ranked search result reduced to the single best
+    hit per distinct value of a stored field (the portal's dedupe-by-source
+    result shape), ranked by score. Returns (docid, <field>, score).
+
+    Execution: the pure-should bool evaluation (≡ the ranked engine,
+    pytest-pinned) produces every match WITHOUT a global sort (k=None), the
+    docs-store join attaches the collapse key, and one rank window
+    partitioned by the key keeps the best hit per group — per-group top-1,
+    never a global materialization of the full ranking. Scores are rounded
+    to 6 decimals before ranking so group winners are ulp-stable across
+    summation orders; ties break by docid asc."""
+    from es_indexer_spark.query.boolean import bool_query
+    from pyspark.sql import Window
+
+    vdir = catalog.resolve(index_root)
+    hits = bool_query(spark, index_root, should=[query], k=None, lang=lang)
+    docs = spark.read.parquet(os.path.join(vdir, "docs")).select(
+        "docid", collapse_field
+    )
+    j = hits.join(docs, "docid").withColumn("score", F.round("score", 6))
+    w = Window.partitionBy(collapse_field).orderBy(
+        F.desc("score"), F.asc("docid")
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+    )
+
+
+_FVF_MODIFIERS = ("none", "ln1p", "log1p", "sqrt", "square")
+
+
+def function_score_topk(
+    spark: SparkSession,
+    index_root: str,
+    query: str,
+    field: str,
+    k: int = 10,
+    *,
+    factor: float = 1.0,
+    modifier: str = "ln1p",
+    boost_mode: str = "multiply",
+    missing: float = 1.0,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``function_score`` with a ``field_value_factor`` function: rescale
+    every match's BM25 score by a function of a stored numeric field —
+    ``modifier(factor * field)`` with the published ES modifiers (ln1p =
+    ln(1+x), log1p = log10(1+x), sqrt, square, none), combined by
+    ``boost_mode`` multiply (default) or sum; ``missing`` substitutes for
+    null field values, as in ES.
+
+    The factor reorders matches arbitrarily, so like ES this evaluates every
+    match (k=None bool disjunction — no global sort), joins the stored field
+    from the docs store, and takes the top-k of the combined score (rounded
+    at 6 for ulp-stable ordering, ties by docid)."""
+    from es_indexer_spark.query.boolean import bool_query
+
+    if modifier not in _FVF_MODIFIERS:
+        raise ValueError(f"modifier must be one of {_FVF_MODIFIERS}")
+    if boost_mode not in ("multiply", "sum"):
+        raise ValueError("boost_mode must be 'multiply' or 'sum'")
+    vdir = catalog.resolve(index_root)
+    hits = bool_query(spark, index_root, should=[query], k=None, lang=lang)
+    docs = spark.read.parquet(os.path.join(vdir, "docs")).select("docid", field)
+    x = F.coalesce(F.col(field).cast("double"), F.lit(float(missing))) * F.lit(
+        float(factor)
+    )
+    fv = {
+        "none": x,
+        "ln1p": F.log(F.lit(1.0) + x),
+        "log1p": F.log10(F.lit(1.0) + x),
+        "sqrt": F.sqrt(x),
+        "square": x * x,
+    }[modifier]
+    combined = (
+        F.col("score") * fv if boost_mode == "multiply" else F.col("score") + fv
+    )
+    return (
+        hits.join(docs, "docid")
+        .select("docid", F.round(combined, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+    )

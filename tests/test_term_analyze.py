@@ -25,7 +25,8 @@ def term_index(spark, documents, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("idx_term"))
     build_index(
         spark, documents, root,
-        content_col="text", id_col="doc_id", meta_cols=("lang", "source"),
+        content_col="text", id_col="doc_id",
+        meta_cols=("lang", "source", "n_chars"),
         tokenizer="standard", n_buckets=8, shard_size=100, n_ckpt_batches=2,
     )
     return root
@@ -501,3 +502,64 @@ def test_rescore_phrase_semantics(spark, documents, tmp_path_factory):
     ][:10]
     assert [d for d, _ in noop] == [d for d, _ in orig]
     assert [s for _, s in noop] == pytest.approx([s for _, s in orig])
+
+
+def test_collapse_topk_best_per_group(spark, documents, term_index):
+    from es_indexer_spark.query.engine import collapse_topk
+
+    got = [
+        (r["docid"], r["lang"], r["score"])
+        for r in collapse_topk(spark, term_index, "spark join window", "lang", k=50).collect()
+    ]
+    langs = [g[1] for g in got]
+    assert len(langs) == len(set(langs))  # one hit per collapse value
+    # each winner is the top-ranked doc of its lang in the full ranking
+    full = topk(spark, term_index, "spark join window", k=100_000, use_blockmax=False)
+    meta = {r["doc_id"]: r["lang"] for r in documents.collect()}
+    best: dict[str, int] = {}
+    for r in full.collect():  # already (score desc, docid asc)
+        l = meta[r["docid"]]
+        if l not in best:
+            best[l] = r["docid"]
+    assert {g[1]: g[0] for g in got} == best
+
+
+def test_function_score_field_value_factor(spark, documents, term_index):
+    import math
+
+    from es_indexer_spark.query.engine import function_score_topk
+
+    nch = {r["doc_id"]: r["n_chars"] for r in documents.collect()}
+    base = {
+        r["docid"]: r["score"]
+        for r in topk(spark, term_index, "spark join window", k=100_000,
+                      use_blockmax=False).collect()
+    }
+    got = [
+        (r["docid"], r["score"])
+        for r in function_score_topk(
+            spark, term_index, "spark join window", "n_chars", k=10
+        ).collect()
+    ]
+    exp = sorted(
+        ((d, round(s * math.log(1.0 + nch[d]), 6)) for d, s in base.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    assert [s for _, s in got] == pytest.approx([s for _, s in exp])
+    # boost_mode=sum and modifier=none compose differently
+    got_sum = function_score_topk(
+        spark, term_index, "spark join window", "n_chars", k=5,
+        modifier="none", boost_mode="sum", factor=0.001,
+    ).collect()
+    exp_sum = sorted(
+        ((d, round(s + 0.001 * nch[d], 6)) for d, s in base.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    assert [(r["docid"], r["score"]) for r in got_sum] == [
+        (d, pytest.approx(s)) for d, s in exp_sum
+    ]
+    with pytest.raises(ValueError):
+        function_score_topk(spark, term_index, "x", "n_chars", modifier="cube")
+    with pytest.raises(ValueError):
+        function_score_topk(spark, term_index, "x", "n_chars", boost_mode="max")
