@@ -353,6 +353,25 @@ def main() -> int:
         ],
     ))
 
+    # 18. collapse: one rank window per collapse key over the UNSORTED match
+    # set — exactly one window sort-exchange keyed by the field, no global
+    # sort before it, docs-store scan pruned to (docid, key)
+    from es_indexer_spark.query.engine import collapse_topk
+
+    p = formatted(collapse_topk(spark, root, "data stream", "lang", k=10))
+    sections.append((
+        "collapse: per-key rank window, no pre-sort, pruned docs scan",
+        p,
+        [
+            ("window partitioned by the collapse key",
+             "hashpartitioning(lang" in p),
+            ("no cartesian/broadcast-nested-loop",
+             "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+            ("docs scan prunes to docid+key",
+             "ReadSchema" in p and "sha256" not in p.split("docs")[-1][:2000]),
+        ],
+    ))
+
     failures = 0
     lines = [
         "# PLANS — physical-plan audit evidence",
