@@ -954,6 +954,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["collapse_by_field"] = _collapse
     q["function_score"] = _fscore
 
+    # ---- training-data assembly (ops/packing.py) -----------------------------------
+    def _split(spark, sf):
+        from es_indexer_spark.ops.packing import assign_split
+
+        return assign_split(_docs(spark, sf), "doc_id").select("doc_id", "split")
+
+    def _pack(spark, sf):
+        from es_indexer_spark.ops.packing import pack_documents
+
+        return pack_documents(
+            _docs(spark, sf), "doc_id", "n_chars", budget=2048, group_col="lang"
+        ).select("doc_id", "lang", "n_chars", "pack_id", "pack_offset")
+
+    q["split_assign"] = _split
+    q["pack_docs"] = _pack
+
     # ---- multi-field boosted BM25 (the portal's actual ranked search) -----------
     def _multi(match_type: str, query: str, tie: float = 0.0):
         def run(spark: SparkSession, sf: str) -> DataFrame:
@@ -1153,6 +1169,30 @@ ORDER BY (1.0 * w.score_raw + 2.0 * COALESCE(ph.phs, 0)) DESC, w.doc_id ASC LIMI
         must=["data"], should=["stream", "batch"],
         rng="n_chars >= 100 AND n_chars < 500",
     )
+    # deterministic hash split: first 15 hex digits of sha256(doc_id) mod
+    # 1000 (the dedup sha-family construction), thresholds 100/200
+    sha15 = (
+        "("
+        + " + ".join(f"{_hexdig('h', p)}::BIGINT * {16 ** (15 - p)}" for p in range(1, 16))
+        + ")"
+    )
+    o["split_assign"] = f"""
+WITH s AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS h FROM documents),
+b AS (SELECT doc_id, {sha15} % 1000 AS bkt FROM s)
+SELECT doc_id,
+       CASE WHEN bkt < 100 THEN 'test' WHEN bkt < 200 THEN 'val'
+            ELSE 'train' END AS split
+FROM b
+"""
+    # sequence packing: contiguous cumsum chunking within lang at budget 2048
+    o["pack_docs"] = """
+SELECT doc_id, lang, n_chars,
+       floor(ce / 2048.0)::BIGINT AS pack_id, (ce % 2048)::BIGINT AS pack_offset
+FROM (SELECT doc_id, lang, n_chars,
+             COALESCE(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ce
+      FROM documents)
+"""
     # collapse by lang: best hit per language, scores rounded at 6 BEFORE the
     # rank window (the ulp-stability rule of query/engine.py collapse_topk)
     o["collapse_by_field"] = f"""
