@@ -391,6 +391,21 @@ st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
 dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)"""
 
 
+def _raw_cte(where: str) -> str:
+    """``raw AS (...)`` BM25 score sum over the ``_BM25_PREAMBLE`` CTE names
+    (tf/dfq/dl/st), restricted by ``where`` (a term predicate)."""
+    return f"""raw AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+             tf.tf * {K1 + 1} / (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / st.avgdl))) AS score_raw
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE {where}
+  GROUP BY tf.doc_id)"""
+
+
+_RAW_JSW = _raw_cte("tf.term IN ('join', 'spark', 'window')")
+
+
 def _hexdig(h: str, p: int) -> str:
     """DuckDB expr: value of the p-th (1-indexed) hex digit of column/expr ``h``."""
     return f"(strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
@@ -1141,13 +1156,7 @@ SELECT doc_id, source FROM documents WHERE source IS NOT NULL
     # weight 2 (score_mode=total), re-ranked, top-10
     o["rescore_phrase"] = f"""
 {_BM25_PREAMBLE},
-raw AS (
-  SELECT tf.doc_id,
-         sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
-             tf.tf * {K1 + 1} / (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / st.avgdl))) AS score_raw
-  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-  WHERE tf.term IN ('join', 'spark', 'window')
-  GROUP BY tf.doc_id),
+{_RAW_JSW},
 win AS (SELECT doc_id, score_raw FROM raw ORDER BY score_raw DESC, doc_id ASC LIMIT 30),
 toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
           FROM documents),
@@ -1197,13 +1206,7 @@ FROM (SELECT doc_id, lang, n_chars,
     # rank window (the ulp-stability rule of query/engine.py collapse_topk)
     o["collapse_by_field"] = f"""
 {_BM25_PREAMBLE},
-raw AS (
-  SELECT tf.doc_id,
-         sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
-             tf.tf * {K1 + 1} / (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / st.avgdl))) AS score_raw
-  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-  WHERE tf.term IN ('join', 'spark', 'window')
-  GROUP BY tf.doc_id),
+{_RAW_JSW},
 r6 AS (SELECT raw.doc_id, d.lang, round(raw.score_raw, 6) AS s
        FROM raw JOIN documents d USING (doc_id)),
 rk AS (SELECT doc_id, lang, s,
@@ -1216,13 +1219,7 @@ FROM rk WHERE rn = 1 ORDER BY s DESC, doc_id ASC LIMIT 10
     # before ranking (same rule)
     o["function_score"] = f"""
 {_BM25_PREAMBLE},
-raw AS (
-  SELECT tf.doc_id,
-         sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
-             tf.tf * {K1 + 1} / (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / st.avgdl))) AS score_raw
-  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-  WHERE tf.term IN ('join', 'spark', 'window')
-  GROUP BY tf.doc_id),
+{_RAW_JSW},
 r6 AS (SELECT raw.doc_id, round(raw.score_raw * ln(1.0 + d.n_chars), 6) AS s
        FROM raw JOIN documents d USING (doc_id))
 SELECT doc_id, round(s::DOUBLE, 4) AS score
@@ -1268,13 +1265,7 @@ FROM pf CROSS JOIN st CROSS JOIN idf WHERE ptf > 0
     o["multi_match_best"] = _multifield_sql(["batch", "customer"], "best_fields", 0.3)
     o["bm25_with_meta"] = f"""
 {_BM25_PREAMBLE},
-raw AS (
-  SELECT tf.doc_id,
-         sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
-             tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score_raw
-  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-  WHERE tf.term IN ('join', 'spark', 'window')
-  GROUP BY tf.doc_id),
+{_RAW_JSW},
 topk AS (SELECT doc_id, round(score_raw::DOUBLE, 4) AS score
          FROM raw ORDER BY score_raw DESC, doc_id ASC LIMIT 10)
 SELECT t.doc_id, t.score, COALESCE(dl.dl, 0)::BIGINT AS doc_len, d.lang, d.source
@@ -1313,13 +1304,7 @@ ORDER BY doc_id ASC LIMIT 100000
     _HLPAT = r"\b(join|spark|window)\b"  # (?i) prepended inline below
     o["highlight_topk"] = f"""
 {_BM25_PREAMBLE},
-raw AS (
-  SELECT tf.doc_id,
-         sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
-             tf.tf * {K1 + 1} / (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / st.avgdl))) AS score_raw
-  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-  WHERE tf.term IN ('join', 'spark', 'window')
-  GROUP BY tf.doc_id),
+{_RAW_JSW},
 topk AS (SELECT doc_id, round(score_raw::DOUBLE, 4) AS score
          FROM raw ORDER BY score_raw DESC, doc_id ASC LIMIT 10)
 SELECT t.doc_id, t.score,
@@ -1922,13 +1907,7 @@ sel AS (SELECT l.term FROM ltf l JOIN dfq d USING (term) CROSS JOIN st
         WHERE l.ltf >= 2 AND d.df >= 5
         ORDER BY l.ltf * (ln(st.n / (d.df + 1)) + 1) DESC, l.term ASC
         LIMIT 5),
-raw AS (
-  SELECT tf.doc_id,
-         sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
-             tf.tf * {K1 + 1} / (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / st.avgdl))) AS score_raw
-  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-  WHERE tf.term IN (SELECT term FROM sel)
-  GROUP BY tf.doc_id)
+{_raw_cte('tf.term IN (SELECT term FROM sel)')}
 SELECT doc_id, round(score_raw::DOUBLE, 4) AS score
 FROM raw ORDER BY score_raw DESC, doc_id ASC LIMIT 10
 """

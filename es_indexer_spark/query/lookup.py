@@ -60,6 +60,21 @@ def scan_after(
     return filter_live(spark, vdir, df).orderBy(F.asc("docid")).limit(page_size)
 
 
+def _docs_where(
+    spark: SparkSession, index_root: str, pred, size: int | None
+) -> DataFrame:
+    """Shared tail of the non-ranked predicate queries (term/terms/exists/
+    range): predicate pushed into the docs-store parquet scan
+    (dictionary/row-group pruning), tombstone-aware, docid-ordered so
+    size(1) is deterministic."""
+    from es_indexer_spark.index.tombstones import filter_live
+
+    vdir = catalog.resolve(index_root)
+    df = spark.read.parquet(os.path.join(vdir, "docs")).filter(pred)
+    df = filter_live(spark, vdir, df).orderBy(F.asc("docid"))
+    return df.limit(size) if size is not None else df
+
+
 def term_query(
     spark: SparkSession,
     index_root: str,
@@ -69,17 +84,8 @@ def term_query(
 ) -> DataFrame:
     """Exact (untokenized) keyword match on a stored meta field — the ES
     ``term`` query. ``size=1`` reproduces the reference's first-id probe;
-    ``size=None`` fetches all hits. The equality predicate is pushed to
-    parquet (dictionary/row-group pruning on the docs store); results come
-    back docid-ordered so size(1) is deterministic."""
-    from es_indexer_spark.index.tombstones import filter_live
-
-    vdir = catalog.resolve(index_root)
-    df = spark.read.parquet(os.path.join(vdir, "docs")).filter(
-        F.col(field) == value
-    )
-    df = filter_live(spark, vdir, df).orderBy(F.asc("docid"))
-    return df.limit(size) if size is not None else df
+    ``size=None`` fetches all hits."""
+    return _docs_where(spark, index_root, F.col(field) == value, size)
 
 
 _RANGE_OPS = ("gte", "gt", "lte", "lt")
@@ -109,18 +115,10 @@ def range_query(
 ) -> DataFrame:
     """ES ``range`` query on a stored (numeric/date/keyword) field — e.g.
     ``range_query(spark, root, "n_chars", {"gte": 200, "lt": 800})``.
-    Standalone range context is non-scoring in ES (constant score); here the
-    doc rows come back docid-ordered with the bounds pushed into the parquet
-    scan (docid-sorted files + column min/max stats = row-group pruning),
-    tombstone-aware like every read surface."""
-    from es_indexer_spark.index.tombstones import filter_live
-
-    vdir = catalog.resolve(index_root)
-    df = spark.read.parquet(os.path.join(vdir, "docs")).filter(
-        range_pred(field, bounds)
-    )
-    df = filter_live(spark, vdir, df).orderBy(F.asc("docid"))
-    return df.limit(size) if size is not None else df
+    Standalone range context is non-scoring in ES (constant score); the
+    bounds push into the parquet scan (docid-sorted files + column min/max
+    stats = row-group pruning)."""
+    return _docs_where(spark, index_root, range_pred(field, bounds), size)
 
 
 def terms_query(
@@ -131,16 +129,8 @@ def terms_query(
     size: int | None = None,
 ) -> DataFrame:
     """ES ``terms`` query: exact keyword match against ANY of ``values``
-    (the multi-value form of ``term``). The isin predicate pushes to parquet
-    as an In filter (dictionary/row-group pruning); docid-ordered."""
-    from es_indexer_spark.index.tombstones import filter_live
-
-    vdir = catalog.resolve(index_root)
-    df = spark.read.parquet(os.path.join(vdir, "docs")).filter(
-        F.col(field).isin(list(values))
-    )
-    df = filter_live(spark, vdir, df).orderBy(F.asc("docid"))
-    return df.limit(size) if size is not None else df
+    (the multi-value form of ``term``); the isin pushes as an In filter."""
+    return _docs_where(spark, index_root, F.col(field).isin(list(values)), size)
 
 
 def exists_query(
@@ -150,15 +140,8 @@ def exists_query(
     size: int | None = None,
 ) -> DataFrame:
     """ES ``exists`` query: docs whose stored ``field`` is non-null (parquet
-    null-count statistics prune all-null row groups); docid-ordered."""
-    from es_indexer_spark.index.tombstones import filter_live
-
-    vdir = catalog.resolve(index_root)
-    df = spark.read.parquet(os.path.join(vdir, "docs")).filter(
-        F.col(field).isNotNull()
-    )
-    df = filter_live(spark, vdir, df).orderBy(F.asc("docid"))
-    return df.limit(size) if size is not None else df
+    null-count statistics prune all-null row groups)."""
+    return _docs_where(spark, index_root, F.col(field).isNotNull(), size)
 
 
 def term_count(
