@@ -205,3 +205,105 @@ def test_polygon_geojson_orientation_and_closure(spark):
         '{"type":"Polygon","coordinates":'
         "[[[0.0,0.0],[4.0,0.0],[4.0,4.0],[0.0,4.0],[0.0,0.0]]]}"
     )
+
+
+# ---- abnormal inputs through the late-round-3 query surfaces --------------------
+
+
+@pytest.fixture(scope="module")
+def abnormal_index(spark, tmp_path_factory):
+    """Tiny index with null/empty meta and degenerate docs."""
+    from es_indexer_spark.index.builder import build_index
+
+    rows = [
+        (1, "data stream batch", "en", 17),
+        (2, "data stream", None, None),      # null lang AND null n_chars
+        (3, "", "fr", 0),                    # empty text -> zero tokens
+        (4, "data data data", "en", 14),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    root = str(tmp_path_factory.mktemp("idx_abn"))
+    build_index(
+        spark, df, root, content_col="text", id_col="doc_id",
+        meta_cols=("lang", "n_chars"), tokenizer="standard",
+        n_buckets=2, shard_size=8, n_ckpt_batches=1, store_positions=True,
+    )
+    return root
+
+
+def test_function_score_missing_substitution(spark, abnormal_index):
+    """ES `missing`: a null field value scores as the substitute, never NULL."""
+    import math
+
+    from es_indexer_spark.query.engine import function_score_topk, topk
+
+    base = {
+        r["docid"]: r["score"]
+        for r in topk(spark, abnormal_index, "stream", k=10).collect()
+    }
+    got = {
+        r["docid"]: r["score"]
+        for r in function_score_topk(
+            spark, abnormal_index, "stream", "n_chars", k=10, missing=5.0
+        ).collect()
+    }
+    assert set(got) == set(base)  # the null-field doc is scored, not dropped
+    assert got[2] == pytest.approx(round(base[2] * math.log(1 + 5.0), 6))
+    assert got[1] == pytest.approx(round(base[1] * math.log(1 + 17.0), 6))
+
+
+def test_collapse_null_key_group(spark, abnormal_index):
+    """A null collapse key forms its own group (docs are never dropped from
+    the ranked result by a missing field)."""
+    from es_indexer_spark.query.engine import collapse_topk
+
+    got = [(r["docid"], r["lang"]) for r in collapse_topk(
+        spark, abnormal_index, "data stream", "lang", k=10).collect()]
+    langs = [l for _, l in got]
+    assert None in langs and len(langs) == len(set(langs))
+
+
+def test_range_and_exists_skip_null_field(spark, abnormal_index):
+    from es_indexer_spark.query.lookup import exists_query, range_query
+
+    ex = {r["docid"] for r in exists_query(spark, abnormal_index, "n_chars").collect()}
+    assert ex == {1, 3, 4}
+    rng = {r["docid"] for r in range_query(
+        spark, abnormal_index, "n_chars", {"gte": 0}).collect()}
+    assert rng == {1, 3, 4}  # null never passes a range bound
+
+
+def test_wildcard_and_mpp_on_degenerate_docs(spark, abnormal_index):
+    from es_indexer_spark.query.phrase import match_phrase_prefix
+    from es_indexer_spark.query.suggest import wildcard_query
+
+    # empty doc 3 matches nothing; '*' alone expands the whole dictionary
+    assert {r["docid"] for r in wildcard_query(
+        spark, abnormal_index, "*", k=100).collect()} == {1, 2, 4}
+    got = {r["docid"] for r in match_phrase_prefix(
+        spark, abnormal_index, "data st", k=None).collect()}
+    assert got == {1, 2}
+
+
+def test_simple_qs_degenerate_inputs(spark, abnormal_index):
+    from es_indexer_spark.query.querystring import simple_query_string
+
+    assert simple_query_string(spark, abnormal_index, "   ").collect() == []
+    assert simple_query_string(spark, abnormal_index, "+ - \"\"").collect() == []
+    # a must_not-only string: documented empty (nothing to exclude from)
+    assert simple_query_string(spark, abnormal_index, "-data").collect() == []
+
+
+def test_packing_zero_and_oversize_docs(spark):
+    from es_indexer_spark.ops.packing import pack_documents
+
+    rows = [(1, "g", 0), (2, "g", 0), (3, "g", 5000), (4, "g", 10)]
+    df = spark.createDataFrame(rows, "id long, g string, tok long")
+    got = {
+        r["id"]: (r["pack_id"], r["pack_offset"])
+        for r in pack_documents(df, "id", "tok", budget=1024, group_col="g").collect()
+    }
+    # zero-token docs take no budget; the oversize doc starts pack 0 at its
+    # offset and pushes the next doc into the pack where its budget window
+    # lands (floor(5000/1024) = 4)
+    assert got == {1: (0, 0), 2: (0, 0), 3: (0, 0), 4: (4, 904)}
