@@ -9,6 +9,19 @@ index schema — SURVEY.md §3.3). Public Lucene semantics reproduced here:
 - ``must``: every term required (conjunction); contributes to the score;
 - ``should``: optional; contributes when present (pure disjunction when no
   required clauses exist — then Lucene requires >=1 should match, reproduced);
+- ``minimum_should_match``: ES's most-used bool knob — at least ``m`` of the
+  should CLAUSES must match (counted per clause, not per term, as Lucene
+  does). Default: 1 when the bool is pure-should, 0 once any required
+  context (must / filter / range) exists — the Lucene default;
+- per-clause ``boost``: any must/should clause may be ``(text, boost)``; the
+  boost multiplies each of the clause's terms' BM25 contributions (folded
+  into the per-term idf, exactly like the fuzzy similarity boost);
+- ``must_fuzzy`` / ``should_fuzzy``: ES ``match`` with ``fuzziness`` inside a
+  bool clause — each entry expands against the dictionary (same JVM-side
+  pruned expansion as the standalone fuzzy query) into an any-of group;
+  required (must) or msm-counted (should), scored as the sum of the present
+  expansions' similarity-boosted contributions, rank-identical to the
+  standalone fuzzy query on a one-clause bool (pytest-pinned);
 - ``must_not``: any match excludes the doc; never contributes to score;
 - ``filter``: required like must but NON-SCORING (Lucene filter context);
 - ``filter_phrase``: a match_phrase in filter context — consecutive-token
@@ -49,8 +62,8 @@ _SCORE_SCHEMA = "docid long, score double"
 
 
 def _bool_shard_scorer(
-    must: list[str],
-    should: list[str],
+    must_groups: list[list[str]],
+    should_groups: list[list[str]],
     must_not: list[str],
     filt: list[str],
     phrase: list[str],
@@ -60,10 +73,21 @@ def _bool_shard_scorer(
     k: int,
     avgdl: float,
     tomb: np.ndarray | None,
+    msm: int = 0,
 ):
-    """applyInPandas per-shard bool evaluator: decode -> numpy set algebra."""
+    """applyInPandas per-shard bool evaluator: decode -> numpy set algebra.
 
-    scoring = sorted(set(must) | set(should))
+    ``must_groups`` / ``should_groups``: each clause is an any-of GROUP of
+    analyzed terms (a plain term clause is a singleton group; a fuzzy clause
+    is its expansion set). A required group matches when the doc carries >=1
+    of its terms; ``msm`` counts matched should GROUPS per doc (Lucene
+    counts clauses, not terms). ``idfs`` carries each term's idf already
+    multiplied by its clause boost (and, for fuzzy expansions, the
+    similarity boost) — the scorer itself stays boost-agnostic."""
+
+    scoring = sorted(
+        {t for g in must_groups for t in g} | {t for g in should_groups for t in g}
+    )
     phrase_set = set(phrase)
 
     def score(pdf: pd.DataFrame, allowed: np.ndarray | None = None) -> pd.DataFrame:
@@ -117,22 +141,29 @@ def _bool_shard_scorer(
                 keys.sort()
                 term_keys[term] = keys
 
-        # required conjunction: must + filter terms (an absent required term in
-        # this shard kills the shard — doc postings are shard-local, so absence
-        # here IS absence for these docids)
-        required = list(dict.fromkeys(must + filt))
+        def group_docs(grp: list[str]) -> np.ndarray | None:
+            """Sorted union of the group's present terms' docids (None when no
+            term of the group has postings in this shard)."""
+            parts = [term_docs[t] for t in grp if t in term_docs]
+            if not parts:
+                return None
+            return parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+
+        # required conjunction: must groups + filter terms (a required group
+        # with no present term kills the shard — doc postings are shard-local,
+        # so absence here IS absence for these docids)
+        required = [[t] for t in dict.fromkeys(filt)] + must_groups
         if required or phrase:
-            if any(t not in term_docs for t in required):
-                return empty
             if any(t not in term_keys for t in phrase_set):
                 return empty
             cand: np.ndarray | None = None
-            for t in required:
-                cand = (
-                    term_docs[t]
-                    if cand is None
-                    else np.intersect1d(cand, term_docs[t], assume_unique=False)
-                )
+            for grp in required:
+                gd = group_docs(grp)
+                if gd is None:
+                    return empty
+                cand = gd if cand is None else np.intersect1d(cand, gd)
+                if cand.size == 0:
+                    return empty
             if phrase:
                 # phrase-start candidates via the packed-key adjacency chain
                 # (same construction as query/phrase.py — +i never crosses a
@@ -153,11 +184,15 @@ def _bool_shard_scorer(
             # candidate (score 0 unless should terms contribute)
             cand = allowed
         else:
-            # pure should: Lucene bool with no required clause needs >=1 match
-            present = [t for t in should if t in term_docs]
-            if not present:
+            # pure should: candidates = union of the should groups' docs; the
+            # caller resolves Lucene's >=1-clause default into ``msm``,
+            # enforced uniformly below
+            parts = [
+                gd for gd in (group_docs(g) for g in should_groups) if gd is not None
+            ]
+            if not parts:
                 return empty
-            cand = np.unique(np.concatenate([term_docs[t] for t in present]))
+            cand = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
         if cand is None or cand.size == 0:
             return empty
 
@@ -167,6 +202,17 @@ def _bool_shard_scorer(
                 cand = np.setdiff1d(cand, term_docs[t], assume_unique=False)
                 if cand.size == 0:
                     return empty
+
+        # minimum_should_match: count matched should GROUPS per candidate
+        if msm > 0:
+            cnt = np.zeros(cand.size, dtype=np.int64)
+            for grp in should_groups:
+                gd = group_docs(grp)
+                if gd is not None:
+                    cnt += _sorted_member(gd, cand)
+            cand = cand[cnt >= msm]
+            if cand.size == 0:
+                return empty
 
         # score: sum present must+should contributions over the candidates
         scores = np.zeros(cand.size, dtype=np.float64)
@@ -191,18 +237,32 @@ def bool_query(
     spark: SparkSession,
     index_root: str,
     *,
-    must: Sequence[str] = (),
-    should: Sequence[str] = (),
+    must: Sequence[str | tuple[str, float]] = (),
+    should: Sequence[str | tuple[str, float]] = (),
     must_not: Sequence[str] = (),
     filter_terms: Sequence[str] = (),
     filter_phrase: str | None = None,
     filter_range: tuple[str, dict] | None = None,
     k: int | None = 10,
     lang: str | None = None,
+    minimum_should_match: int | None = None,
+    must_fuzzy: Sequence[str | tuple[str, float]] = (),
+    should_fuzzy: Sequence[str | tuple[str, float]] = (),
+    fuzziness: int = 1,
+    prefix_length: int = 1,
+    max_expansions: int = 50,
 ) -> DataFrame:
     """Top-k (docid, score) under ES bool semantics. Each clause is a query
     string run through the document analysis chain (so a multi-word ``must``
-    string contributes each of its terms as a required term).
+    string contributes each of its terms as a required term). Any must/should
+    clause (incl. fuzzy) may be ``(text, boost)`` — ES per-clause boost,
+    multiplying that clause's terms' contributions. ``minimum_should_match``
+    requires >= m of the should CLAUSES to match (None = the Lucene default:
+    1 when the bool is pure-should, 0 once any required context exists).
+    ``must_fuzzy`` / ``should_fuzzy`` are ES ``match`` + ``fuzziness``
+    clauses: each expands against the dictionary (shared pruned expansion —
+    query/engine.py ``fuzzy_expansions``) into an any-of group, scored as the
+    sum of present expansions' similarity-boosted contributions.
     ``filter_terms`` / ``filter_phrase`` are Lucene filter context: required,
     never scored — ``filter_phrase`` is the reference's
     ``bool.filter(match_phrase)`` shape. ``filter_range=("n_chars", {"gte":
@@ -226,14 +286,87 @@ def bool_query(
 
     tomb = tombstone_array(spark, vdir)
 
+    from es_indexer_spark.analysis.tokenizer import split_lang_marker
+
+    def clause(q) -> tuple[str, float]:
+        if isinstance(q, (tuple, list)):
+            return str(q[0]), float(q[1])
+        return str(q), 1.0
+
+    # per-term total clause boost (a term named by several scoring clauses
+    # sums their boosts — Lucene scores each clause, so the sums agree)
+    weight: dict[str, float] = {}
+    filt_extra: list[str] = []  # lang markers shed by fuzzy clauses
+
+    def term_groups(qs, *, flatten: bool) -> list[list[str]]:
+        """Analyze each clause; ``flatten`` splits a multi-token clause into
+        singleton required groups (the documented conjunctive must
+        semantics), else the clause stays one any-of group (should)."""
+        groups: list[list[str]] = []
+        for q in qs:
+            text, boost = clause(q)
+            ts = sorted(set(tokenize_one(text, stats["tokenizer"], lang=lang)))
+            for t in ts:
+                weight[t] = weight.get(t, 0.0) + boost
+            if flatten:
+                groups.extend([t] for t in ts)
+            elif ts:
+                groups.append(ts)
+        return groups
+
+    def fuzzy_groups(qs) -> list[tuple[list[str], dict[str, float]]]:
+        """Expand each fuzzy clause: (expansion group, per-term
+        boost*similarity weights). An empty expansion is kept (a required
+        empty group -> no results; a should one just never matches)."""
+        from es_indexer_spark.query.engine import fuzzy_expansions
+
+        out: list[tuple[list[str], dict[str, float]]] = []
+        for q in qs:
+            text, boost = clause(q)
+            ts = tokenize_one(text, stats["tokenizer"], lang=lang)
+            ts, marker = split_lang_marker(ts)
+            if marker is not None:
+                filt_extra.append(marker)
+            if len(ts) != 1:
+                raise ValueError(
+                    "a fuzzy clause takes a single analyzed term, got "
+                    f"{ts!r} from {text!r}"
+                )
+            exp = fuzzy_expansions(
+                spark, vdir, ts[0],
+                fuzziness=fuzziness, prefix_length=prefix_length,
+                max_expansions=max_expansions,
+            )
+            out.append(
+                ([e[0] for e in exp], {e[0]: boost * e[3] for e in exp})
+            )
+        return out
+
+    must_groups = term_groups(must, flatten=True)
+    should_groups = term_groups(should, flatten=False)
+    for grp, w in fuzzy_groups(must_fuzzy):
+        must_groups.append(grp)
+        for t, b_ in w.items():
+            weight[t] = weight.get(t, 0.0) + b_
+    for grp, w in fuzzy_groups(should_fuzzy):
+        should_groups.append(grp)
+        for t, b_ in w.items():
+            weight[t] = weight.get(t, 0.0) + b_
+
     def toks(qs: Sequence[str]) -> list[str]:
         out: list[str] = []
         for q in qs:
             out.extend(tokenize_one(q, stats["tokenizer"], lang=lang))
         return sorted(set(out))
 
-    must_t, should_t = toks(must), toks(should)
-    not_t, filt_t = toks(must_not), toks(filter_terms)
+    must_t = sorted({t for g in must_groups for t in g})
+    should_t = sorted({t for g in should_groups for t in g})
+    not_t, filt_t = toks(must_not), sorted(set(toks(filter_terms)) | set(filt_extra))
+    # a REQUIRED fuzzy clause whose expansion came back empty can match
+    # nothing (ES: the clause query rewrites to MatchNoDocs)
+    if any(not g for g in must_groups):
+        return spark.createDataFrame([], _SCORE_SCHEMA)
+
     phrase_t = (
         tokenize_one(filter_phrase, stats["tokenizer"], lang=lang)
         if filter_phrase
@@ -242,8 +375,6 @@ def bool_query(
     if phrase_t:
         # the code chain's lang:<x> marker is a filter term, never a phrase
         # position (it sits at the end of every doc's stream)
-        from es_indexer_spark.analysis.tokenizer import split_lang_marker
-
         phrase_t, _marker = split_lang_marker(phrase_t)
         if _marker and _marker not in filt_t:
             filt_t = sorted(set(filt_t) | {_marker})
@@ -289,14 +420,25 @@ def bool_query(
 
     dict_rows = _dict_df(spark, vdir).filter(F.col("term").isin(all_terms)).collect()
     found = {r["term"]: r for r in dict_rows}
-    # an absent required term -> no results at all (conjunctive)
-    if any(t not in found for t in must_t + filt_t + phrase_t):
+    # an absent required term / fully-absent required group -> no results
+    if any(t not in found for t in filt_t + phrase_t):
+        return spark.createDataFrame([], _SCORE_SCHEMA)
+    if any(all(t not in found for t in g) for g in must_groups):
         return spark.createDataFrame([], _SCORE_SCHEMA)
     idfs = {
-        t: lucene_idf(n_docs, found[t]["df"])
+        t: weight.get(t, 1.0) * lucene_idf(n_docs, found[t]["df"])
         for t in set(must_t) | set(should_t)
         if t in found
     }
+    # resolve minimum_should_match: Lucene default is 1 for a pure-should
+    # bool, 0 once any required context (must/filter/phrase/range) exists
+    has_required = bool(must_groups or filt_t or phrase_t or rng_df is not None)
+    if minimum_should_match is None:
+        msm = 0 if has_required or not should_groups else 1
+    else:
+        msm = int(minimum_should_match)
+        if msm > len(should_groups):
+            return spark.createDataFrame([], _SCORE_SCHEMA)
     # load postings for every clause's present terms (must_not included — the
     # exclusion set is derived shard-locally from its postings)
     present = sorted(t for t in all_terms if t in found)
@@ -305,12 +447,12 @@ def bool_query(
 
     shard_k = (1 << 62) if k is None else k
     scorer = _bool_shard_scorer(
-        [t for t in must_t if t in found],
-        [t for t in should_t if t in found],
+        [[t for t in g if t in found] for g in must_groups],
+        [[t for t in g if t in found] for g in should_groups],
         [t for t in not_t if t in found],
         filt_t,
         phrase_t,
-        idfs, k1, b, shard_k, avgdl, tomb,
+        idfs, k1, b, shard_k, avgdl, tomb, msm,
     )
     if present:
         buckets = sorted({found[t]["bucket"] for t in present})

@@ -144,9 +144,15 @@ def sessionize_stream(
             )
             return
         rows = pd.concat(list(pdfs))
+        # a null/NaT timestamp would become INT64_MIN under astype('int64'),
+        # poisoning the open session's start/last and the event-time timeout —
+        # drop them (watermarked upstreams shouldn't emit them, but a raw
+        # source can)
         ts_ms = (
-            rows[ts_col].astype("int64") // 1_000_000
+            rows[ts_col].dropna().astype("int64") // 1_000_000
         ).sort_values().to_numpy()  # ns -> ms, event-time order
+        if ts_ms.size == 0:
+            return
         if state.exists:
             start, last, n = state.get
         else:

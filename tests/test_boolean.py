@@ -50,12 +50,15 @@ def nchars(documents):
 
 
 def _brute(toks, must=(), should=(), must_not=(), filt=(), phrase=(), k=10,
-           rng=None, nch=None):
+           rng=None, nch=None, msm=None, weights=None):
     """Independent per-doc bool evaluation over the Python-tokenized corpus.
     ``rng``: (lo, hi) half-open n_chars bound (the filter_range clause —
-    required context, lifts the pure-should >=1 rule)."""
+    required context, lifts the pure-should >=1 rule). ``msm``: explicit
+    minimum_should_match over the (single-token) should clauses; None = the
+    Lucene default. ``weights``: per-term clause-boost multipliers."""
     n = len(toks)
     avgdl = sum(len(t) for t in toks.values()) / n
+    weights = weights or {}
     dfs = {}
     for term in set(must) | set(should):
         dfs[term] = sum(1 for t in toks.values() if term in t)
@@ -63,6 +66,10 @@ def _brute(toks, must=(), should=(), must_not=(), filt=(), phrase=(), k=10,
     scoring = sorted(set(must) | set(should))
     phrase = list(phrase)
     required = bool(must or filt or phrase or rng)
+    msm_eff = msm if msm is not None else (0 if required or not should else 1)
+    if not required and should:
+        # candidates only ever come from the should postings (engine shape)
+        msm_eff = max(msm_eff, 1)
     out = []
     for doc, t in toks.items():
         ts = set(t)
@@ -76,7 +83,7 @@ def _brute(toks, must=(), should=(), must_not=(), filt=(), phrase=(), k=10,
                 continue
         if rng is not None and not (rng[0] <= nch[doc] < rng[1]):
             continue
-        if not required and not any(s in ts for s in should):
+        if sum(1 for s_ in should if s_ in ts) < msm_eff:
             continue
         if any(m in ts for m in must_not):
             continue
@@ -85,7 +92,11 @@ def _brute(toks, must=(), should=(), must_not=(), filt=(), phrase=(), k=10,
         for term in scoring:
             tf = float(t.count(term))
             if tf:
-                s += idf[term] * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / avgdl))
+                s += (
+                    weights.get(term, 1.0)
+                    * idf[term] * tf * (K1 + 1)
+                    / (tf + K1 * (1 - B + B * dl / avgdl))
+                )
         out.append((doc, s))
     out.sort(key=lambda x: (-x[1], x[0]))
     return out[:k]
@@ -229,6 +240,136 @@ def test_bool_k_none_returns_all_matches(spark, bool_index):
     top = _run(spark, root, must=["data"], must_not=["key"], k=10_000)
     assert sorted(allm) == sorted(top)
     assert len(allm) > 10
+
+
+# ---- round 4: minimum_should_match / per-clause boost / fuzzy clauses -------
+
+
+def test_minimum_should_match_pure_should(spark, bool_index):
+    root, toks = bool_index
+    for m in (1, 2, 3):
+        got = _run(
+            spark, root,
+            should=["data", "stream", "batch"], minimum_should_match=m, k=20,
+        )
+        exp = _brute(
+            toks, should=["data", "stream", "batch"], msm=m, k=20,
+        )
+        _assert_same(got, exp)
+    # more required matches than clauses -> nothing can match
+    assert _run(
+        spark, root, should=["data", "stream"], minimum_should_match=3
+    ) == []
+
+
+def test_minimum_should_match_with_must(spark, bool_index):
+    root, toks = bool_index
+    got = _run(
+        spark, root,
+        must=["customer"], should=["stream", "batch"],
+        minimum_should_match=1, k=20,
+    )
+    exp = _brute(
+        toks, must=["customer"], should=["stream", "batch"], msm=1, k=20,
+    )
+    _assert_same(got, exp)
+    # default with must present: msm=0 — a superset of the msm=1 result
+    base = _run(spark, root, must=["customer"], should=["stream", "batch"], k=500)
+    assert {d for d, _ in got} <= {d for d, _ in base}
+
+
+def test_per_clause_boost(spark, bool_index):
+    root, toks = bool_index
+    got = _run(
+        spark, root,
+        must=[("data", 2.0)], should=[("stream", 0.5), "batch"], k=20,
+    )
+    exp = _brute(
+        toks, must=["data"], should=["stream", "batch"],
+        weights={"data": 2.0, "stream": 0.5}, k=20,
+    )
+    _assert_same(got, exp)
+
+
+def test_boost_one_keeps_ranking(spark, bool_index):
+    root, _ = bool_index
+    a = _run(spark, root, must=[("data", 1.0)], should=["stream"], k=15)
+    b = _run(spark, root, must=["data"], should=["stream"], k=15)
+    _assert_same(a, b)
+
+
+def test_must_fuzzy_rank_identical_to_standalone(spark, bool_index):
+    """A one-clause bool fuzzy == the standalone fuzzy query (same expansion,
+    same boosted contributions)."""
+    from es_indexer_spark.query.engine import fuzzy_topk
+
+    root, _ = bool_index
+    got = _run(spark, root, must_fuzzy=["strea"], minimum_should_match=0, k=10)
+    exp = [
+        (r["docid"], r["score"])
+        for r in fuzzy_topk(spark, root, "strea", k=10).collect()
+    ]
+    _assert_same(got, exp)
+
+
+def test_must_fuzzy_composes_with_must(spark, bool_index):
+    """must + must_fuzzy: every hit carries the must term AND >=1 expansion;
+    scores = must contribution + fuzzy contributions (checked vs brute over
+    the engine's own expansion set)."""
+    from es_indexer_spark.query.engine import fuzzy_expansions
+    from es_indexer_spark.index import catalog
+
+    root, toks = bool_index
+    vdir = catalog.resolve(root)
+    exp_terms = fuzzy_expansions(spark, vdir, "strea")
+    assert exp_terms, "expansion should find stream/streams at this corpus"
+    got = _run(spark, root, must=["customer"], must_fuzzy=["strea"], k=20)
+
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    out = []
+    for doc, t in toks.items():
+        ts = set(t)
+        if "customer" not in ts or not any(e[0] in ts for e in exp_terms):
+            continue
+        dl = float(len(t))
+
+        def contrib(term, w):
+            tf = float(t.count(term))
+            if not tf:
+                return 0.0
+            df = sum(1 for tt in toks.values() if term in tt)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            return w * idf * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / avgdl))
+
+        s = contrib("customer", 1.0) + sum(contrib(e[0], e[3]) for e in exp_terms)
+        out.append((doc, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    _assert_same(got, out[:20])
+
+
+def test_should_fuzzy_counts_as_one_clause_for_msm(spark, bool_index):
+    from es_indexer_spark.query.engine import fuzzy_expansions
+    from es_indexer_spark.index import catalog
+
+    root, toks = bool_index
+    vdir = catalog.resolve(root)
+    exp_terms = {e[0] for e in fuzzy_expansions(spark, vdir, "strea")}
+    got = _run(
+        spark, root,
+        should=["batch"], should_fuzzy=["strea"], minimum_should_match=2, k=50,
+    )
+    hits = {d for d, _ in got}
+    for doc, t in toks.items():
+        both = "batch" in t and bool(exp_terms & set(t))
+        if doc in hits:
+            assert both
+    assert hits  # corpus has docs carrying batch + a strea-expansion
+
+
+def test_must_fuzzy_no_expansion_empty(spark, bool_index):
+    root, _ = bool_index
+    assert _run(spark, root, must=["data"], must_fuzzy=["zzzzqqq"]) == []
 
 
 def test_filter_range_with_must(spark, bool_index, nchars):

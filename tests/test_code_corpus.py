@@ -76,6 +76,23 @@ def test_lang_tag_filters_results(spark, code_index):
     assert "rust" in langs
 
 
+def test_fuzzy_with_lang_marker(spark, code_index):
+    """ADVICE r3: the code chain appends a trailing lang:<x> marker, so a
+    lang-tagged fuzzy query used to fail the single-term check. Now the marker
+    becomes required filter context (bool fuzzy clause): results carry the
+    language AND at least one expansion term."""
+    from es_indexer_spark.query.engine import fuzzy_topk
+
+    hits = fetch_docs(
+        spark, code_index, fuzzy_topk(spark, code_index, "index", k=10, lang="rust")
+    ).collect()
+    assert hits, "rust docs matching an index-expansion exist in this corpus"
+    assert {r["lang"] for r in hits} == {"rust"}
+    # and the unmarked query still takes the standalone path with >= as many hits
+    allhits = fuzzy_topk(spark, code_index, "index", k=500).count()
+    assert allhits >= len(hits)
+
+
 def test_sha256_invariant_code(spark, code_index, oracle_src):
     vdir = catalog.resolve(code_index)
     docs = spark.read.parquet(f"{vdir}/docs")

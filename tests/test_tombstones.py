@@ -312,3 +312,57 @@ def test_delete_by_query_surfaces(spark, documents, tmp_path_factory):
 
     with pytest.raises(ValueError):
         delete_by_query(spark, root)
+
+
+# ---- round 4: distributed tombstone delivery past the driver-array cutoff ---
+
+
+def test_distributed_tombstones_rank_identical(spark, deleted_index, monkeypatch):
+    """With DISTRIBUTED_TOMB_THRESHOLD forced to 0 the ranked path must
+    cogroup the shard-keyed delete set with the posting blocks (never a
+    driver-collected closure array) and return the EXACT ranking of the
+    driver-array path — Lucene live-docs semantics either way."""
+    from es_indexer_spark.index import tombstones as tmod
+
+    root, before, dead = deleted_index
+    want = topk(spark, root, QUERY, k=10, use_blockmax=False).collect()
+
+    monkeypatch.setattr(tmod, "DISTRIBUTED_TOMB_THRESHOLD", 0)
+    got_df = topk(spark, root, QUERY, k=10)
+    got = got_df.collect()
+    assert [(r["docid"], r["score"]) for r in got] == [
+        (r["docid"], r["score"]) for r in want
+    ]
+    assert all(r["docid"] not in dead for r in got)
+    # plan shape: the delete set flows through a cogroup (one shuffle shared
+    # with the blocks), not a broadcast/isin
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_distributed_tombstones_after_pagination(spark, deleted_index, monkeypatch):
+    from es_indexer_spark.index import tombstones as tmod
+
+    root, before, dead = deleted_index
+    monkeypatch.setattr(tmod, "DISTRIBUTED_TOMB_THRESHOLD", 0)
+    p1 = topk(spark, root, QUERY, k=5).collect()
+    p2 = topk(
+        spark, root, QUERY, k=5,
+        after=(p1[-1]["score"], p1[-1]["docid"]),
+    ).collect()
+    joint = [r["docid"] for r in p1 + p2]
+    want = [r["docid"] for r in before if r["docid"] not in dead][:10]
+    assert joint == want
+
+
+def test_tombstone_count_and_shards(spark, deleted_index):
+    from es_indexer_spark.index import tombstones as tmod
+    from es_indexer_spark.index import catalog as cat
+
+    root, _, dead = deleted_index
+    vdir = cat.resolve(root)
+    # count is an upper bound (test_delete_idempotent re-deleted one id)
+    assert tmod.tombstone_count(spark, vdir) >= len(dead)
+    rows = tmod.tombstone_shards(spark, vdir, 100).collect()
+    assert {r["docid"] for r in rows} == dead  # distinct, exact
+    assert all(r["shard"] == r["docid"] // 100 for r in rows)
