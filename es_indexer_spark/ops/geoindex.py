@@ -41,6 +41,32 @@ from pyspark.sql import DataFrame, Window, functions as F
 MAX_FEATURES = 9000
 
 
+def cell_counts(
+    df: DataFrame,
+    *,
+    collection_col: str = "collection",
+    time_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Partial+final hash agg of observation points into per-cell monthly
+    counts: ``(collection, month, lon, lat, cnt)`` — the shared reduction
+    under both the FeatureCollection writer and the queryable data index
+    (reference: DataAccessServiceImpl.java:459-472)."""
+    return (
+        df.select(
+            F.col(collection_col).alias("collection"),
+            F.date_format(F.date_trunc("month", F.col(time_col)), "yyyy-MM").alias(
+                "month"
+            ),
+            F.col(lon_col).alias("lon"),
+            F.col(lat_col).alias("lat"),
+        )
+        .groupBy("collection", "month", "lon", "lat")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def point_features(
     df: DataFrame,
     *,
@@ -53,17 +79,12 @@ def point_features(
     GeoJSON Feature string attached:
     ``(collection, month, lon, lat, cnt, feature)``."""
     s = lambda c: F.col(c).cast("string")  # noqa: E731
-    agg = (
-        df.select(
-            F.col(collection_col).alias("collection"),
-            F.date_format(F.date_trunc("month", F.col(time_col)), "yyyy-MM").alias(
-                "month"
-            ),
-            F.col(lon_col).alias("lon"),
-            F.col(lat_col).alias("lat"),
-        )
-        .groupBy("collection", "month", "lon", "lat")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    agg = cell_counts(
+        df,
+        collection_col=collection_col,
+        time_col=time_col,
+        lon_col=lon_col,
+        lat_col=lat_col,
     )
     return agg.withColumn(
         "feature",
@@ -127,4 +148,117 @@ def feature_collections(
                 F.lit("]}"),
             ).alias("doc"),
         )
+    )
+
+
+# ------------------------------------------------------------------ read side
+# The reference exists to SERVE this index: the portal's map hits the
+# es-coindexer-* data index with a geo_bounding_box + date-range filter on
+# every page load (README.md:5-7; geo_shape fields in
+# stacmodel/src/main/resources/schema/data_index_schema.json:14-18). The
+# write below lays the cell table out so that exactly that query prunes at
+# every level Spark offers: directory (collection partition), file (range
+# clustering on (month, cell_x)), and row-group (parquet min/max on the
+# sorted month/lon/lat columns) — a bbox+month scan over a 100 TB index
+# touches only the files whose lon range and month run intersect the query.
+
+
+def write_geo_index(
+    df: DataFrame,
+    path: str,
+    *,
+    collection_col: str = "collection",
+    time_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    cell_deg: float = 5.0,
+    n_files: int = 8,
+) -> None:
+    """Aggregate observation points and write the queryable per-cell monthly
+    count table.
+
+    Layout for pruning: ``partitionBy(collection)`` (directory pruning on the
+    collection filter), ``repartitionByRange(month, cell_x)`` where ``cell_x
+    = floor(lon / cell_deg)`` (each output file spans one narrow lon band of
+    one month run — file-level min/max pruning for bbox scans), and
+    ``sortWithinPartitions(month, cell_x, lon, lat)`` (row-group min/max
+    stats stay tight inside each file). ``n_files`` is the range-partition
+    count — size it so files land near the cluster's preferred file size
+    (128–512 MB) at the real data volume."""
+    cells = cell_counts(
+        df,
+        collection_col=collection_col,
+        time_col=time_col,
+        lon_col=lon_col,
+        lat_col=lat_col,
+    ).withColumn("cell_x", F.floor(F.col("lon") / F.lit(float(cell_deg))))
+    (
+        cells.repartitionByRange(n_files, "collection", "month", "cell_x")
+        .sortWithinPartitions("collection", "month", "cell_x", "lon", "lat")
+        .write.mode("overwrite")
+        .partitionBy("collection")
+        .parquet(path)
+    )
+
+
+def geo_bbox_query(
+    spark,
+    path: str,
+    bbox: tuple[float, float, float, float],
+    *,
+    date_range: tuple[str, str] | None = None,
+    collections: list[str] | tuple[str, ...] | None = None,
+) -> DataFrame:
+    """ES ``geo_bounding_box`` (+ optional date range / collection terms)
+    over the data index written by :func:`write_geo_index` — the portal's
+    map query. Returns the matching cells
+    ``(collection, month, lon, lat, cnt)``.
+
+    ``bbox = (min_lon, min_lat, max_lon, max_lat)``; a bbox with
+    ``min_lon > max_lon`` crosses the antimeridian and splits into the OR of
+    two lon ranges (ES geo_bounding_box semantics — both disjuncts still
+    push into the parquet scan). ``date_range = ("yyyy-MM", "yyyy-MM")`` is
+    inclusive on months (lexicographic = chronological for zero-padded
+    months). Every predicate is a plain comparison on a stored column, so
+    Catalyst pushes all of them to the scan; the write layout turns them
+    into directory/file/row-group pruning."""
+    min_lon, min_lat, max_lon, max_lat = bbox
+    df = spark.read.parquet(path)
+    if min_lon <= max_lon:
+        lon_pred = (F.col("lon") >= min_lon) & (F.col("lon") <= max_lon)
+    else:  # antimeridian-crossing box
+        lon_pred = (F.col("lon") >= min_lon) | (F.col("lon") <= max_lon)
+    df = df.filter(lon_pred & (F.col("lat") >= min_lat) & (F.col("lat") <= max_lat))
+    if collections is not None:
+        df = df.filter(F.col("collection").isin(list(collections)))
+    if date_range is not None:
+        lo, hi = date_range
+        df = df.filter((F.col("month") >= lo) & (F.col("month") <= hi))
+    return df.select("collection", "month", "lon", "lat", "cnt")
+
+
+def geo_bbox_features(
+    spark,
+    path: str,
+    bbox: tuple[float, float, float, float],
+    *,
+    date_range: tuple[str, str] | None = None,
+    collections: list[str] | tuple[str, ...] | None = None,
+) -> DataFrame:
+    """:func:`geo_bbox_query` with the GeoJSON Feature string attached —
+    the map tile's render payload (same shape the FeatureCollection docs
+    nest, data_index_schema.json:3-35)."""
+    s = lambda c: F.col(c).cast("string")  # noqa: E731
+    return geo_bbox_query(
+        spark, path, bbox, date_range=date_range, collections=collections
+    ).withColumn(
+        "feature",
+        F.concat(
+            F.lit('{"type":"Feature","geometry":{"type":"Point","coordinates":['),
+            s("lon"), F.lit(","), s("lat"),
+            F.lit(']},"properties":{"date":"'), F.col("month"),
+            F.lit('","count":'), s("cnt"),
+            F.lit(',"collection":"'), F.col("collection"),
+            F.lit('"}}'),
+        ),
     )

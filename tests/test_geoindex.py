@@ -71,3 +71,123 @@ def test_feature_order_deterministic(spark):
     assert sorted(((key(r), r["doc"]) for r in a)) == sorted(
         ((key(r), r["doc"]) for r in b)
     )
+
+
+# ---- round 4: queryable data index + geo_bounding_box read surface ---------
+
+
+def _geo_root(spark, tmp_path_factory):
+    from es_indexer_spark.ops.geoindex import write_geo_index
+
+    path = str(tmp_path_factory.mktemp("geoidx") / "cells")
+    write_geo_index(_pts(spark), path, cell_deg=5.0, n_files=4)
+    return path
+
+
+def _brute_cells(spark, bbox, months=None, colls=None):
+    """Independent per-row aggregation of _pts for the same bbox."""
+    rows = _pts(spark).collect()
+    agg: dict[tuple, int] = {}
+    for r in rows:
+        m = f"{r['ts'].year:04d}-{r['ts'].month:02d}"
+        key = (r["collection"], m, r["lon"], r["lat"])
+        agg[key] = agg.get(key, 0) + 1
+    min_lon, min_lat, max_lon, max_lat = bbox
+    out = []
+    for (c, m, lon, lat), n in agg.items():
+        if min_lon <= max_lon:
+            ok_lon = min_lon <= lon <= max_lon
+        else:
+            ok_lon = lon >= min_lon or lon <= max_lon
+        if not (ok_lon and min_lat <= lat <= max_lat):
+            continue
+        if months and not (months[0] <= m <= months[1]):
+            continue
+        if colls and c not in colls:
+            continue
+        out.append((c, m, lon, lat, n))
+    return sorted(out)
+
+
+def test_geo_bbox_query_matches_brute(spark, tmp_path_factory):
+    from es_indexer_spark.ops.geoindex import geo_bbox_query
+
+    path = _geo_root(spark, tmp_path_factory)
+    bbox = (3, 2, 11, 8)
+    got = sorted(
+        tuple(r) for r in geo_bbox_query(spark, path, bbox).collect()
+    )
+    assert got == _brute_cells(spark, bbox)
+    # with date range + collection terms
+    got2 = sorted(
+        tuple(r)
+        for r in geo_bbox_query(
+            spark, path, bbox,
+            date_range=("2024-02", "2024-02"), collections=["c0", "c2"],
+        ).collect()
+    )
+    assert got2 == _brute_cells(
+        spark, bbox, months=("2024-02", "2024-02"), colls={"c0", "c2"}
+    )
+    assert got2 and got2 != got
+
+
+def test_geo_bbox_antimeridian(spark, tmp_path_factory):
+    from es_indexer_spark.ops.geoindex import geo_bbox_query
+
+    path = _geo_root(spark, tmp_path_factory)
+    # min_lon > max_lon: ES semantics — the box crosses the antimeridian,
+    # matching lon >= 15 OR lon <= 2 (our synthetic lons are 0..18)
+    bbox = (15, 0, 2, 10)
+    got = sorted(tuple(r) for r in geo_bbox_query(spark, path, bbox).collect())
+    assert got == _brute_cells(spark, bbox)
+    lons = {r[2] for r in got}
+    assert lons and all(lon >= 15 or lon <= 2 for lon in lons)
+
+
+def test_geo_bbox_plan_prunes(spark, tmp_path_factory):
+    """The portal-map query must push every predicate to the scan: collection
+    as a PartitionFilter (directory pruning) and lon/lat/month as
+    PushedFilters (file + row-group min/max pruning on the range-clustered,
+    sorted layout). No Filter may sit above a full-table scan."""
+    from es_indexer_spark.ops.geoindex import geo_bbox_query
+
+    path = _geo_root(spark, tmp_path_factory)
+    # default maxMetadataStringLength (100) truncates the PushedFilters list
+    # mid-entry, which would break the assertions below
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+    try:
+        df = geo_bbox_query(
+            spark, path, (3, 2, 11, 8),
+            date_range=("2024-01", "2024-01"), collections=["c1"],
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "PartitionFilters" in plan
+    # collection is a directory-level partition filter, not a data filter
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "collection" in pf
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan).group(1)
+    for col in ("lon", "lat", "month"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_geo_index_layout_files_span_narrow_lon(spark, tmp_path_factory):
+    """Range clustering on (month, cell_x): with 4 range partitions over two
+    months the per-file lon spread must be narrower than the global spread."""
+    import pyarrow.parquet as pq
+    import glob, os
+
+    path = _geo_root(spark, tmp_path_factory)
+    spans = []
+    for f in glob.glob(os.path.join(path, "collection=*", "*.parquet")):
+        t = pq.read_table(f, columns=["lon"])
+        lons = t["lon"].to_pylist()
+        if lons:
+            spans.append(max(lons) - min(lons))
+    assert spans
+    global_span = 18  # lons are 0..18
+    assert min(spans) < global_span

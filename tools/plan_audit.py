@@ -372,6 +372,73 @@ def main() -> int:
         ],
     ))
 
+    # 19. geo_bbox_query (portal map read): every predicate reaches the scan —
+    # collection as a directory-level PartitionFilter, lon/lat/month as
+    # PushedFilters over the range-clustered sorted layout; and the query
+    # plan is scan→filter→project with NO shuffle at all
+    import tempfile
+
+    from es_indexer_spark.ops.geoindex import geo_bbox_query, write_geo_index
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+    geo_path = os.path.join(tempfile.gettempdir(), "spark_graft_planaudit_geo")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    pts = ev.select(
+        F.col("event_type").alias("collection"),
+        "ts",
+        ((F.col("event_id") * 7) % 360 - 180).alias("lon"),
+        ((F.col("event_id") * 13) % 170 - 85).alias("lat"),
+    )
+    write_geo_index(pts, geo_path, cell_deg=15.0, n_files=8)
+    g = geo_bbox_query(
+        spark, geo_path, (-60, -30, 40, 20),
+        date_range=("2024-01", "2024-01"), collections=["click"],
+    )
+    p = formatted(g)
+    sections.append((
+        "geo_bbox_query: pruned scan (dir/file/row-group), shuffle-free",
+        p,
+        [
+            ("collection is a PartitionFilter (directory pruning)",
+             "PartitionFilters" in p
+             and "collection" in p.split("PartitionFilters", 1)[1][:200]),
+            ("lon bounds pushed", "GreaterThanOrEqual(lon" in p and "LessThanOrEqual(lon" in p),
+            ("lat bounds pushed", "GreaterThanOrEqual(lat" in p),
+            ("month range pushed", "GreaterThanOrEqual(month" in p),
+            ("no shuffle anywhere in the read", "Exchange" not in p),
+        ],
+    ))
+
+    # 20. distributed tombstones: past DISTRIBUTED_TOMB_THRESHOLD the ranked
+    # path cogroups a shard-keyed delete set with the posting blocks — one
+    # shared shuffle, never a driver-collected closure array or a broadcast
+    import shutil
+
+    from es_indexer_spark.index import tombstones as tmod
+    from es_indexer_spark.query.engine import topk as _topk
+
+    tomb_root = os.path.join(tempfile.gettempdir(), "spark_graft_planaudit_tomb")
+    if os.path.exists(tomb_root):
+        shutil.rmtree(tomb_root)
+    shutil.copytree(root, tomb_root)
+    tmod.delete_docs(spark, tomb_root, [1, 2, 3])
+    _old_thr = tmod.DISTRIBUTED_TOMB_THRESHOLD
+    tmod.DISTRIBUTED_TOMB_THRESHOLD = 0
+    try:
+        p = formatted(_topk(spark, tomb_root, "spark join window", k=10))
+    finally:
+        tmod.DISTRIBUTED_TOMB_THRESHOLD = _old_thr
+    sections.append((
+        "ranked query under corpus-scale deletes: shard-cogrouped tombstones",
+        p,
+        [
+            ("tombstones cogrouped with blocks", "FlatMapCoGroupsInPandas" in p),
+            ("no broadcast of the delete set", "BroadcastHashJoin" not in p
+             and "BroadcastNestedLoopJoin" not in p),
+            ("no cartesian", "CartesianProduct" not in p),
+        ],
+    ))
+
     failures = 0
     lines = [
         "# PLANS — physical-plan audit evidence",
