@@ -897,6 +897,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bool_boost"] = _bool_boost
     q["bool_fuzzy"] = _bool_fuzzy
 
+    # ES sort-by-field ranked search: top-k BY THE SORT KEY over the full
+    # match set (scores tracked) — the reference's uuid-sorted scan shape
+    def _sort_by_field(spark, sf):
+        from es_indexer_spark.query.engine import topk_sorted
+
+        return topk_sorted(
+            spark, _index_root(spark, sf), "data stream",
+            sort=[("n_chars", "desc"), "_score"], k=15,
+        ).select(
+            F.col("docid").alias("doc_id"),
+            "n_chars",
+            F.round("score", 4).alias("score"),
+        )
+
+    q["sort_by_field"] = _sort_by_field
+
     # ---- ES range query: standalone + bool.filter(range) ------------------------
     def _range_docs(spark, sf):
         from es_indexer_spark.query.lookup import range_query
@@ -1165,7 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never_driver_verified = [
         "split_assign", "pack_docs",
         "geo_bbox_query", "geo_bbox_antimeridian",
-        "bool_msm", "bool_boost", "bool_fuzzy",
+        "bool_msm", "bool_boost", "bool_fuzzy", "sort_by_field",
     ]
     return {
         k: q[k]
@@ -1213,6 +1229,15 @@ FROM pf CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
     o["bool_filter_phrase"] = _bool_sql(
         must=["customer"], phrase=["data", "stream"]
     )
+    # sort-by-field: every doc matching >=1 term, ordered by the stored
+    # field first, score second, doc_id tie-break
+    o["sort_by_field"] = f"""
+{_BM25_PREAMBLE},
+{_raw_cte("tf.term IN ('data', 'stream')")}
+SELECT r.doc_id, d.n_chars, round(r.score_raw::DOUBLE, 4) AS score
+FROM raw r JOIN documents d USING (doc_id)
+ORDER BY d.n_chars DESC, r.score_raw DESC, r.doc_id ASC LIMIT 15
+"""
     o["bool_msm"] = _bool_sql(
         must=[], should=["data", "stream", "batch"], msm=2
     )

@@ -160,6 +160,16 @@ def main() -> None:
             ]
         )
     }
+    # q_seq15_cold: first run of the 15 queries — every query pays its
+    # dictionary point-lookup job (comparable with r02/r03 'q_seq15').
+    # q_seq15: the same loop re-run — the serving steady state, where the
+    # per-session term memo (_dict_lookup, the Lucene in-memory FST analog)
+    # absorbs the dictionary job and each query is a single scan+score job
+    # (VERDICT r3 #8).
+    timed(
+        "q_seq15_cold",
+        lambda: [topk(spark, idx_root, s, k=10).collect() for s in batch15.values()],
+    )
     timed(
         "q_seq15",
         lambda: [topk(spark, idx_root, s, k=10).collect() for s in batch15.values()],

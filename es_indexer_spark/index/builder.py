@@ -78,6 +78,19 @@ def assign_docids(df: DataFrame, order_cols: Sequence[str], num_partitions: int 
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ordered = df.repartitionByRange(parts, *order_cols).sortWithinPartitions(*order_cols)
     ordered = ordered.withColumn("__pid", F.spark_partition_id())
+    # PIN the partitioning between the two dependent jobs. The counts job and
+    # the id-assignment job would otherwise re-execute the plan independently, and a
+    # re-execution can land rows in DIFFERENT partitions (AQE coalescing from
+    # runtime stats, range-boundary resampling) — observed on a 200k-row
+    # corpus as ~2.7% duplicate docids (offsets from job 1 applied to job 2's
+    # partitioning). An eager localCheckpoint materializes the partitions
+    # once (executor storage, one corpus-sized pass — the counts job already
+    # paid that) and freezes __pid with the data, so both jobs read the same
+    # frozen copy. Trade-off (documented): localCheckpoint storage is
+    # unreliable under executor loss — a lost executor fails the build job
+    # instead of silently recomputing into a different layout, which for an
+    # id-assignment step is the correct failure mode.
+    ordered = ordered.localCheckpoint(eager=True)
     counts = {
         r["__pid"]: r["cnt"]
         for r in ordered.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()

@@ -176,3 +176,36 @@ def decode_block(
     """Decode one block -> (docids, tfs, dls) as uint64 arrays."""
     docids = delta_decode(decode_varints(gaps), base=first_docid)
     return docids, decode_varints(tfs), decode_varints(dls)
+
+
+def decode_blocks_batch(
+    gaps_list, tfs_list, dls_list, first_docids, ns
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY blocks in three vectorized varint passes.
+
+    Varints are self-delimiting, so the concatenation of N block buffers
+    decodes in one :func:`decode_varints` call; the per-block posting counts
+    ``ns`` recover segment boundaries, and the per-block delta bases are
+    re-applied with a segmented cumsum (gaps[0] == 0 per block by
+    construction, so c[seg_start] equals the running sum at the previous
+    block's end). This replaces a per-block Python loop — for a stop-wordy
+    query touching ~10^4 blocks per shard the fixed numpy call overhead
+    (~30 µs × 3 arrays × blocks) was the query-time bottleneck, not the
+    arithmetic.
+
+    Returns ``(docids int64, tfs uint64, dls uint64, offsets)`` where
+    ``offsets`` has len(ns)+1 entries delimiting each block's span."""
+    ns = np.asarray(ns, dtype=np.int64)
+    offsets = np.empty(ns.size + 1, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(ns, out=offsets[1:])
+    g = decode_varints(b"".join(gaps_list))
+    t = decode_varints(b"".join(tfs_list))
+    l = decode_varints(b"".join(dls_list))
+    c = np.cumsum(g.astype(np.int64))
+    first = np.asarray(first_docids, dtype=np.int64)
+    if ns.size == 0 or c.size == 0:
+        return (np.empty(0, dtype=np.int64), t, l, offsets)
+    base = c[offsets[:-1]]
+    docids = c - np.repeat(base, ns) + np.repeat(first, ns)
+    return docids, t, l, offsets

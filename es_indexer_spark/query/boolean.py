@@ -416,9 +416,9 @@ def bool_query(
         return spark.createDataFrame([], _SCORE_SCHEMA)
 
     all_terms = sorted(set(must_t) | set(should_t) | set(not_t) | set(filt_t) | set(phrase_t))
-    from es_indexer_spark.query.engine import _dict_df, _load_blocks
+    from es_indexer_spark.query.engine import _dict_lookup, _load_blocks
 
-    dict_rows = _dict_df(spark, vdir).filter(F.col("term").isin(all_terms)).collect()
+    dict_rows = _dict_lookup(spark, vdir, all_terms)
     found = {r["term"]: r for r in dict_rows}
     # an absent required term / fully-absent required group -> no results
     if any(t not in found for t in filt_t + phrase_t):

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from es_indexer_spark.analysis.tokenizer import tokenize_one
 from es_indexer_spark.index import catalog
-from es_indexer_spark.index.codec import decode_block
+from es_indexer_spark.index.codec import decode_block, decode_blocks_batch
 from es_indexer_spark.query.bm25 import lucene_idf
 from es_indexer_spark.index.tombstones import live_mask
 
@@ -109,42 +109,73 @@ def _shard_scorer(
             return pd.DataFrame({"docid": [], "score": []})
         ub = pdf["max_score_free"].to_numpy() * pdf["term"].map(idfs).to_numpy()
         if theta > float("-inf") and len(idfs) > 0:
-            # per-term max upper bound within this shard
-            term_max = {}
+            # Hot-term SALTING can put the same doc in several blocks of the
+            # same term (one posting slice each, contributions summed at
+            # score time), so "max one block per (doc, term)" — the classic
+            # block-max assumption — is unsound here: bounding a doc's
+            # per-term gain by the term's single best block under-counts
+            # salted docs and wrongly prunes true top-k members (found on
+            # the 200k-file corpus, round 4). Sound refinement: partition
+            # each term's blocks into docid-DISJOINT chains (greedy interval
+            # partitioning — true slices are disjoint chains, so the greedy
+            # count never exceeds the slice count); a doc meets at most one
+            # block per chain, so Σ over chains of the chain's max ub is a
+            # true per-term bound, and each (term, chain) acts as a
+            # pseudo-term in the original formula. Unsalted terms form one
+            # chain — identical to the classic bound.
+            firsts = pdf["first_docid"].to_numpy()
+            lasts = pdf["last_docid"].to_numpy()
             terms = pdf["term"].to_numpy()
+            chain_key = np.zeros(len(pdf), dtype=np.int64)
+            chain_max: dict[tuple, float] = {}
             for t in np.unique(terms):
-                term_max[t] = ub[terms == t].max()
-            total = sum(term_max.values())
-            # keep block B_t iff ub(B_t) + Σ_{t'≠t} max_ub(t') >= θ
-            other = np.array([total - term_max[t] for t in terms])
+                idx = np.nonzero(terms == t)[0]
+                order = idx[np.argsort(firsts[idx], kind="stable")]
+                ends: list[int] = []  # per-chain last_docid so far
+                for i in order:
+                    for c, e in enumerate(ends):
+                        if e < firsts[i]:
+                            ends[c] = lasts[i]
+                            chain_key[i] = c
+                            break
+                    else:
+                        chain_key[i] = len(ends)
+                        ends.append(lasts[i])
+                for i in idx:
+                    kk = (t, chain_key[i])
+                    if ub[i] > chain_max.get(kk, float("-inf")):
+                        chain_max[kk] = ub[i]
+            total = sum(chain_max.values())
+            # keep block B in chain (t,c) iff ub(B) + Σ_{(t',c')≠(t,c)} max_ub >= θ
+            other = np.array(
+                [total - chain_max[(terms[i], chain_key[i])] for i in range(len(pdf))]
+            )
             keep = (ub + other) >= theta
             pdf = pdf[keep]
             if len(pdf) == 0:
                 return pd.DataFrame({"docid": [], "score": []})
             ub = ub[keep]
-        docid_parts: list[np.ndarray] = []
-        contrib_parts: list[np.ndarray] = []
-        for row in pdf.itertuples(index=False):
-            d, t, l = decode_block(row.gaps, row.tfs, row.dls, row.first_docid)
-            d64 = d.astype(np.int64)
-            if tomb is not None:
-                keep = live_mask(tomb, d64)
-                if keep is not None and not keep.all():
-                    d64, t, l = d64[keep], t[keep], l[keep]
-                if d64.size == 0:
-                    continue
-            tf = t.astype(np.float64)
-            dl = l.astype(np.float64)
-            idf = idfs[row.term]
-            contrib = (
-                idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-            )
-            docid_parts.append(d64)
-            contrib_parts.append(contrib)
-        if not docid_parts:
+        # batch decode: ALL blocks of the shard in three vectorized varint
+        # passes (codec.decode_blocks_batch) — the former per-block Python
+        # loop paid ~30 µs of numpy call overhead × 3 arrays × blocks, which
+        # dominated stop-wordy queries (10^4 tiny blocks per shard)
+        ns = pdf["n"].to_numpy(dtype=np.int64)
+        docids, t, l, _offs = decode_blocks_batch(
+            pdf["gaps"], pdf["tfs"], pdf["dls"],
+            pdf["first_docid"].to_numpy(), ns,
+        )
+        if docids.size == 0:
             return pd.DataFrame({"docid": [], "score": []})
-        docids = np.concatenate(docid_parts)
-        contribs = np.concatenate(contrib_parts)
+        tf = t.astype(np.float64)
+        dl = l.astype(np.float64)
+        idf_per = np.repeat(pdf["term"].map(idfs).to_numpy(dtype=np.float64), ns)
+        contribs = idf_per * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        if tomb is not None:
+            keep = live_mask(tomb, docids)
+            if keep is not None:
+                docids, contribs = docids[keep], contribs[keep]
+            if docids.size == 0:
+                return pd.DataFrame({"docid": [], "score": []})
         # canonicalize the summation order: Spark does not keep the block-row
         # arrival order stable across jobs, and float64 addition does not
         # commute bitwise — sorting the (docid, contribution) pairs makes the
@@ -173,6 +204,45 @@ def _shard_scorer(
 
     score.tomb_default = tomb
     return score
+
+
+# per-process memo of POINT dictionary lookups, keyed like _DICT_CACHE (the
+# dict-dir mtime guards against a same-path rebuild). The ES analog is
+# Lucene's always-in-memory term dictionary (FST): a repeated query term
+# costs zero Spark jobs. Only terms actually queried are held (never the
+# full dictionary — that's O(corpus) at 100 TB), absent terms memoized as
+# None so they don't re-scan, and the per-version map is size-capped.
+_TERM_CACHE: dict[tuple[str, str, int], dict[str, object]] = {}
+_TERM_CACHE_MAX_TERMS = 1 << 16
+
+
+def _dict_lookup(spark: SparkSession, vdir: str, terms) -> list:
+    """Dictionary rows for ``terms`` (order-preserving, absent terms
+    dropped), memoized per (session, index version)."""
+    dict_dir = os.path.join(vdir, "dict")
+    key = (
+        spark.sparkContext.applicationId,
+        vdir,
+        os.stat(dict_dir).st_mtime_ns,
+    )
+    cache = _TERM_CACHE.get(key)
+    if cache is None:
+        while len(_TERM_CACHE) >= _DICT_CACHE_MAX:
+            _TERM_CACHE.pop(next(iter(_TERM_CACHE)))
+        cache = _TERM_CACHE[key] = {}
+    missing = [t for t in terms if t not in cache]
+    if missing:
+        if len(cache) + len(missing) > _TERM_CACHE_MAX_TERMS:
+            cache.clear()
+        found = {
+            r["term"]: r
+            for r in _dict_df(spark, vdir)
+            .filter(F.col("term").isin(missing))
+            .collect()
+        }
+        for t in missing:
+            cache[t] = found.get(t)
+    return [cache[t] for t in terms if cache[t] is not None]
 
 
 def _single(scorer):
@@ -219,12 +289,32 @@ def _apply_scorer(blocks: DataFrame, scorer, tomb_shards: DataFrame | None):
     )
 
 
+# per-process cache of the postings base DataFrame per index version — NOT
+# persisted data (the postings are the whole index; pinning them in memory is
+# not a 100 TB option), just the analyzed relation: re-creating it per query
+# re-lists the parquet directory and re-reads footers/schema, which measured
+# ~0.4 s of driver overhead per query on a 200k-file index. Keyed and bounded
+# exactly like _DICT_CACHE.
+_POSTINGS_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def _postings_df(spark: SparkSession, vdir: str) -> DataFrame:
+    pdir = os.path.join(vdir, "postings")
+    key = (spark.sparkContext.applicationId, vdir, os.stat(pdir).st_mtime_ns)
+    df = _POSTINGS_CACHE.get(key)
+    if df is None:
+        while len(_POSTINGS_CACHE) >= _DICT_CACHE_MAX:
+            _POSTINGS_CACHE.pop(next(iter(_POSTINGS_CACHE)))
+        df = spark.read.parquet(pdir)
+        _POSTINGS_CACHE[key] = df
+    return df
+
+
 def _load_blocks(
     spark: SparkSession, vdir: str, qterms: list[str], buckets: list[int]
 ) -> DataFrame:
-    return (
-        spark.read.parquet(os.path.join(vdir, "postings"))
-        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(qterms))
+    return _postings_df(spark, vdir).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(qterms)
     )
 
 
@@ -232,12 +322,12 @@ def topk(
     spark: SparkSession,
     index_root: str,
     query: str,
-    k: int = 10,
+    k: int | None = 10,
     *,
     use_blockmax: bool = True,
     lang: str | None = None,
     synonyms: dict[str, list[str]] | None = None,
-    probe_min_postings: int = 1 << 17,
+    probe_min_postings: int = 1 << 22,
     after: tuple[float, int] | None = None,
     analyzed_terms: list[str] | None = None,
 ) -> DataFrame:
@@ -289,7 +379,7 @@ def topk(
     if not qterms:
         return spark.createDataFrame([], _SCORE_SCHEMA)
 
-    dict_rows = _dict_df(spark, vdir).filter(F.col("term").isin(qterms)).collect()
+    dict_rows = _dict_lookup(spark, vdir, qterms)
     if not dict_rows:
         return spark.createDataFrame([], _SCORE_SCHEMA)
     idfs = {r["term"]: lucene_idf(n_docs, r["df"]) for r in dict_rows}
@@ -305,8 +395,15 @@ def topk(
     # more than it prunes — score everything in ONE distributed pass. Block-max
     # pruning pays off exactly when postings are large, which is when Σ df crosses
     # this bound; at 100 TB every stop-wordy query takes the probe path.
+    # Calibration (round 4, local[32], 200k files): the probe is 3 Spark jobs
+    # vs 1, and with the vectorized batch decode the exact pass costs ~0.6 s
+    # even for stop-word queries at Σ df ≈ 3×10^5 — the probe only returns its
+    # overhead once decode volume is millions of postings, hence 1<<22.
     total_postings = sum(r["df"] for r in dict_rows)
     if total_postings < probe_min_postings or after is not None:
+        use_blockmax = False
+    if k is None:
+        # all-matches mode (sort-by-field callers): no θ to prune with
         use_blockmax = False
     if tomb_shards is not None:
         # distributed-tombstone mode: an unfiltered probe could include
@@ -346,12 +443,16 @@ def topk(
             probe_df = spark.createDataFrame(probe_rows, _SCORE_SCHEMA)
             blocks = blocks.filter(F.col("shard") != probe_shard)
 
+    shard_k = (1 << 62) if k is None else k
     scored = _apply_scorer(
-        blocks, _shard_scorer(idfs, k1, b, theta, k, avgdl, tomb, after), tomb_shards
+        blocks,
+        _shard_scorer(idfs, k1, b, theta, shard_k, avgdl, tomb, after),
+        tomb_shards,
     )
     if probe_df is not None:
         scored = scored.unionByName(probe_df)
-    return scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+    out = scored.orderBy(F.desc("score"), F.asc("docid"))
+    return out if k is None else out.limit(k)
 
 
 def _batch_shard_scorer(
@@ -375,26 +476,28 @@ def _batch_shard_scorer(
             return empty
         per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for term, gg in pdf.groupby("term", sort=False):
-            d_parts, c_parts = [], []
-            idf = idfs[term]
-            for row in gg.itertuples(index=False):
-                d, t, l = decode_block(row.gaps, row.tfs, row.dls, row.first_docid)
-                d64 = d.astype(np.int64)
-                if tomb is not None:
-                    keep = live_mask(tomb, d64)
-                    if keep is not None and not keep.all():
-                        d64, t, l = d64[keep], t[keep], l[keep]
-                    if d64.size == 0:
-                        continue
-                tf = t.astype(np.float64)
-                dl = l.astype(np.float64)
-                c_parts.append(
-                    idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-                )
-                d_parts.append(d64)
-            if not d_parts:
+            # one batch decode per term (codec.decode_blocks_batch) — same
+            # vectorization as the single-query scorer
+            ns = gg["n"].to_numpy(dtype=np.int64)
+            d64, t, l, _offs = decode_blocks_batch(
+                gg["gaps"], gg["tfs"], gg["dls"],
+                gg["first_docid"].to_numpy(), ns,
+            )
+            if d64.size == 0:
                 continue
-            per_term[term] = (np.concatenate(d_parts), np.concatenate(c_parts))
+            tf = t.astype(np.float64)
+            dl = l.astype(np.float64)
+            contrib = (
+                idfs[term] * tf * (k1 + 1.0)
+                / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            )
+            if tomb is not None:
+                keep = live_mask(tomb, d64)
+                if keep is not None:
+                    d64, contrib = d64[keep], contrib[keep]
+                if d64.size == 0:
+                    continue
+            per_term[term] = (d64, contrib)
         frames = []
         for qid, terms in query_terms.items():
             present = [t for t in terms if t in per_term]
@@ -468,7 +571,7 @@ def topk_many(
     out_schema = "qid string, docid long, score double"
     if not all_terms:
         return spark.createDataFrame([], out_schema)
-    dict_rows = _dict_df(spark, vdir).filter(F.col("term").isin(all_terms)).collect()
+    dict_rows = _dict_lookup(spark, vdir, all_terms)
     if not dict_rows:
         return spark.createDataFrame([], out_schema)
     idfs = {r["term"]: lucene_idf(n_docs, r["df"]) for r in dict_rows}
@@ -671,7 +774,7 @@ def explain(
         )
     if not qterms:
         return spark.createDataFrame([], _EXPLAIN_SCHEMA)
-    dict_rows = _dict_df(spark, vdir).filter(F.col("term").isin(qterms)).collect()
+    dict_rows = _dict_lookup(spark, vdir, qterms)
     if not dict_rows:
         return spark.createDataFrame([], _EXPLAIN_SCHEMA)
     idfs = {r["term"]: lucene_idf(n_docs, r["df"]) for r in dict_rows}
@@ -735,6 +838,54 @@ def fetch_docs(spark: SparkSession, index_root: str, topk_df: DataFrame) -> Data
         F.col("docid").isin(ids)
     )
     return spark.createDataFrame(hits, topk_df.schema).join(docs, "docid", "left")
+
+
+def topk_sorted(
+    spark: SparkSession,
+    index_root: str,
+    query: str,
+    *,
+    sort: list,
+    k: int = 10,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES sort-by-field ranked search: ``sort=[("field", "asc"|"desc"), ...,
+    "_score"]`` — the reference's uuid-sorted scan shape
+    (GeoNetworkServiceImpl.java:586-604) generalized to any stored field.
+
+    ES semantics reproduced: with an explicit ``sort``, the top-k selection
+    is BY THE SORT KEY over the full match set (not by score); scores are
+    still computed and returned (track_scores), and missing field values
+    sort LAST in either direction (ES ``missing: _last`` default). A
+    trailing ``"_score"`` (or ``("_score", "desc")``) adds the score as a
+    tie-break level; docid is always the final tie-break.
+
+    Scale shape: the match set never touches the driver — one exact scoring
+    pass over the query terms' postings (no block-max: under a field sort
+    any match can win, so θ-pruning is unsound), a docid-keyed join against
+    the docid-sorted docs store for the sort fields, then a global top-k
+    that Spark executes as TakeOrderedAndProject (per-partition top-k +
+    k-row merge — never a full sort materialization). Returns
+    ``(docid, score, <sort fields>)``."""
+    orders = []
+    fields: list[str] = []
+    for s in sort:
+        name, direction = (s, "desc") if isinstance(s, str) else (s[0], s[1])
+        desc_ = str(direction).lower() != "asc"
+        if name == "_score":
+            orders.append(F.desc("score") if desc_ else F.asc("score"))
+        else:
+            fields.append(name)
+            orders.append(
+                F.desc_nulls_last(name) if desc_ else F.asc_nulls_last(name)
+            )
+    orders.append(F.asc("docid"))
+    matches = topk(spark, index_root, query, k=None, lang=lang)
+    vdir = catalog.resolve(index_root)
+    docs = spark.read.parquet(os.path.join(vdir, "docs")).select(
+        "docid", *dict.fromkeys(fields)
+    )
+    return matches.join(docs, "docid").orderBy(*orders).limit(k)
 
 
 def more_like_this(

@@ -178,9 +178,9 @@ def phrase_match(
         return spark.createDataFrame([], _PHRASE_SCHEMA)
 
     uniq = sorted(set(terms) | ({marker} if marker else set()))
-    from es_indexer_spark.query.engine import _dict_df
+    from es_indexer_spark.query.engine import _dict_lookup
 
-    dict_rows = _dict_df(spark, vdir).filter(F.col("term").isin(uniq)).collect()
+    dict_rows = _dict_lookup(spark, vdir, uniq)
     found = {r["term"]: r for r in dict_rows}
     if any(t not in found for t in uniq):  # conjunctive: a missing term → no match
         return spark.createDataFrame([], _PHRASE_SCHEMA)
@@ -190,7 +190,9 @@ def phrase_match(
     sum_idf = float(sum(lucene_idf(n_docs, found[t]["df"]) for t in terms))
     buckets = sorted({r["bucket"] for r in dict_rows})
 
-    blocks = spark.read.parquet(os.path.join(vdir, "postings")).filter(
+    from es_indexer_spark.query.engine import _postings_df
+
+    blocks = _postings_df(spark, vdir).filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(uniq)
     )
     if shards is not None:
@@ -370,7 +372,9 @@ def match_phrase_prefix(
     buckets = sorted(
         {r["bucket"] for r in fixed_rows} | {r["bucket"] for r in exp_rows}
     )
-    blocks = spark.read.parquet(os.path.join(vdir, "postings")).filter(
+    from es_indexer_spark.query.engine import _postings_df
+
+    blocks = _postings_df(spark, vdir).filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
     )
     scored = blocks.groupBy("shard").applyInPandas(

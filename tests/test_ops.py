@@ -194,11 +194,95 @@ def test_multimodal_plumbing(documents):
     assert sorted(map(str, feats)) == sorted(map(str, again))
 
 
-def test_multimodal_real_decode_is_stubbed():
+def test_ppm_decode_roundtrip_and_features():
+    """Real decode path: PPM (P6) bytes — incl. header comments — round-trip
+    through encode/decode, and decode_media emits the true image stats."""
+    import numpy as np
+
+    from es_indexer_spark.ops.multimodal import decode_media, decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    payload = encode_ppm(img)
+    assert np.array_equal(decode_ppm(payload), img)
+    # header comment variant (netpbm grammar)
+    commented = b"P6\n# made by a test\n9 5\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(commented), img)
+    f = decode_media(payload, "image/ppm")
+    assert (f[0], f[1]) == (9, 5)
+    assert f[2] == pytest.approx(img[..., 0].mean())
+    assert f[6] == img.min() and f[7] == img.max()
+
+
+def test_wav_decode_roundtrip_and_features():
+    import numpy as np
+
+    from es_indexer_spark.ops.multimodal import decode_media, decode_wav, encode_wav
+
+    t = np.linspace(0, 1, 800, endpoint=False)
+    sig = 0.5 * np.sin(2 * np.pi * 20 * t)
+    payload = encode_wav(sig, 8000)
+    x, rate = decode_wav(payload)
+    assert rate == 8000 and x.shape == (800, 1)
+    assert np.max(np.abs(x[:, 0] - sig)) < 1e-3  # 16-bit quantization
+    f = decode_media(payload, "audio/wav")
+    assert f[0] == 8000 and f[1] == 800
+    assert f[4] == pytest.approx(0.5 / np.sqrt(2), rel=1e-2)  # sine RMS
+    # 20 Hz over 1 s -> ~40 zero crossings
+    assert 35 / 799 <= f[5] <= 45 / 799
+
+
+def test_decode_media_unknown_format_raises():
     from es_indexer_spark.ops.multimodal import decode_media
 
-    with pytest.raises(NotImplementedError):
-        decode_media(b"bytes", "image/png", real=True)
+    with pytest.raises(ValueError):
+        decode_media(b"\x89PNG....", "image/png")
+
+
+def test_extract_features_real_ppm_path(spark):
+    """The mapInPandas feature extraction drives the REAL decoder when rows
+    carry PPM payloads (mixed with fake rows in one batch)."""
+    import numpy as np
+
+    from es_indexer_spark.ops.multimodal import encode_ppm, extract_features
+
+    img = np.full((4, 6, 3), 200, dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_ppm(img)),
+         {"format": "image/ppm", "width": 6, "height": 4, "n_bytes": 0}),
+        (2, bytearray(b"fake-bytes"),
+         {"format": "fake/raw", "width": 0, "height": 0, "n_bytes": 9}),
+    ]
+    from es_indexer_spark.ops.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["doc_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert out[1][:2] == [6.0, 4.0] and out[1][2] == 200.0
+    assert all(0 <= v < 1 for v in out[2])  # sha-fake stays in [0,1)
+
+
+def test_resize_media_real_ppm(spark):
+    import numpy as np
+
+    from es_indexer_spark.ops.multimodal import (
+        MEDIA_SCHEMA, decode_ppm, encode_ppm, resize_image, resize_media,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(10, 8, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(img)),
+          {"format": "image/ppm", "width": 8, "height": 10, "n_bytes": 0})],
+        MEDIA_SCHEMA,
+    )
+    r = resize_media(media, 4, 5).collect()[0]
+    assert r["meta"]["format"] == "image/ppm"
+    got = decode_ppm(bytes(r["payload"]))
+    assert got.shape == (5, 4, 3)
+    assert np.array_equal(got, resize_image(img, 4, 5))
+    # nearest-neighbor: every output pixel exists in the source
+    src = {tuple(px) for px in img.reshape(-1, 3)}
+    assert all(tuple(px) in src for px in got.reshape(-1, 3))
 
 
 @pytest.fixture(scope="module")
