@@ -1045,6 +1045,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["split_assign"] = _split
     q["pack_docs"] = _pack
 
+    # round 4: benchmark decontamination + weighted corpus mixing
+    def _decon(spark, sf):
+        from es_indexer_spark.ops.curation import ngram_contamination
+
+        docs = _docs(spark, sf)
+        # the 'fr' slice stands in for an eval benchmark (overlap guaranteed:
+        # the bench docs themselves are in the corpus)
+        return ngram_contamination(docs, docs.filter(F.col("lang") == "fr"), n=3)
+
+    def _mix(spark, sf):
+        from es_indexer_spark.ops.curation import sample_corpus
+
+        return sample_corpus(
+            _docs(spark, sf), {"src0": 0.5, "src1": 0.0, "src2": 1.0}
+        ).select("doc_id", "source")
+
+    q["decontaminate"] = _decon
+    q["corpus_mix"] = _mix
+
     # ---- multi-field boosted BM25 (the portal's actual ranked search) -----------
     def _multi(match_type: str, query: str, tie: float = 0.0):
         def run(spark: SparkSession, sf: str) -> DataFrame:
@@ -1132,6 +1151,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geo_bbox_query"] = _geo_bbox
     q["geo_bbox_antimeridian"] = _geo_bbox_anti
+
+    def _geo_dist(spark, sf):
+        # ES geo_distance: pushed bbox prefilter + exact haversine
+        from es_indexer_spark.ops.geoindex import geo_distance_query
+
+        return geo_distance_query(
+            spark, _geo_data_root(spark, sf), 20.0, 10.0, 2000.0
+        )
+
+    q["geo_distance"] = _geo_dist
     # ardcvocabs compute core: 3-level narrower tree assembled bottom-up
     # (region -> nation -> supplier as the concept hierarchy)
     q["vocab_tree_build"] = M.vocab_tree_build
@@ -1170,6 +1199,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["agg_significant_terms"] = lambda spark, sf: aggs.significant_terms(
         _docs(spark, sf), "text", F.col("lang") == "en", size=10, min_doc_count=3
     )
+    # round 4: range + filters aggs — overlapping buckets, one
+    # conditional-sum pass each (never a per-bucket scan)
+    q["agg_range"] = lambda spark, sf: aggs.range_agg(
+        _events(spark, sf), "value", [(None, 25.0), (25.0, 50.0), (50.0, None)]
+    )
+    q["agg_filters"] = lambda spark, sf: aggs.filters_agg(
+        _events(spark, sf),
+        {
+            "clicks": F.col("event_type") == "click",
+            "big": F.col("value") > 50.0,
+            "either": (F.col("event_type") == "click") | (F.col("value") > 50.0),
+        },
+    )
 
     # ---- driver-gate rotation ----------------------------------------------------
     # The driver's correctness gate records only the first ~50 entries by
@@ -1182,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign", "pack_docs",
         "geo_bbox_query", "geo_bbox_antimeridian",
         "bool_msm", "bool_boost", "bool_fuzzy", "sort_by_field",
+        "geo_distance", "agg_range", "agg_filters", "decontaminate", "corpus_mix",
     ]
     return {
         k: q[k]
@@ -1293,6 +1336,33 @@ SELECT collection, month, lon, lat, cnt FROM cells
 WHERE (lon >= 150 OR lon <= -120) AND lat >= -40 AND lat <= 40
   AND collection IN ('click', 'view')
 """
+    # haversine at the same IUGG radius; filter on the ROUNDED distance
+    # exactly like the engine (replay stability)
+    o["geo_distance"] = f"""
+{_GEO_CELLS},
+d AS (SELECT collection, month, lon, lat, cnt,
+             round(2 * 6371.0088 * asin(sqrt(
+                 pow(sin((radians(lat) - radians(10.0)) / 2), 2)
+                 + cos(radians(10.0)) * cos(radians(lat))
+                   * pow(sin((radians(lon) - radians(20.0)) / 2), 2)
+             )), 4) AS distance_km
+      FROM cells)
+SELECT * FROM d WHERE distance_km <= 2000.0
+"""
+    o["agg_range"] = """
+SELECT '*-25.0' AS key, count(*) FILTER (value < 25.0)::BIGINT AS doc_count FROM events
+UNION ALL
+SELECT '25.0-50.0', count(*) FILTER (value >= 25.0 AND value < 50.0)::BIGINT FROM events
+UNION ALL
+SELECT '50.0-*', count(*) FILTER (value >= 50.0)::BIGINT FROM events
+"""
+    o["agg_filters"] = """
+SELECT 'clicks' AS key, count(*) FILTER (event_type = 'click')::BIGINT AS doc_count FROM events
+UNION ALL
+SELECT 'big', count(*) FILTER (value > 50.0)::BIGINT FROM events
+UNION ALL
+SELECT 'either', count(*) FILTER (event_type = 'click' OR value > 50.0)::BIGINT FROM events
+"""
     o["terms_keyword"] = """
 SELECT doc_id, lang, source FROM documents WHERE lang IN ('en', 'fr')
 """
@@ -1344,6 +1414,28 @@ SELECT doc_id,
        CASE WHEN bkt < 100 THEN 'test' WHEN bkt < 200 THEN 'val'
             ELSE 'train' END AS split
 FROM b
+"""
+    # decontamination: distinct doc 3-grams vs the fr-slice benchmark grams
+    o["decontaminate"] = """
+WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+              FROM documents),
+dg AS (SELECT DISTINCT doc_id, g AS shingle
+       FROM toks, unnest(CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                              ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 2 + 1)] END) AS u(g)),
+bg AS (SELECT DISTINCT shingle FROM dg JOIN documents USING (doc_id) WHERE lang = 'fr'),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY doc_id),
+hits AS (SELECT doc_id, count(*) AS n_contaminated FROM dg JOIN bg USING (shingle) GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(s.n_grams, 0) AS n_grams,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       round(COALESCE(h.n_contaminated::DOUBLE / s.n_grams, 0.0), 6) AS contamination
+FROM documents d LEFT JOIN sizes s USING (doc_id) LEFT JOIN hits h USING (doc_id)
+"""
+    o["corpus_mix"] = f"""
+WITH s AS (SELECT doc_id, source, sha256(doc_id::VARCHAR) AS h FROM documents),
+b AS (SELECT doc_id, source, {sha15} % 1000000 AS bkt FROM s)
+SELECT doc_id, source FROM b
+WHERE bkt < (CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.0
+                         WHEN 'src2' THEN 1.0 ELSE 1.0 END) * 1000000
 """
     # sequence packing: contiguous cumsum chunking within lang at budget 2048
     o["pack_docs"] = """

@@ -34,7 +34,13 @@ Jobs:
 - ``phrase``  — positional phrase match (requires an index built with positions);
 - ``merge``   — metadata-speed segment merge of ``--delta`` into ``--index``
   (append-only; the incremental-ingest publish step);
-- ``bool``    — ES bool DSL (``--must/--should/--must-not/--filter-phrase``);
+- ``bool``    — ES bool DSL (``--must/--should/--must-not/--filter-phrase``;
+  round 4: ``--min-should-match``, ES ``term^2.5`` per-clause boost syntax on
+  must/should, ``--must-fuzzy/--should-fuzzy`` match+fuzziness clauses);
+- ``sortquery`` — sort-by-field ranked search (``--sort "field:desc,_score"``);
+- ``geo-bbox`` — geo_bounding_box over a ``write_geo_index`` data index
+  (``--bbox min_lon,min_lat,max_lon,max_lat`` — min_lon>max_lon crosses the
+  antimeridian; ``--date-range yyyy-MM,yyyy-MM``; ``--collections``);
 - ``fuzzy``   — Levenshtein-expanded term query (``--fuzziness``);
 - ``prefix``  — constant-score prefix query;
 - ``explain`` — per-term BM25 breakdown for ``--query`` + ``--docid``;
@@ -62,8 +68,23 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["build", "resume", "query", "batch", "suggest", "phrase", "merge",
                  "delete", "compact", "bool", "fuzzy", "prefix", "explain",
                  "delete-query", "wildcard", "phrase-prefix", "mlt",
-                 "simple-qs", "rescore", "range"],
+                 "simple-qs", "rescore", "range", "sortquery", "geo-bbox"],
     )
+    p.add_argument("--min-should-match", type=int, default=None,
+                   help="bool job: required count of matched should clauses")
+    p.add_argument("--must-fuzzy", type=_csv, default=[],
+                   help="bool job: match+fuzziness clauses (required)")
+    p.add_argument("--should-fuzzy", type=_csv, default=[],
+                   help="bool job: match+fuzziness clauses (optional/msm-counted)")
+    p.add_argument("--sort", default=None,
+                   help="sortquery job: 'field:asc,other:desc,_score'")
+    p.add_argument("--bbox", default=None,
+                   help="geo-bbox job: 'min_lon,min_lat,max_lon,max_lat' "
+                        "(min_lon > max_lon crosses the antimeridian)")
+    p.add_argument("--date-range", default=None,
+                   help="geo-bbox job: 'yyyy-MM,yyyy-MM' inclusive months")
+    p.add_argument("--collections", type=_csv, default=None,
+                   help="geo-bbox job: collection terms")
     p.add_argument("--gte", default=None, help="range job: inclusive lower bound")
     p.add_argument("--lt", default=None, help="range job: exclusive upper bound")
     p.add_argument("--keyword-range", action="store_true",
@@ -219,10 +240,57 @@ def main(argv: list[str] | None = None) -> int:
         elif args.job == "bool":
             from es_indexer_spark.query.boolean import bool_query
 
+            def clause(s: str):
+                # ES query-string boost syntax: 'term^2.5' -> (term, 2.5)
+                if "^" in s:
+                    text, _, b_ = s.rpartition("^")
+                    try:
+                        return (text, float(b_))
+                    except ValueError:
+                        pass
+                return s
+
             hits = bool_query(
                 spark, args.index,
-                must=args.must, should=args.should, must_not=args.must_not,
+                must=[clause(s) for s in args.must],
+                should=[clause(s) for s in args.should],
+                must_not=args.must_not,
                 filter_phrase=args.filter_phrase, k=args.k, lang=args.lang,
+                minimum_should_match=args.min_should_match,
+                must_fuzzy=[clause(s) for s in args.must_fuzzy],
+                should_fuzzy=[clause(s) for s in args.should_fuzzy],
+                fuzziness=args.fuzziness,
+            )
+            for r in hits.collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.job == "sortquery":
+            from es_indexer_spark.query.engine import topk_sorted
+
+            if not args.query or not args.sort:
+                print("--query and --sort required", file=sys.stderr)
+                return 2
+            sort = []
+            for part in args.sort.split(","):
+                name, _, direction = part.partition(":")
+                sort.append(name if name == "_score" else (name, direction or "asc"))
+            hits = topk_sorted(spark, args.index, args.query, sort=sort,
+                               k=args.k, lang=args.lang)
+            for r in hits.collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.job == "geo-bbox":
+            from es_indexer_spark.ops.geoindex import geo_bbox_query
+
+            if not args.bbox:
+                print("--bbox required", file=sys.stderr)
+                return 2
+            bbox = tuple(float(x) for x in args.bbox.split(","))
+            if len(bbox) != 4:
+                print("--bbox takes 4 numbers", file=sys.stderr)
+                return 2
+            dr = tuple(args.date_range.split(",")) if args.date_range else None
+            hits = geo_bbox_query(
+                spark, args.index, bbox,
+                date_range=dr, collections=args.collections,
             )
             for r in hits.collect():
                 print(json.dumps(r.asDict(), default=str))

@@ -37,6 +37,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
 # the reference's hard cap on nested features per document
 MAX_FEATURES = 9000
 
@@ -222,13 +224,35 @@ def geo_bbox_query(
     months). Every predicate is a plain comparison on a stored column, so
     Catalyst pushes all of them to the scan; the write layout turns them
     into directory/file/row-group pruning."""
+    import math
+
     min_lon, min_lat, max_lon, max_lat = bbox
     df = spark.read.parquet(path)
+    # coerce bounds to the stored column's type: a float literal against an
+    # integral lon/lat column makes Spark CAST THE COLUMN, and a cast column
+    # is not parquet-pushable — ceil/floor keeps the predicate exactly
+    # equivalent for integers while restoring row-group pruning
+    dtypes = dict(df.dtypes)
+
+    def lo(col, v):
+        return int(math.ceil(v)) if dtypes[col] in _INT_TYPES else v
+
+    def hi(col, v):
+        return int(math.floor(v)) if dtypes[col] in _INT_TYPES else v
+
     if min_lon <= max_lon:
-        lon_pred = (F.col("lon") >= min_lon) & (F.col("lon") <= max_lon)
+        lon_pred = (F.col("lon") >= lo("lon", min_lon)) & (
+            F.col("lon") <= hi("lon", max_lon)
+        )
     else:  # antimeridian-crossing box
-        lon_pred = (F.col("lon") >= min_lon) | (F.col("lon") <= max_lon)
-    df = df.filter(lon_pred & (F.col("lat") >= min_lat) & (F.col("lat") <= max_lat))
+        lon_pred = (F.col("lon") >= lo("lon", min_lon)) | (
+            F.col("lon") <= hi("lon", max_lon)
+        )
+    df = df.filter(
+        lon_pred
+        & (F.col("lat") >= lo("lat", min_lat))
+        & (F.col("lat") <= hi("lat", max_lat))
+    )
     if collections is not None:
         df = df.filter(F.col("collection").isin(list(collections)))
     if date_range is not None:
@@ -261,4 +285,63 @@ def geo_bbox_features(
             F.lit(',"collection":"'), F.col("collection"),
             F.lit('"}}'),
         ),
+    )
+
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius, the Lucene/ES constant
+
+
+def geo_distance_query(
+    spark,
+    path: str,
+    lon: float,
+    lat: float,
+    radius_km: float,
+    *,
+    date_range: tuple[str, str] | None = None,
+    collections: list[str] | tuple[str, ...] | None = None,
+    ndigits: int = 4,
+) -> DataFrame:
+    """ES ``geo_distance`` filter over the data index: cells within
+    ``radius_km`` of (lon, lat), with the great-circle distance attached.
+
+    Two-phase, the same design ES/Lucene use: (1) a radius-derived bounding
+    box is PUSHED into the parquet scan (lat window = r / R rad; lon window
+    lat-scaled by the band edge nearest a pole, widening to a full lon scan
+    when the cap crosses a pole — never an unsound shortcut), reusing
+    :func:`geo_bbox_query` so an antimeridian-wrapping window still prunes;
+    (2) the exact haversine — pure JVM column math inside whole-stage
+    codegen — keeps true members and emits ``distance_km`` (rounded to
+    ``ndigits`` for cross-engine replay stability)."""
+    import math
+
+    dlat = math.degrees(radius_km / EARTH_RADIUS_KM)
+    min_lat = max(-90.0, lat - dlat)
+    max_lat = min(90.0, lat + dlat)
+    band_edge = min(89.9999, max(abs(min_lat), abs(max_lat)))
+    cos_edge = math.cos(math.radians(band_edge))
+    dlon = (
+        180.0
+        if cos_edge <= 1e-9
+        else min(180.0, math.degrees(radius_km / (EARTH_RADIUS_KM * cos_edge)))
+    )
+    if dlon >= 180.0 or lat + dlat > 90.0 or lat - dlat < -90.0:
+        bbox = (-180.0, min_lat, 180.0, max_lat)  # cap wraps a pole: all lons
+    else:
+        wrap = lambda x: ((x + 180.0) % 360.0) - 180.0  # noqa: E731
+        bbox = (wrap(lon - dlon), min_lat, wrap(lon + dlon), max_lat)
+    cand = geo_bbox_query(
+        spark, path, bbox, date_range=date_range, collections=collections
+    )
+    lam1, phi1 = math.radians(lon), math.radians(lat)
+    lam2, phi2 = F.radians(F.col("lon")), F.radians(F.col("lat"))
+    h = (
+        F.pow(F.sin((phi2 - F.lit(phi1)) / 2), 2)
+        + F.lit(math.cos(phi1)) * F.cos(phi2)
+        * F.pow(F.sin((lam2 - F.lit(lam1)) / 2), 2)
+    )
+    dist = F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(h))
+    return (
+        cand.withColumn("distance_km", F.round(dist, ndigits))
+        .filter(F.col("distance_km") <= float(radius_km))
     )

@@ -307,3 +307,62 @@ def date_histogram_stats(
         )
         .orderBy("bucket")
     )
+
+
+def range_agg(
+    df: DataFrame, col: str, ranges: list[tuple[float | None, float | None]]
+) -> DataFrame:
+    """ES ``range`` aggregation: one bucket per (from, to) half-open range
+    [from, to) — ES's exact bound rule — keyed "from-to" with None rendered
+    as "*" (the ES unbounded key form). Buckets may overlap (a doc counts in
+    every range it falls in, as in ES), so this is a union of filtered
+    counts, not a partition: one conditional-sum pass, no per-range scan."""
+    if not ranges:
+        raise ValueError("range_agg needs at least one range")
+    aggs = []
+    for lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(col) >= float(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) < float(hi))
+        key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        aggs.append(F.sum(cond.cast("long")).alias(key))
+    row = df.agg(*aggs)
+    # unpivot to ES's bucket-list shape: (key, doc_count) per range, in the
+    # caller's range order (ES preserves request order)
+    pairs = [x for lo_hi in zip(
+        [f"{'*' if lo is None else lo}-{'*' if hi is None else hi}" for lo, hi in ranges],
+        range(len(ranges)),
+    ) for x in lo_hi]
+    stack_args = ", ".join(
+        f"'{k}', bigint(`{k}`), {i}" for k, i in zip(pairs[::2], pairs[1::2])
+    )
+    return (
+        row.selectExpr(
+            f"stack({len(ranges)}, {stack_args}) as (key, doc_count, _ord)"
+        )
+        .orderBy("_ord")
+        .select("key", "doc_count")
+    )
+
+
+def filters_agg(df: DataFrame, filters: dict[str, "F.Column"]) -> DataFrame:
+    """ES ``filters`` aggregation: one named bucket per predicate (buckets
+    may overlap). One conditional-sum pass over the input — never one scan
+    per filter. Keys returned in request order (ES semantics)."""
+    if not filters:
+        raise ValueError("filters_agg needs at least one filter")
+    row = df.agg(
+        *[F.sum(c.cast("long")).alias(name) for name, c in filters.items()]
+    )
+    stack_args = ", ".join(
+        f"'{name}', bigint(`{name}`), {i}" for i, name in enumerate(filters)
+    )
+    return (
+        row.selectExpr(
+            f"stack({len(filters)}, {stack_args}) as (key, doc_count, _ord)"
+        )
+        .orderBy("_ord")
+        .select("key", "doc_count")
+    )

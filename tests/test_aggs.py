@@ -211,3 +211,41 @@ def test_histogram_rejects_bad_interval(tiny):
         aggs.histogram(tiny, "v", 0.0)
     with pytest.raises(ValueError):
         aggs.histogram(tiny, "v", -5.0)
+
+
+# ---- round 4: range + filters aggs ------------------------------------------
+
+
+def test_range_agg_buckets_and_overlap(spark, events):
+    from es_indexer_spark.query.aggs import range_agg
+
+    out = range_agg(
+        events, "value", [(None, 25.0), (25.0, 50.0), (10.0, 30.0), (50.0, None)]
+    ).collect()
+    rows = events.select("value").collect()
+    vals = [r["value"] for r in rows if r["value"] is not None]
+    want = [
+        ("*-25.0", sum(1 for v in vals if v < 25)),
+        ("25.0-50.0", sum(1 for v in vals if 25 <= v < 50)),
+        ("10.0-30.0", sum(1 for v in vals if 10 <= v < 30)),  # overlaps both
+        ("50.0-*", sum(1 for v in vals if v >= 50)),
+    ]
+    assert [(r["key"], r["doc_count"]) for r in out] == want
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        range_agg(events, "value", [])
+
+
+def test_filters_agg_named_buckets(spark, events):
+    from es_indexer_spark.query.aggs import filters_agg
+
+    out = filters_agg(
+        events,
+        {"clicks": F.col("event_type") == "click", "big": F.col("value") > 50.0},
+    ).collect()
+    rows = events.select("event_type", "value").collect()
+    assert [(r["key"], r["doc_count"]) for r in out] == [
+        ("clicks", sum(1 for r in rows if r["event_type"] == "click")),
+        ("big", sum(1 for r in rows if r["value"] is not None and r["value"] > 50)),
+    ]

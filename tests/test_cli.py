@@ -219,3 +219,52 @@ def test_cli_late_round3_query_jobs(spark, tmp_path, capsys):
     # missing required args -> exit 2, not a crash
     assert main(["--job", "rescore", "--index", root, "--query", "x"]) == 2
     assert main(["--job", "range", "--index", root, "--field", "n_chars"]) == 2
+
+
+def test_cli_sortquery_geo_bbox_and_bool_knobs(spark, tmp_path, capsys):
+    root = str(tmp_path / "idx4")
+    src = os.path.join(SF_DIR, "documents.parquet")
+    rc = main(
+        ["--job", "build", "--input", src, "--index", root, "--content-col",
+         "text", "--id-col", "doc_id", "--tokenizer", "standard",
+         "--n-buckets", "4", "--ckpt-batches", "2", "--meta-cols", "lang"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    # sort-by-field ranked search
+    rc = main(["--job", "sortquery", "--index", root, "--query", "data stream",
+               "--sort", "lang:asc,_score", "-k", "5"])
+    assert rc == 0
+    hits = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(hits) == 5
+    keys = [(h["lang"], -h["score"]) for h in hits]
+    assert keys == sorted(keys)
+
+    # bool with msm + ES ^boost syntax + fuzzy clause
+    rc = main(["--job", "bool", "--index", root, "--should", "data,stream,batch",
+               "--min-should-match", "2", "-k", "5"])
+    assert rc == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 5
+    rc = main(["--job", "bool", "--index", root, "--must", "data^2.0",
+               "--must-fuzzy", "strea", "-k", "5"])
+    assert rc == 0
+    assert capsys.readouterr().out.strip()
+
+    # geo-bbox over a written data index
+    import pyspark.sql.functions as F
+    from es_indexer_spark.ops.geoindex import write_geo_index
+
+    geo = str(tmp_path / "geo")
+    pts = spark.range(200).select(
+        F.lit("c0").alias("collection"),
+        F.to_timestamp(F.lit("2024-01-15 00:00:00")).alias("ts"),
+        (F.col("id") % 30).alias("lon"),
+        (F.col("id") % 11).alias("lat"),
+    )
+    write_geo_index(pts, geo, cell_deg=5.0, n_files=2)
+    rc = main(["--job", "geo-bbox", "--index", geo, "--bbox", "2,1,8,6",
+               "--date-range", "2024-01,2024-01", "--collections", "c0"])
+    assert rc == 0
+    cells = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert cells and all(2 <= c["lon"] <= 8 and 1 <= c["lat"] <= 6 for c in cells)

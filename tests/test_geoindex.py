@@ -191,3 +191,60 @@ def test_geo_index_layout_files_span_narrow_lon(spark, tmp_path_factory):
     assert spans
     global_span = 18  # lons are 0..18
     assert min(spans) < global_span
+
+
+def test_geo_distance_matches_haversine_brute(spark, tmp_path_factory):
+    import math
+
+    from es_indexer_spark.ops.geoindex import EARTH_RADIUS_KM, geo_distance_query
+
+    path = _geo_root(spark, tmp_path_factory)
+    lon0, lat0, r = 10.0, 5.0, 700.0
+    got = {
+        (c, m, lon, lat): (n, d)
+        for c, m, lon, lat, n, d in (
+            tuple(r_) for r_ in geo_distance_query(spark, path, lon0, lat0, r).collect()
+        )
+    }
+
+    def hav(lon, lat):
+        p1, p2 = math.radians(lat0), math.radians(lat)
+        dl = math.radians(lon - lon0)
+        h = math.sin((p2 - p1) / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        return round(2 * EARTH_RADIUS_KM * math.asin(math.sqrt(h)), 4)
+
+    want = {
+        (c, m, lon, lat): (n, hav(lon, lat))
+        for (c, m, lon, lat, n) in (tuple(x) for x in _brute_cells(spark, (-180, -90, 180, 90)))
+        if hav(lon, lat) <= r
+    }
+    assert got == want
+    assert got  # the radius actually selects something
+
+
+def test_geo_distance_polar_cap_scans_all_lons(spark, tmp_path_factory):
+    """A cap containing a pole cannot bound lon — the prefilter must widen to
+    the full lon range instead of silently dropping cells."""
+    from es_indexer_spark.ops.geoindex import geo_distance_query
+
+    path = _geo_root(spark, tmp_path_factory)
+    # center near the data's top lat; radius big enough that lat+r crosses 90
+    out = geo_distance_query(spark, path, 0.0, 85.0, 2000.0).collect()
+    # brute check: every returned row satisfies the distance predicate and
+    # no qualifying cell is missing
+    import math
+
+    from es_indexer_spark.ops.geoindex import EARTH_RADIUS_KM
+
+    def hav(lon, lat):
+        p1, p2 = math.radians(85.0), math.radians(lat)
+        dl = math.radians(lon - 0.0)
+        h = math.sin((p2 - p1) / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        return round(2 * EARTH_RADIUS_KM * math.asin(math.sqrt(h)), 4)
+
+    want_keys = {
+        (c, m, lon, lat)
+        for (c, m, lon, lat, n) in (tuple(x) for x in _brute_cells(spark, (-180, -90, 180, 90)))
+        if hav(lon, lat) <= 2000.0
+    }
+    assert {(r["collection"], r["month"], r["lon"], r["lat"]) for r in out} == want_keys

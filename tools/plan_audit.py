@@ -409,6 +409,23 @@ def main() -> int:
         ],
     ))
 
+    # 19b. geo_distance: the radius-derived bbox prefilter must reach the
+    # scan exactly like the bbox query (the haversine runs only over the
+    # pruned candidates, in whole-stage codegen — no Python)
+    from es_indexer_spark.ops.geoindex import geo_distance_query
+
+    p = formatted(geo_distance_query(spark, geo_path, 20.0, 10.0, 2000.0))
+    sections.append((
+        "geo_distance: pushed bbox prefilter + codegen haversine, shuffle-free",
+        p,
+        [
+            ("lon prefilter pushed", "GreaterThanOrEqual(lon" in p),
+            ("lat prefilter pushed", "GreaterThanOrEqual(lat" in p),
+            ("no shuffle", "Exchange" not in p),
+            ("no Python stage", "Python" not in p and "ArrowEval" not in p),
+        ],
+    ))
+
     # 20. distributed tombstones: past DISTRIBUTED_TOMB_THRESHOLD the ranked
     # path cogroups a shard-keyed delete set with the posting blocks — one
     # shared shuffle, never a driver-collected closure array or a broadcast
