@@ -893,9 +893,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             must=["customer"], must_fuzzy=["strea"], k=10,
         ).select(F.col("docid").alias("doc_id"), F.round("score", 4).alias("score"))
 
+    def _bool_filter_term(spark, sf):
+        # ES bool.filter(term) on a stored keyword field: required,
+        # non-scoring, docs-store scan cogrouped with the postings
+        from es_indexer_spark.query.boolean import bool_query
+
+        return bool_query(
+            spark, _index_root(spark, sf),
+            must=["data"], filter_fields=[("lang", "en")], k=10,
+        ).select(F.col("docid").alias("doc_id"), F.round("score", 4).alias("score"))
+
     q["bool_msm"] = _bool_msm
     q["bool_boost"] = _bool_boost
     q["bool_fuzzy"] = _bool_fuzzy
+    q["bool_filter_term"] = _bool_filter_term
 
     # ES sort-by-field ranked search: top-k BY THE SORT KEY over the full
     # match set (scores tracked) — the reference's uuid-sorted scan shape
@@ -1225,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_bbox_query", "geo_bbox_antimeridian",
         "bool_msm", "bool_boost", "bool_fuzzy", "sort_by_field",
         "geo_distance", "agg_range", "agg_filters", "decontaminate", "corpus_mix",
+        "bool_filter_term",
     ]
     return {
         k: q[k]
@@ -1281,6 +1293,7 @@ SELECT r.doc_id, d.n_chars, round(r.score_raw::DOUBLE, 4) AS score
 FROM raw r JOIN documents d USING (doc_id)
 ORDER BY d.n_chars DESC, r.score_raw DESC, r.doc_id ASC LIMIT 15
 """
+    o["bool_filter_term"] = _bool_sql(must=["data"], rng="lang = 'en'")
     o["bool_msm"] = _bool_sql(
         must=[], should=["data", "stream", "batch"], msm=2
     )

@@ -243,6 +243,7 @@ def bool_query(
     filter_terms: Sequence[str] = (),
     filter_phrase: str | None = None,
     filter_range: tuple[str, dict] | None = None,
+    filter_fields: Sequence[tuple[str, object]] = (),
     k: int | None = 10,
     lang: str | None = None,
     minimum_should_match: int | None = None,
@@ -267,7 +268,11 @@ def bool_query(
     never scored — ``filter_phrase`` is the reference's
     ``bool.filter(match_phrase)`` shape. ``filter_range=("n_chars", {"gte":
     200, "lt": 800})`` is ES ``bool.filter(range)``: required, non-scoring,
-    and like any filter clause it lifts the pure-should >=1 rule. ``k=None``
+    and like any filter clause it lifts the pure-should >=1 rule.
+    ``filter_fields=[("lang", "en"), ...]`` is ES ``bool.filter(term)`` on
+    stored keyword fields — required, non-scoring, pushed into the SAME
+    docs-store scan as the range bounds (stacked doc-level filters cost one
+    scan and one cogroup set total). ``k=None``
     returns EVERY matching doc with no global sort (the delete-by-query /
     scroll shape — per-shard evaluation is unchanged, only the top-k merge
     is skipped).
@@ -383,18 +388,30 @@ def bool_query(
             f"index at {index_root} was built without store_positions=True"
         )
     rng_df = None
+    doc_preds = []
     if filter_range is not None:
         from es_indexer_spark.query.lookup import range_pred
-        from es_indexer_spark.index.tombstones import filter_live
 
         field, bounds = filter_range
+        doc_preds.append(range_pred(field, bounds))
+    for fld, val in filter_fields:
+        # ES bool.filter(term) on a stored keyword field — equality pushed
+        # into the same docs-store scan as the range bounds (one scan, one
+        # cogroup set, no matter how many doc-level filters stack)
+        doc_preds.append(F.col(fld) == F.lit(val))
+    if doc_preds:
+        from es_indexer_spark.index.tombstones import filter_live
+
         import os as _os
 
+        pred = doc_preds[0]
+        for p_ in doc_preds[1:]:
+            pred = pred & p_
         rng_df = filter_live(
             spark,
             vdir,
             spark.read.parquet(_os.path.join(vdir, "docs"))
-            .filter(range_pred(field, bounds))
+            .filter(pred)
             .select("docid"),
         ).select(
             "docid",

@@ -267,14 +267,18 @@ def _tomb_mode(spark: SparkSession, vdir: str, shard_size: int):
     return _tmod.tombstone_array(spark, vdir), None
 
 
-def _apply_scorer(blocks: DataFrame, scorer, tomb_shards: DataFrame | None):
-    """groupBy-apply the per-shard scorer, cogrouping the shard-keyed
+def _apply_scorer(
+    blocks: DataFrame, scorer, tomb_shards: DataFrame | None, schema: str | None = None
+):
+    """groupBy-apply a per-shard scorer, cogrouping the shard-keyed
     tombstone DataFrame when the distributed path is active.  An empty right
     group passes an empty (sorted) array — live_mask treats it as
-    nothing-deleted."""
+    nothing-deleted. ``schema`` defaults to the single-query score schema;
+    the batch scorer passes its (qid, docid, score) shape."""
+    schema = schema or _SCORE_SCHEMA
     if tomb_shards is None:
         return blocks.groupBy("shard").applyInPandas(
-            lambda pdf: scorer(pdf), _SCORE_SCHEMA
+            lambda pdf: scorer(pdf), schema
         )
 
     def cg(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -285,7 +289,7 @@ def _apply_scorer(blocks: DataFrame, scorer, tomb_shards: DataFrame | None):
     return (
         blocks.groupBy("shard")
         .cogroup(tomb_shards.groupBy("shard"))
-        .applyInPandas(cg, _SCORE_SCHEMA)
+        .applyInPandas(cg, schema)
     )
 
 
@@ -470,7 +474,10 @@ def _batch_shard_scorer(
     terms' arrays and reduces (np.unique + bincount), emitting a per-shard
     top-k per query."""
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+    def score(
+        pdf: pd.DataFrame, tomb_local: np.ndarray | None = None
+    ) -> pd.DataFrame:
+        tomb = tomb_local if tomb_local is not None else score.tomb_default
         empty = pd.DataFrame({"qid": [], "docid": [], "score": []})
         if len(pdf) == 0:
             return empty
@@ -518,6 +525,7 @@ def _batch_shard_scorer(
             )
         return pd.concat(frames, ignore_index=True) if frames else empty
 
+    score.tomb_default = tomb
     return score
 
 
@@ -542,13 +550,11 @@ def topk_many(
     queries containing it), then a per-qid window top-k inside the same job.
     At 100 TB this is also the better plan: the postings scan touches the
     union of the terms once instead of re-launching per query."""
-    from es_indexer_spark.index.tombstones import tombstone_array
-
     vdir = catalog.resolve(index_root)
     stats = catalog.read_stats(vdir)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     k1, b = stats["k1"], stats["b"]
-    tomb = tombstone_array(spark, vdir)
+    tomb, tomb_shards = _tomb_mode(spark, vdir, int(stats["shard_size"]))
 
     def expand(q: str) -> list[str]:
         terms = sorted(set(tokenize_one(q, stats["tokenizer"], lang=lang)))
@@ -582,8 +588,11 @@ def topk_many(
     }
 
     blocks = _load_blocks(spark, vdir, present, buckets)
-    scored = blocks.groupBy("shard").applyInPandas(
-        _batch_shard_scorer(query_terms, idfs, k1, b, k, avgdl, tomb), out_schema
+    scored = _apply_scorer(
+        blocks,
+        _batch_shard_scorer(query_terms, idfs, k1, b, k, avgdl, tomb),
+        tomb_shards,
+        schema=out_schema,
     )
     from pyspark.sql import Window
 

@@ -307,3 +307,114 @@ def test_packing_zero_and_oversize_docs(spark):
     # offset and pushes the next doc into the pack where its budget window
     # lands (floor(5000/1024) = 4)
     assert got == {1: (0, 0), 2: (0, 0), 3: (0, 0), 4: (4, 904)}
+
+
+# ---- round 4: curation / geo / sort-by-field abnormal inputs ----------------
+
+
+def test_contamination_empty_benchmark_all_clean(spark):
+    """An empty benchmark table must yield a zero row per doc — never a crash
+    or a dropped doc (log-and-skip semantics)."""
+    from es_indexer_spark.ops.curation import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([], "text string")
+    out = {r["doc_id"]: (r["n_contaminated"], r["contamination"])
+           for r in ngram_contamination(docs, bench, n=2).collect()}
+    assert out == {1: (0, 0.0), 2: (0, 0.0), 3: (0, 0.0)}
+
+
+def test_contamination_null_text_doc_is_clean(spark):
+    from es_indexer_spark.ops.curation import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["n_grams"]
+           for r in ngram_contamination(docs, docs, n=2).collect()}
+    assert out[2] == 0 and out[1] == 2
+
+
+def test_sample_corpus_empty_weights_keeps_all(spark):
+    from es_indexer_spark.ops.curation import sample_corpus
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("source")
+    )
+    assert sample_corpus(docs, {}).count() == 100
+
+
+def test_sample_corpus_null_source_keeps_row(spark):
+    """A NULL source has no weight entry: the default weight (1.0) applies —
+    the row is never silently dropped by the map lookup's NULL."""
+    from es_indexer_spark.ops.curation import sample_corpus
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "s0")], "doc_id long, source string"
+    )
+    kept = {r["doc_id"] for r in sample_corpus(docs, {"s0": 1.0}).collect()}
+    assert kept == {1, 2}
+
+
+def test_geo_bbox_zero_area_box(spark, tmp_path):
+    """min == max on both axes: the degenerate box matches exactly that
+    cell's column (ES treats bounds inclusively)."""
+    from es_indexer_spark.ops.geoindex import geo_bbox_query, write_geo_index
+
+    pts = spark.createDataFrame(
+        [("c", "2024-01-05 00:00:00", 3, 4), ("c", "2024-01-05 00:00:00", 3, 5)],
+        "collection string, ts string, lon long, lat long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    path = str(tmp_path / "geo")
+    write_geo_index(pts, path, n_files=1)
+    out = geo_bbox_query(spark, path, (3, 4, 3, 4)).collect()
+    assert [(r["lon"], r["lat"], r["cnt"]) for r in out] == [(3, 4, 1)]
+
+
+def test_topk_sorted_nulls_last_both_directions(spark, tmp_path):
+    from es_indexer_spark.index.builder import build_index
+    from es_indexer_spark.query.engine import topk_sorted
+
+    docs = spark.createDataFrame(
+        [(1, "alpha term", "x"), (2, "alpha term", None), (3, "alpha other", "a")],
+        "doc_id long, text string, tag string",
+    )
+    root = str(tmp_path / "idx")
+    build_index(
+        spark, docs, root, content_col="text", id_col="doc_id",
+        meta_cols=("tag",), tokenizer="standard", n_buckets=2,
+        shard_size=10, n_ckpt_batches=1,
+    )
+    up = topk_sorted(spark, root, "alpha", sort=[("tag", "asc"), "_score"], k=3).collect()
+    dn = topk_sorted(spark, root, "alpha", sort=[("tag", "desc"), "_score"], k=3).collect()
+    # ES missing:_last default — the NULL-tag doc sorts last either way
+    assert up[-1]["docid"] == 2 and dn[-1]["docid"] == 2
+    assert [r["tag"] for r in up[:2]] == ["a", "x"]
+    assert [r["tag"] for r in dn[:2]] == ["x", "a"]
+
+
+def test_ppm_wav_truncated_payloads_raise_cleanly(spark):
+    import numpy as np
+    import pytest as _pt
+
+    from es_indexer_spark.ops.multimodal import decode_ppm, decode_wav, encode_ppm, encode_wav
+
+    good_ppm = encode_ppm(np.zeros((4, 4, 3), dtype=np.uint8))
+    with _pt.raises(ValueError):
+        decode_ppm(good_ppm[: len(good_ppm) // 2])  # truncated raster
+    good_wav = encode_wav(np.zeros(64), 8000)
+    with _pt.raises(ValueError):
+        decode_wav(good_wav[:16])  # header only — no fmt/data chunks
+    with _pt.raises(ValueError):
+        decode_ppm(b"P3\n1 1\n255\n0 0 0")  # ASCII PPM (P3) unsupported
+
+
+def test_range_agg_unbounded_only(spark):
+    from es_indexer_spark.query.aggs import range_agg
+
+    df = spark.range(7).select(F.col("id").cast("double").alias("v"))
+    out = range_agg(df, "v", [(None, None)]).collect()
+    assert [(r["key"], r["doc_count"]) for r in out] == [("*-*", 7)]

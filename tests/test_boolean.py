@@ -450,3 +450,43 @@ def test_must_not_with_range_only_is_not_dropped(spark, bool_index, nchars):
     assert got and all(d not in key_docs for d, _ in got)
     assert {d for d, _ in got} == set(toks) - key_docs
     assert all(s == 0.0 for _, s in got)
+
+
+# ---- round 4: bool.filter(term) on stored keyword fields --------------------
+
+
+def test_filter_field_required_non_scoring(spark, bool_index, documents):
+    root, toks = bool_index
+    langs = {r["doc_id"]: r["lang"] for r in documents.select("doc_id", "lang").collect()}
+    got = _run(
+        spark, root, must=["data"], filter_fields=[("lang", "en")], k=500,
+    )
+    base = dict(_run(spark, root, must=["data"], k=500))
+    assert got and all(langs[d] == "en" for d, _ in got)
+    # required but NON-scoring: scores equal the unfiltered query's scores
+    for d, s in got:
+        assert s == base[d]
+    assert {d for d, _ in got} == {d for d in base if langs[d] == "en"}
+
+
+def test_filter_field_stacks_with_range(spark, bool_index, documents, nchars):
+    root, _ = bool_index
+    langs = {r["doc_id"]: r["lang"] for r in documents.select("doc_id", "lang").collect()}
+    got = _run(
+        spark, root, must=["data"],
+        filter_fields=[("lang", "en")],
+        filter_range=("n_chars", {"gte": 200, "lt": 900}),
+        k=500,
+    )
+    assert got
+    for d, _ in got:
+        assert langs[d] == "en" and 200 <= nchars[d] < 900
+
+
+def test_filter_field_lifts_pure_should_rule(spark, bool_index, documents):
+    root, toks = bool_index
+    langs = {r["doc_id"]: r["lang"] for r in documents.select("doc_id", "lang").collect()}
+    # filter-only: constant-score match of the doc filter itself
+    got = _run(spark, root, filter_fields=[("lang", "fr")], k=None)
+    assert {d for d, _ in got} == {d for d, l in langs.items() if l == "fr"}
+    assert all(s == 0.0 for _, s in got)

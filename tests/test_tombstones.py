@@ -366,3 +366,23 @@ def test_tombstone_count_and_shards(spark, deleted_index):
     rows = tmod.tombstone_shards(spark, vdir, 100).collect()
     assert {r["docid"] for r in rows} == dead  # distinct, exact
     assert all(r["shard"] == r["docid"] // 100 for r in rows)
+
+
+def test_distributed_tombstones_batch_path(spark, deleted_index, monkeypatch):
+    """topk_many under the forced distributed threshold: cogrouped delete
+    set, per-qid results identical to the driver-array path."""
+    from es_indexer_spark.index import tombstones as tmod
+
+    root, _, dead = deleted_index
+    qs = {"qa": QUERY, "qb": "data stream"}
+    want = sorted(
+        (r["qid"], r["docid"], r["score"])
+        for r in topk_many(spark, root, qs, k=10).collect()
+    )
+    monkeypatch.setattr(tmod, "DISTRIBUTED_TOMB_THRESHOLD", 0)
+    got_df = topk_many(spark, root, qs, k=10)
+    got = sorted((r["qid"], r["docid"], r["score"]) for r in got_df.collect())
+    assert got == want
+    assert all(d not in dead for _, d, _ in got)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
