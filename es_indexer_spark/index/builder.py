@@ -67,33 +67,98 @@ BLOCK_SCHEMA = (
 )
 
 
-def assign_docids(df: DataFrame, order_cols: Sequence[str], num_partitions: int | None = None) -> DataFrame:
-    """Deterministic global docid = row_number over ORDER BY order_cols, without a
-    single-partition window (SURVEY.md §2.5): range-repartition on the order key,
-    sort within partitions, then add per-partition offsets (two passes).
+def _null_first_key(t: tuple):
+    """Python sort key for boundary tuples with None ordered FIRST — the
+    same order the nulls-first comparisons in :func:`_range_pid_expr` use."""
+    return tuple((0,) if v is None else (1, v) for v in t)
 
-    Determinism: given the same input, range boundaries and in-partition order are
-    input-derived, so docids are stable across runs/resumes (required for resume +
-    rank-identity; SURVEY.md §7.3 hard part (c))."""
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ordered = df.repartitionByRange(parts, *order_cols).sortWithinPartitions(*order_cols)
-    ordered = ordered.withColumn("__pid", F.spark_partition_id())
-    # PIN the partitioning between the two dependent jobs. The counts job and
-    # the id-assignment job would otherwise re-execute the plan independently, and a
-    # re-execution can land rows in DIFFERENT partitions (AQE coalescing from
-    # runtime stats, range-boundary resampling) — observed on a 200k-row
-    # corpus as ~2.7% duplicate docids (offsets from job 1 applied to job 2's
-    # partitioning). An eager localCheckpoint materializes the partitions
-    # once (executor storage, one corpus-sized pass — the counts job already
-    # paid that) and freezes __pid with the data, so both jobs read the same
-    # frozen copy. Trade-off (documented): localCheckpoint storage is
-    # unreliable under executor loss — a lost executor fails the build job
-    # instead of silently recomputing into a different layout, which for an
-    # id-assignment step is the correct failure mode.
-    ordered = ordered.localCheckpoint(eager=True)
+
+def _range_pid_expr(
+    order_cols: Sequence[str], boundaries: list[tuple]
+):
+    """Deterministic range-bucket id as a pure COLUMN EXPRESSION:
+    ``pid = #{boundaries strictly below the row's key}`` under
+    lexicographic (nulls-first) tuple order. Unlike ``repartitionByRange``
+    — whose row→partition map depends on per-execution boundary sampling —
+    this is a pure function of row values, so every job that evaluates it
+    agrees."""
+
+    def gt(col: str, b):
+        # row value > boundary value, nulls-first order
+        if b is None:
+            return F.col(col).isNotNull()
+        return F.col(col) > F.lit(b)
+
+    def eq(col: str, b):
+        if b is None:
+            return F.col(col).isNull()
+        return F.col(col) == F.lit(b)
+
+    def key_gt(bvals: tuple):
+        # lexicographic (c0, c1, ...) > (b0, b1, ...)
+        expr = F.lit(False)
+        for i in range(len(order_cols) - 1, -1, -1):
+            expr = gt(order_cols[i], bvals[i]) | (eq(order_cols[i], bvals[i]) & expr)
+        return expr
+
+    pid = F.lit(0)
+    for b in boundaries:
+        pid = pid + F.when(key_gt(b), 1).otherwise(0)
+    return pid.cast("int")
+
+
+def assign_docids(df: DataFrame, order_cols: Sequence[str], num_partitions: int | None = None) -> DataFrame:
+    """Deterministic dense global docid = row_number over ORDER BY
+    ``order_cols``, without a single-partition window (SURVEY.md §2.5):
+    range-bucket on the order key, sort within buckets, add per-bucket
+    cumulative offsets.
+
+    Round-4 redesign — why not ``repartitionByRange`` + physical partition
+    ids: the offsets pass and the stamping pass are separate Spark jobs, and
+    repartitionByRange's row→partition map is NOT a pure data function
+    (boundaries are re-SAMPLED per execution; AQE re-coalesces), so the two
+    jobs could disagree — observed as ~2.7% duplicate docids at 200k rows.
+    Pinning with an eager localCheckpoint fixed correctness but materialized
+    the whole corpus in executor storage (measured 2–3× slower at the
+    1M-file leg). Here the range boundaries are computed ONCE on the driver
+    from a deterministic hash-sample of the keys (no RNG, no physical-plan
+    dependence) and the bucket id is a pure column expression
+    (:func:`_range_pid_expr`) — both jobs agree by construction, docids stay
+    GLOBALLY key-ordered (posting locality: related files share terms, and
+    key-adjacent docids give small delta-gaps and few shard crossings), and
+    nothing is checkpointed.
+
+    Determinism: docids are a pure function of the input rows — stable
+    across runs/resumes AND across independent calls (the test-oracle
+    contract; SURVEY.md §7.3 hard part (c))."""
+    spark = df.sparkSession
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    key_cols = [F.col(c) for c in order_cols]
+    n = df.count()
+    if n == 0:
+        out_schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        ) + ", docid long"
+        return df.withColumn("docid", F.lit(None).cast("long"))
+    # deterministic key sample (~64 keys per target bucket): rows whose key
+    # hash lands in a fixed residue class — no RNG, column-pruned scan
+    target = parts * 64
+    mod = max(1, n // max(1, target))
+    sample = (
+        df.select(*key_cols)
+        .filter(F.pmod(F.xxhash64(*key_cols), F.lit(int(mod))) == 0)
+        .collect()
+    )
+    keys = sorted({tuple(r) for r in sample}, key=_null_first_key)
+    if len(keys) >= 2 and parts > 1:
+        step = max(1, len(keys) // parts)
+        boundaries = keys[step - 1 :: step][: parts - 1]
+    else:
+        boundaries = []  # tiny input: one bucket
+    tagged = df.withColumn("__pid", _range_pid_expr(order_cols, boundaries))
     counts = {
         r["__pid"]: r["cnt"]
-        for r in ordered.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+        for r in tagged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
     }
     offsets = {}
     acc = 0
@@ -101,21 +166,34 @@ def assign_docids(df: DataFrame, order_cols: Sequence[str], num_partitions: int 
         offsets[pid] = acc
         acc += counts[pid]
 
-    fields = ordered.schema.fieldNames()
+    ordered = tagged.repartition(parts, "__pid").sortWithinPartitions(
+        "__pid", *order_cols
+    )
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in ordered.schema.fields if f.name != "__pid"
     ) + ", docid long"
 
     def add_ids(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = 0
+        # a bucket lives wholly inside one task partition (hash shuffle on
+        # __pid; AQE coalescing merges whole shuffle partitions, never splits
+        # one), arrives key-sorted, and may span Arrow batches — per-bucket
+        # running counters carry the local rank across batches
+        local: dict[int, int] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            pid = int(pdf["__pid"].iloc[0])
-            base = offsets[pid] + local
+            pids = pdf["__pid"].to_numpy()
+            docids = np.empty(len(pdf), dtype=np.int64)
+            change = np.nonzero(np.diff(pids))[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(pdf)]))
+            for s, e in zip(starts, ends):
+                p = int(pids[s])
+                base = offsets[p] + local.get(p, 0)
+                docids[s:e] = np.arange(base, base + (e - s), dtype=np.int64)
+                local[p] = local.get(p, 0) + (e - s)
             pdf = pdf.drop(columns="__pid")
-            pdf["docid"] = np.arange(base, base + len(pdf), dtype=np.int64)
-            local += len(pdf)
+            pdf["docid"] = docids
             yield pdf
 
     return ordered.mapInPandas(add_ids, schema=out_schema)

@@ -394,6 +394,12 @@ def test_assign_docids_unique_at_scale(spark):
     assert ids.distinct().count() == n
     lo, hi = ids.agg(F.min("docid"), F.max("docid")).collect()[0]
     assert (lo, hi) == (0, n - 1)
+    # globally key-ordered (posting-locality property): docid order == key order
+    sample = out.select("docid", "repo", "path", "commit").orderBy("docid").limit(
+        5000
+    ).collect()
+    keys = [(r["repo"], r["path"], r["commit"]) for r in sample]
+    assert keys == sorted(keys)
 
 
 def test_blockmax_rank_safe_with_duplicate_user_ids(spark, documents, tmp_path_factory):

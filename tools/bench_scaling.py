@@ -189,8 +189,10 @@ def main() -> None:
     today = datetime.date.today().isoformat()
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
-        f.write(f"""# BENCH/BASELINE — scaling-efficiency evidence ({today})
+    # APPEND — this file carries multi-round history (round 4: a "w" here
+    # truncated it; reconstructed from git)
+    with open(args.out, "a") as f:
+        f.write(f"""\n## Scaling-efficiency run ({today})
 
 North-rule criterion: throughput scaling efficiency >= 0.8 going from N to 4N
 executors. Sandbox evidence (no real cluster available): the same
