@@ -70,7 +70,10 @@ def _phrase_shard_scorer(
 
     uniq_terms = sorted(set(terms))
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+    def score(
+        pdf: pd.DataFrame, tomb_local: np.ndarray | None = None
+    ) -> pd.DataFrame:
+        tomb = tomb_local if tomb_local is not None else score.tomb_default
         empty = pd.DataFrame({"docid": [], "phrase_tf": [], "score": []})
         if len(pdf) == 0:
             return empty
@@ -133,6 +136,7 @@ def _phrase_shard_scorer(
             {"docid": docids, "phrase_tf": ptf.astype(np.int64), "score": s}
         )
 
+    score.tomb_default = tomb
     return score
 
 
@@ -162,9 +166,9 @@ def phrase_match(
         )
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     k1, b = stats["k1"], stats["b"]
-    from es_indexer_spark.index.tombstones import tombstone_array
+    from es_indexer_spark.query.engine import _tomb_mode
 
-    tomb = tombstone_array(spark, vdir)
+    tomb, tomb_shards = _tomb_mode(spark, vdir, int(stats["shard_size"]))
 
     from es_indexer_spark.analysis.tokenizer import split_lang_marker
 
@@ -197,9 +201,13 @@ def phrase_match(
     )
     if shards is not None:
         blocks = blocks.filter(F.col("shard").isin([int(s) for s in shards]))
-    scored = blocks.groupBy("shard").applyInPandas(
+    from es_indexer_spark.query.engine import _apply_scorer
+
+    scored = _apply_scorer(
+        blocks,
         _phrase_shard_scorer(terms, sum_idf, k1, b, avgdl, tomb, filter_term=marker),
-        _PHRASE_SCHEMA,
+        tomb_shards,
+        schema=_PHRASE_SCHEMA,
     )
     out = scored.orderBy(F.desc("score"), F.asc("docid"))
     return out.limit(k) if k is not None else out

@@ -386,3 +386,18 @@ def test_distributed_tombstones_batch_path(spark, deleted_index, monkeypatch):
     assert all(d not in dead for _, d, _ in got)
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_distributed_tombstones_phrase_path(spark, deleted_index, monkeypatch):
+    from es_indexer_spark.index import tombstones as tmod
+
+    root, _, dead = deleted_index
+    want = [(r["docid"], r["phrase_tf"], r["score"])
+            for r in phrase_match(spark, root, "data stream", k=10).collect()]
+    monkeypatch.setattr(tmod, "DISTRIBUTED_TOMB_THRESHOLD", 0)
+    got_df = phrase_match(spark, root, "data stream", k=10)
+    got = [(r["docid"], r["phrase_tf"], r["score"]) for r in got_df.collect()]
+    assert got == want
+    assert all(d not in dead for d, _, _ in got)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
