@@ -166,7 +166,12 @@ def assign_docids(df: DataFrame, order_cols: Sequence[str], num_partitions: int 
         offsets[pid] = acc
         acc += counts[pid]
 
-    ordered = tagged.repartition(parts, "__pid").sortWithinPartitions(
+    # PLACEMENT ONLY (correctness never depends on it — offsets key on the
+    # __pid COLUMN): range-place the bucket ids so each task gets ~one bucket.
+    # Hash placement collides ~parts distinct ids into parts partitions
+    # (balls-in-bins max ~3 buckets on one task = a 2-3x stamping straggler,
+    # measured at local[8]/480k).
+    ordered = tagged.repartitionByRange(parts, "__pid").sortWithinPartitions(
         "__pid", *order_cols
     )
     out_schema = ", ".join(
