@@ -272,7 +272,12 @@ def main(argv: list[str] | None = None) -> int:
             sort = []
             for part in args.sort.split(","):
                 name, _, direction = part.partition(":")
-                sort.append(name if name == "_score" else (name, direction or "asc"))
+                if name == "_score":
+                    # an explicit direction must survive ('_score:asc' would
+                    # otherwise silently sort descending, topk_sorted's default)
+                    sort.append((name, direction) if direction else name)
+                else:
+                    sort.append((name, direction or "asc"))
             hits = topk_sorted(spark, args.index, args.query, sort=sort,
                                k=args.k, lang=args.lang)
             for r in hits.collect():

@@ -179,10 +179,11 @@ def assign_docids(df: DataFrame, order_cols: Sequence[str], num_partitions: int 
     ) + ", docid long"
 
     def add_ids(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # a bucket lives wholly inside one task partition (hash shuffle on
-        # __pid; AQE coalescing merges whole shuffle partitions, never splits
-        # one), arrives key-sorted, and may span Arrow batches — per-bucket
-        # running counters carry the local rank across batches
+        # a bucket lives wholly inside one task partition (range shuffle on
+        # __pid — repartitionByRange; AQE coalescing merges whole shuffle
+        # partitions, never splits one), arrives key-sorted, and may span
+        # Arrow batches — per-bucket running counters carry the local rank
+        # across batches
         local: dict[int, int] = {}
         for pdf in batches:
             if len(pdf) == 0:

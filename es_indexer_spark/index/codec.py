@@ -196,6 +196,11 @@ def decode_blocks_batch(
     Returns ``(docids int64, tfs uint64, dls uint64, offsets)`` where
     ``offsets`` has len(ns)+1 entries delimiting each block's span."""
     ns = np.asarray(ns, dtype=np.int64)
+    if ns.size and ns.min() <= 0:
+        # the builder never emits empty blocks, but the helper is public: a
+        # zero-n block would make offsets[i] == c.size and the base gather
+        # below would IndexError (or silently misalign)
+        raise ValueError("decode_blocks_batch: every block must have n > 0")
     offsets = np.empty(ns.size + 1, dtype=np.int64)
     offsets[0] = 0
     np.cumsum(ns, out=offsets[1:])

@@ -133,9 +133,19 @@ def _bool_shard_scorer(
                 continue
             docs = np.concatenate(d_parts)
             order = np.argsort(docs, kind="stable")
-            term_docs[term] = docs[order]
+            docs = docs[order]
             if want_score:
-                term_contrib[term] = np.concatenate(c_parts)[order]
+                # sum contributions per docid BEFORE the per-candidate lookup:
+                # a docid present in several blocks of one term (duplicate
+                # user id_col) must score the SUM of its postings, mirroring
+                # _shard_scorer's canonical summation — a first-match
+                # searchsorted would count only one block (ADVICE r4)
+                contrib = np.concatenate(c_parts)[order]
+                uniq, start = np.unique(docs, return_index=True)
+                term_docs[term] = uniq
+                term_contrib[term] = np.add.reduceat(contrib, start)
+            else:
+                term_docs[term] = docs
             if want_pos:
                 keys = np.concatenate(key_parts)
                 keys.sort()

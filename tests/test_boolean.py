@@ -490,3 +490,31 @@ def test_filter_field_lifts_pure_should_rule(spark, bool_index, documents):
     got = _run(spark, root, filter_fields=[("lang", "fr")], k=None)
     assert {d for d, _ in got} == {d for d, l in langs.items() if l == "fr"}
     assert all(s == 0.0 for _, s in got)
+
+
+def test_bool_sums_duplicate_docid_postings(spark, documents, tmp_path_factory):
+    """ADVICE r4 regression: with a duplicated user id_col the same docid
+    carries same-term postings in several blocks (and several postings inside
+    one block); the bool scorer must SUM every posting's contribution per
+    docid — first-match searchsorted counted only one block, diverging from
+    topk's canonical summation."""
+    from pyspark.sql import functions as F
+
+    dup = documents.limit(200).withColumn("doc_id", F.col("doc_id") % 50)
+    root = str(tmp_path_factory.mktemp("idx_bool_dup"))
+    build_index(
+        spark, dup, root, content_col="text", id_col="doc_id",
+        meta_cols=(), tokenizer="standard", n_buckets=4,
+        shard_size=10, n_ckpt_batches=2, store_positions=True,
+    )
+    # pure-should one-clause bool == ranked topk (match set AND scores)
+    for q in ("data", "the", "customer batch stream"):
+        got = [
+            (r["docid"], round(r["score"], 9))
+            for r in bool_query(spark, root, should=[q], k=10).collect()
+        ]
+        want = [
+            (r["docid"], round(r["score"], 9))
+            for r in topk(spark, root, q, k=10, use_blockmax=False).collect()
+        ]
+        assert got == want, q

@@ -382,7 +382,10 @@ def test_assign_docids_unique_at_scale(spark):
     re-execute the range-partitioned plan independently; a re-execution that
     lands rows in different partitions (AQE re-plan) applied job-1 offsets to
     job-2 partitioning — ~2.7% DUPLICATE docids on a 200k-row corpus. The
-    eager localCheckpoint pins one partitioning for both jobs."""
+    shipped fix keys cross-job state on a PURE COLUMN EXPRESSION of row
+    values: driver-sampled range boundaries define a deterministic bucket id
+    from the key columns themselves, so both jobs compute identical buckets
+    regardless of physical partitioning."""
     from es_indexer_spark.fixtures import code_files
     from es_indexer_spark.index.builder import assign_docids
 
