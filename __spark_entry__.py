@@ -584,6 +584,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_tf",
         F.round("score", 4).alias("score"),
     )
+    # round 5: ES match_phrase slop (ordered greedy-chain semantics) and
+    # span_near in_order=False (union of the distinct permutations' chains)
+    q["phrase_slop"] = lambda spark, sf: phrase_match(
+        spark, _index_root(spark, sf), "the data stream", k=None, slop=2
+    ).select(
+        F.col("docid").alias("doc_id"),
+        "phrase_tf",
+        F.round("score", 4).alias("score"),
+    )
+
+    def _span_unordered(spark: SparkSession, sf: str) -> DataFrame:
+        from es_indexer_spark.query.phrase import span_near
+
+        return span_near(
+            spark, _index_root(spark, sf), ["stream", "data"],
+            slop=1, in_order=False, k=None,
+        ).select(
+            F.col("docid").alias("doc_id"),
+            "phrase_tf",
+            F.round("score", 4).alias("score"),
+        )
+
+    q["span_near_unordered"] = _span_unordered
     q["bm25_topk_synonym"] = lambda spark, sf: index_topk(
         spark, _index_root(spark, sf), "jw", k=10,
         synonyms={"jw": ["joined window"]},
@@ -1231,12 +1254,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r0N, so the union across rounds covers all of them).
     # Round 4 front: split_assign/pack_docs (added after the r03 rotation cut
     # — judge-replayed green, VERDICT r3 item 2) + the new round-4 surfaces.
+    # Round 5 front: the new round-5 surfaces (the round-4 front is
+    # driver-verified green in CORRECTNESS_r04.json, all 50/50).
     never_driver_verified = [
-        "split_assign", "pack_docs",
-        "geo_bbox_query", "geo_bbox_antimeridian",
-        "bool_msm", "bool_boost", "bool_fuzzy", "sort_by_field",
-        "geo_distance", "agg_range", "agg_filters", "decontaminate", "corpus_mix",
-        "bool_filter_term",
+        "phrase_slop", "span_near_unordered",
     ]
     return {
         k: q[k]
@@ -1271,6 +1292,61 @@ dfs AS (SELECT (SELECT count(*) FROM toks WHERE list_contains(t, 'data'))::DOUBL
 pf AS (SELECT doc_id, len(t)::DOUBLE AS dl,
               len([i for i in range(1, len(t)) if t[i] = 'data' AND t[i+1] = 'stream']) AS ptf
        FROM toks)
+SELECT doc_id, ptf::BIGINT AS phrase_tf,
+       round((ln(1 + (st.n - dfs.df1 + 0.5) / (dfs.df1 + 0.5))
+            + ln(1 + (st.n - dfs.df2 + 0.5) / (dfs.df2 + 0.5)))
+             * ptf * 2.2 / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)), 4) AS score
+FROM pf CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
+"""
+    # phrase_slop 'the data stream' slop=2, ORDERED greedy-chain semantics
+    # (query/phrase.py _chain_starts): a start position s matches when the
+    # greedy min-successor chain the->data->stream ends within s+2+slop; the
+    # nested list comprehensions replay the greedy chain exactly (the 2^31-1
+    # sentinel keeps a missing successor out of the window)
+    o["phrase_slop"] = """
+WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+              FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT sum(len(t)) FROM toks)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+dfs AS (SELECT (SELECT count(*) FROM toks WHERE list_contains(t, 'the'))::DOUBLE AS df1,
+               (SELECT count(*) FROM toks WHERE list_contains(t, 'data'))::DOUBLE AS df2,
+               (SELECT count(*) FROM toks WHERE list_contains(t, 'stream'))::DOUBLE AS df3),
+pos AS (SELECT doc_id, len(t)::DOUBLE AS dl,
+               [i for i in range(1, len(t)+1) if t[i] = 'the'] AS p0,
+               [i for i in range(1, len(t)+1) if t[i] = 'data'] AS p1,
+               [i for i in range(1, len(t)+1) if t[i] = 'stream'] AS p2
+        FROM toks),
+pf AS (SELECT doc_id, dl,
+              len([s for s in p0 if
+                   coalesce(list_min([y for y in p2 if y > coalesce(list_min([x for x in p1 if x > s]), 2147483647)]), 2147483647) - s - 2 <= 2
+                  ]) AS ptf
+       FROM pos)
+SELECT doc_id, ptf::BIGINT AS phrase_tf,
+       round((ln(1 + (st.n - dfs.df1 + 0.5) / (dfs.df1 + 0.5))
+            + ln(1 + (st.n - dfs.df2 + 0.5) / (dfs.df2 + 0.5))
+            + ln(1 + (st.n - dfs.df3 + 0.5) / (dfs.df3 + 0.5)))
+             * ptf * 2.2 / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)), 4) AS score
+FROM pf CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
+"""
+    # span_near(['stream','data'], slop=1, in_order=False): union of the two
+    # permutations' ordered chains; tf = distinct start positions
+    o["span_near_unordered"] = """
+WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+              FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT sum(len(t)) FROM toks)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+dfs AS (SELECT (SELECT count(*) FROM toks WHERE list_contains(t, 'stream'))::DOUBLE AS df1,
+               (SELECT count(*) FROM toks WHERE list_contains(t, 'data'))::DOUBLE AS df2),
+pos AS (SELECT doc_id, len(t)::DOUBLE AS dl,
+               [i for i in range(1, len(t)+1) if t[i] = 'stream'] AS p0,
+               [i for i in range(1, len(t)+1) if t[i] = 'data'] AS p1
+        FROM toks),
+pf AS (SELECT doc_id, dl,
+              len(list_distinct(
+                [s for s in p0 if coalesce(list_min([x for x in p1 if x > s]), 2147483647) - s - 1 <= 1] ||
+                [s for s in p1 if coalesce(list_min([x for x in p0 if x > s]), 2147483647) - s - 1 <= 1]
+              )) AS ptf
+       FROM pos)
 SELECT doc_id, ptf::BIGINT AS phrase_tf,
        round((ln(1 + (st.n - dfs.df1 + 0.5) / (dfs.df1 + 0.5))
             + ln(1 + (st.n - dfs.df2 + 0.5) / (dfs.df2 + 0.5)))

@@ -56,7 +56,7 @@ from es_indexer_spark.index import catalog
 from es_indexer_spark.index.codec import decode_block, decode_positions
 from es_indexer_spark.query.bm25 import lucene_idf
 from es_indexer_spark.index.tombstones import live_mask
-from es_indexer_spark.query.phrase import _sorted_member
+from es_indexer_spark.query.phrase import _chain_starts, _sorted_member
 
 _SCORE_SCHEMA = "docid long, score double"
 
@@ -74,6 +74,7 @@ def _bool_shard_scorer(
     avgdl: float,
     tomb: np.ndarray | None,
     msm: int = 0,
+    phrase_slop: int = 0,
 ):
     """applyInPandas per-shard bool evaluator: decode -> numpy set algebra.
 
@@ -175,14 +176,11 @@ def _bool_shard_scorer(
                 if cand.size == 0:
                     return empty
             if phrase:
-                # phrase-start candidates via the packed-key adjacency chain
-                # (same construction as query/phrase.py — +i never crosses a
-                # docid boundary because positions stay far below 2^32)
-                pk = term_keys[phrase[0]]
-                for i, t in enumerate(phrase[1:], start=1):
-                    if pk.size == 0:
-                        return empty
-                    pk = pk[_sorted_member(term_keys[t], pk + i)]
+                # phrase-start candidates via the packed-key chain (same
+                # construction as query/phrase.py — +i never crosses a docid
+                # boundary because positions stay far below 2^32);
+                # phrase_slop > 0 = the ordered greedy successor chain
+                pk = _chain_starts(term_keys, phrase, phrase_slop)
                 if pk.size == 0:
                     return empty
                 pdocs = np.unique(pk >> 32)
@@ -252,6 +250,7 @@ def bool_query(
     must_not: Sequence[str] = (),
     filter_terms: Sequence[str] = (),
     filter_phrase: str | None = None,
+    filter_phrase_slop: int = 0,
     filter_range: tuple[str, dict] | None = None,
     filter_fields: Sequence[tuple[str, object]] = (),
     k: int | None = 10,
@@ -276,7 +275,9 @@ def bool_query(
     sum of present expansions' similarity-boosted contributions.
     ``filter_terms`` / ``filter_phrase`` are Lucene filter context: required,
     never scored — ``filter_phrase`` is the reference's
-    ``bool.filter(match_phrase)`` shape. ``filter_range=("n_chars", {"gte":
+    ``bool.filter(match_phrase)`` shape; ``filter_phrase_slop`` is ES
+    ``match_phrase.slop`` (ordered greedy-chain semantics, exactly
+    query/phrase.py's ``phrase_match(slop=)``). ``filter_range=("n_chars", {"gte":
     200, "lt": 800})`` is ES ``bool.filter(range)``: required, non-scoring,
     and like any filter clause it lifts the pure-should >=1 rule.
     ``filter_fields=[("lang", "en"), ...]`` is ES ``bool.filter(term)`` on
@@ -480,6 +481,7 @@ def bool_query(
         filt_t,
         phrase_t,
         idfs, k1, b, shard_k, avgdl, tomb, msm,
+        phrase_slop=int(filter_phrase_slop),
     )
     if present:
         buckets = sorted({found[t]["bucket"] for t in present})

@@ -47,6 +47,50 @@ def _sorted_member(sorted_arr: np.ndarray, probes: np.ndarray) -> np.ndarray:
     return sorted_arr[idx] == probes
 
 
+def _chain_starts(
+    term_keys: dict[str, np.ndarray], terms: list[str], slop: int
+) -> np.ndarray:
+    """Start keys (``docid<<32|pos``) of ORDERED sloppy-phrase matches.
+
+    A start key ``k0`` matches when strictly-increasing positions
+    ``p_0 < p_1 < ... < p_{m-1}`` exist (``p_i`` an occurrence of
+    ``terms[i]``, same doc) with total displacement
+    ``(p_{m-1} - p_0) - (m-1) <= slop``.  The greedy chain — always take the
+    SMALLEST occurrence of the next term after the current position — decides
+    matchability exactly: the greedy ``p_i`` is minimal given any feasible
+    prefix and a smaller ``p_i`` never restricts later choices, so greedy
+    minimizes the end position for a given start.  ``slop=0`` degenerates to
+    exact adjacency and keeps the cheaper membership chain.
+
+    All chains advance in lockstep as numpy arrays — one searchsorted per
+    term, no per-doc Python."""
+    cand = term_keys[terms[0]]
+    if slop <= 0:
+        for i, t in enumerate(terms[1:], start=1):
+            if cand.size == 0:
+                return cand
+            cand = cand[_sorted_member(term_keys[t], cand + i)]
+        return cand
+    cur = cand
+    for i, t in enumerate(terms[1:], start=1):
+        if cand.size == 0:
+            return cand
+        keys = term_keys[t]
+        if keys.size == 0:
+            return cand[:0]
+        # successor occurrence of t strictly after cur, same doc (the +1 can
+        # never roll into the next docid: positions stay far below 2^32)
+        idx = np.searchsorted(keys, cur + 1)
+        ok = idx < keys.size
+        nk = keys[np.minimum(idx, keys.size - 1)]
+        ok &= (nk >> 32) == (cur >> 32)
+        # incremental displacement bound (same-doc keys subtract to position
+        # deltas) — prunes dead chains before the next searchsorted
+        ok &= (nk - cand) - i <= slop
+        cand, cur = cand[ok], nk[ok]
+    return cand
+
+
 def _phrase_shard_scorer(
     terms: list[str],
     sum_idf: float,
@@ -55,6 +99,8 @@ def _phrase_shard_scorer(
     avgdl: float,
     tomb: np.ndarray | None = None,
     filter_term: str | None = None,
+    slop: int = 0,
+    orders: list[list[int]] | None = None,
 ):
     """applyInPandas per-shard phrase scorer, fully vectorized (VERDICT r2 #4
     replaced a per-posting Python dict-building loop — O(postings) Python work
@@ -66,7 +112,12 @@ def _phrase_shard_scorer(
     membership chain across all docs at once: a phrase starts at key k iff
     ``k + i`` is a key of term_i for every i — the +i can never cross a docid
     boundary because positions never reach 2^32. Docs missing any term drop
-    out implicitly (their keys fail the membership test)."""
+    out implicitly (their keys fail the membership test).
+
+    ``slop``: ordered sloppy matching via :func:`_chain_starts` (greedy
+    successor chain; slop=0 keeps the exact-adjacency membership chain).
+    ``orders``: evaluate these term-index permutations and union their start
+    keys (span_near ``in_order=False``); None = the natural order only."""
 
     uniq_terms = sorted(set(terms))
 
@@ -114,12 +165,23 @@ def _phrase_shard_scorer(
             return empty  # conjunctive: a term absent from this shard → no match
         if filter_term is not None and filt_docs is None:
             return empty  # required lang marker absent from this shard
-        # phrase-start candidates: keys of term_0 whose +i offset exists in term_i
-        cand = term_keys[terms[0]]
-        for i, t in enumerate(terms[1:], start=1):
-            if cand.size == 0:
-                return empty
-            cand = cand[_sorted_member(term_keys[t], cand + i)]
+        # phrase-start candidates: greedy ordered chain per evaluation order,
+        # unioned across orders (span_near in_order=False = OR over the
+        # distinct permutations — sorting any valid unordered position set
+        # yields an ordered chain of SOME permutation with the same window)
+        if orders is None:
+            cand = _chain_starts(term_keys, terms, slop)
+        else:
+            parts = [
+                _chain_starts(term_keys, [terms[i] for i in o], slop)
+                for o in orders
+            ]
+            parts = [p for p in parts if p.size]
+            cand = (
+                np.unique(np.concatenate(parts))
+                if parts
+                else np.empty(0, dtype=np.int64)
+            )
         if cand.size == 0:
             return empty
         docids, ptf = np.unique(cand >> 32, return_counts=True)
@@ -146,12 +208,25 @@ def phrase_match(
     phrase: str,
     k: int | None = 10,
     *,
+    slop: int = 0,
     lang: str | None = None,
     shards: Sequence[int] | None = None,
 ) -> DataFrame:
     """Docs containing ``phrase`` as consecutive tokens, Lucene-PhraseQuery-scored.
 
     ``k=None`` returns every matching doc (ordered); otherwise top-k.
+
+    ``slop``: ES ``match_phrase`` slop with ORDERED semantics — a doc matches
+    when strictly-increasing occurrences of the terms exist whose total
+    displacement ``(p_last - p_first) - (m-1)`` is ``<= slop``; ``phrase_tf``
+    counts the distinct start positions admitting such a chain (decided
+    exactly by the greedy successor chain — :func:`_chain_starts`).
+    ``slop=0`` is the exact-adjacency phrase (identical match set, tf and
+    scores — pytest-pinned). Divergences from Lucene's SloppyPhraseScorer,
+    documented: out-of-order transposition matches are NOT accepted (use
+    :func:`span_near` with ``in_order=False``), and scoring uses
+    ``phrase_tf`` in the BM25 tf slot rather than Lucene's
+    ``Σ 1/(distance+1)`` sloppyFreq — deterministic and SQL-replayable.
 
     ``shards``: restrict evaluation to these shard ids (shard = docid //
     shard_size) — a PRUNING hook for callers that only care about a known
@@ -205,7 +280,105 @@ def phrase_match(
 
     scored = _apply_scorer(
         blocks,
-        _phrase_shard_scorer(terms, sum_idf, k1, b, avgdl, tomb, filter_term=marker),
+        _phrase_shard_scorer(
+            terms, sum_idf, k1, b, avgdl, tomb,
+            filter_term=marker, slop=int(slop),
+        ),
+        tomb_shards,
+        schema=_PHRASE_SCHEMA,
+    )
+    out = scored.orderBy(F.desc("score"), F.asc("docid"))
+    return out.limit(k) if k is not None else out
+
+
+def span_near(
+    spark: SparkSession,
+    index_root: str,
+    clauses: Sequence[str],
+    *,
+    slop: int = 0,
+    in_order: bool = True,
+    k: int | None = 10,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES/Lucene ``span_near``: the analyzed ``clauses`` occur within a window
+    of total displacement ``<= slop`` — ordered (``in_order=True``) or in any
+    order. Returns ``(docid, phrase_tf, score)`` like the phrase path
+    (``phrase_tf`` = distinct window-start positions; score = the
+    PhraseQuery-shaped BM25 over ``phrase_tf``, sum-of-idfs weighted).
+
+    Unordered execution: sorting any valid unordered position set yields an
+    ordered chain of SOME permutation of the clauses with the same window, so
+    ``in_order=False`` is the union of the DISTINCT permutations' ordered
+    chains — each chain evaluated by the same vectorized greedy merge, no
+    per-doc Python. Permutation count is bounded: > 6 distinct clauses raises
+    (ES span queries are short by construction; 6! = 720 chains is already a
+    deliberate ceiling, not a scale path).
+
+    Reference anchor: the portal's phrase surface
+    (geonetwork4-api/.../GeoNetworkServiceImpl.java:114-120) inherits ES
+    ``match_phrase``/``span_near``; Lucene semantics are public."""
+    vdir = catalog.resolve(index_root)
+    stats = catalog.read_stats(vdir)
+    if not stats.get("positions"):
+        raise ValueError(
+            f"index at {index_root} was built without store_positions=True"
+        )
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    k1, b = stats["k1"], stats["b"]
+    from es_indexer_spark.query.engine import _tomb_mode
+
+    tomb, tomb_shards = _tomb_mode(spark, vdir, int(stats["shard_size"]))
+    from es_indexer_spark.analysis.tokenizer import split_lang_marker
+
+    terms: list[str] = []
+    marker = None
+    for c in clauses:
+        ts, m = split_lang_marker(tokenize_one(c, stats["tokenizer"], lang=lang))
+        terms.extend(ts)
+        marker = marker or m
+    if not terms:
+        return spark.createDataFrame([], _PHRASE_SCHEMA)
+
+    orders: list[list[int]] | None = None
+    if not in_order and len(terms) > 1:
+        if len(set(terms)) > 6:
+            raise ValueError(
+                "span_near(in_order=False) supports at most 6 distinct "
+                f"clauses, got {len(set(terms))}"
+            )
+        from itertools import permutations
+
+        # distinct permutations only — duplicate terms would re-evaluate
+        # identical chains
+        seen: set[tuple[str, ...]] = set()
+        orders = []
+        for p in permutations(range(len(terms))):
+            key = tuple(terms[i] for i in p)
+            if key not in seen:
+                seen.add(key)
+                orders.append(list(p))
+
+    uniq = sorted(set(terms) | ({marker} if marker else set()))
+    from es_indexer_spark.query.engine import _dict_lookup
+
+    dict_rows = _dict_lookup(spark, vdir, uniq)
+    found = {r["term"]: r for r in dict_rows}
+    if any(t not in found for t in uniq):
+        return spark.createDataFrame([], _PHRASE_SCHEMA)
+    sum_idf = float(sum(lucene_idf(n_docs, found[t]["df"]) for t in terms))
+    buckets = sorted({r["bucket"] for r in dict_rows})
+    from es_indexer_spark.query.engine import _apply_scorer, _postings_df
+
+    blocks = _postings_df(spark, vdir).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(uniq)
+    )
+    scored = _apply_scorer(
+        blocks,
+        _phrase_shard_scorer(
+            terms, sum_idf, k1, b, avgdl, tomb,
+            filter_term=marker, slop=int(slop), orders=orders,
+        ),
         tomb_shards,
         schema=_PHRASE_SCHEMA,
     )

@@ -385,3 +385,152 @@ def test_match_phrase_prefix_lang_marker(spark, code_lang_index):
     assert match_phrase_prefix(
         spark, code_lang_index, "parse tr", k=None, lang="rust"
     ).collect() == []
+
+
+# ---------------------------------------------------------------- sloppy phrases
+def _brute_sloppy(documents, terms, slop, ordered=True):
+    """Independent sloppy-match oracle: per doc, greedy min-successor chain
+    per evaluation order (all distinct permutations when unordered); tf =
+    distinct chain-start positions whose greedy end fits the window."""
+    import pandas as pd
+    from itertools import permutations
+
+    rows = documents.select("doc_id", "text").collect()
+    toks = standard_tokenize_series(pd.Series([r["text"] for r in rows]))
+    m = len(terms)
+    orders = (
+        [tuple(terms)]
+        if ordered
+        else sorted({p for p in permutations(terms)})
+    )
+    out = {}
+    for r, tl in zip(rows, toks):
+        pos = {t: [i for i, x in enumerate(tl) if x == t] for t in set(terms)}
+        if any(not pos[t] for t in set(terms)):
+            continue
+        starts = set()
+        for order in orders:
+            for p0 in pos[order[0]]:
+                cur, ok = p0, True
+                for t in order[1:]:
+                    nxt = [q for q in pos[t] if q > cur]
+                    if not nxt:
+                        ok = False
+                        break
+                    cur = min(nxt)
+                if ok and (cur - p0) - (m - 1) <= slop:
+                    starts.add(p0)
+        if starts:
+            out[r["doc_id"]] = len(starts)
+    return out
+
+
+@pytest.mark.parametrize(
+    "phrase,slop",
+    [
+        ("data stream", 1),
+        ("data stream", 3),
+        ("customer stream", 2),
+        ("slow plan", 2),
+        ("the data stream", 2),
+        ("data data", 2),  # duplicate terms: successor chain must advance
+    ],
+)
+def test_phrase_slop_vs_brute(spark, documents, pos_index, phrase, slop):
+    got = {
+        r["docid"]: r["phrase_tf"]
+        for r in phrase_match(spark, pos_index, phrase, k=None, slop=slop).collect()
+    }
+    want = _brute_sloppy(documents, tokenize_one(phrase), slop, ordered=True)
+    assert got == want
+
+
+@pytest.mark.parametrize("phrase", ["data stream", "the data", "data data"])
+def test_phrase_slop_zero_is_exact_phrase(spark, documents, pos_index, phrase):
+    exact = {
+        (r["docid"], r["phrase_tf"], r["score"])
+        for r in phrase_match(spark, pos_index, phrase, k=None).collect()
+    }
+    slop0 = {
+        (r["docid"], r["phrase_tf"], r["score"])
+        for r in phrase_match(spark, pos_index, phrase, k=None, slop=0).collect()
+    }
+    assert exact == slop0
+    # and the brute sloppy oracle at slop=0 agrees with the exact-run oracle
+    assert _brute_sloppy(documents, tokenize_one(phrase), 0) == _brute_phrase(
+        documents, tokenize_one(phrase)
+    )
+
+
+def test_phrase_slop_match_set_grows(spark, pos_index):
+    sets = [
+        {r["docid"] for r in phrase_match(spark, pos_index, "data stream", k=None, slop=s).collect()}
+        for s in (0, 1, 3, 8)
+    ]
+    for a, b in zip(sets, sets[1:]):
+        assert a <= b
+    assert sets[0] < sets[-1]  # slop genuinely widens on this corpus
+
+
+def test_span_near_ordered_equals_phrase_slop(spark, pos_index):
+    from es_indexer_spark.query.phrase import span_near
+
+    a = [
+        (r["docid"], r["phrase_tf"], round(r["score"], 9))
+        for r in phrase_match(spark, pos_index, "data stream", k=None, slop=2).collect()
+    ]
+    b = [
+        (r["docid"], r["phrase_tf"], round(r["score"], 9))
+        for r in span_near(spark, pos_index, ["data", "stream"], slop=2, in_order=True, k=None).collect()
+    ]
+    assert a == b
+
+
+@pytest.mark.parametrize(
+    "clauses,slop",
+    [(["stream", "data"], 1), (["stream", "data"], 3), (["plan", "slow", "query"], 2)],
+)
+def test_span_near_unordered_vs_brute(spark, documents, pos_index, clauses, slop):
+    from es_indexer_spark.query.phrase import span_near
+
+    got = {
+        r["docid"]: r["phrase_tf"]
+        for r in span_near(
+            spark, pos_index, clauses, slop=slop, in_order=False, k=None
+        ).collect()
+    }
+    want = _brute_sloppy(documents, clauses, slop, ordered=False)
+    assert got == want
+
+
+def test_span_near_unordered_clause_order_invariant(spark, pos_index):
+    from es_indexer_spark.query.phrase import span_near
+
+    a = [
+        (r["docid"], r["phrase_tf"])
+        for r in span_near(spark, pos_index, ["data", "stream"], slop=2, in_order=False, k=None).collect()
+    ]
+    b = [
+        (r["docid"], r["phrase_tf"])
+        for r in span_near(spark, pos_index, ["stream", "data"], slop=2, in_order=False, k=None).collect()
+    ]
+    assert a == b and a  # same result either way, and non-empty
+
+
+def test_bool_filter_phrase_slop(spark, documents, pos_index):
+    from es_indexer_spark.query.boolean import bool_query
+
+    got = {
+        r["docid"]
+        for r in bool_query(
+            spark, pos_index, must=["customer"],
+            filter_phrase="data stream", filter_phrase_slop=2, k=None,
+        ).collect()
+    }
+    sloppy = set(_brute_sloppy(documents, ["data", "stream"], 2))
+    import pandas as pd
+
+    rows = documents.select("doc_id", "text").collect()
+    toks = standard_tokenize_series(pd.Series([r["text"] for r in rows]))
+    has_cust = {r["doc_id"] for r, tl in zip(rows, toks) if "customer" in tl}
+    assert got == (sloppy & has_cust)
