@@ -926,7 +926,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             must=["data"], filter_fields=[("lang", "en")], k=10,
         ).select(F.col("docid").alias("doc_id"), F.round("score", 4).alias("score"))
 
+    # round 5: percentage minimum_should_match ("-25%" of 4 clauses -> 3,
+    # Lucene calculateMinShouldMatch semantics incl. the pre-truncation sign)
+    def _bool_msm_pct(spark, sf):
+        from es_indexer_spark.query.boolean import bool_query
+
+        return bool_query(
+            spark, _index_root(spark, sf),
+            should=["data", "stream", "batch", "key"],
+            minimum_should_match="-25%", k=10,
+        ).select(F.col("docid").alias("doc_id"), F.round("score", 4).alias("score"))
+
     q["bool_msm"] = _bool_msm
+    q["bool_msm_pct"] = _bool_msm_pct
     q["bool_boost"] = _bool_boost
     q["bool_fuzzy"] = _bool_fuzzy
     q["bool_filter_term"] = _bool_filter_term
@@ -1257,7 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 5 front: the new round-5 surfaces (the round-4 front is
     # driver-verified green in CORRECTNESS_r04.json, all 50/50).
     never_driver_verified = [
-        "phrase_slop", "span_near_unordered",
+        "phrase_slop", "span_near_unordered", "bool_msm_pct",
     ]
     return {
         k: q[k]
@@ -1370,6 +1382,10 @@ FROM raw r JOIN documents d USING (doc_id)
 ORDER BY d.n_chars DESC, r.score_raw DESC, r.doc_id ASC LIMIT 15
 """
     o["bool_filter_term"] = _bool_sql(must=["data"], rng="lang = 'en'")
+    # "-25%" of 4 should clauses = 4 + trunc(-1.0) = 3 required
+    o["bool_msm_pct"] = _bool_sql(
+        must=[], should=["data", "stream", "batch", "key"], msm=3
+    )
     o["bool_msm"] = _bool_sql(
         must=[], should=["data", "stream", "batch"], msm=2
     )

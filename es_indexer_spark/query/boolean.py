@@ -91,12 +91,19 @@ def _bool_shard_scorer(
     )
     phrase_set = set(phrase)
 
-    def score(pdf: pd.DataFrame, allowed: np.ndarray | None = None) -> pd.DataFrame:
+    def score(
+        pdf: pd.DataFrame,
+        allowed: np.ndarray | None = None,
+        tomb_local: np.ndarray | None = None,
+    ) -> pd.DataFrame:
         """``allowed``: sorted docids passing the non-scoring range filter for
         this shard (cogrouped in from the docs store). Like any ES filter
         clause it is required context — its presence also lifts the pure-
         should >=1 rule (Lucene min_should_match defaults to 0 once the bool
-        has a filter/must clause)."""
+        has a filter/must clause). ``tomb_local``: this shard's delete set
+        when tombstones ride the same cogroup (distributed mode — the closure
+        ``tomb`` is None then)."""
+        tomb = tomb_local if tomb_local is not None else score.tomb_default
         empty = pd.DataFrame({"docid": [], "score": []})
         if len(pdf) == 0 and allowed is None:
             return empty
@@ -238,7 +245,44 @@ def _bool_shard_scorer(
             order = np.argsort(-scores, kind="stable")
         return pd.DataFrame({"docid": cand[order], "score": scores[order]})
 
+    score.tomb_default = tomb
     return score
+
+
+def parse_minimum_should_match(spec: int | str, n_clauses: int) -> int:
+    """ES/Lucene ``minimum_should_match`` spec resolution for simple specs
+    (public Lucene ``Queries.calculateMinShouldMatch`` semantics):
+
+    - positive integer ``3``: that many clauses (a raw Python int keeps the
+      engine's existing unclamped behavior — more than the clause count means
+      no results, pinned by the ``bool_msm`` oracle entry);
+    - negative integer ``-2``: ``n_clauses - 2``;
+    - ``"75%"``: ``trunc(0.75 * n_clauses)``;
+    - ``"-25%"``: ``n_clauses + trunc(-0.25 * n_clauses)`` (the float's sign
+      decides the branch BEFORE truncation — ``"-25%"`` of 3 clauses truncates
+      to 0 and still takes the negative branch, yielding 3, exactly Lucene);
+    - string/negative forms clamp to ``[0, n_clauses]`` like Lucene.
+
+    Conditional specs (``"3<90%"``) are not supported and raise."""
+    if isinstance(spec, str):
+        sp = spec.strip()
+        if "<" in sp:
+            raise ValueError(
+                f"conditional minimum_should_match specs are not supported: {spec!r}"
+            )
+        if sp.endswith("%"):
+            pct = int(sp[:-1])
+            raw = n_clauses * pct / 100.0
+            trunc = int(raw)  # toward zero, like Java's (int) cast
+            result = n_clauses + trunc if raw < 0 else trunc
+        else:
+            calc = int(sp)
+            result = n_clauses + calc if calc < 0 else calc
+        return max(0, min(n_clauses, result))
+    v = int(spec)
+    if v < 0:
+        return max(0, min(n_clauses, n_clauses + v))
+    return v
 
 
 def bool_query(
@@ -255,7 +299,7 @@ def bool_query(
     filter_fields: Sequence[tuple[str, object]] = (),
     k: int | None = 10,
     lang: str | None = None,
-    minimum_should_match: int | None = None,
+    minimum_should_match: int | str | None = None,
     must_fuzzy: Sequence[str | tuple[str, float]] = (),
     should_fuzzy: Sequence[str | tuple[str, float]] = (),
     fuzziness: int = 1,
@@ -298,9 +342,12 @@ def bool_query(
     stats = catalog.read_stats(vdir)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     k1, b = stats["k1"], stats["b"]
-    from es_indexer_spark.index.tombstones import tombstone_array
+    from es_indexer_spark.query.engine import _tomb_mode
 
-    tomb = tombstone_array(spark, vdir)
+    # past DISTRIBUTED_TOMB_THRESHOLD the delete set is shard-keyed and rides
+    # the SAME cogroup as the range-filter set (kind-tagged union) — never a
+    # driver array, no extra shuffle
+    tomb, tomb_shards = _tomb_mode(spark, vdir, int(stats["shard_size"]))
 
     from es_indexer_spark.analysis.tokenizer import split_lang_marker
 
@@ -464,7 +511,9 @@ def bool_query(
     if minimum_should_match is None:
         msm = 0 if has_required or not should_groups else 1
     else:
-        msm = int(minimum_should_match)
+        msm = parse_minimum_should_match(
+            minimum_should_match, len(should_groups)
+        )
         if msm > len(should_groups):
             return spark.createDataFrame([], _SCORE_SCHEMA)
     # load postings for every clause's present terms (must_not included — the
@@ -491,21 +540,41 @@ def bool_query(
         # range still defines the candidates — drive the cogroup with an
         # empty left side so each allowed shard emits its score-0 docs
         blocks = spark.createDataFrame([], "shard long, term string")
-    if rng_df is None:
+    # cogroup delivery: the range-filter set (kind 0) and — in distributed
+    # tombstone mode — the delete set (kind 1) ride ONE kind-tagged right
+    # side, so stacking both costs the same single cogroup
+    right = None
+    has_rng = rng_df is not None
+    if has_rng:
+        right = rng_df.select("shard", "docid", F.lit(0).alias("kind"))
+    if tomb_shards is not None:
+        tagged = tomb_shards.select("shard", "docid", F.lit(1).alias("kind"))
+        right = tagged if right is None else right.unionByName(tagged)
+    if right is None:
         # single-arg wrapper: applyInPandas dispatches on arity, and the
-        # scorer's optional ``allowed`` parameter would read as (key, pdf)
+        # scorer's optional parameters would read as (key, pdf)
         scored = blocks.groupBy("shard").applyInPandas(
             lambda pdf: scorer(pdf), _SCORE_SCHEMA
         )
     else:
-        def rng_scorer(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            allowed = np.unique(right["docid"].to_numpy(dtype=np.int64))
-            return scorer(left, allowed)
+        distributed = tomb_shards is not None
+
+        def cg_scorer(left: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+            kinds = r["kind"].to_numpy()
+            docs = r["docid"].to_numpy(dtype=np.int64)
+            # empty-but-present semantics differ by kind: an empty allowed
+            # set means NO doc passes the filter in this shard; an empty
+            # delete set means nothing deleted (live_mask treats it as None).
+            # tomb_local only in distributed mode — in array mode an empty
+            # local set must NOT override the closure array
+            allowed = np.unique(docs[kinds == 0]) if has_rng else None
+            tomb_local = np.unique(docs[kinds == 1]) if distributed else None
+            return scorer(left, allowed, tomb_local)
 
         scored = (
             blocks.groupBy("shard")
-            .cogroup(rng_df.groupBy("shard"))
-            .applyInPandas(rng_scorer, _SCORE_SCHEMA)
+            .cogroup(right.groupBy("shard"))
+            .applyInPandas(cg_scorer, _SCORE_SCHEMA)
         )
     if k is None:
         return scored

@@ -400,7 +400,10 @@ def _mpp_shard_scorer(
     like the phrase scorer; the LAST position matches the union of the
     expansion terms' position keys (Lucene MultiPhraseQuery's or-position)."""
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+    def score(
+        pdf: pd.DataFrame, tomb_local: np.ndarray | None = None
+    ) -> pd.DataFrame:
+        tomb = tomb_local if tomb_local is not None else score.tomb_default
         empty = pd.DataFrame({"docid": [], "phrase_tf": [], "score": []})
         if len(pdf) == 0:
             return empty
@@ -474,6 +477,7 @@ def _mpp_shard_scorer(
             {"docid": docids, "phrase_tf": ptf.astype(np.int64), "score": s}
         )
 
+    score.tomb_default = tomb
     return score
 
 
@@ -510,9 +514,11 @@ def match_phrase_prefix(
         )
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     k1, b = stats["k1"], stats["b"]
-    from es_indexer_spark.index.tombstones import tombstone_array
+    from es_indexer_spark.query.engine import _tomb_mode
 
-    tomb = tombstone_array(spark, vdir)
+    # past DISTRIBUTED_TOMB_THRESHOLD the delete set cogroups with the blocks
+    # (shard-keyed, one shared shuffle) instead of a driver-collected array
+    tomb, tomb_shards = _tomb_mode(spark, vdir, int(stats["shard_size"]))
     from es_indexer_spark.analysis.tokenizer import split_lang_marker
 
     # the lang marker is the code chain's LAST token — without the split it
@@ -558,10 +564,14 @@ def match_phrase_prefix(
     blocks = _postings_df(spark, vdir).filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
     )
-    scored = blocks.groupBy("shard").applyInPandas(
+    from es_indexer_spark.query.engine import _apply_scorer
+
+    scored = _apply_scorer(
+        blocks,
         _mpp_shard_scorer(fixed, expansions, sum_idf, k1, b, avgdl, tomb,
                           filter_term=marker),
-        _PHRASE_SCHEMA,
+        tomb_shards,
+        schema=_PHRASE_SCHEMA,
     )
     out = scored.orderBy(F.desc("score"), F.asc("docid"))
     return out.limit(k) if k is not None else out

@@ -518,3 +518,27 @@ def test_bool_sums_duplicate_docid_postings(spark, documents, tmp_path_factory):
             for r in topk(spark, root, q, k=10, use_blockmax=False).collect()
         ]
         assert got == want, q
+
+
+def test_minimum_should_match_percentage(spark, bool_index):
+    """ES percentage/negative msm specs resolve via Lucene's
+    calculateMinShouldMatch and rank-match the equivalent integer msm."""
+    root, _ = bool_index
+    should = ["data", "stream", "batch", "key"]
+
+    def run(msm):
+        return [
+            (r["docid"], r["score"])
+            for r in bool_query(
+                spark, root, should=should, minimum_should_match=msm, k=20
+            ).collect()
+        ]
+
+    assert run("75%") == run(3) != []
+    assert run("-25%") == run(3)
+    assert run("-2") == run(2)
+    assert run("100%") == run(4)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        run("3<90%")

@@ -401,3 +401,147 @@ def test_distributed_tombstones_phrase_path(spark, deleted_index, monkeypatch):
     assert all(d not in dead for d, _, _ in got)
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_distributed_tombstones_mpp_path(spark, deleted_index, monkeypatch):
+    """match_phrase_prefix under the forced distributed threshold: the delete
+    set cogroups with the blocks (no driver array), results identical."""
+    from es_indexer_spark.index import tombstones as tmod
+    from es_indexer_spark.query.phrase import match_phrase_prefix
+
+    root, _, dead = deleted_index
+    want = [(r["docid"], r["phrase_tf"], r["score"])
+            for r in match_phrase_prefix(spark, root, "data s", k=10).collect()]
+    monkeypatch.setattr(tmod, "DISTRIBUTED_TOMB_THRESHOLD", 0)
+    got_df = match_phrase_prefix(spark, root, "data s", k=10)
+    got = [(r["docid"], r["phrase_tf"], r["score"]) for r in got_df.collect()]
+    assert got == want and got
+    assert all(d not in dead for d, _, _ in got)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_distributed_tombstones_bool_path(spark, deleted_index, monkeypatch):
+    """bool_query under the forced distributed threshold — with AND without a
+    range filter stacked (the delete set and the filter set must share ONE
+    kind-tagged cogroup)."""
+    from es_indexer_spark.index import tombstones as tmod
+    from es_indexer_spark.query.boolean import bool_query
+
+    root, _, dead = deleted_index
+
+    def run(**kw):
+        df = bool_query(spark, root, must=["data"], should=["stream", "batch"], **kw)
+        return df, [(r["docid"], r["score"]) for r in df.collect()]
+
+    _, want_plain = run(k=20)
+    _, want_rng = run(k=20, filter_phrase="data stream")
+    monkeypatch.setattr(tmod, "DISTRIBUTED_TOMB_THRESHOLD", 0)
+    df_plain, got_plain = run(k=20)
+    df_rng, got_rng = run(k=20, filter_phrase="data stream")
+    assert got_plain == want_plain and got_plain
+    assert got_rng == want_rng and got_rng
+    assert all(d not in dead for d, _ in got_plain + got_rng)
+    for df in (df_plain, df_rng):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_distributed_tombstones_bool_with_range_filter(spark, documents, tmp_path_factory, monkeypatch):
+    """Range filter + distributed tombstones stack: both sets ride the same
+    cogroup; an empty allowed-set shard must stay empty (not leak candidates)."""
+    from es_indexer_spark.index import tombstones as tmod
+    from es_indexer_spark.query.boolean import bool_query
+
+    root = str(tmp_path_factory.mktemp("idx_tomb_rng"))
+    build_index(
+        spark, documents, root,
+        content_col="text", id_col="doc_id", meta_cols=("lang", "n_chars"),
+        tokenizer="standard", n_buckets=8, shard_size=100,
+        n_ckpt_batches=2, store_positions=True,
+    )
+    kw = dict(must=["data"], filter_range=("n_chars", {"gte": 200, "lt": 800}), k=None)
+    before = {r["docid"]: r["score"] for r in bool_query(spark, root, **kw).collect()}
+    dead = sorted(before)[:3]
+    delete_docs(spark, root, dead)
+    want = {d: s for d, s in before.items() if d not in dead}
+    monkeypatch.setattr(tmod, "DISTRIBUTED_TOMB_THRESHOLD", 0)
+    got = {r["docid"]: r["score"] for r in bool_query(spark, root, **kw).collect()}
+    assert got == want
+
+
+def test_distributed_tombstones_multifield_path(spark, documents, tmp_path_factory, monkeypatch):
+    """multi_match under the forced distributed threshold: per-field delete
+    sets ride one field-tagged cogroup; ranking identical to array mode."""
+    from es_indexer_spark.index import tombstones as tmod
+    from es_indexer_spark.query.multifield import build_multi_index, multi_match, field_dir
+
+    root = str(tmp_path_factory.mktemp("idx_tomb_mf"))
+    src = documents.withColumn(
+        "title", F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
+    )
+    build_multi_index(
+        spark, src, root,
+        fields={"title": "title", "body": "text"},
+        id_col="doc_id", shard_size=100,
+        tokenizer="standard", n_buckets=4, n_ckpt_batches=2,
+    )
+    q, boosts = "data stream", {"title": 2.0, "body": 1.0}
+    before = multi_match(spark, root, q, boosts=boosts, k=20).collect()
+    dead = [before[0]["docid"], before[2]["docid"]]
+    # delete from BOTH sub-indexes (the docid space is shared)
+    for f in ("title", "body"):
+        delete_docs(spark, field_dir(root, f), dead)
+    want = [(r["docid"], r["score"]) for r in multi_match(spark, root, q, boosts=boosts, k=10).collect()]
+    monkeypatch.setattr(tmod, "DISTRIBUTED_TOMB_THRESHOLD", 0)
+    got_df = multi_match(spark, root, q, boosts=boosts, k=10)
+    got = [(r["docid"], r["score"]) for r in got_df.collect()]
+    assert got == want and got
+    assert all(d not in dead for d, _ in got)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_distributed_compaction_identical(spark, documents, tmp_path_factory, monkeypatch):
+    """compact_index under the forced distributed threshold: the delete set
+    cogroups with the blocks (never a driver array) and the compacted index
+    is byte-equivalent in behavior — every read path identical to the
+    array-mode compaction of the same index state."""
+    from es_indexer_spark.index import tombstones as tmod
+
+    dead_pred = F.col("doc_id") % 7 == 2
+    dead = [r["doc_id"] for r in documents.filter(dead_pred).select("doc_id").collect()]
+
+    roots = {}
+    for mode in ("array", "dist"):
+        root = str(tmp_path_factory.mktemp(f"idx_cmp_{mode}"))
+        _build(spark, documents, root)
+        delete_docs(spark, root, dead)
+        roots[mode] = root
+    compact_index(spark, roots["array"])
+    monkeypatch.setattr(tmod, "DISTRIBUTED_TOMB_THRESHOLD", 0)
+    new_vdir = compact_index(spark, roots["dist"])
+    monkeypatch.undo()
+    assert catalog.resolve(roots["dist"]) == new_vdir
+
+    for q, bmx in ((QUERY, False), (QUERY, True), ("the", False)):
+        a = topk(spark, roots["array"], q, k=10, use_blockmax=bmx,
+                 probe_min_postings=0).collect()
+        d = topk(spark, roots["dist"], q, k=10, use_blockmax=bmx,
+                 probe_min_postings=0).collect()
+        assert [(r["docid"], r["score"]) for r in a] == [
+            (r["docid"], r["score"]) for r in d
+        ], q
+    a = phrase_match(spark, roots["array"], "data stream", k=10).collect()
+    d = phrase_match(spark, roots["dist"], "data stream", k=10).collect()
+    assert [(r["docid"], r["phrase_tf"], r["score"]) for r in a] == [
+        (r["docid"], r["phrase_tf"], r["score"]) for r in d
+    ]
+    # purged_docs metadata records the distinct delete count in both modes
+    import json
+
+    for mode in roots:
+        from es_indexer_spark.index.catalog import ckpt_read
+
+        meta = ckpt_read(catalog.resolve(roots[mode]), "_PUBLISHED")
+        assert meta["purged_docs"] == len(dead), mode
