@@ -848,6 +848,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geoxml_extract"] = _geoxml
 
+    # round 5: geo_shape intersects over the extracted record polygons
+    # (portal map filter vs summaries.proj:geometry,
+    # portal_records_index_schema.json:262-267) — bbox prefilter + exact
+    # even-odd ring test with holes, over the same deterministic fixture
+    def _geo_shape(spark, sf):
+        from es_indexer_spark.ops.geoshape import geo_shape_query
+        from es_indexer_spark.ops.geoxml import geoxml_extract
+
+        return geo_shape_query(geoxml_extract(spark, sf), (5.0, 3.0, 12.0, 9.0))
+
+    q["geo_shape_intersects"] = _geo_shape
+
     # ---- batch query API (round 3: amortized msearch-style surface) -------------
     def _batch(spark, sf):
         from es_indexer_spark.query.engine import topk_many
@@ -1270,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-verified green in CORRECTNESS_r04.json, all 50/50).
     never_driver_verified = [
         "phrase_slop", "span_near_unordered", "bool_msm_pct",
+        "geo_shape_intersects",
     ]
     return {
         k: q[k]
@@ -2222,6 +2235,62 @@ SELECT doc_id, 0, 'Polygon', 0, i,
 FROM d, bx WHERE cls = 3
 UNION ALL
 SELECT doc_id, 0, 'Point', 0, 0, x0, y0 FROM d WHERE cls = 4
+"""
+    # geo_shape intersects: same predicate as ops/geoshape.py —
+    # (A) vertex in closed box, (B) box corner (W,S) even-odd inside, or
+    # (C) an edge strictly crossing a box side (orientation sign test)
+    o["geo_shape_intersects"] = """
+WITH pts AS (
+WITH d AS (
+  SELECT doc_id, doc_id % 6 AS cls,
+         ((doc_id * 7 % 280) - 140 + 0.25)::DOUBLE AS x0,
+         ((doc_id * 11 % 130) - 65 + 0.25)::DOUBLE AS y0,
+         (doc_id % 100 + 120 + 0.25)::DOUBLE AS er
+  FROM documents WHERE doc_id % 7 <> 3
+),
+sq(i, dx, dy) AS (VALUES (0, 0.0, 0.0), (1, 1.0, 0.0), (2, 1.0, 1.0), (3, 0.0, 1.0), (4, 0.0, 0.0)),
+bx(i, isw, iss) AS (VALUES (0, 1, 1), (1, 0, 1), (2, 0, 0), (3, 1, 0), (4, 1, 1))
+SELECT doc_id, 0 AS geom_idx, 'Polygon' AS geom_type, 0 AS ring_idx, i AS pt_idx,
+       x0 + 10 * dx AS lon, y0 + 10 * dy AS lat FROM d, sq WHERE cls = 0
+UNION ALL
+SELECT doc_id, 1, 'Polygon', 0, i, x0 + 12 + 6 * dx, y0 + 6 * dy FROM d, sq WHERE cls = 0
+UNION ALL
+SELECT doc_id, 0, 'Polygon', 0, i, x0 + 10 * dx, y0 + 10 * dy FROM d, sq WHERE cls IN (1, 2)
+UNION ALL
+SELECT doc_id, 0, 'Polygon', 1, i, x0 + 2 + 2 * dx, y0 + 2 + 2 * dy FROM d, sq WHERE cls = 1
+UNION ALL
+SELECT doc_id, 0, 'Polygon', 0, i,
+       CASE WHEN isw = 1 THEN x0 ELSE (CASE WHEN er >= 180 THEN 180.0 ELSE er END) END,
+       CASE WHEN iss = 1 THEN y0 ELSE y0 + 5 END
+FROM d, bx WHERE cls = 3
+UNION ALL
+SELECT doc_id, 0, 'Point', 0, 0, x0, y0 FROM d WHERE cls = 4
+),
+edges AS (
+  SELECT p1.doc_id, p1.geom_idx, p1.lon AS x1, p1.lat AS y1, p2.lon AS x2, p2.lat AS y2
+  FROM pts p1 JOIN pts p2
+    ON p1.doc_id = p2.doc_id AND p1.geom_idx = p2.geom_idx
+   AND p1.ring_idx = p2.ring_idx AND p2.pt_idx = p1.pt_idx + 1
+  WHERE p1.geom_type = 'Polygon'
+),
+vhit AS (SELECT DISTINCT doc_id, geom_idx FROM pts
+         WHERE lon BETWEEN 5.0 AND 12.0 AND lat BETWEEN 3.0 AND 9.0),
+corner AS (SELECT doc_id, geom_idx FROM edges GROUP BY 1, 2
+           HAVING sum(CASE WHEN (y1 > 3.0) <> (y2 > 3.0)
+                           THEN (CASE WHEN x1 + (3.0 - y1) * (x2 - x1) / (y2 - y1) > 5.0
+                                      THEN 1 ELSE 0 END)
+                           ELSE 0 END) % 2 = 1),
+sides(ax, ay, bx, by) AS (VALUES (5.0, 3.0, 12.0, 3.0), (12.0, 3.0, 12.0, 9.0),
+                                 (12.0, 9.0, 5.0, 9.0), (5.0, 9.0, 5.0, 3.0)),
+ecross AS (SELECT DISTINCT doc_id, geom_idx FROM edges, sides
+           WHERE ((bx - ax) * (y1 - ay) - (by - ay) * (x1 - ax))
+               * ((bx - ax) * (y2 - ay) - (by - ay) * (x2 - ax)) < 0
+             AND ((x2 - x1) * (ay - y1) - (y2 - y1) * (ax - x1))
+               * ((x2 - x1) * (by - y1) - (y2 - y1) * (bx - x1)) < 0),
+hits AS (SELECT * FROM vhit UNION SELECT * FROM corner UNION SELECT * FROM ecross)
+SELECT DISTINCT h.doc_id, h.geom_idx, g.geom_type
+FROM hits h JOIN (SELECT DISTINCT doc_id, geom_idx, geom_type FROM pts) g
+  USING (doc_id, geom_idx)
 """
     o["bbox_union"] = """
 WITH g AS (SELECT o_custkey % 20 AS grp,
