@@ -660,6 +660,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["suggest_prefix"] = lambda spark, sf: suggest_prefix(
         spark, _index_root(spark, sf), "d", k=10
     )
+
+    # round 5: ES completion + fuzzy — prefix-within-edits completion
+    def _suggest_fuzzy(spark, sf):
+        from es_indexer_spark.query.suggest import suggest_fuzzy
+
+        return suggest_fuzzy(
+            spark, _index_root(spark, sf), "sta", k=10, fuzziness=1
+        )
+
+    q["suggest_fuzzy"] = _suggest_fuzzy
     q["suggest_phrases"] = lambda spark, sf: phrase_suggestions(
         _docs(spark, sf), "doc_id", "text", prefix="data", k=20
     )
@@ -815,6 +825,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["agg_partial_final"] = R.agg_partial_final
     q["minmax_range"] = R.minmax_range
     q["join_broadcast_dims"] = R.join_broadcast_dims
+
+    # round 5: J4/J5 named shapes over deterministic dimension fixtures —
+    # the reference's associated-record links[] and cloud-optimized assets{}
+    def _assoc_dim(spark, sf):
+        d = F.col("doc_id")
+        rel_entry = lambda rel, rid: F.struct(
+            F.lit(rel).alias("rel"), rid.cast("long").alias("related_id")
+        )
+        arr = (
+            F.when(d % 4 == 1, F.array(rel_entry("parent", d - 1)))
+            .when(d % 4 == 2, F.array(rel_entry("sibling", d + 1),
+                                      rel_entry("related", d + 5)))
+            .when(d % 4 == 3, F.array(rel_entry("child", (d + 10) % 500),
+                                      rel_entry("child", (d + 20) % 500)))
+            .otherwise(F.array().cast("array<struct<rel:string,related_id:long>>"))
+        )
+        return (
+            _docs(spark, sf).select("doc_id", F.explode(arr).alias("e"))
+            .select(
+                F.col("doc_id").alias("record_id"),
+                F.col("e.rel").alias("rel"),
+                F.col("e.related_id").alias("related_id"),
+                F.concat(F.lit("T"), F.col("e.related_id")).alias("title"),
+                F.concat(F.lit("D"), F.col("e.related_id")).alias("description"),
+            )
+        )
+
+    def _related(spark, sf):
+        out = R.related_record_links(
+            _docs(spark, sf).select("doc_id"), _assoc_dim(spark, sf)
+        )
+        return out.select(
+            "doc_id", F.posexplode("links").alias("link_idx", "link")
+        ).select("doc_id", "link_idx", "link.href", "link.rel",
+                 F.col("link.title").alias("title"), "link.type")
+
+    q["related_links"] = _related
+
+    def _assets(spark, sf):
+        d = F.col("doc_id")
+        ds_entry = lambda key, dn: F.struct(key.alias("key"), dn.alias("dname"))
+        arr = (
+            F.when(
+                d % 3 == 0,
+                F.array(
+                    ds_entry(
+                        F.concat(F.lit("ds"), d),
+                        F.when(d % 6 == 0, F.concat(F.lit("f"), d, F.lit(".parquet")))
+                        .otherwise(F.lit(None).cast("string")),
+                    ),
+                    ds_entry(F.concat(F.lit("zs"), d),
+                             F.concat(F.lit("z"), d, F.lit(".zarr"))),
+                ),
+            )
+            .otherwise(F.array().cast("array<struct<key:string,dname:string>>"))
+        )
+        datasets = (
+            _docs(spark, sf).select("doc_id", F.explode(arr).alias("e"))
+            .select(F.col("doc_id").alias("record_id"),
+                    F.col("e.key").alias("key"), F.col("e.dname").alias("dname"))
+        )
+        out = R.cloud_asset_entries(
+            _docs(spark, sf).select("doc_id"), datasets
+        ).filter(F.col("assets").isNotNull())
+        return out.select("doc_id", F.explode("assets").alias("key", "a")).select(
+            "doc_id", "key", "a.role", "a.type", "a.href",
+            F.col("a.title").alias("title"), F.col("a.description").alias("description"),
+        )
+
+    q["cloud_assets"] = _assets
     q["window_latest_per_key"] = R.window_latest_per_key
     q["distinct_dedup"] = R.distinct_dedup
     q["topk_revenue"] = R.topk_revenue
@@ -1282,7 +1362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-verified green in CORRECTNESS_r04.json, all 50/50).
     never_driver_verified = [
         "phrase_slop", "span_near_unordered", "bool_msm_pct",
-        "geo_shape_intersects",
+        "geo_shape_intersects", "related_links", "cloud_assets",
+        "suggest_fuzzy",
     ]
     return {
         k: q[k]
@@ -1683,6 +1764,21 @@ t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term),
 d AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term)
 SELECT term, df, cf FROM d WHERE term LIKE 'd%' ORDER BY cf DESC, term ASC LIMIT 10
+"""
+    # fuzzy completion 'sta' fuzziness=1 prefix_length=1: edits = min
+    # levenshtein over the prefix-length window [2..4], exact first char
+    o["suggest_fuzzy"] = """
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term),
+d AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
+e AS (SELECT term, df, cf,
+             least(levenshtein(substr(term, 1, 2), 'sta'),
+                   levenshtein(substr(term, 1, 3), 'sta'),
+                   levenshtein(substr(term, 1, 4), 'sta'))::INT AS edits
+      FROM d WHERE term LIKE 's%' AND len(term) >= 2)
+SELECT term, df, cf, edits FROM e WHERE edits <= 1
+ORDER BY edits ASC, cf DESC, term ASC LIMIT 10
 """
     _SHINGLE_STOP = (
         "('a','an','and','are','as','at','be','but','by','for','if','in','into',"
@@ -2235,6 +2331,53 @@ SELECT doc_id, 0, 'Polygon', 0, i,
 FROM d, bx WHERE cls = 3
 UNION ALL
 SELECT doc_id, 0, 'Point', 0, 0, x0, y0 FROM d WHERE cls = 4
+"""
+    # J4 associated-record links: parent -> siblings -> children, link title
+    # is the json {"title","recordAbstract"} packing (AssociatedRecordsUtil)
+    o["related_links"] = """
+WITH assoc AS (
+  SELECT doc_id AS record_id, 'parent' AS rel, doc_id - 1 AS related_id
+  FROM documents WHERE doc_id % 4 = 1
+  UNION ALL
+  SELECT doc_id, 'sibling', doc_id + 1 FROM documents WHERE doc_id % 4 = 2
+  UNION ALL
+  SELECT doc_id, 'child', (doc_id + 10) % 500 FROM documents WHERE doc_id % 4 = 3
+  UNION ALL
+  SELECT doc_id, 'child', (doc_id + 20) % 500 FROM documents WHERE doc_id % 4 = 3
+),
+ranked AS (
+  SELECT record_id AS doc_id, rel, related_id,
+         row_number() OVER (
+           PARTITION BY record_id
+           ORDER BY (CASE rel WHEN 'parent' THEN 0 WHEN 'sibling' THEN 1 ELSE 2 END),
+                    CAST(related_id AS VARCHAR)
+         ) - 1 AS link_idx
+  FROM assoc)
+SELECT doc_id, link_idx,
+       'uuid:' || related_id AS href, rel,
+       '{"title":"T' || related_id || '","recordAbstract":"D' || related_id || '"}' AS title,
+       'application/json' AS type
+FROM ranked
+"""
+    # J5 cloud-optimized assets: key -> summary asset, media type by dname
+    # suffix, title = dname-or-key (mapAssetsData + getMediaTypeFromDname)
+    o["cloud_assets"] = """
+WITH ds AS (
+  SELECT doc_id AS record_id, 'ds' || doc_id AS key,
+         CASE WHEN doc_id % 6 = 0 THEN 'f' || doc_id || '.parquet' END AS dname
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, 'zs' || doc_id, 'z' || doc_id || '.zarr'
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT record_id AS doc_id, key, 'summary' AS role,
+       CASE WHEN coalesce(dname, key) LIKE '%.parquet' THEN 'application/x-parquet'
+            WHEN coalesce(dname, key) LIKE '%.zarr' THEN 'application/x-zarr'
+            ELSE 'application/json' END AS type,
+       NULL AS href,
+       coalesce(dname, key) AS title,
+       'Summary of cloud optimized data points' AS description
+FROM ds
 """
     # geo_shape intersects: same predicate as ops/geoshape.py —
     # (A) vertex in closed box, (B) box corner (W,S) even-odd inside, or

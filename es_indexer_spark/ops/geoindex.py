@@ -203,6 +203,48 @@ def write_geo_index(
     )
 
 
+def upsert_geo_collections(
+    df: DataFrame,
+    path: str,
+    *,
+    collection_col: str = "collection",
+    time_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    cell_deg: float = 5.0,
+    n_files: int = 8,
+) -> None:
+    """Incrementally re-index the collections PRESENT in ``df``: their cell
+    aggregates replace the stored ones; every other collection's files are
+    untouched (the reference re-indexes cloud-optimized data per collection
+    UUID — IndexerController.java:240-257 →
+    IndexCloudOptimizedServiceImpl.java — rather than rebuilding the index).
+
+    Execution: the same aggregate + layout as :func:`write_geo_index`, written
+    with DYNAMIC partition overwrite — Spark replaces only the
+    ``collection=<x>`` directories that receive rows, atomically per
+    partition directory. That is the idiomatic Spark incremental rewrite: no
+    read-modify-write of the untouched collections, no tombstones needed
+    (the cell table is a derived aggregate, so replacement IS the upsert),
+    and the pruning layout (range clustering + sorted row groups) is rebuilt
+    only for the replaced collections."""
+    cells = cell_counts(
+        df,
+        collection_col=collection_col,
+        time_col=time_col,
+        lon_col=lon_col,
+        lat_col=lat_col,
+    ).withColumn("cell_x", F.floor(F.col("lon") / F.lit(float(cell_deg))))
+    (
+        cells.repartitionByRange(n_files, "collection", "month", "cell_x")
+        .sortWithinPartitions("collection", "month", "cell_x", "lon", "lat")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("collection")
+        .parquet(path)
+    )
+
+
 def geo_bbox_query(
     spark,
     path: str,

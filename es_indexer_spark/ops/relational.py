@@ -60,6 +60,130 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def related_record_links(
+    records: DataFrame,
+    assoc: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    rec_col: str = "record_id",
+    rel_col: str = "rel",
+    related_col: str = "related_id",
+    title_col: str = "title",
+    abstract_col: str = "description",
+) -> DataFrame:
+    """J4 — record ↔ related-records links, the reference's associated-records
+    shape (AssociatedRecordsUtil.generateAssociatedRecords, indexer/.../utils/
+    AssociatedRecordsUtil.java:16-61; consumed into STAC ``links[]`` at
+    StacCollectionMapperService.java:857-859).
+
+    ``assoc`` is the related-records dimension: one row per
+    (record, relation, related record) with the related record's title and
+    abstract. Per reference semantics each link is
+    ``{href: "uuid:"+id, rel, title: json({title, recordAbstract}),
+    type: "application/json"}`` and links are ordered parent → siblings →
+    children (:21-39; ties by related id for determinism). Relations outside
+    {parent, sibling, child} are ignored, exactly as generateAssociatedRecords
+    only reads those three keys.
+
+    Execution: the dimension aggregates FIRST (one hash agg on the dim,
+    orders of magnitude smaller than the records fact), then broadcast
+    left-joins onto the records — the fact table never shuffles."""
+    rel = F.col(rel_col)
+    rank = (
+        F.when(rel == "parent", 0)
+        .when(rel == "sibling", 1)
+        .when(rel == "child", 2)
+    )
+    link = F.struct(
+        F.concat(F.lit("uuid:"), F.col(related_col).cast("string")).alias("href"),
+        rel.alias("rel"),
+        F.to_json(
+            F.struct(
+                F.col(title_col).alias("title"),
+                F.col(abstract_col).alias("recordAbstract"),
+            )
+        ).alias("title"),
+        F.lit("application/json").alias("type"),
+    )
+    dim = (
+        assoc.filter(rel.isin("parent", "sibling", "child"))
+        .select(
+            F.col(rec_col).alias("__rec"),
+            F.struct(
+                rank.alias("rank"),
+                F.col(related_col).cast("string").alias("rid"),
+                link.alias("link"),
+            ).alias("entry"),
+        )
+        .groupBy("__rec")
+        .agg(F.sort_array(F.collect_list("entry")).alias("entries"))
+        .select(
+            "__rec",
+            F.transform("entries", lambda e: e["link"]).alias("links"),
+        )
+    )
+    out = records.join(
+        F.broadcast(dim), records[id_col] == dim["__rec"], "left"
+    ).drop("__rec")
+    empty = F.array().cast(
+        "array<struct<href:string,rel:string,title:string,type:string>>"
+    )
+    return out.withColumn("links", F.coalesce(F.col("links"), empty))
+
+
+def cloud_asset_entries(
+    records: DataFrame,
+    datasets: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    rec_col: str = "record_id",
+    key_col: str = "key",
+    dname_col: str = "dname",
+) -> DataFrame:
+    """J5 — record ↔ cloud-optimized assets, the reference's STAC ``assets``
+    map (StacCollectionMapperService.java mapAssetsData:1244-1264; media type
+    rule getMediaTypeFromDname:1266-1277).
+
+    ``datasets`` is the data-access dimension: (record, dataset key, optional
+    dname). Each entry becomes ``key -> {role: "summary", type:
+    parquet/zarr/json by dname suffix, href: null, title: dname or key,
+    description: "Summary of cloud optimized data points"}``; records with no
+    datasets get a NULL map (the reference returns null, not {}).
+
+    Same execution shape as :func:`related_record_links`: dim-side aggregate,
+    broadcast left join, fact never shuffles."""
+    dname = F.coalesce(F.col(dname_col), F.col(key_col))
+    media = (
+        F.when(dname.endswith(".parquet"), "application/x-parquet")
+        .when(dname.endswith(".zarr"), "application/x-zarr")
+        .otherwise("application/json")
+    )
+    asset = F.struct(
+        F.lit("summary").alias("role"),
+        media.alias("type"),
+        F.lit(None).cast("string").alias("href"),
+        dname.alias("title"),
+        F.lit("Summary of cloud optimized data points").alias("description"),
+    )
+    dim = (
+        datasets.select(
+            F.col(rec_col).alias("__rec"),
+            F.struct(F.col(key_col).alias("key"), asset.alias("asset")).alias("entry"),
+        )
+        .groupBy("__rec")
+        .agg(F.sort_array(F.collect_list("entry")).alias("entries"))
+        .select(
+            "__rec",
+            F.map_from_entries(
+                F.transform("entries", lambda e: F.struct(e["key"], e["asset"]))
+            ).alias("assets"),
+        )
+    )
+    return records.join(
+        F.broadcast(dim), records[id_col] == dim["__rec"], "left"
+    ).drop("__rec")
+
+
 def window_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/§2.5: max-by via row_number window — each customer's most recent order
     (reference: max-version citation pick, StacCollectionMapperService.java:271-301)."""

@@ -49,6 +49,63 @@ def suggest_prefix(
     )
 
 
+def suggest_fuzzy(
+    spark: SparkSession,
+    index_root: str,
+    prefix: str,
+    k: int = 10,
+    *,
+    fuzziness: int = 1,
+    prefix_length: int = 1,
+    min_fuzzy_length: int = 3,
+) -> DataFrame:
+    """ES ``completion`` suggester with ``fuzzy`` options: top-k dictionary
+    terms whose PREFIX is within ``fuzziness`` edits of the typed prefix —
+    the type-ahead-with-typos surface (public Lucene FuzzyCompletionQuery
+    semantics; the reference's suggestion fields are
+    portal_records_index_schema.json:112-132).
+
+    ES fuzzy-completion rules reproduced:
+    - ``prefix_length`` leading characters must match exactly (keeps the
+      dictionary scan a contiguous startswith range — same pruning as
+      :func:`suggest_prefix`);
+    - inputs shorter than ``min_fuzzy_length`` fall back to exact prefix
+      completion (ES default 3);
+    - ranking favors closer matches first (Lucene boosts by
+      ``maxEdits - actualEdits``): ordered by (edits asc, cf desc, term asc).
+
+    Execution: the candidate prefix-edit test is a constant-size OR over the
+    ``2*fuzziness+1`` possible prefix lengths, each a whole-stage-codegen
+    ``levenshtein(substring(term, 1, L), prefix)`` — one pruned dict scan,
+    no UDF, no expansion join. Returns ``(term, df, cf, edits)``."""
+    vdir = catalog.resolve(index_root)
+    d = spark.read.parquet(os.path.join(vdir, "dict"))
+    p = prefix.lower()
+    f = int(fuzziness) if len(p) >= int(min_fuzzy_length) else 0
+    if f == 0:
+        return (
+            d.filter(F.col("term").startswith(p))
+            .select("term", "df", "cf", F.lit(0).alias("edits"))
+            .orderBy(F.desc("cf"), F.asc("term"))
+            .limit(k)
+        )
+    head = p[: int(prefix_length)]
+    cand = d.filter(F.col("term").startswith(head)) if head else d
+    dists = [
+        F.levenshtein(F.substring("term", 1, L), F.lit(p))
+        for L in range(max(1, len(p) - f), len(p) + f + 1)
+    ]
+    edits = F.least(*dists) if len(dists) > 1 else dists[0]
+    return (
+        cand.filter(F.length("term") >= len(p) - f)
+        .withColumn("edits", edits)
+        .filter(F.col("edits") <= f)
+        .select("term", "df", "cf", "edits")
+        .orderBy(F.asc("edits"), F.desc("cf"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def _expansion_docids(
     spark: SparkSession, vdir: str, exp_rows, k: int
 ) -> DataFrame:

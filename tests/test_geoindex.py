@@ -248,3 +248,80 @@ def test_geo_distance_polar_cap_scans_all_lons(spark, tmp_path_factory):
         if hav(lon, lat) <= 2000.0
     }
     assert {(r["collection"], r["month"], r["lon"], r["lat"]) for r in out} == want_keys
+
+
+def test_upsert_geo_collections_two_generations(spark, tmp_path_factory):
+    """Per-collection incremental rewrite (the reference's per-UUID
+    cloud-optimized re-index, IndexerController.java:240-257): upserting new
+    data for c1 replaces ONLY c1's cells; untouched collections keep their
+    exact rows AND their files; result identical to a full rebuild over the
+    combined corpus; a second generation replaces the first."""
+    import os
+
+    from es_indexer_spark.ops.geoindex import (
+        geo_bbox_query,
+        upsert_geo_collections,
+        write_geo_index,
+    )
+
+    base = _pts(spark)
+    path = str(tmp_path_factory.mktemp("geoidx_upsert") / "idx")
+    write_geo_index(base, path, cell_deg=5.0, n_files=4)
+
+    def snap(p):
+        return sorted(
+            (r["collection"], r["month"], r["lon"], r["lat"], r["cnt"])
+            for r in spark.read.parquet(p).collect()
+        )
+
+    def files(coll):
+        d = os.path.join(path, f"collection={coll}")
+        return sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        ), max(os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)
+               if f.endswith(".parquet"))
+
+    before = snap(path)
+    c0_files_before = files("c0")
+
+    # generation 1: shift c1's points
+    gen1 = base.filter(F.col("collection") == "c1").withColumn(
+        "lon", F.col("lon") + 40
+    )
+    upsert_geo_collections(gen1, path, cell_deg=5.0, n_files=4)
+
+    # full-rebuild reference over (c0, c2 old) + (c1 new)
+    ref1 = str(tmp_path_factory.mktemp("geoidx_ref1") / "idx")
+    write_geo_index(
+        base.filter(F.col("collection") != "c1").unionByName(gen1),
+        ref1, cell_deg=5.0, n_files=4,
+    )
+    assert snap(path) == snap(ref1)
+    # untouched collections: rows identical to before, files untouched
+    assert [r for r in snap(path) if r[0] != "c1"] == [
+        r for r in before if r[0] != "c1"
+    ]
+    assert files("c0") == c0_files_before
+
+    # generation 2 replaces generation 1 (not appended)
+    gen2 = base.filter(F.col("collection") == "c1").withColumn(
+        "lon", F.col("lon") + 80
+    )
+    upsert_geo_collections(gen2, path, cell_deg=5.0, n_files=4)
+    ref2 = str(tmp_path_factory.mktemp("geoidx_ref2") / "idx")
+    write_geo_index(
+        base.filter(F.col("collection") != "c1").unionByName(gen2),
+        ref2, cell_deg=5.0, n_files=4,
+    )
+    assert snap(path) == snap(ref2)
+
+    # the read path agrees end-to-end after the upsert
+    got = sorted(
+        (r["collection"], r["month"], r["lon"], r["lat"], r["cnt"])
+        for r in geo_bbox_query(spark, path, (80, 0, 110, 90)).collect()
+    )
+    want = sorted(
+        (r["collection"], r["month"], r["lon"], r["lat"], r["cnt"])
+        for r in geo_bbox_query(spark, ref2, (80, 0, 110, 90)).collect()
+    )
+    assert got == want and got

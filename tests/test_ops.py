@@ -497,3 +497,58 @@ def test_dedup_survivors_keep_canonical(spark, documents):
         for r in dedup_survivors(documents, "doc_id", "text").collect()
     }
     assert got == all_ids - drop
+
+
+def test_related_record_links_shape_and_order(spark):
+    """J4: parent -> siblings -> children ordering, json title packing,
+    uuid: href, non-{parent,sibling,child} relations ignored, linkless
+    records get an empty array; the dim side broadcasts."""
+    from es_indexer_spark.ops.relational import related_record_links
+
+    records = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    assoc = spark.createDataFrame(
+        [
+            (1, "child", 30, "Tc", "Dc"),
+            (1, "parent", 10, "Tp", "Dp"),
+            (1, "sibling", 20, "Ts", "Ds"),
+            (1, "related", 99, "Tx", "Dx"),  # ignored rel
+            (2, "child", 5, "T5", "D5"),
+            (2, "child", 41, "T41", "D41"),
+        ],
+        "record_id long, rel string, related_id long, title string, description string",
+    )
+    out = related_record_links(records, assoc)
+    got = {r["doc_id"]: r["links"] for r in out.collect()}
+    assert [l["rel"] for l in got[1]] == ["parent", "sibling", "child"]
+    assert got[1][0]["href"] == "uuid:10"
+    assert got[1][0]["title"] == '{"title":"Tp","recordAbstract":"Dp"}'
+    assert all(l["type"] == "application/json" for l in got[1])
+    # children ordered by related-id string ("41" < "5" lexicographically —
+    # deterministic, mirrored by the oracle)
+    assert [l["href"] for l in got[2]] == ["uuid:41", "uuid:5"]
+    assert got[3] == []
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cloud_asset_entries_media_rule_and_null(spark):
+    """J5: media type by dname suffix, dname-or-key title, records without
+    datasets keep a NULL assets map (reference returns null, not {})."""
+    from es_indexer_spark.ops.relational import cloud_asset_entries
+
+    records = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    datasets = spark.createDataFrame(
+        [
+            (1, "a", "x.parquet"),
+            (1, "b", "y.zarr"),
+            (1, "c", None),
+        ],
+        "record_id long, key string, dname string",
+    )
+    out = {r["doc_id"]: r["assets"] for r in cloud_asset_entries(records, datasets).collect()}
+    a = out[1]
+    assert a["a"]["type"] == "application/x-parquet" and a["a"]["title"] == "x.parquet"
+    assert a["b"]["type"] == "application/x-zarr"
+    assert a["c"]["type"] == "application/json" and a["c"]["title"] == "c"
+    assert all(v["role"] == "summary" and v["href"] is None for v in a.values())
+    assert out[2] is None

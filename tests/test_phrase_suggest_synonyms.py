@@ -534,3 +534,65 @@ def test_bool_filter_phrase_slop(spark, documents, pos_index):
     toks = standard_tokenize_series(pd.Series([r["text"] for r in rows]))
     has_cust = {r["doc_id"] for r, tl in zip(rows, toks) if "customer" in tl}
     assert got == (sloppy & has_cust)
+
+
+# ---------------------------------------------------------------- fuzzy completion
+def test_suggest_fuzzy_vs_brute(spark, pos_index):
+    """Fuzzy completion ranks prefix-within-edits dictionary terms by
+    (edits, cf desc, term) — brute levenshtein over the collected dict."""
+    import os as _os
+
+    from es_indexer_spark.index import catalog as _cat
+    from es_indexer_spark.query.suggest import suggest_fuzzy
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    p, f = "sta", 1
+    dict_rows = spark.read.parquet(
+        _os.path.join(_cat.resolve(pos_index), "dict")
+    ).collect()
+    want = []
+    for r in dict_rows:
+        t = r["term"]
+        if not t.startswith(p[0]) or len(t) < len(p) - f:
+            continue
+        edits = min(
+            lev(t[:L], p) for L in range(max(1, len(p) - f), len(p) + f + 1)
+        )
+        if edits <= f:
+            want.append((edits, -r["cf"], t, r["df"], r["cf"]))
+    want.sort()
+    got = suggest_fuzzy(spark, pos_index, p, k=10, fuzziness=f).collect()
+    assert [(r["term"], r["edits"]) for r in got] == [
+        (t, e) for e, _, t, _, _ in want[:10]
+    ]
+    assert len({r["edits"] for r in got}) >= 1 and len(got) >= 2
+
+
+def test_suggest_fuzzy_min_length_fallback(spark, pos_index):
+    """Below min_fuzzy_length the suggester degrades to exact prefix
+    completion (ES default 3)."""
+    exact = [
+        (r["term"], r["df"], r["cf"])
+        for r in suggest_prefix(spark, pos_index, "da", k=10).collect()
+    ]
+    from es_indexer_spark.query.suggest import suggest_fuzzy
+
+    got = suggest_fuzzy(spark, pos_index, "da", k=10, fuzziness=2).collect()
+    assert [(r["term"], r["df"], r["cf"]) for r in got] == exact
+    assert all(r["edits"] == 0 for r in got)
+
+
+def test_suggest_fuzzy_k_cap(spark, pos_index):
+    from es_indexer_spark.query.suggest import suggest_fuzzy
+
+    full = suggest_fuzzy(spark, pos_index, "sta", k=50, fuzziness=1).count()
+    assert full >= 3
+    assert suggest_fuzzy(spark, pos_index, "sta", k=3, fuzziness=1).count() == 3
