@@ -584,6 +584,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_tf",
         F.round("score", 4).alias("score"),
     )
+    # round 5: phrase under logical deletes (Lucene live-docs — stats keep
+    # the full corpus, the dead docs just drop from the result)
+    q["phrase_match_deleted"] = lambda spark, sf: phrase_match(
+        spark, _tomb_root(spark, sf, compacted=False), "data stream", k=None
+    ).select(
+        F.col("docid").alias("doc_id"),
+        "phrase_tf",
+        F.round("score", 4).alias("score"),
+    )
     # round 5: ES match_phrase slop (ordered greedy-chain semantics) and
     # span_near in_order=False (union of the distinct permutations' chains)
     q["phrase_slop"] = lambda spark, sf: phrase_match(
@@ -1363,7 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never_driver_verified = [
         "phrase_slop", "span_near_unordered", "bool_msm_pct",
         "geo_shape_intersects", "related_links", "cloud_assets",
-        "suggest_fuzzy",
+        "suggest_fuzzy", "phrase_match_deleted",
     ]
     return {
         k: q[k]
@@ -1459,6 +1468,12 @@ SELECT doc_id, ptf::BIGINT AS phrase_tf,
              * ptf * 2.2 / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)), 4) AS score
 FROM pf CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
 """
+    # live-docs phrase: stats over the FULL corpus, dead docs filtered from
+    # the result only (same rule as bm25_topk_deleted)
+    o["phrase_match_deleted"] = (
+        o["phrase_match"].rstrip()[:-len("WHERE ptf > 0")]
+        + f"WHERE ptf > 0 AND {_DEAD_PRED_SQL}\n"
+    )
     o["bm25_topk_synonym"] = _bm25_sql(["joined", "jw", "window"])
     o["bool_must_not"] = _bool_sql(
         must=["data"], should=["batch", "stream"], must_not=["key"]

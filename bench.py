@@ -146,6 +146,13 @@ def main() -> None:
             spark, os.path.join(work, "warm"), "return self", k=10
         ).collect(),
     )
+    # round-5: sloppy phrase (ordered greedy chain) over the positional index
+    timed(
+        "q_phrase_slop",
+        lambda: phrase_match(
+            spark, os.path.join(work, "warm"), "return self", k=10, slop=3
+        ).collect(),
+    )
     # batch API vs sequential loop over the same 15 queries (VERDICT r2 #8):
     # topk_many amortizes dictionary lookup + postings scan across the batch
     batch15 = {

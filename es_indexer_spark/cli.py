@@ -31,7 +31,9 @@ Jobs:
   '{"qa": "spark join", ...}'`` — the ES ``msearch`` analog; one dictionary
   lookup + one postings scan for the whole batch);
 - ``suggest`` — prefix suggestions from the dictionary (search_as_you_type analog);
-- ``phrase``  — positional phrase match (requires an index built with positions);
+- ``phrase``  — positional phrase match (requires an index built with
+  positions; round 5: ``--slop`` for ordered sloppy matching, also honored as
+  ``filter_phrase`` slop in the ``bool`` job);
 - ``merge``   — metadata-speed segment merge of ``--delta`` into ``--index``
   (append-only; the incremental-ingest publish step);
 - ``bool``    — ES bool DSL (``--must/--should/--must-not/--filter-phrase``;
@@ -41,6 +43,10 @@ Jobs:
 - ``geo-bbox`` — geo_bounding_box over a ``write_geo_index`` data index
   (``--bbox min_lon,min_lat,max_lon,max_lat`` — min_lon>max_lon crosses the
   antimeridian; ``--date-range yyyy-MM,yyyy-MM``; ``--collections``);
+- ``span-near`` — positional proximity query (``--clauses a,b --slop 2
+  --in-order false``; round 5 — ordered = match_phrase slop semantics);
+- ``suggest-fuzzy`` — completion with typo tolerance (``--query dat
+  --fuzziness 1``; round 5);
 - ``fuzzy``   — Levenshtein-expanded term query (``--fuzziness``);
 - ``prefix``  — constant-score prefix query;
 - ``explain`` — per-term BM25 breakdown for ``--query`` + ``--docid``;
@@ -68,10 +74,18 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["build", "resume", "query", "batch", "suggest", "phrase", "merge",
                  "delete", "compact", "bool", "fuzzy", "prefix", "explain",
                  "delete-query", "wildcard", "phrase-prefix", "mlt",
-                 "simple-qs", "rescore", "range", "sortquery", "geo-bbox"],
+                 "simple-qs", "rescore", "range", "sortquery", "geo-bbox",
+                 "span-near", "suggest-fuzzy"],
     )
-    p.add_argument("--min-should-match", type=int, default=None,
-                   help="bool job: required count of matched should clauses")
+    p.add_argument("--slop", type=int, default=0,
+                   help="phrase/span-near: ordered slop (greedy-chain semantics)")
+    p.add_argument("--in-order", default="true", choices=["true", "false"],
+                   help="span-near: require clause order")
+    p.add_argument("--clauses", type=_csv, default=[],
+                   help="span-near clause terms (comma-separated)")
+    p.add_argument("--min-should-match", default=None,
+                   help="bool job: required count of matched should clauses — "
+                        "an int or an ES string spec ('75%%', '-25%%')")
     p.add_argument("--must-fuzzy", type=_csv, default=[],
                    help="bool job: match+fuzziness clauses (required)")
     p.add_argument("--should-fuzzy", type=_csv, default=[],
@@ -225,7 +239,31 @@ def main(argv: list[str] | None = None) -> int:
             if not args.query:
                 print("--query required", file=sys.stderr)
                 return 2
-            for r in phrase_match(spark, args.index, args.query, k=args.k).collect():
+            for r in phrase_match(
+                spark, args.index, args.query, k=args.k, slop=args.slop
+            ).collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.job == "span-near":
+            from es_indexer_spark.query.phrase import span_near
+
+            if not args.clauses:
+                print("--clauses required", file=sys.stderr)
+                return 2
+            hits = span_near(
+                spark, args.index, args.clauses, slop=args.slop,
+                in_order=args.in_order == "true", k=args.k, lang=args.lang,
+            )
+            for r in hits.collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.job == "suggest-fuzzy":
+            from es_indexer_spark.query.suggest import suggest_fuzzy
+
+            if not args.query:
+                print("--query required", file=sys.stderr)
+                return 2
+            for r in suggest_fuzzy(
+                spark, args.index, args.query, k=args.k, fuzziness=args.fuzziness
+            ).collect():
                 print(json.dumps(r.asDict(), default=str))
         elif args.job == "merge":
             from es_indexer_spark.index import catalog
@@ -255,8 +293,14 @@ def main(argv: list[str] | None = None) -> int:
                 must=[clause(s) for s in args.must],
                 should=[clause(s) for s in args.should],
                 must_not=args.must_not,
-                filter_phrase=args.filter_phrase, k=args.k, lang=args.lang,
-                minimum_should_match=args.min_should_match,
+                filter_phrase=args.filter_phrase,
+                filter_phrase_slop=args.slop, k=args.k, lang=args.lang,
+                minimum_should_match=(
+                    int(args.min_should_match)
+                    if isinstance(args.min_should_match, str)
+                    and args.min_should_match.lstrip("-").isdigit()
+                    else args.min_should_match
+                ),
                 must_fuzzy=[clause(s) for s in args.must_fuzzy],
                 should_fuzzy=[clause(s) for s in args.should_fuzzy],
                 fuzziness=args.fuzziness,

@@ -268,3 +268,55 @@ def test_cli_sortquery_geo_bbox_and_bool_knobs(spark, tmp_path, capsys):
     assert rc == 0
     cells = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert cells and all(2 <= c["lon"] <= 8 and 1 <= c["lat"] <= 6 for c in cells)
+
+
+def test_cli_round5_jobs(spark, tmp_path, capsys):
+    """Round-5 CLI surfaces: phrase --slop, span-near (ordered + unordered),
+    suggest-fuzzy, bool --min-should-match string specs."""
+    root = str(tmp_path / "idx5")
+    src = os.path.join(SF_DIR, "documents.parquet")
+    rc = main(
+        ["--job", "build", "--input", src, "--index", root, "--content-col",
+         "text", "--id-col", "doc_id", "--tokenizer", "standard",
+         "--n-buckets", "4", "--ckpt-batches", "2", "--store-positions"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    # sloppy phrase widens the exact match set
+    rc = main(["--job", "phrase", "--index", root, "--query", "data stream",
+               "-k", "50"])
+    assert rc == 0
+    exact = capsys.readouterr().out.strip().splitlines()
+    rc = main(["--job", "phrase", "--index", root, "--query", "data stream",
+               "--slop", "3", "-k", "50"])
+    assert rc == 0
+    sloppy = capsys.readouterr().out.strip().splitlines()
+    assert len(sloppy) > len(exact) > 0
+
+    # span-near unordered is clause-order invariant
+    rc = main(["--job", "span-near", "--index", root, "--clauses",
+               "stream,data", "--slop", "2", "--in-order", "false", "-k", "50"])
+    assert rc == 0
+    a = capsys.readouterr().out.strip()
+    rc = main(["--job", "span-near", "--index", root, "--clauses",
+               "data,stream", "--slop", "2", "--in-order", "false", "-k", "50"])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == a and a
+
+    # fuzzy completion
+    rc = main(["--job", "suggest-fuzzy", "--index", root, "--query", "sta",
+               "--fuzziness", "1", "-k", "5"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows and all("edits" in r for r in rows)
+
+    # msm percentage spec
+    rc = main(["--job", "bool", "--index", root, "--should",
+               "data,stream,batch,key", "--min-should-match", "75%", "-k", "5"])
+    assert rc == 0
+    pct = capsys.readouterr().out.strip()
+    rc = main(["--job", "bool", "--index", root, "--should",
+               "data,stream,batch,key", "--min-should-match", "3", "-k", "5"])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == pct and pct

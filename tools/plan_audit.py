@@ -456,6 +456,56 @@ def main() -> int:
         ],
     ))
 
+    # 21. round 5: bool under corpus-scale deletes + range filter — the
+    # delete set and the filter set share ONE kind-tagged cogroup (exactly
+    # one FlatMapCoGroupsInPandas, no second shuffle of the blocks)
+    from es_indexer_spark.query.boolean import bool_query as _bool_query
+
+    tmod.DISTRIBUTED_TOMB_THRESHOLD = 0
+    try:
+        p = formatted(_bool_query(
+            spark, tomb_root, must=["data"],
+            filter_range=("doc_len", {"gte": 1}), k=10,
+        ))
+    finally:
+        tmod.DISTRIBUTED_TOMB_THRESHOLD = _old_thr
+    sections.append((
+        "bool under corpus-scale deletes: ONE kind-tagged cogroup for deletes+filter",
+        p,
+        [
+            ("single cogroup stage",
+             p.count("FlatMapCoGroupsInPandas") == 2),  # tree + detail block
+            ("no broadcast of the delete set", "BroadcastHashJoin" not in p
+             and "BroadcastNestedLoopJoin" not in p),
+            ("no cartesian", "CartesianProduct" not in p),
+        ],
+    ))
+
+    # 22. round 5: geo_shape intersects over a persisted shape index — the
+    # bbox prefilter reaches the parquet scan; the exact ring test is the
+    # only Python stage
+    from es_indexer_spark.ops.geoshape import (
+        assemble_shapes as _assemble,
+        shape_intersects_bbox as _sib,
+        write_shape_index as _wsi,
+    )
+    from es_indexer_spark.ops.geoxml import geoxml_extract as _gx
+
+    shape_path = os.path.join(tempfile.gettempdir(), "spark_graft_planaudit_shapes")
+    _wsi(_assemble(_gx(spark, sf_dir)), shape_path, n_files=2)
+    p = formatted(_sib(spark.read.parquet(shape_path), (5.0, 3.0, 12.0, 9.0)))
+    sections.append((
+        "geo_shape intersects: pushed bbox prefilter over the shape index",
+        p,
+        [
+            ("lon_min prefilter pushed", "LessThanOrEqual(lon_min" in p),
+            ("lat prefilter pushed", "lat_min" in p.split("PushedFilters")[-1][:400]
+             if "PushedFilters" in p else False),
+            ("no shuffle", "Exchange" not in p),
+            ("no cartesian", "CartesianProduct" not in p),
+        ],
+    ))
+
     failures = 0
     lines = [
         "# PLANS — physical-plan audit evidence",
