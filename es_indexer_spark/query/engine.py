@@ -968,6 +968,7 @@ def rescore_phrase(
     window_size: int = 50,
     query_weight: float = 1.0,
     rescore_query_weight: float = 1.0,
+    slop: int = 0,
     lang: str | None = None,
 ) -> DataFrame:
     """ES ``rescore`` with a match_phrase rescorer (score_mode=total, the ES
@@ -993,7 +994,8 @@ def rescore_phrase(
     ids = [int(r["docid"]) for r in base_rows]
     shards = sorted({i // shard_size for i in ids})
     ph = (
-        phrase_match(spark, index_root, phrase, k=None, lang=lang, shards=shards)
+        phrase_match(spark, index_root, phrase, k=None, lang=lang,
+                     slop=int(slop), shards=shards)
         .filter(F.col("docid").isin(ids))
         .select("docid", F.col("score").alias("_ph"))
     )

@@ -168,7 +168,9 @@ def main() -> None:
     # residual load) on a shared box; a real cluster bench would do the same
     legs = tuple(int(x) for x in args.legs.split(","))
     results: dict[int, dict] = {}
+    reps_log: list[dict] = []  # per-rep matched pairs
     for rep in range(args.reps):
+        rep_res: dict = {}
         for cores in legs:
             idx = os.path.join(work, f"idx{cores}_{rep}")
             print(f"[rep {rep}] build+query at local[{cores}] ...", flush=True)
@@ -176,9 +178,11 @@ def main() -> None:
             line = [l for l in out.splitlines() if l.startswith("BENCHJSON:")][-1]
             r = json.loads(line[len("BENCHJSON:"):])
             print(r, flush=True)
+            rep_res[cores] = r
             best = results.get(cores)
             if best is None or r["build_sec"] + r["query_sec"] < best["build_sec"] + best["query_sec"]:
                 results[cores] = r
+        reps_log.append(rep_res)
 
     r8, r32 = results[legs[0]], results[legs[1]]
     build_eff = (r8["build_sec"] / r32["build_sec"]) / 4
@@ -242,6 +246,35 @@ under concurrent load is the meaningful query-side scaling measure.
 
 Reproduce: `python tools/bench_scaling.py --files {r8["n_files"]}`.
 """)
+    # pooled matched-pair analysis: each rep builds at N then 4N
+    # back-to-back, so a host-contention burst hits both legs of a pair
+    # roughly equally; the pooled view shows the spread a single number hides
+    pair_lines = []
+    for i, rr in enumerate(reps_log):
+        a, b = rr[legs[0]], rr[legs[1]]
+        eff = (a["build_sec"] / b["build_sec"]) / 4
+        dsp = a["stages"].get("docs", 0) / max(b["stages"].get("docs", 1e-9), 1e-9)
+        pair_lines.append(
+            f"| {i} | {a['build_sec']} | {b['build_sec']} | {eff:.3f} | {dsp:.2f} |"
+        )
+    all_stages = sorted(
+        set().union(*[set(rr[c].get("stages", {})) for rr in reps_log for c in legs])
+    )
+    min_lines = []
+    for st in all_stages:
+        ma = min(rr[legs[0]]["stages"].get(st, 0) for rr in reps_log)
+        mb = min(rr[legs[1]]["stages"].get(st, 0) for rr in reps_log)
+        min_lines.append(f"| {st} | {ma} | {mb} | {(ma / max(mb, 1e-9)):.2f} |")
+    with open(args.out, "a") as f:
+        f.write(
+            "\nMatched alternating pairs (pair build eff = (T_N/T_4N)/4):\n\n"
+            "| rep | build T_N | build T_4N | pair build eff | docs-stage speedup |\n"
+            "|---|---|---|---|---|\n" + "\n".join(pair_lines) + "\n\n"
+            "Per-stage minima across reps (per-stage minimum best estimates the "
+            "uncontended cost on this shared box):\n\n"
+            f"| stage | min local[{legs[0]}] | min local[{legs[1]}] | speedup of minima |\n"
+            "|---|---|---|---|\n" + "\n".join(min_lines) + "\n"
+        )
     print(json.dumps({"build_efficiency": round(build_eff, 3),
                       "query_efficiency": round(query_eff, 3),
                       "out": args.out}))
