@@ -949,6 +949,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geo_shape_intersects"] = _geo_shape
 
+    # round 5: geo_shape with an arbitrary POLYGON query (triangle) —
+    # even-odd regions, vertex-in-either-direction + edge-crossing predicate
+    def _geo_shape_poly(spark, sf):
+        from es_indexer_spark.ops.geoshape import (
+            assemble_shapes,
+            shape_relate_polygon,
+        )
+        from es_indexer_spark.ops.geoxml import geoxml_extract
+
+        return shape_relate_polygon(
+            assemble_shapes(geoxml_extract(spark, sf)),
+            [[(-20.0, -10.0), (25.0, -5.0), (0.0, 30.0)]],
+            relation="intersects",
+        )
+
+    q["geo_shape_polygon"] = _geo_shape_poly
+
     # ---- batch query API (round 3: amortized msearch-style surface) -------------
     def _batch(spark, sf):
         from es_indexer_spark.query.engine import topk_many
@@ -1372,7 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never_driver_verified = [
         "phrase_slop", "span_near_unordered", "bool_msm_pct",
         "geo_shape_intersects", "related_links", "cloud_assets",
-        "suggest_fuzzy", "phrase_match_deleted",
+        "suggest_fuzzy", "phrase_match_deleted", "geo_shape_polygon",
     ]
     return {
         k: q[k]
@@ -2346,6 +2363,72 @@ SELECT doc_id, 0, 'Polygon', 0, i,
 FROM d, bx WHERE cls = 3
 UNION ALL
 SELECT doc_id, 0, 'Point', 0, 0, x0, y0 FROM d WHERE cls = 4
+"""
+    # geo_shape polygon-query intersects: stored vertex in query region
+    # (even-odd over the triangle edges) ∪ query vertex in stored region ∪
+    # strict edge crossing — same predicate as ops/geoshape.py
+    o["geo_shape_polygon"] = """
+WITH pts AS (
+WITH d AS (
+  SELECT doc_id, doc_id % 6 AS cls,
+         ((doc_id * 7 % 280) - 140 + 0.25)::DOUBLE AS x0,
+         ((doc_id * 11 % 130) - 65 + 0.25)::DOUBLE AS y0,
+         (doc_id % 100 + 120 + 0.25)::DOUBLE AS er
+  FROM documents WHERE doc_id % 7 <> 3
+),
+sq(i, dx, dy) AS (VALUES (0, 0.0, 0.0), (1, 1.0, 0.0), (2, 1.0, 1.0), (3, 0.0, 1.0), (4, 0.0, 0.0)),
+bx(i, isw, iss) AS (VALUES (0, 1, 1), (1, 0, 1), (2, 0, 0), (3, 1, 0), (4, 1, 1))
+SELECT doc_id, 0 AS geom_idx, 'Polygon' AS geom_type, 0 AS ring_idx, i AS pt_idx,
+       x0 + 10 * dx AS lon, y0 + 10 * dy AS lat FROM d, sq WHERE cls = 0
+UNION ALL
+SELECT doc_id, 1, 'Polygon', 0, i, x0 + 12 + 6 * dx, y0 + 6 * dy FROM d, sq WHERE cls = 0
+UNION ALL
+SELECT doc_id, 0, 'Polygon', 0, i, x0 + 10 * dx, y0 + 10 * dy FROM d, sq WHERE cls IN (1, 2)
+UNION ALL
+SELECT doc_id, 0, 'Polygon', 1, i, x0 + 2 + 2 * dx, y0 + 2 + 2 * dy FROM d, sq WHERE cls = 1
+UNION ALL
+SELECT doc_id, 0, 'Polygon', 0, i,
+       CASE WHEN isw = 1 THEN x0 ELSE (CASE WHEN er >= 180 THEN 180.0 ELSE er END) END,
+       CASE WHEN iss = 1 THEN y0 ELSE y0 + 5 END
+FROM d, bx WHERE cls = 3
+UNION ALL
+SELECT doc_id, 0, 'Point', 0, 0, x0, y0 FROM d WHERE cls = 4
+),
+edges AS (
+  SELECT p1.doc_id, p1.geom_idx, p1.lon AS x1, p1.lat AS y1, p2.lon AS x2, p2.lat AS y2
+  FROM pts p1 JOIN pts p2
+    ON p1.doc_id = p2.doc_id AND p1.geom_idx = p2.geom_idx
+   AND p1.ring_idx = p2.ring_idx AND p2.pt_idx = p1.pt_idx + 1
+  WHERE p1.geom_type = 'Polygon'
+),
+qe(ax, ay, bx, by) AS (VALUES (-20.0, -10.0, 25.0, -5.0), (25.0, -5.0, 0.0, 30.0),
+                              (0.0, 30.0, -20.0, -10.0)),
+qv(px, py) AS (VALUES (-20.0, -10.0), (25.0, -5.0), (0.0, 30.0)),
+svin AS (SELECT doc_id, geom_idx FROM (
+           SELECT p.doc_id, p.geom_idx, p.ring_idx, p.pt_idx,
+                  sum(CASE WHEN (qe.ay > p.lat) <> (qe.by > p.lat)
+                           THEN (CASE WHEN qe.ax + (p.lat - qe.ay) * (qe.bx - qe.ax) / (qe.by - qe.ay) > p.lon
+                                      THEN 1 ELSE 0 END)
+                           ELSE 0 END) AS c
+           FROM pts p, qe GROUP BY 1, 2, 3, 4)
+         WHERE c % 2 = 1 GROUP BY 1, 2),
+qvin AS (SELECT doc_id, geom_idx FROM (
+           SELECT e.doc_id, e.geom_idx, qv.px, qv.py,
+                  sum(CASE WHEN (e.y1 > qv.py) <> (e.y2 > qv.py)
+                           THEN (CASE WHEN e.x1 + (qv.py - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1) > qv.px
+                                      THEN 1 ELSE 0 END)
+                           ELSE 0 END) AS c
+           FROM edges e, qv GROUP BY 1, 2, 3, 4)
+         WHERE c % 2 = 1 GROUP BY 1, 2),
+xings AS (SELECT DISTINCT doc_id, geom_idx FROM edges e, qe
+          WHERE ((qe.bx - qe.ax) * (e.y1 - qe.ay) - (qe.by - qe.ay) * (e.x1 - qe.ax))
+              * ((qe.bx - qe.ax) * (e.y2 - qe.ay) - (qe.by - qe.ay) * (e.x2 - qe.ax)) < 0
+            AND ((e.x2 - e.x1) * (qe.ay - e.y1) - (e.y2 - e.y1) * (qe.ax - e.x1))
+              * ((e.x2 - e.x1) * (qe.by - e.y1) - (e.y2 - e.y1) * (qe.bx - e.x1)) < 0),
+hits AS (SELECT * FROM svin UNION SELECT * FROM qvin UNION SELECT * FROM xings)
+SELECT DISTINCT h.doc_id, h.geom_idx, g.geom_type
+FROM hits h JOIN (SELECT DISTINCT doc_id, geom_idx, geom_type FROM pts) g
+  USING (doc_id, geom_idx)
 """
     # J4 associated-record links: parent -> siblings -> children, link title
     # is the json {"title","recordAbstract"} packing (AssociatedRecordsUtil)

@@ -191,3 +191,187 @@ def geo_shape_query(
     :func:`assemble_shapes` via :func:`write_shape_index` once and query that
     (pushed prefilter, no per-query aggregation)."""
     return shape_intersects_bbox(assemble_shapes(geoms), bbox)
+
+
+# ------------------------------------------------------- polygon query shapes
+def _close_rings(
+    rings: list[list[tuple[float, float]]],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Query rings -> edge arrays (qx1, qy1, qx2, qy2); rings closed if not."""
+    x1s, y1s, x2s, y2s = [], [], [], []
+    for ring in rings:
+        pts = list(ring)
+        if pts[0] != pts[-1]:
+            pts.append(pts[0])
+        for (ax, ay), (bx, by) in zip(pts, pts[1:]):
+            x1s.append(ax)
+            y1s.append(ay)
+            x2s.append(bx)
+            y2s.append(by)
+    return (
+        np.asarray(x1s, dtype=np.float64),
+        np.asarray(y1s, dtype=np.float64),
+        np.asarray(x2s, dtype=np.float64),
+        np.asarray(y2s, dtype=np.float64),
+    )
+
+
+def _points_in_region(
+    px: np.ndarray, py: np.ndarray,
+    ex1: np.ndarray, ey1: np.ndarray, ex2: np.ndarray, ey2: np.ndarray,
+) -> np.ndarray:
+    """Even-odd containment of points in the region bounded by the given
+    edges (all rings together — holes fall out of the parity).  Vectorized
+    points x edges; both sides are bounded (query rings are user-drawn,
+    stored candidates are bbox-prefiltered)."""
+    if px.size == 0 or ex1.size == 0:
+        return np.zeros(px.shape, dtype=bool)
+    py_c = py[:, None]
+    crosses = (ey1[None, :] > py_c) != (ey2[None, :] > py_c)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = ex1[None, :] + (py_c - ey1[None, :]) * (ex2 - ex1)[None, :] / (
+            ey2 - ey1
+        )[None, :]
+    hits = crosses & (xint > px[:, None])
+    return (np.count_nonzero(hits, axis=1) % 2) == 1
+
+
+def _edges_cross(
+    ax1, ay1, ax2, ay2, bx1, by1, bx2, by2
+) -> bool:
+    """Any STRICT crossing between edge set A and edge set B (orientation
+    sign tests; loop over the smaller set, vectorized over the other)."""
+    if ax1.size == 0 or bx1.size == 0:
+        return False
+    if bx1.size < ax1.size:  # iterate the smaller set
+        ax1, ay1, ax2, ay2, bx1, by1, bx2, by2 = bx1, by1, bx2, by2, ax1, ay1, ax2, ay2
+    for i in range(ax1.size):
+        px1, py1, px2, py2 = ax1[i], ay1[i], ax2[i], ay2[i]
+        d1 = (px2 - px1) * (by1 - py1) - (py2 - py1) * (bx1 - px1)
+        d2 = (px2 - px1) * (by2 - py1) - (py2 - py1) * (bx2 - px1)
+        d3 = (bx2 - bx1) * (py1 - by1) - (by2 - by1) * (px1 - bx1)
+        d4 = (bx2 - bx1) * (py2 - by1) - (by2 - by1) * (px2 - bx1)
+        if np.any((d1 * d2 < 0) & (d3 * d4 < 0)):
+            return True
+    return False
+
+
+def _poly_poly_relate(
+    ring_ids: np.ndarray, xs: np.ndarray, ys: np.ndarray, gtype: str,
+    qx1, qy1, qx2, qy2, relation: str,
+) -> bool:
+    """Relate one stored geometry to the query polygon (even-odd regions,
+    general-position semantics — tangency-only contact is measure-zero and
+    resolves by the strict tests, same tolerance as the bbox predicate):
+
+    - ``intersects``: a stored vertex in the query region, OR a query vertex
+      in the stored region, OR any strict edge crossing;
+    - ``within`` (stored ⊆ query): every stored vertex in the query region,
+      no edge crossings, and NO query vertex inside the stored region (a
+      query HOLE strictly inside the stored polygon would otherwise pass);
+    - ``contains`` (query ⊆ stored): the mirror image.
+    """
+    if gtype == "Point":
+        inside = bool(
+            _points_in_region(xs[:1], ys[:1], qx1, qy1, qx2, qy2)[0]
+        )
+        if relation in ("intersects", "within"):
+            return inside
+        return False  # a point never contains a polygon
+    same = ring_ids[1:] == ring_ids[:-1]
+    sx1, sy1 = xs[:-1][same], ys[:-1][same]
+    sx2, sy2 = xs[1:][same], ys[1:][same]
+    s_in_q = _points_in_region(xs, ys, qx1, qy1, qx2, qy2)
+    q_in_s = _points_in_region(qx1, qy1, sx1, sy1, sx2, sy2)
+    if relation == "intersects":
+        return (
+            bool(s_in_q.any())
+            or bool(q_in_s.any())
+            or _edges_cross(sx1, sy1, sx2, sy2, qx1, qy1, qx2, qy2)
+        )
+    crossing = _edges_cross(sx1, sy1, sx2, sy2, qx1, qy1, qx2, qy2)
+    if relation == "within":
+        return bool(s_in_q.all()) and not crossing and not bool(q_in_s.any())
+    if relation == "contains":
+        return bool(q_in_s.all()) and not crossing and not bool(s_in_q.any())
+    raise ValueError(f"unknown relation: {relation}")
+
+
+def shape_relate_polygon(
+    shapes: DataFrame,
+    query_rings: list[list[tuple[float, float]]],
+    *,
+    relation: str = "intersects",
+) -> DataFrame:
+    """ES ``geo_shape`` with an arbitrary POLYGON query shape (exterior ring
+    + optional holes, even-odd) and the full relation set: ``intersects``
+    (default), ``within`` (stored inside the query shape), ``contains``
+    (stored contains the query shape), ``disjoint`` (complement of
+    intersects).
+
+    Prefilter discipline: intersects/within push the query bbox overlap /
+    containment bounds onto the stored bbox columns (pruned scan over a
+    :func:`write_shape_index` layout); ``contains`` pushes the stored-bbox ⊇
+    query-bbox bounds; ``disjoint`` is the one relation that cannot prune —
+    it must scan every geometry (documented; still one pass, exact test only
+    where the bbox OVERLAPS, everything else is disjoint by bbox alone).
+    Returns ``(doc_id, geom_idx, geom_type)``."""
+    if relation not in ("intersects", "within", "contains", "disjoint"):
+        raise ValueError(f"unknown relation: {relation}")
+    qx1, qy1, qx2, qy2 = _close_rings(query_rings)
+    qw, qe = float(np.minimum(qx1, qx2).min()), float(np.maximum(qx1, qx2).max())
+    qs, qn = float(np.minimum(qy1, qy2).min()), float(np.maximum(qy1, qy2).max())
+
+    overlap = (
+        (F.col("lon_min") <= F.lit(qe))
+        & (F.col("lon_max") >= F.lit(qw))
+        & (F.col("lat_min") <= F.lit(qn))
+        & (F.col("lat_max") >= F.lit(qs))
+    )
+
+    @F.pandas_udf("boolean")
+    def relates(
+        ring_ids: pd.Series, xs: pd.Series, ys: pd.Series, gtype: pd.Series
+    ) -> pd.Series:
+        rel = "intersects" if relation == "disjoint" else relation
+        out = np.zeros(len(xs), dtype=bool)
+        for i in range(len(xs)):
+            out[i] = _poly_poly_relate(
+                np.asarray(ring_ids.iloc[i]),
+                np.asarray(xs.iloc[i], dtype=np.float64),
+                np.asarray(ys.iloc[i], dtype=np.float64),
+                gtype.iloc[i],
+                qx1, qy1, qx2, qy2, rel,
+            )
+        return pd.Series(out)
+
+    keep = ("doc_id", "geom_idx", "geom_type")
+    if relation == "disjoint":
+        # bbox-disjoint geometries are disjoint without the exact test; only
+        # bbox-overlapping candidates need the (negated) intersects check
+        return shapes.filter(
+            ~overlap | ~relates("ring_ids", "xs", "ys", "geom_type")
+        ).select(*keep)
+    if relation == "contains":
+        pre = (
+            (F.col("lon_min") <= F.lit(qw))
+            & (F.col("lon_max") >= F.lit(qe))
+            & (F.col("lat_min") <= F.lit(qs))
+            & (F.col("lat_max") >= F.lit(qn))
+        )
+    elif relation == "within":
+        # stored ⊆ query needs stored bbox ⊆ query bbox — tighter pruning
+        # than mere overlap, still sound (the exact test decides)
+        pre = (
+            (F.col("lon_min") >= F.lit(qw))
+            & (F.col("lon_max") <= F.lit(qe))
+            & (F.col("lat_min") >= F.lit(qs))
+            & (F.col("lat_max") <= F.lit(qn))
+        )
+    else:
+        pre = overlap
+    return (
+        shapes.filter(pre)
+        .filter(relates("ring_ids", "xs", "ys", "geom_type"))
+        .select(*keep)
+    )

@@ -194,3 +194,75 @@ def test_query_matches_per_geometry_brute(spark, shapes_df):
             if hit:
                 want.add((did, gi))
         assert _hits(shapes_df, (W, S, E, N)) == want, (W, S, E, N)
+
+
+# ------------------------------------------------- polygon query + relations
+def _tri(cx, cy, r):
+    return [(cx - r, cy - r), (cx + r, cy - r), (cx, cy + r)]
+
+
+def _relate(shapes_df, rings, relation):
+    from es_indexer_spark.ops.geoshape import assemble_shapes, shape_relate_polygon
+
+    df = shape_relate_polygon(assemble_shapes(shapes_df), rings, relation=relation)
+    return {(r["doc_id"], r["geom_idx"]) for r in df.collect()}
+
+
+def test_polygon_query_intersects(spark, shapes_df):
+    # triangle overlapping doc-1's square corner
+    assert (1, 0) in _relate(shapes_df, [_tri(6, 6, 4)], "intersects")
+    # triangle fully inside doc-2's hole: no intersection
+    assert _relate(shapes_df, [_tri(50, 0, 2)], "intersects") == set()
+    # triangle straddling the hole boundary: intersects the annulus
+    assert (2, 0) in _relate(shapes_df, [_tri(55, 0, 3)], "intersects")
+    # big triangle containing doc-6's southern square entirely
+    assert (6, 0) in _relate(shapes_df, [_tri(-100, -40, 20)], "intersects")
+
+
+def test_polygon_query_with_hole(spark, shapes_df):
+    # query = big square with a hole exactly covering doc-4's point region:
+    # even-odd says the point is OUTSIDE the query region
+    outer = [(0, 0), (20, 0), (20, 20), (0, 20)]
+    hole = [(8, 8), (12, 8), (12, 12), (8, 12)]
+    got = _relate(shapes_df, [outer, hole], "intersects")
+    assert (4, 0) not in got and (1, 0) in got
+
+
+def test_polygon_query_within(spark, shapes_df):
+    # doc-6's squares fit inside a big triangle around them
+    assert _relate(shapes_df, [_tri(-100, 0, 80)], "within") >= {(6, 0), (6, 1)}
+    # the annulus is NOT within a triangle that overlaps only partly
+    assert (2, 0) not in _relate(shapes_df, [_tri(55, 0, 10)], "within")
+    # a query with a hole strictly inside the stored polygon breaks within
+    outer = [(-10, -10), (10, -10), (10, 10), (-10, 10)]
+    hole = [(-1, -1), (1, -1), (1, 1), (-1, 1)]
+    assert (1, 0) not in _relate(shapes_df, [outer, hole], "within")
+    assert (1, 0) in _relate(shapes_df, [outer], "within")
+
+
+def test_polygon_query_contains(spark, shapes_df):
+    # doc-1's square contains a small triangle at its center
+    assert _relate(shapes_df, [_tri(0, 0, 1)], "contains") == {(1, 0)}
+    # the annulus does NOT contain a triangle inside its hole
+    assert _relate(shapes_df, [_tri(50, 0, 2)], "contains") == set()
+    # but DOES contain one drawn on the solid part
+    assert _relate(shapes_df, [_tri(50, 10, 2)], "contains") == {(2, 0)}
+
+
+def test_polygon_query_disjoint_complement(spark, shapes_df):
+    from es_indexer_spark.ops.geoshape import assemble_shapes
+
+    all_geoms = {
+        (r["doc_id"], r["geom_idx"])
+        for r in assemble_shapes(shapes_df).select("doc_id", "geom_idx").collect()
+    }
+    rings = [_tri(6, 6, 4)]
+    inter = _relate(shapes_df, rings, "intersects")
+    dis = _relate(shapes_df, rings, "disjoint")
+    assert inter | dis == all_geoms and inter & dis == set()
+
+
+def test_polygon_query_point_semantics(spark, shapes_df):
+    assert (4, 0) in _relate(shapes_df, [_tri(10, 10, 3)], "intersects")
+    assert (4, 0) in _relate(shapes_df, [_tri(10, 10, 3)], "within")
+    assert (4, 0) not in _relate(shapes_df, [_tri(10, 10, 3)], "contains")

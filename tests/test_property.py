@@ -316,3 +316,66 @@ def test_bool_shard_scorer_matches_brute(
         got = []
     assert [d for d, _ in got] == [d for d, _ in expected]
     assert [s for _, s in got] == pytest.approx([s for _, s in expected])
+
+
+# --------------------------------------------------------------- sloppy chain
+@st.composite
+def _doc_positions(draw):
+    """Random per-doc term-position layouts for up to 3 terms: a dict
+    term -> sorted position list, over a small position universe so
+    collisions and adjacencies actually happen."""
+    n_terms = draw(st.integers(min_value=1, max_value=3))
+    docs = draw(st.integers(min_value=1, max_value=5))
+    layout = []
+    for d in range(docs):
+        per_term = []
+        for _ in range(n_terms):
+            pos = draw(
+                st.lists(st.integers(min_value=0, max_value=12),
+                         min_size=0, max_size=6, unique=True)
+            )
+            per_term.append(sorted(pos))
+        layout.append(per_term)
+    slop = draw(st.integers(min_value=0, max_value=4))
+    return n_terms, layout, slop
+
+
+@given(_doc_positions())
+@settings(max_examples=300, deadline=None)
+def test_chain_starts_matches_exhaustive(case):
+    """_chain_starts (greedy successor chain over packed keys) must agree
+    with an EXHAUSTIVE search over all increasing position tuples — the
+    definitional semantics: start p0 matches iff some strictly-increasing
+    tuple (p0..p_{m-1}) with p_i ∈ pos(term_i) has span-(m-1) <= slop."""
+    from itertools import product
+
+    from es_indexer_spark.query.phrase import _chain_starts
+
+    n_terms, layout, slop = case
+    terms = [f"t{i}" for i in range(n_terms)]
+    key_parts = {t: [] for t in terms}
+    expected = set()
+    for d, per_term in enumerate(layout):
+        for i, t in enumerate(terms):
+            key_parts[t].extend((d << 32) | p for p in per_term[i])
+        # exhaustive truth per doc
+        for tup in product(*per_term):
+            if all(a < b for a, b in zip(tup, tup[1:])) and (
+                tup[-1] - tup[0]
+            ) - (n_terms - 1) <= slop:
+                expected.add((d << 32) | tup[0])
+    term_keys = {
+        t: np.sort(np.asarray(v, dtype=np.int64)) for t, v in key_parts.items()
+    }
+    if any(term_keys[t].size == 0 for t in terms):
+        # the scorer returns empty before chaining when any term is absent;
+        # _chain_starts itself requires non-empty first-term keys
+        if term_keys[terms[0]].size == 0:
+            return
+        got = _chain_starts(term_keys, terms, slop)
+        assert set(got.tolist()) == set(), "absent later term must kill chains"
+        return
+    got = _chain_starts(term_keys, terms, slop)
+    assert set(got.tolist()) == expected
+    # count semantics: one row per distinct matching start key
+    assert len(got.tolist()) == len(set(got.tolist()))
