@@ -45,6 +45,9 @@ Jobs:
   antimeridian; ``--date-range yyyy-MM,yyyy-MM``; ``--collections``);
 - ``span-near`` — positional proximity query (``--clauses a,b --slop 2
   --in-order false``; round 5 — ordered = match_phrase slop semantics);
+- ``geo-shape`` — geo_shape over a ``write_shape_index`` layout (``--bbox``
+  or ``--polygon "lon,lat lon,lat ..."`` + ``--relation
+  intersects|within|contains|disjoint``; round 5);
 - ``suggest-fuzzy`` — completion with typo tolerance (``--query dat
   --fuzziness 1``; round 5);
 - ``fuzzy``   — Levenshtein-expanded term query (``--fuzziness``);
@@ -75,7 +78,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "delete", "compact", "bool", "fuzzy", "prefix", "explain",
                  "delete-query", "wildcard", "phrase-prefix", "mlt",
                  "simple-qs", "rescore", "range", "sortquery", "geo-bbox",
-                 "span-near", "suggest-fuzzy"],
+                 "span-near", "suggest-fuzzy", "geo-shape"],
     )
     p.add_argument("--slop", type=int, default=0,
                    help="phrase/span-near: ordered slop (greedy-chain semantics)")
@@ -83,6 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="span-near: require clause order")
     p.add_argument("--clauses", type=_csv, default=[],
                    help="span-near clause terms (comma-separated)")
+    p.add_argument("--relation", default="intersects",
+                   choices=["intersects", "within", "contains", "disjoint"],
+                   help="geo-shape: ES spatial relation")
+    p.add_argument("--polygon", default=None,
+                   help="geo-shape: query polygon 'lon,lat lon,lat ...' "
+                        "(space-separated ring; omit to use --bbox)")
     p.add_argument("--min-should-match", default=None,
                    help="bool job: required count of matched should clauses — "
                         "an int or an ES string spec ('75%%', '-25%%')")
@@ -341,6 +350,33 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.index, bbox,
                 date_range=dr, collections=args.collections,
             )
+            for r in hits.collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.job == "geo-shape":
+            # --index = a write_shape_index parquet dir (assembled shapes)
+            from es_indexer_spark.ops.geoshape import (
+                shape_intersects_bbox,
+                shape_relate_polygon,
+            )
+
+            shapes = spark.read.parquet(args.index)
+            if args.polygon:
+                ring = [
+                    tuple(float(v) for v in pt.split(","))
+                    for pt in args.polygon.split()
+                ]
+                hits = shape_relate_polygon(
+                    shapes, [ring], relation=args.relation
+                )
+            elif args.bbox:
+                bbox = tuple(float(x) for x in args.bbox.split(","))
+                if len(bbox) != 4:
+                    print("--bbox takes 4 numbers", file=sys.stderr)
+                    return 2
+                hits = shape_intersects_bbox(shapes, bbox)
+            else:
+                print("--polygon or --bbox required", file=sys.stderr)
+                return 2
             for r in hits.collect():
                 print(json.dumps(r.asDict(), default=str))
         elif args.job == "fuzzy":

@@ -266,3 +266,24 @@ def test_polygon_query_point_semantics(spark, shapes_df):
     assert (4, 0) in _relate(shapes_df, [_tri(10, 10, 3)], "intersects")
     assert (4, 0) in _relate(shapes_df, [_tri(10, 10, 3)], "within")
     assert (4, 0) not in _relate(shapes_df, [_tri(10, 10, 3)], "contains")
+
+
+def test_cli_geo_shape_job(spark, shapes_df, tmp_path, capsys):
+    import json as _json
+
+    from es_indexer_spark.cli import main
+    from es_indexer_spark.ops.geoshape import assemble_shapes, write_shape_index
+
+    path = str(tmp_path / "shape_cli_idx")
+    write_shape_index(assemble_shapes(shapes_df), path, n_files=2)
+
+    rc = main(["--job", "geo-shape", "--index", path, "--bbox", "4,4,20,20"])
+    assert rc == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {(r["doc_id"], r["geom_idx"]) for r in rows} == {(1, 0), (4, 0)}
+
+    rc = main(["--job", "geo-shape", "--index", path,
+               "--polygon", "-1,-1 1,-1 0,1", "--relation", "contains"])
+    assert rc == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {(r["doc_id"], r["geom_idx"]) for r in rows} == {(1, 0)}
