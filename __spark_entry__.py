@@ -1057,6 +1057,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bool_msm"] = _bool_msm
     q["bool_msm_pct"] = _bool_msm_pct
+
+    # round 5: search_after on the SORTED surface — page 2 via the keyset
+    # cursor (page-1 last row's sort values); oracle = OFFSET continuation
+    def _sort_after(spark, sf):
+        from es_indexer_spark.query.engine import topk_sorted
+
+        root = _index_root(spark, sf)
+        srt = [("n_chars", "desc"), "_score"]
+        p1 = topk_sorted(spark, root, "data stream", sort=srt, k=15).collect()
+        last = p1[-1]
+        return topk_sorted(
+            spark, root, "data stream", sort=srt, k=15,
+            after=(last["n_chars"], last["score"], last["docid"]),
+        ).select(
+            F.col("docid").alias("doc_id"), "n_chars",
+            F.round("score", 4).alias("score"),
+        )
+
+    q["sort_after"] = _sort_after
     q["bool_boost"] = _bool_boost
     q["bool_fuzzy"] = _bool_fuzzy
     q["bool_filter_term"] = _bool_filter_term
@@ -1390,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_slop", "span_near_unordered", "bool_msm_pct",
         "geo_shape_intersects", "related_links", "cloud_assets",
         "suggest_fuzzy", "phrase_match_deleted", "geo_shape_polygon",
+        "sort_after",
     ]
     return {
         k: q[k]
@@ -1506,6 +1526,14 @@ FROM pf CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
 SELECT r.doc_id, d.n_chars, round(r.score_raw::DOUBLE, 4) AS score
 FROM raw r JOIN documents d USING (doc_id)
 ORDER BY d.n_chars DESC, r.score_raw DESC, r.doc_id ASC LIMIT 15
+"""
+    # keyset page 2 must equal the OFFSET continuation of the same ordering
+    o["sort_after"] = f"""
+{_BM25_PREAMBLE},
+{_raw_cte("tf.term IN ('data', 'stream')")}
+SELECT r.doc_id, d.n_chars, round(r.score_raw::DOUBLE, 4) AS score
+FROM raw r JOIN documents d USING (doc_id)
+ORDER BY d.n_chars DESC, r.score_raw DESC, r.doc_id ASC LIMIT 15 OFFSET 15
 """
     o["bool_filter_term"] = _bool_sql(must=["data"], rng="lang = 'en'")
     # "-25%" of 4 should clauses = 4 + trunc(-1.0) = 3 required

@@ -849,6 +849,33 @@ def fetch_docs(spark: SparkSession, index_root: str, topk_df: DataFrame) -> Data
     return spark.createDataFrame(hits, topk_df.schema).join(docs, "docid", "left")
 
 
+def _keyset_after(levels: list, after_vals) -> "F.Column":
+    """Strictly-after predicate for a multi-level sort with per-level
+    direction and ES nulls-last semantics: a row is after the cursor iff at
+    the FIRST level where they differ the row sorts later.
+
+    Per level with cursor value ``v``:
+    - ``v`` non-null: after = (col > v) asc / (col < v) desc, OR col IS NULL
+      (nulls sort last in either direction); equal-continue = col == v;
+    - ``v`` null: nothing sorts after null at this level — after = false,
+      equal-continue = col IS NULL (ordering falls to the next level inside
+      the null region)."""
+    pred = F.lit(False)
+    eq_chain = F.lit(True)
+    for (name, desc_, nullable), v in zip(levels, after_vals):
+        c = F.col(name)
+        if v is None:
+            after_e = F.lit(False)
+            eq_e = c.isNull()
+        else:
+            cmp = (c < F.lit(v)) if desc_ else (c > F.lit(v))
+            after_e = (cmp | c.isNull()) if nullable else cmp
+            eq_e = c == F.lit(v)
+        pred = pred | (eq_chain & after_e)
+        eq_chain = eq_chain & eq_e
+    return pred
+
+
 def topk_sorted(
     spark: SparkSession,
     index_root: str,
@@ -856,6 +883,7 @@ def topk_sorted(
     *,
     sort: list,
     k: int = 10,
+    after: tuple | None = None,
     lang: str | None = None,
 ) -> DataFrame:
     """ES sort-by-field ranked search: ``sort=[("field", "asc"|"desc"), ...,
@@ -875,26 +903,46 @@ def topk_sorted(
     the docid-sorted docs store for the sort fields, then a global top-k
     that Spark executes as TakeOrderedAndProject (per-partition top-k +
     k-row merge — never a full sort materialization). Returns
-    ``(docid, score, <sort fields>)``."""
+    ``(docid, score, <sort fields>)``.
+
+    ``after``: ES ``search_after`` on the sorted surface — the previous
+    page's sort-key values, one per ``sort`` level plus the trailing docid
+    (exactly the previous page's last returned row). Pages concatenate to a
+    single larger-k result (pytest-pinned, incl. across a null region —
+    nulls-last keyset semantics in :func:`_keyset_after`); the filter is a
+    plain row predicate, so deep pagination re-sorts only rows strictly
+    after the cursor and never offsets/rescans the pages before it."""
     orders = []
     fields: list[str] = []
+    levels: list[tuple[str, bool, bool]] = []
     for s in sort:
         name, direction = (s, "desc") if isinstance(s, str) else (s[0], s[1])
         desc_ = str(direction).lower() != "asc"
         if name == "_score":
             orders.append(F.desc("score") if desc_ else F.asc("score"))
+            levels.append(("score", desc_, False))
         else:
             fields.append(name)
             orders.append(
                 F.desc_nulls_last(name) if desc_ else F.asc_nulls_last(name)
             )
+            levels.append((name, desc_, True))
     orders.append(F.asc("docid"))
+    levels.append(("docid", False, False))
     matches = topk(spark, index_root, query, k=None, lang=lang)
     vdir = catalog.resolve(index_root)
     docs = spark.read.parquet(os.path.join(vdir, "docs")).select(
         "docid", *dict.fromkeys(fields)
     )
-    return matches.join(docs, "docid").orderBy(*orders).limit(k)
+    joined = matches.join(docs, "docid")
+    if after is not None:
+        if len(after) != len(levels):
+            raise ValueError(
+                f"after needs {len(levels)} values (one per sort level + "
+                f"docid), got {len(after)}"
+            )
+        joined = joined.filter(_keyset_after(levels, after))
+    return joined.orderBy(*orders).limit(k)
 
 
 def more_like_this(

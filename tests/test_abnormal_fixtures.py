@@ -418,3 +418,41 @@ def test_range_agg_unbounded_only(spark):
     df = spark.range(7).select(F.col("id").cast("double").alias("v"))
     out = range_agg(df, "v", [(None, None)]).collect()
     assert [(r["key"], r["doc_count"]) for r in out] == [("*-*", 7)]
+
+
+def test_topk_sorted_search_after_pages_concatenate(spark, tmp_path):
+    """Keyset pagination on the sorted surface: pages concatenate exactly to
+    one larger-k result, INCLUDING across the null region (nulls-last keyset
+    semantics) and under a desc sort."""
+    from es_indexer_spark.index.builder import build_index
+    from es_indexer_spark.query.engine import topk_sorted
+
+    rows = []
+    for i in range(40):
+        tag = None if i % 5 == 0 else f"t{i % 7}"
+        rows.append((i, "alpha term " + ("extra " * (i % 3)), tag))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tag string")
+    root = str(tmp_path / "idx_sa")
+    build_index(
+        spark, docs, root, content_col="text", id_col="doc_id",
+        meta_cols=("tag",), tokenizer="standard", n_buckets=2,
+        shard_size=10, n_ckpt_batches=1,
+    )
+    for srt in ([("tag", "asc"), "_score"], [("tag", "desc"), ("_score", "asc")]):
+        full = topk_sorted(spark, root, "alpha", sort=srt, k=40).collect()
+        paged, after = [], None
+        for _ in range(10):
+            page = topk_sorted(spark, root, "alpha", sort=srt, k=5, after=after).collect()
+            if not page:
+                break
+            paged.extend(page)
+            last = page[-1]
+            after = (last["tag"], last["score"], last["docid"])
+        assert [(r["docid"], r["tag"], r["score"]) for r in paged] == [
+            (r["docid"], r["tag"], r["score"]) for r in full
+        ], srt
+    # wrong cursor arity is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        topk_sorted(spark, root, "alpha", sort=[("tag", "asc")], k=5, after=(1,))
