@@ -1384,6 +1384,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # round 4: range + filters aggs — overlapping buckets, one
     # conditional-sum pass each (never a per-bucket scan)
+    # round 5: ES pipeline aggs over the monthly histogram — derivative,
+    # cumulative_sum and a trailing moving average of doc_count
+    def _agg_pipeline(spark, sf):
+        hist = aggs.date_histogram(_events(spark, sf), "ts", "day")
+        out = aggs.moving_avg(
+            aggs.cumulative_sum(aggs.derivative(hist, "doc_count"), "doc_count"),
+            "doc_count", window=3,
+        )
+        return out.select(
+            "bucket", "doc_count", "doc_count_deriv", "doc_count_cumsum",
+            F.round("doc_count_mavg", 6).alias("doc_count_mavg"),
+        )
+
+    q["agg_pipeline"] = _agg_pipeline
     q["agg_range"] = lambda spark, sf: aggs.range_agg(
         _events(spark, sf), "value", [(None, 25.0), (25.0, 50.0), (50.0, None)]
     )
@@ -1409,7 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_slop", "span_near_unordered", "bool_msm_pct",
         "geo_shape_intersects", "related_links", "cloud_assets",
         "suggest_fuzzy", "phrase_match_deleted", "geo_shape_polygon",
-        "sort_after",
+        "sort_after", "agg_pipeline",
     ]
     return {
         k: q[k]
@@ -2637,6 +2651,15 @@ SELECT event_type, event_id, value, hit_rank FROM (
                             ORDER BY value DESC, event_id ASC) AS hit_rank
   FROM events)
 WHERE hit_rank <= 3
+"""
+    o["agg_pipeline"] = """
+WITH h AS (SELECT date_trunc('day', ts)::TIMESTAMP AS bucket, count(*)::BIGINT AS doc_count
+           FROM events GROUP BY 1)
+SELECT bucket, doc_count,
+       doc_count - lag(doc_count) OVER (ORDER BY bucket) AS doc_count_deriv,
+       sum(doc_count) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS doc_count_cumsum,
+       round(avg(doc_count::DOUBLE) OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS doc_count_mavg
+FROM h
 """
     o["agg_date_histogram_stats"] = """
 SELECT date_trunc('month', ts)::TIMESTAMP AS bucket, count(*)::BIGINT AS doc_count,

@@ -366,3 +366,71 @@ def filters_agg(df: DataFrame, filters: dict[str, "F.Column"]) -> DataFrame:
         .orderBy("_ord")
         .select("key", "doc_count")
     )
+
+
+# ------------------------------------------------------------- pipeline aggs
+# ES pipeline aggregations (public ES surface: derivative / cumulative_sum /
+# moving_fn / bucket_sort over a parent histogram's buckets). Scale note: a
+# pipeline agg runs over the BUCKET table, whose row count is bounded by the
+# time range / interval (thousands, not corpus-sized), so the unpartitioned
+# ordered window below is a deliberate, safe choice at any corpus scale —
+# the corpus-sized work already happened in the parent aggregation.
+
+
+def derivative(buckets: DataFrame, metric: str, *, bucket_col: str = "bucket") -> DataFrame:
+    """ES ``derivative``: per bucket, metric minus the previous bucket's
+    metric in bucket order; the first bucket gets NULL (ES omits it)."""
+    w = Window.orderBy(bucket_col)
+    return buckets.withColumn(
+        f"{metric}_deriv", F.col(metric) - F.lag(metric).over(w)
+    )
+
+
+def cumulative_sum(buckets: DataFrame, metric: str, *, bucket_col: str = "bucket") -> DataFrame:
+    """ES ``cumulative_sum``: running total of the metric in bucket order."""
+    w = Window.orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, 0)
+    return buckets.withColumn(f"{metric}_cumsum", F.sum(metric).over(w))
+
+
+def moving_avg(
+    buckets: DataFrame, metric: str, *, window: int = 3, bucket_col: str = "bucket"
+) -> DataFrame:
+    """ES ``moving_fn`` with the unweightedAvg shape: average of the metric
+    over the trailing ``window`` buckets (current included — ES
+    ``shift=1``-style trailing window), partial at the head like ES."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    w = Window.orderBy(bucket_col).rowsBetween(-(window - 1), 0)
+    return buckets.withColumn(
+        f"{metric}_mavg", F.avg(F.col(metric).cast("double")).over(w)
+    )
+
+
+def bucket_sort(
+    buckets: DataFrame,
+    sort: list,
+    *,
+    size: int | None = None,
+    from_: int = 0,
+) -> DataFrame:
+    """ES ``bucket_sort``: re-order the parent's buckets by metric values and
+    truncate — ``sort=[("doc_count", "desc"), ...]``; ``from_``/``size`` page
+    the sorted bucket list (ES semantics: applied AFTER all other pipeline
+    aggs)."""
+    orders = [
+        (F.desc(c) if str(d).lower() != "asc" else F.asc(c)) for c, d in sort
+    ]
+    out = buckets.orderBy(*orders)
+    if from_ or size is not None:
+        # bucket tables are small by construction (see module note) — a
+        # window row_number keeps this one plan instead of a collect
+        w = Window.orderBy(*orders)
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(
+                (F.col("__rn") > from_)
+                & (F.col("__rn") <= (from_ + size if size is not None else 1 << 62))
+            )
+            .drop("__rn")
+        )
+    return out

@@ -249,3 +249,40 @@ def test_filters_agg_named_buckets(spark, events):
         ("clicks", sum(1 for r in rows if r["event_type"] == "click")),
         ("big", sum(1 for r in rows if r["value"] is not None and r["value"] > 50)),
     ]
+
+
+def test_pipeline_aggs_derivative_cumsum_mavg(spark):
+    """ES pipeline aggs over a parent histogram: derivative (first bucket
+    NULL), cumulative_sum (running total), moving_avg (trailing window,
+    partial head like ES moving_fn)."""
+    from es_indexer_spark.query.aggs import cumulative_sum, derivative, moving_avg
+
+    hist = spark.createDataFrame(
+        [(1, 10), (2, 13), (3, 7), (4, 7), (5, 20)], "bucket int, doc_count long"
+    )
+    out = moving_avg(
+        cumulative_sum(derivative(hist, "doc_count"), "doc_count"),
+        "doc_count", window=3,
+    ).orderBy("bucket").collect()
+    assert [r["doc_count_deriv"] for r in out] == [None, 3, -6, 0, 13]
+    assert [r["doc_count_cumsum"] for r in out] == [10, 23, 30, 37, 57]
+    import pytest as _pytest
+
+    assert out[0]["doc_count_mavg"] == 10.0
+    assert out[1]["doc_count_mavg"] == _pytest.approx(11.5)
+    assert out[2]["doc_count_mavg"] == _pytest.approx(10.0)
+    assert out[4]["doc_count_mavg"] == _pytest.approx((7 + 7 + 20) / 3)
+
+
+def test_pipeline_bucket_sort_pages(spark):
+    from es_indexer_spark.query.aggs import bucket_sort
+
+    hist = spark.createDataFrame(
+        [("a", 5), ("b", 9), ("c", 9), ("d", 1)], "key string, doc_count long"
+    )
+    top = bucket_sort(hist, [("doc_count", "desc"), ("key", "asc")], size=2).collect()
+    assert [(r["key"], r["doc_count"]) for r in top] == [("b", 9), ("c", 9)]
+    page2 = bucket_sort(
+        hist, [("doc_count", "desc"), ("key", "asc")], size=2, from_=2
+    ).collect()
+    assert [r["key"] for r in page2] == ["a", "d"]
