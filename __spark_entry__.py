@@ -3,9 +3,9 @@
 ``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
 training-data operators (dedup / similarity / text stats / multimodal) and the
 reference scalar-transform surface (ops/mapper.py); ``oracle_sql()`` gives the
-DuckDB-runnable ANSI-SQL equivalent for EVERY entry — as of round 2 there are
-no rows-only entries. Column names and rounding are matched pairwise so the
-driver's order-insensitive value-hash compares equal.
+DuckDB-runnable ANSI-SQL equivalent for EVERY entry (124 entries as of round
+5 — no rows-only entries since round 2). Column names and rounding are
+matched pairwise so the driver's order-insensitive value-hash compares equal.
 
 Ops whose scale-path hashing isn't ANSI-SQL-expressible are parameterized into
 an oracle-equivalent mode for the contract (the algorithms are identical; only
@@ -616,6 +616,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["span_near_unordered"] = _span_unordered
+
+    def _span_first(spark, sf):
+        from es_indexer_spark.query.phrase import span_first
+
+        return span_first(
+            spark, _index_root(spark, sf), ["data", "stream"], 30,
+            slop=1, k=None,
+        ).select(
+            F.col("docid").alias("doc_id"),
+            "phrase_tf",
+            F.round("score", 4).alias("score"),
+        )
+
+    q["span_first"] = _span_first
     q["bm25_topk_synonym"] = lambda spark, sf: index_topk(
         spark, _index_root(spark, sf), "jw", k=10,
         synonyms={"jw": ["joined window"]},
@@ -1423,7 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_slop", "span_near_unordered", "bool_msm_pct",
         "geo_shape_intersects", "related_links", "cloud_assets",
         "suggest_fuzzy", "phrase_match_deleted", "geo_shape_polygon",
-        "sort_after", "agg_pipeline",
+        "sort_after", "agg_pipeline", "span_first",
     ]
     return {
         k: q[k]
@@ -1525,6 +1539,32 @@ FROM pf CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
         o["phrase_match"].rstrip()[:-len("WHERE ptf > 0")]
         + f"WHERE ptf > 0 AND {_DEAD_PRED_SQL}\n"
     )
+    # span_first('data','stream', end=30, slop=1): greedy min successor,
+    # window fit AND end bound; DuckDB positions are 1-based so the engine's
+    # exclusive 0-based bound (last < 30) becomes duck_end <= 30
+    o["span_first"] = """
+WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+              FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT sum(len(t)) FROM toks)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+dfs AS (SELECT (SELECT count(*) FROM toks WHERE list_contains(t, 'data'))::DOUBLE AS df1,
+               (SELECT count(*) FROM toks WHERE list_contains(t, 'stream'))::DOUBLE AS df2),
+pos AS (SELECT doc_id, len(t)::DOUBLE AS dl,
+               [i for i in range(1, len(t)+1) if t[i] = 'data'] AS p0,
+               [i for i in range(1, len(t)+1) if t[i] = 'stream'] AS p1
+        FROM toks),
+pf AS (SELECT doc_id, dl,
+              len([s for s in p0 if
+                   coalesce(list_min([x for x in p1 if x > s]), 2147483647) - s - 1 <= 1
+                   AND coalesce(list_min([x for x in p1 if x > s]), 2147483647) <= 30
+                  ]) AS ptf
+       FROM pos)
+SELECT doc_id, ptf::BIGINT AS phrase_tf,
+       round((ln(1 + (st.n - dfs.df1 + 0.5) / (dfs.df1 + 0.5))
+            + ln(1 + (st.n - dfs.df2 + 0.5) / (dfs.df2 + 0.5)))
+             * ptf * 2.2 / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)), 4) AS score
+FROM pf CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
+"""
     o["bm25_topk_synonym"] = _bm25_sql(["joined", "jw", "window"])
     o["bool_must_not"] = _bool_sql(
         must=["data"], should=["batch", "stream"], must_not=["key"]

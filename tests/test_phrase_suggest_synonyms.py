@@ -596,3 +596,64 @@ def test_suggest_fuzzy_k_cap(spark, pos_index):
     full = suggest_fuzzy(spark, pos_index, "sta", k=50, fuzziness=1).count()
     assert full >= 3
     assert suggest_fuzzy(spark, pos_index, "sta", k=3, fuzziness=1).count() == 3
+
+
+# ---------------------------------------------------------------- span_first
+def _brute_span_first(documents, terms, slop, end, ordered=True):
+    """Greedy-chain brute with Lucene's exclusive end bound: a start counts
+    iff its greedy chain fits the window AND its end position < end."""
+    import pandas as pd
+    from itertools import permutations
+
+    rows = documents.select("doc_id", "text").collect()
+    toks = standard_tokenize_series(pd.Series([r["text"] for r in rows]))
+    m = len(terms)
+    orders = [tuple(terms)] if ordered else sorted({p for p in permutations(terms)})
+    out = {}
+    for r, tl in zip(rows, toks):
+        pos = {t: [i for i, x in enumerate(tl) if x == t] for t in set(terms)}
+        if any(not pos[t] for t in set(terms)):
+            continue
+        starts = set()
+        for order in orders:
+            for p0 in pos[order[0]]:
+                cur, ok = p0, True
+                for t in order[1:]:
+                    nxt = [q for q in pos[t] if q > cur]
+                    if not nxt:
+                        ok = False
+                        break
+                    cur = min(nxt)
+                if ok and (cur - p0) - (m - 1) <= slop and cur < end:
+                    starts.add(p0)
+        if starts:
+            out[r["doc_id"]] = len(starts)
+    return out
+
+
+@pytest.mark.parametrize(
+    "clauses,slop,end,in_order",
+    [(["data", "stream"], 1, 30, True), (["data"], 0, 1, True),
+     (["stream", "data"], 2, 25, False)],
+)
+def test_span_first_vs_brute(spark, documents, pos_index, clauses, slop, end, in_order):
+    from es_indexer_spark.query.phrase import span_first
+
+    got = {
+        r["docid"]: r["phrase_tf"]
+        for r in span_first(
+            spark, pos_index, clauses, end, slop=slop, in_order=in_order, k=None
+        ).collect()
+    }
+    want = _brute_span_first(documents, clauses, slop, end, ordered=in_order)
+    assert got == want
+
+
+def test_span_first_unbounded_equals_span_near(spark, pos_index):
+    from es_indexer_spark.query.phrase import span_first, span_near
+
+    a = [(r["docid"], r["phrase_tf"]) for r in span_near(
+        spark, pos_index, ["data", "stream"], slop=1, k=None).collect()]
+    b = [(r["docid"], r["phrase_tf"]) for r in span_first(
+        spark, pos_index, ["data", "stream"], 1 << 30, slop=1, k=None).collect()]
+    assert a == b and a
