@@ -416,6 +416,7 @@ def _raw_cte(where: str) -> str:
 
 
 _RAW_JSW = _raw_cte("tf.term IN ('join', 'spark', 'window')")
+_RAW_DS = _raw_cte("tf.term IN ('data', 'stream')")
 
 
 def _hexdig(h: str, p: int) -> str:
@@ -1153,6 +1154,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["wildcard_docs"] = _wildcard
     q["phrase_prefix"] = _mpp
 
+    # ---- ES regexp + compound queries (dis_max / constant_score / boosting) ------
+    def _regexp(spark, sf):
+        from es_indexer_spark.query.suggest import regexp_query
+
+        # 's[pt].*' expands to {spark, stream} at this corpus — under the cap,
+        # so the SQL full-semantics replay is exact
+        return regexp_query(
+            spark, _index_root(spark, sf), "s[pt].*", k=100000
+        ).select(F.col("docid").alias("doc_id"), "score")
+
+    def _dis_max(spark, sf):
+        from es_indexer_spark.query.compound import dis_max
+
+        return dis_max(
+            spark, _index_root(spark, sf),
+            ["data stream", "batch window"], tie_breaker=0.3, k=10,
+        ).select(F.col("docid").alias("doc_id"), F.round("score", 4).alias("score"))
+
+    def _const_score(spark, sf):
+        from es_indexer_spark.query.compound import constant_score
+
+        return constant_score(
+            spark, _index_root(spark, sf),
+            filter_terms=["dup"], boost=2.5, k=100000,
+        ).select(F.col("docid").alias("doc_id"), "score")
+
+    def _boosting(spark, sf):
+        from es_indexer_spark.query.compound import boosting
+
+        return boosting(
+            spark, _index_root(spark, sf),
+            positive="data stream", negative="slow", negative_boost=0.4, k=10,
+        ).select(F.col("docid").alias("doc_id"), F.round("score", 4).alias("score"))
+
+    def _rare_terms(spark, sf):
+        from es_indexer_spark.query.aggs import rare_terms
+
+        return rare_terms(
+            spark, _index_root(spark, sf), max_doc_count=390
+        ).select("term", "doc_count")
+
+    q["regexp_docs"] = _regexp
+    q["dis_max"] = _dis_max
+    q["constant_score"] = _const_score
+    q["boosting_query"] = _boosting
+    q["agg_rare_terms"] = _rare_terms
+
     # ---- ES more_like_this (like = doc 42's source text) -------------------------
     def _mlt(spark, sf):
         from es_indexer_spark.query.engine import more_like_this
@@ -1794,6 +1842,61 @@ WITH toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z
 SELECT doc_id, 1.0::DOUBLE AS score FROM toksl
 WHERE len(list_filter(t, x -> regexp_matches(x, '^s.a.*$'))) > 0
 ORDER BY doc_id ASC LIMIT 100000
+"""
+    # regexp 's[pt].*' (constant-score rewrite; expansions under the cap,
+    # so the SQL full-semantics replay is exact)
+    o["regexp_docs"] = """
+WITH toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+               FROM documents)
+SELECT doc_id, 1.0::DOUBLE AS score FROM toksl
+WHERE len(list_filter(t, x -> regexp_matches(x, '^s[pt].*$'))) > 0
+ORDER BY doc_id ASC LIMIT 100000
+"""
+    # dis_max over two match (OR) sub-queries: per-clause BM25 sums, combined
+    # as best + tie * (sum - best) (Lucene DisjunctionMaxQuery)
+    o["dis_max"] = f"""
+{_BM25_PREAMBLE},
+c0 AS (SELECT tf.doc_id,
+              sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                  tf.tf * {K1 + 1} / (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / st.avgdl))) AS s
+       FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       WHERE tf.term IN ('data', 'stream') GROUP BY tf.doc_id),
+c1 AS (SELECT tf.doc_id,
+              sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                  tf.tf * {K1 + 1} / (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / st.avgdl))) AS s
+       FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       WHERE tf.term IN ('batch', 'window') GROUP BY tf.doc_id),
+u AS (SELECT doc_id, COALESCE(c0.s, 0) AS s0, COALESCE(c1.s, 0) AS s1
+      FROM c0 FULL OUTER JOIN c1 USING (doc_id))
+SELECT doc_id,
+       round((greatest(s0, s1) + 0.3 * (s0 + s1 - greatest(s0, s1)))::DOUBLE, 4) AS score
+FROM u
+ORDER BY (greatest(s0, s1) + 0.3 * (s0 + s1 - greatest(s0, s1))) DESC, doc_id ASC LIMIT 10
+"""
+    # constant_score over filter(term 'dup'): every match scores the boost
+    o["constant_score"] = """
+WITH toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+               FROM documents)
+SELECT doc_id, 2.5::DOUBLE AS score FROM toksl
+WHERE list_contains(t, 'dup') ORDER BY doc_id ASC LIMIT 100000
+"""
+    # boosting: positive match (data OR stream) ranks; docs also containing
+    # 'slow' have their score multiplied by negative_boost 0.4, never dropped
+    o["boosting_query"] = f"""
+{_BM25_PREAMBLE},
+{_RAW_DS},
+neg AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'slow')
+SELECT r.doc_id,
+       round((CASE WHEN n.doc_id IS NOT NULL THEN r.score_raw * 0.4 ELSE r.score_raw END)::DOUBLE, 4) AS score
+FROM raw r LEFT JOIN neg n USING (doc_id)
+ORDER BY (CASE WHEN n.doc_id IS NOT NULL THEN r.score_raw * 0.4 ELSE r.score_raw END) DESC, r.doc_id ASC LIMIT 10
+"""
+    # rare_terms: long-tail terms with df <= 30 (doc_count asc, term asc)
+    o["agg_rare_terms"] = """
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+t2 AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> '')
+SELECT term, count(*)::BIGINT AS doc_count FROM t2 GROUP BY term
+HAVING count(*) <= 390 ORDER BY doc_count ASC, term ASC
 """
     # match_phrase_prefix 'data s': fixed term 'data' followed by any term
     # LIKE 's%'; score = PhraseQuery formula with the expanded position's idf

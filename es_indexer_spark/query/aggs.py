@@ -406,6 +406,45 @@ def moving_avg(
     )
 
 
+def rare_terms(
+    spark: SparkSession,
+    index_root: str,
+    *,
+    max_doc_count: int = 1,
+    limit: int | None = None,
+) -> DataFrame:
+    """ES ``rare_terms`` aggregation over the indexed content field: terms
+    whose document frequency is at most ``max_doc_count``, ordered by
+    (doc_count asc, term asc) — ES's "long tail" facet, the inverse of the
+    ``terms`` agg ordering.
+
+    ES computes this with a CuckooFilter sweep over shard term dictionaries;
+    here the published index ALREADY materializes exact per-term df in the
+    term-sorted dict parquet, so this is one column-pruned scan + pushed
+    ``df <= N`` predicate — no tokenization, no shuffle beyond the final
+    order. The long-tail result can be large by definition; pass ``limit``
+    to page it like ES's implicit size cap."""
+    from es_indexer_spark.query.engine import _dict_df
+
+    vdir = catalog.resolve(index_root)
+    out = (
+        _dict_df(spark, vdir)
+        .filter(F.col("df") <= int(max_doc_count))
+        .select("term", F.col("df").alias("doc_count"))
+        .orderBy(F.asc("doc_count"), F.asc("term"))
+    )
+    return out.limit(limit) if limit is not None else out
+
+
+def missing_agg(df: DataFrame, col: str) -> DataFrame:
+    """ES ``missing`` aggregation: the count of docs with no value for the
+    field (NULL here; ES also counts absent keys, which parquet stores as
+    NULL). One map-side-combined count."""
+    return df.select(
+        F.count(F.when(F.col(col).isNull(), F.lit(1))).alias("doc_count")
+    )
+
+
 def bucket_sort(
     buckets: DataFrame,
     sort: list,

@@ -240,6 +240,82 @@ def wildcard_query(
     return _expansion_docids(spark, vdir, exp, k)
 
 
+_LUCENE_RE_UNSUPPORTED = set("~&<>#")
+_LUCENE_RE_SPECIAL = set('.?+*|{}[]()"\\@') | _LUCENE_RE_UNSUPPORTED
+
+
+def lucene_regexp_to_java(pattern: str) -> str:
+    """Translate a Lucene ``RegExp`` pattern (the syntax ES ``regexp``
+    queries document) into an anchored Java-compatible regex for ``rlike``.
+
+    The core operator set — literals, ``.``, ``[...]``, ``(...)``, ``|``,
+    ``*``, ``+``, ``?``, ``{m,n}``, ``\\``-escapes — is shared syntax and
+    passes through unchanged; Lucene's ``@`` (ANYSTRING) becomes ``.*``.
+    Lucene's optional operators with no regex equivalent (``~`` complement,
+    ``&`` intersection, ``<n-m>`` numeric interval, ``#`` empty-language)
+    raise, naming the operator, rather than silently mis-matching."""
+    out = []
+    escaped = False
+    for ch in pattern:
+        if escaped:
+            out.append("\\" + ch)
+            escaped = False
+        elif ch == "\\":
+            escaped = True
+        elif ch in _LUCENE_RE_UNSUPPORTED:
+            raise ValueError(
+                f"unsupported Lucene regexp operator {ch!r} in {pattern!r} "
+                "(supported: . ? + * | {m,n} [...] (...) @ and \\-escapes)"
+            )
+        elif ch == "@":
+            out.append(".*")
+        else:
+            out.append(ch)
+    if escaped:
+        raise ValueError(f"trailing backslash in regexp pattern {pattern!r}")
+    return "^" + "".join(out) + "$"
+
+
+def regexp_query(
+    spark: SparkSession,
+    index_root: str,
+    pattern: str,
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES ``regexp`` query (Lucene ``RegexpQuery``), constant-score rewrite:
+    match the (implicitly anchored, as in Lucene) pattern against the term
+    dictionary, cap expansions at ``max_expansions`` (highest-df kept, the
+    top-terms rewrite), return docs containing ANY expansion at constant
+    score 1.0, docid-ordered.
+
+    Scale shape is the wildcard path's: the literal prefix before the first
+    operator is pushed as a ``startswith`` range over the term-sorted dict
+    parquet (contiguous row-group scan); a pattern with no literal prefix is
+    a full dict scan — exactly Lucene's automaton behavior, where only a
+    common literal prefix prunes the terms enumeration."""
+    from es_indexer_spark.query.engine import _dict_df
+
+    p = pattern.lower()
+    rx = lucene_regexp_to_java(p)
+    vdir = catalog.resolve(index_root)
+    d = _dict_df(spark, vdir)
+    lit = ""
+    for ch in p:
+        if ch in _LUCENE_RE_SPECIAL:
+            break
+        lit += ch
+    if lit:
+        d = d.filter(F.col("term").startswith(lit))
+    exp = (
+        d.filter(F.col("term").rlike(rx))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    return _expansion_docids(spark, vdir, exp, k)
+
+
 def phrase_suggestions(
     df: DataFrame,
     id_col: str,
