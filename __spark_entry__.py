@@ -1472,6 +1472,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         },
     )
 
+    # ---- ES pipeline aggs round 2: bucket_script/selector, serial_diff,
+    # sibling stats_bucket/min_bucket/max_bucket; metric aggs weighted_avg /
+    # value_count / median_absolute_deviation; bucket aggs multi_terms /
+    # adjacency_matrix
+    def _agg_pipe2(spark, sf):
+        hist = aggs.date_histogram_stats(_events(spark, sf), "ts", "value", "day")
+        out = aggs.bucket_selector(
+            aggs.serial_diff(
+                aggs.bucket_script(hist, "sum / doc_count", name="ratio"),
+                "doc_count", lag=7,
+            ),
+            "doc_count >= 3",
+        )
+        return out.select(
+            "bucket", "doc_count", F.round("ratio", 6).alias("ratio"),
+            "doc_count_diff_7",
+        )
+
+    def _agg_sibling(spark, sf):
+        hist = aggs.date_histogram(_events(spark, sf), "ts", "week")
+        return aggs.sibling_bucket_stats(hist, "doc_count").select(
+            "count", "min", "max", F.round("avg", 6).alias("avg"), "sum",
+            F.array_join("min_keys", ",").alias("min_keys"),
+            F.array_join("max_keys", ",").alias("max_keys"),
+        )
+
+    def _agg_wavg(spark, sf):
+        li = spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+        return aggs.weighted_avg(li, "l_extendedprice", "l_quantity").select(
+            F.round("value", 6).alias("value")
+        )
+
+    def _agg_mad(spark, sf):
+        orders = spark.read.parquet(os.path.join(sf, "orders.parquet"))
+        return aggs.median_absolute_deviation(orders, "o_totalprice").select(
+            F.round("value", 6).alias("value")
+        )
+
+    def _agg_multi_terms(spark, sf):
+        return aggs.multi_terms(
+            _events(spark, sf), ["event_type", "user_id"], size=10
+        )
+
+    def _agg_adjacency(spark, sf):
+        return aggs.adjacency_matrix(
+            _events(spark, sf),
+            {
+                "clicks": F.col("event_type") == "click",
+                "big": F.col("value") > 50.0,
+                "view": F.col("event_type") == "view",
+            },
+        )
+
+    def _agg_value_count(spark, sf):
+        return aggs.value_count_agg(_events(spark, sf), "value")
+
+    q["agg_bucket_pipeline2"] = _agg_pipe2
+    q["agg_sibling_stats"] = _agg_sibling
+    q["agg_weighted_avg"] = _agg_wavg
+    q["agg_mad"] = _agg_mad
+    q["agg_multi_terms"] = _agg_multi_terms
+    q["agg_adjacency"] = _agg_adjacency
+    q["agg_value_count"] = _agg_value_count
+
     # ---- driver-gate rotation ----------------------------------------------------
     # The driver's correctness gate records only the first ~50 entries by
     # insertion order, so entries that have never had a driver row rotate to
@@ -1486,6 +1550,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_shape_intersects", "related_links", "cloud_assets",
         "suggest_fuzzy", "phrase_match_deleted", "geo_shape_polygon",
         "sort_after", "agg_pipeline", "span_first",
+        "regexp_docs", "dis_max", "constant_score", "boosting_query",
+        "agg_rare_terms", "agg_bucket_pipeline2", "agg_sibling_stats",
+        "agg_weighted_avg", "agg_mad", "agg_multi_terms", "agg_adjacency",
+        "agg_value_count",
     ]
     return {
         k: q[k]
@@ -2810,6 +2878,60 @@ SELECT date_trunc('month', ts)::TIMESTAMP AS bucket, count(*)::BIGINT AS doc_cou
        round(avg(value), 6) AS avg, round(sum(value), 6) AS sum
 FROM events GROUP BY 1 ORDER BY 1
 """
+    # bucket_script (ratio) -> serial_diff lag 7 -> bucket_selector
+    o["agg_bucket_pipeline2"] = """
+WITH h AS (SELECT date_trunc('day', ts)::TIMESTAMP AS bucket, count(*)::BIGINT AS doc_count,
+                  round(sum(value), 6) AS s
+           FROM events GROUP BY 1),
+p AS (SELECT bucket, doc_count, round((s / doc_count)::DOUBLE, 6) AS ratio,
+             doc_count - lag(doc_count, 7) OVER (ORDER BY bucket) AS doc_count_diff_7
+      FROM h)
+SELECT bucket, doc_count, ratio, doc_count_diff_7 FROM p WHERE doc_count >= 3
+"""
+    # stats_bucket + min_bucket/max_bucket keys over weekly buckets
+    o["agg_sibling_stats"] = """
+WITH h AS (SELECT date_trunc('week', ts)::TIMESTAMP AS bucket, count(*)::BIGINT AS doc_count
+           FROM events GROUP BY 1),
+m AS (SELECT min(doc_count) AS mn, max(doc_count) AS mx FROM h)
+SELECT count(*)::BIGINT AS count,
+       min(doc_count)::DOUBLE AS "min", max(doc_count)::DOUBLE AS "max",
+       round(avg(doc_count::DOUBLE), 6) AS avg, sum(doc_count)::DOUBLE AS sum,
+       array_to_string(list_sort(list(bucket::VARCHAR) FILTER (WHERE doc_count = (SELECT mn FROM m))), ',') AS min_keys,
+       array_to_string(list_sort(list(bucket::VARCHAR) FILTER (WHERE doc_count = (SELECT mx FROM m))), ',') AS max_keys
+FROM h
+"""
+    o["agg_weighted_avg"] = """
+SELECT round((sum(l_extendedprice * l_quantity) / sum(l_quantity))::DOUBLE, 6) AS value
+FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+"""
+    o["agg_mad"] = """
+SELECT round(median(abs(o_totalprice - (SELECT median(o_totalprice) FROM orders)))::DOUBLE, 6) AS value
+FROM orders
+"""
+    o["agg_multi_terms"] = """
+SELECT event_type, user_id, count(*)::BIGINT AS doc_count
+FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+GROUP BY 1, 2 ORDER BY doc_count DESC, event_type ASC, user_id ASC LIMIT 10
+"""
+    o["agg_adjacency"] = """
+WITH c AS (SELECT
+  sum((event_type = 'click')::INT)::BIGINT AS c0,
+  sum((value > 50.0)::INT)::BIGINT AS c1,
+  sum((event_type = 'view')::INT)::BIGINT AS c2,
+  sum((event_type = 'click' AND value > 50.0)::INT)::BIGINT AS c3,
+  sum((event_type = 'click' AND event_type = 'view')::INT)::BIGINT AS c4,
+  sum((value > 50.0 AND event_type = 'view')::INT)::BIGINT AS c5
+  FROM events)
+SELECT key, doc_count FROM (
+  SELECT 'clicks' AS key, c0 AS doc_count, 0 AS ord FROM c UNION ALL
+  SELECT 'big', c1, 1 FROM c UNION ALL
+  SELECT 'view', c2, 2 FROM c UNION ALL
+  SELECT 'clicks&big', c3, 3 FROM c UNION ALL
+  SELECT 'clicks&view', c4, 4 FROM c UNION ALL
+  SELECT 'big&view', c5, 5 FROM c)
+WHERE doc_count > 0 ORDER BY ord
+"""
+    o["agg_value_count"] = "SELECT count(value)::BIGINT AS value FROM events"
     # composite agg page 2: after-key ('click', 5), lexicographic keyset
     o["agg_composite"] = """
 SELECT * FROM (

@@ -473,3 +473,166 @@ def bucket_sort(
             .drop("__rn")
         )
     return out
+
+
+def bucket_script(
+    buckets: DataFrame, expr: str, *, name: str = "value"
+) -> DataFrame:
+    """ES ``bucket_script``: a per-bucket computed metric. ES evaluates a
+    Painless arithmetic expression over the bucket's metric values; here the
+    expression is the equivalent SQL arithmetic over the bucket columns
+    (``"sum_v / doc_count"``) — same per-row, no-shuffle evaluation, but
+    compiled by Catalyst instead of Painless."""
+    return buckets.withColumn(name, F.expr(expr).cast("double"))
+
+
+def bucket_selector(buckets: DataFrame, predicate: str) -> DataFrame:
+    """ES ``bucket_selector``: drop buckets where the predicate over the
+    bucket's metrics is false (``"ratio > 0.5 AND doc_count >= 10"``). Pure
+    filter over the bucket table — runs after sub-agg metrics exist, like
+    ES's pipeline ordering."""
+    return buckets.filter(F.expr(predicate))
+
+
+def serial_diff(
+    buckets: DataFrame, metric: str, *, lag: int = 1, bucket_col: str = "bucket"
+) -> DataFrame:
+    """ES ``serial_diff``: metric minus the metric ``lag`` buckets earlier in
+    bucket order (lag=1 ≡ derivative; lag=7 over daily buckets = week-over-
+    week seasonality removal). The first ``lag`` buckets get NULL — ES skips
+    them. Same bounded-bucket-table window as the other pipeline aggs."""
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+    w = Window.orderBy(bucket_col)
+    return buckets.withColumn(
+        f"{metric}_diff_{lag}", F.col(metric) - F.lag(metric, lag).over(w)
+    )
+
+
+def sibling_bucket_stats(
+    buckets: DataFrame, metric: str, *, bucket_col: str = "bucket"
+) -> DataFrame:
+    """ES ``stats_bucket`` (and the scalar siblings ``min_bucket`` /
+    ``max_bucket`` / ``avg_bucket`` / ``sum_bucket``, which are its
+    projections): one row of stats over a sibling aggregation's per-bucket
+    metric, plus ES's ``min_bucket``/``max_bucket`` ``keys`` arrays — ALL
+    bucket keys tied at the extreme, sorted. One pass over the bucket
+    table (min_by/max_by would lose ties; the conditional collects don't)."""
+    key_s = F.col(bucket_col).cast("string")
+    m = F.col(metric).cast("double")
+    # global-window min/max first (the bucket table is pipeline-sized, see
+    # module note), then one agg — a window fn can't nest inside an aggregate
+    w = Window.partitionBy()
+    staged = buckets.select(
+        m.alias("__m"),
+        key_s.alias("__k"),
+        F.min(m).over(w).alias("__mn"),
+        F.max(m).over(w).alias("__mx"),
+    )
+    return staged.agg(
+        F.count("__m").alias("count"),
+        F.min("__m").alias("min"),
+        F.max("__m").alias("max"),
+        F.avg("__m").alias("avg"),
+        F.sum("__m").alias("sum"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("__m") == F.col("__mn"), F.col("__k")))
+        ).alias("min_keys"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("__m") == F.col("__mx"), F.col("__k")))
+        ).alias("max_keys"),
+    )
+
+
+def weighted_avg(df: DataFrame, value_col: str, weight_col: str) -> DataFrame:
+    """ES ``weighted_avg``: sum(value*weight)/sum(weight), rows with a NULL
+    value or weight excluded whole (ES's default missing handling). One
+    map-side-combined aggregation."""
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    ok = v.isNotNull() & w.isNotNull()
+    return df.agg(
+        (F.sum(F.when(ok, v * w)) / F.sum(F.when(ok, w))).alias("value")
+    )
+
+
+def value_count_agg(df: DataFrame, col: str) -> DataFrame:
+    """ES ``value_count``: number of non-NULL values of the field."""
+    return df.agg(F.count(F.col(col)).alias("value"))
+
+
+def median_absolute_deviation(
+    df: DataFrame, col: str, *, exact: bool = True, accuracy: int = 10000
+) -> DataFrame:
+    """ES ``median_absolute_deviation``: median(|x - median(x)|). ES
+    approximates both medians with t-digest; ``exact=False`` mirrors that
+    with Spark's mergeable ``percentile_approx`` sketch (bounded memory —
+    the 100 TB path), ``exact=True`` uses exact ``median`` (two ranking
+    passes) for auditability. Two jobs either way: the inner median is a
+    scalar that must exist before the outer pass — same two-phase shape as
+    ES's own reduce."""
+    v = F.col(col).cast("double")
+    inner = (
+        F.expr(f"median(cast({col} as double))") if exact
+        else F.percentile_approx(v, F.lit(0.5), F.lit(accuracy))
+    )
+    m = df.agg(inner.alias("m")).collect()[0]["m"]
+    dev = F.abs(v - F.lit(float(m)))
+    outer = (
+        F.expr(f"median(abs(cast({col} as double) - {float(m)!r}))") if exact
+        else F.percentile_approx(dev, F.lit(0.5), F.lit(accuracy))
+    )
+    return df.agg(outer.cast("double").alias("value"))
+
+
+def multi_terms(
+    df: DataFrame, cols: Sequence[str], *, size: int = 10
+) -> DataFrame:
+    """ES ``multi_terms``: terms buckets keyed on a tuple of fields, ordered
+    doc_count desc then key asc (ES's ordering), top ``size``. Single
+    hash aggregation on the composite key; rows with any NULL key component
+    are dropped (ES's missing-bucket default)."""
+    if not cols:
+        raise ValueError("multi_terms needs at least one key field")
+    cond = None
+    for c in cols:
+        n = F.col(c).isNotNull()
+        cond = n if cond is None else (cond & n)
+    return (
+        df.filter(cond)
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), *[F.asc(c) for c in cols])
+        .limit(size)
+    )
+
+
+def adjacency_matrix(
+    df: DataFrame, filters: dict[str, "F.Column"]
+) -> DataFrame:
+    """ES ``adjacency_matrix``: one bucket per named predicate plus one per
+    predicate PAIR counting rows matching both (key ``"a&b"``, names in
+    request order like ES). Empty buckets are omitted (ES semantics). Still
+    ONE conditional-sum pass over the input — the pair matrix is column
+    algebra over the same scan, never n² scans."""
+    if not filters:
+        raise ValueError("adjacency_matrix needs at least one filter")
+    names = list(filters)
+    cells: list[tuple[str, F.Column]] = [(n, filters[n]) for n in names]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            cells.append((f"{a}&{b}", filters[a] & filters[b]))
+    row = df.agg(
+        *[F.sum(c.cast("long")).alias(f"__c{i}") for i, (_, c) in enumerate(cells)]
+    )
+    stack_args = ", ".join(
+        f"'{n}', bigint(`__c{i}`), {i}" for i, (n, _) in enumerate(cells)
+    )
+    return (
+        row.selectExpr(
+            f"stack({len(cells)}, {stack_args}) as (key, doc_count, _ord)"
+        )
+        .filter(F.col("doc_count") > 0)
+        .orderBy("_ord")
+        .select("key", "doc_count")
+    )

@@ -286,3 +286,73 @@ def test_pipeline_bucket_sort_pages(spark):
         hist, [("doc_count", "desc"), ("key", "asc")], size=2, from_=2
     ).collect()
     assert [r["key"] for r in page2] == ["a", "d"]
+
+
+# ---- round-5 additions: pipeline round 2 + metric/bucket families ----------
+
+def test_bucket_script_and_selector(tiny):
+    b = aggs.date_histogram_stats(tiny, "ts", "v", "month")
+    r = aggs.bucket_script(b, "sum / doc_count", name="ratio")
+    got = [(x["bucket"].month, x["ratio"]) for x in r.collect()]
+    assert got == [(1, 20.0), (2, 15.0)]
+    kept = aggs.bucket_selector(r, "ratio > 16").collect()
+    assert [x["bucket"].month for x in kept] == [1]
+
+
+def test_serial_diff_head_nulls(tiny):
+    b = aggs.date_histogram(tiny, "ts", "month")
+    r = aggs.serial_diff(b, "doc_count", lag=1).collect()
+    assert [x["doc_count_diff_1"] for x in r] == [None, 1]
+    with pytest.raises(ValueError):
+        aggs.serial_diff(b, "doc_count", lag=0)
+
+
+def test_sibling_bucket_stats_tie_keys(spark):
+    b = spark.createDataFrame(
+        [("a", 5.0), ("b", 2.0), ("c", 5.0), ("d", 3.0)], "bucket string, m double")
+    r = aggs.sibling_bucket_stats(b, "m", bucket_col="bucket").collect()[0]
+    assert (r["count"], r["min"], r["max"], r["avg"], r["sum"]) == (4, 2.0, 5.0, 3.75, 15.0)
+    assert r["min_keys"] == ["b"]
+    assert r["max_keys"] == ["a", "c"]  # ES reports ALL tied keys, sorted
+
+
+def test_weighted_avg_null_rows_excluded(spark):
+    df = spark.createDataFrame(
+        [(10.0, 1.0), (20.0, 3.0), (None, 5.0), (99.0, None)], "v double, w double")
+    assert aggs.weighted_avg(df, "v", "w").collect()[0]["value"] == pytest.approx(17.5)
+
+
+def test_value_count(spark):
+    df = spark.createDataFrame([(1.0,), (None,), (3.0,)], "v double")
+    assert aggs.value_count_agg(df, "v").collect()[0]["value"] == 2
+
+
+def test_median_absolute_deviation_exact(spark):
+    df = spark.createDataFrame([(float(x),) for x in [10, 30, 10, 50]], "v double")
+    # median 20; |x-20| = [10,10,10,30] -> median 10
+    assert aggs.median_absolute_deviation(df, "v").collect()[0]["value"] == 10.0
+    # sketch path: percentile_approx is rank-based (no midpoint interpolation),
+    # so use an odd count where rank and interpolated medians coincide
+    df2 = spark.createDataFrame([(float(x),) for x in [10, 10, 30, 50, 50]], "v double")
+    assert aggs.median_absolute_deviation(df2, "v").collect()[0]["value"] == 20.0
+    approx = aggs.median_absolute_deviation(df2, "v", exact=False).collect()[0]["value"]
+    assert approx == pytest.approx(20.0, abs=1e-9)
+
+
+def test_multi_terms_order_and_null_drop(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "y"), ("a", "y"), (None, "z")],
+        "k string, j string")
+    got = [(r["k"], r["j"], r["doc_count"]) for r in
+           aggs.multi_terms(df, ["k", "j"], size=2).collect()]
+    assert got == [("a", "x", 2), ("a", "y", 1)]  # count desc, keys asc
+
+
+def test_adjacency_matrix_pairs_and_empty_omitted(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "y")], "k string, j string")
+    got = [(r["key"], r["doc_count"]) for r in aggs.adjacency_matrix(
+        df, {"ka": F.col("k") == "a", "jx": F.col("j") == "x",
+             "jz": F.col("j") == "z"}).collect()]
+    # jz and its pairs are empty -> omitted; request order preserved
+    assert got == [("ka", 2), ("jx", 2), ("ka&jx", 2)]
