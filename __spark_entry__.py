@@ -1195,11 +1195,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _index_root(spark, sf), max_doc_count=390
         ).select("term", "doc_count")
 
+    def _terms_set(spark, sf):
+        from es_indexer_spark.query.compound import terms_set
+
+        return terms_set(
+            spark, _index_root(spark, sf), ["data", "stream", "batch"],
+            minimum_should_match_expr="CASE WHEN n_chars >= 300 THEN 3 ELSE 2 END",
+            k=10,
+        ).select(F.col("docid").alias("doc_id"), F.round("score", 4).alias("score"))
+
+    def _mbprefix(spark, sf):
+        from es_indexer_spark.query.compound import match_bool_prefix
+
+        # 'str' expands to {stream} at this corpus — under the cap, so the
+        # SQL replay is exact
+        return match_bool_prefix(
+            spark, _index_root(spark, sf), "data str", k=10
+        ).select(F.col("docid").alias("doc_id"), F.round("score", 4).alias("score"))
+
     q["regexp_docs"] = _regexp
     q["dis_max"] = _dis_max
     q["constant_score"] = _const_score
     q["boosting_query"] = _boosting
     q["agg_rare_terms"] = _rare_terms
+    q["terms_set"] = _terms_set
+    q["match_bool_prefix"] = _mbprefix
 
     # ---- ES more_like_this (like = doc 42's source text) -------------------------
     def _mlt(spark, sf):
@@ -1553,7 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_docs", "dis_max", "constant_score", "boosting_query",
         "agg_rare_terms", "agg_bucket_pipeline2", "agg_sibling_stats",
         "agg_weighted_avg", "agg_mad", "agg_multi_terms", "agg_adjacency",
-        "agg_value_count",
+        "agg_value_count", "terms_set", "match_bool_prefix",
     ]
     return {
         k: q[k]
@@ -2932,6 +2952,31 @@ SELECT key, doc_count FROM (
 WHERE doc_count > 0 ORDER BY ord
 """
     o["agg_value_count"] = "SELECT count(value)::BIGINT AS value FROM events"
+    # terms_set: >= per-doc M of {data, stream, batch}; M = n_chars branch
+    o["terms_set"] = f"""
+{_BM25_PREAMBLE},
+m AS (SELECT tf.doc_id, count(DISTINCT tf.term)::BIGINT AS matched,
+             sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 tf.tf * {K1 + 1} / (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / st.avgdl))) AS s
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+      WHERE tf.term IN ('data', 'stream', 'batch') GROUP BY tf.doc_id)
+SELECT m.doc_id, round(s::DOUBLE, 4) AS score
+FROM m JOIN documents d ON d.doc_id = m.doc_id
+WHERE m.matched >= (CASE WHEN d.n_chars >= 300 THEN 3 ELSE 2 END)
+ORDER BY s DESC, m.doc_id ASC LIMIT 10
+"""
+    # match_bool_prefix 'data str': term clause 'data' (BM25) + prefix
+    # clause 'str%' (constant-score rewrite, 1.0)
+    o["match_bool_prefix"] = f"""
+{_BM25_PREAMBLE},
+{_raw_cte("tf.term = 'data'")},
+p AS (SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'str%')
+SELECT COALESCE(r.doc_id, p.doc_id) AS doc_id,
+       round((COALESCE(r.score_raw, 0) + CASE WHEN p.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END)::DOUBLE, 4) AS score
+FROM raw r FULL OUTER JOIN p USING (doc_id)
+ORDER BY (COALESCE(r.score_raw, 0) + CASE WHEN p.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END) DESC,
+         COALESCE(r.doc_id, p.doc_id) ASC LIMIT 10
+"""
     # composite agg page 2: after-key ('click', 5), lexicographic keyset
     o["agg_composite"] = """
 SELECT * FROM (

@@ -45,6 +45,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from es_indexer_spark.index import catalog
 from es_indexer_spark.query.boolean import bool_query
 
 _SCORE_SCHEMA = "docid long, score double"
@@ -150,3 +151,108 @@ def boosting(
     if k is None:
         return scored
     return scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+
+def terms_set(
+    spark: SparkSession,
+    index_root: str,
+    terms: Sequence[str],
+    *,
+    minimum_should_match_expr: str,
+    k: int | None = 10,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``terms_set`` query: match docs containing at least M of ``terms``,
+    where M is PER-DOC — ES reads it from ``minimum_should_match_field`` (or
+    a script); here it is a SQL expression over the index's stored meta
+    columns (a bare field name is the ES field case). Matching docs score
+    the sum of their present terms' BM25 contributions, exactly ES (the
+    rewritten bool-should). Like ES, M is NOT clamped to ``len(terms)`` — a
+    doc demanding more matches than the query has terms can never match.
+
+    Execution shape: one term-pruned postings scan per term (each clause's
+    own posting volume, same as any multi-term query) through
+    :func:`bool_query`'s distributed path; one docid hash agg counts matched
+    clauses and sums scores; the per-doc threshold joins in from the
+    docs-store parquet scan (column-pruned to docid + the expression's
+    inputs) on docid — AQE handles the build-side choice. No driver state."""
+    clauses = [
+        bool_query(spark, index_root, should=[t], k=None, lang=lang)
+        for t in terms
+    ]
+    clauses = [c for c in clauses if c is not None]
+    if not clauses:
+        return spark.createDataFrame([], _SCORE_SCHEMA)
+    u = clauses[0].withColumn("_c", F.lit(0))
+    for i, c in enumerate(clauses[1:], start=1):
+        u = u.unionByName(c.withColumn("_c", F.lit(i)))
+    agg = u.groupBy("docid").agg(
+        F.countDistinct("_c").alias("_matched"), F.sum("score").alias("score")
+    )
+    vdir = catalog.resolve(index_root)
+    import os as _os
+
+    req = (
+        spark.read.parquet(_os.path.join(vdir, "docs"))
+        .select("docid", F.expr(minimum_should_match_expr).cast("long").alias("_req"))
+    )
+    out = (
+        agg.join(req, "docid")
+        .filter(F.col("_matched") >= F.col("_req"))
+        .select("docid", "score")
+    )
+    if k is None:
+        return out
+    return out.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+
+def match_bool_prefix(
+    spark: SparkSession,
+    index_root: str,
+    text: str,
+    *,
+    k: int | None = 10,
+    max_expansions: int = 50,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``match_bool_prefix``: analyze ``text``; every term but the last
+    becomes a ``term`` SHOULD clause (BM25-scored), the last becomes a
+    ``prefix`` SHOULD clause under Lucene's constant-score rewrite (every
+    doc carrying any expansion contributes exactly 1.0 — the same rewrite
+    the standalone ``prefix`` query uses here). Pure-should bool: any one
+    clause qualifies a doc; score = BM25 sum over present full terms plus
+    the prefix constant.
+
+    The prefix clause expands against the term-sorted dictionary (capped at
+    ``max_expansions``, highest-df kept) and its docids come from the same
+    bucket-pruned postings scan as the standalone prefix query — the union
+    with the scored clauses is one docid hash agg."""
+    from es_indexer_spark.analysis.tokenizer import tokenize_one
+    from es_indexer_spark.index import catalog as _catalog
+    from es_indexer_spark.query.suggest import prefix_query
+
+    vdir = catalog.resolve(index_root)
+    stats = _catalog.read_stats(vdir)
+    toks = tokenize_one(text, stats["tokenizer"], lang=lang)
+    if not toks:
+        return spark.createDataFrame([], _SCORE_SCHEMA)
+    full, last = toks[:-1], toks[-1]
+    legs = []
+    if full:
+        legs.append(
+            bool_query(spark, index_root, should=list(full), k=None, lang=lang)
+        )
+    legs.append(
+        prefix_query(
+            spark, index_root, last,
+            k=(1 << 31) - 1,  # "all": limit is a JVM int
+            max_expansions=max_expansions,
+        )
+    )
+    u = legs[0]
+    for p in legs[1:]:
+        u = u.unionByName(p)
+    out = u.groupBy("docid").agg(F.sum("score").alias("score"))
+    if k is None:
+        return out
+    return out.orderBy(F.desc("score"), F.asc("docid")).limit(k)

@@ -220,3 +220,78 @@ def test_missing_agg(spark):
     df = spark.createDataFrame(
         [(1, "a"), (2, None), (3, None), (4, "b")], "id long, v string")
     assert missing_agg(df, "v").collect()[0]["doc_count"] == 2
+
+
+# ---- terms_set / match_bool_prefix -----------------------------------------
+
+@pytest.fixture(scope="module")
+def nchars(documents):
+    return {r["doc_id"]: r["n_chars"]
+            for r in documents.select("doc_id", "n_chars").collect()}
+
+
+def test_terms_set_per_doc_threshold(spark, cidx, nchars):
+    from es_indexer_spark.query.compound import terms_set
+
+    root, toks = cidx
+    terms = ["data", "stream", "batch"]
+    got = {r["docid"]: r["score"] for r in terms_set(
+        spark, root, terms,
+        minimum_should_match_expr="CASE WHEN n_chars >= 300 THEN 3 ELSE 2 END",
+        k=None).collect()}
+    scores = _clause_scores(toks, " ".join(terms))
+    brute = {}
+    for d, t in toks.items():
+        matched = sum(1 for x in terms if x in t)
+        req = 3 if nchars[d] >= 300 else 2
+        if matched >= req:
+            brute[d] = scores[d]
+    assert set(got) == set(brute)
+    # both threshold branches must be exercised by the fixture
+    assert {3 if nchars[d] >= 300 else 2 for d in brute} == {2, 3}
+    for d, s in got.items():
+        assert s == pytest.approx(brute[d], rel=1e-9)
+
+
+def test_terms_set_unclamped_impossible_threshold(spark, cidx):
+    from es_indexer_spark.query.compound import terms_set
+
+    root, _ = cidx
+    # ES does not clamp M to len(terms): M=5 over 2 terms matches nothing
+    assert terms_set(spark, root, ["data", "stream"],
+                     minimum_should_match_expr="5", k=None).count() == 0
+
+
+def test_match_bool_prefix_parity(spark, cidx):
+    from es_indexer_spark.query.compound import match_bool_prefix
+
+    root, toks = cidx
+    got = [(r["docid"], r["score"]) for r in
+           match_bool_prefix(spark, root, "data str", k=15).collect()]
+    full = _clause_scores(toks, "data")
+    pref = {d for d, t in toks.items() if any(x.startswith("str") for x in t)}
+    brute = {}
+    for d in set(full) | pref:
+        brute[d] = full.get(d, 0.0) + (1.0 if d in pref else 0.0)
+    want = _topk(brute, 15)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, g), (_, w) in zip(got, want):
+        assert g == pytest.approx(w, rel=1e-9)
+
+
+def test_match_bool_prefix_single_token_is_prefix_only(spark, cidx):
+    from es_indexer_spark.query.compound import match_bool_prefix
+
+    root, toks = cidx
+    got = {r["docid"]: r["score"] for r in
+           match_bool_prefix(spark, root, "str", k=None).collect()}
+    want = {d for d, t in toks.items() if any(x.startswith("str") for x in t)}
+    assert set(got) == want
+    assert all(s == 1.0 for s in got.values())
+
+
+def test_match_bool_prefix_empty(spark, cidx):
+    from es_indexer_spark.query.compound import match_bool_prefix
+
+    root, _ = cidx
+    assert match_bool_prefix(spark, root, "  ", k=5).count() == 0
