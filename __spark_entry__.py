@@ -403,6 +403,53 @@ st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
 dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)"""
 
 
+_GEO_PTS_SQL = """pts AS (SELECT (event_id * 7) % 360 - 180 AS lon,
+                                 (event_id * 13) % 170 - 85 AS lat FROM events)"""
+
+
+def _geohash_sql(precision: int) -> str:
+    """DuckDB replay of aggs.geohash_cell over the ``pts`` CTE: same
+    quantize + bit-interleave + base-32, emitted as generated SQL."""
+    total = 5 * precision
+    n_lon = (total + 1) // 2
+    n_lat = total // 2
+    gh = "0::BIGINT"
+    for bit in range(total):
+        if bit % 2 == 0:
+            src, shift = "li", n_lon - 1 - bit // 2
+        else:
+            src, shift = "la", n_lat - 1 - bit // 2
+        gh = f"(({gh}) * 2 + (({src} >> {shift}) & 1))"
+    chars = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', (((gh >> {5 * (precision - 1 - i)}) & 31) + 1)::INT, 1)"
+        for i in range(precision)
+    )
+    return f"""
+WITH {_GEO_PTS_SQL},
+q AS (SELECT least({(1 << n_lon) - 1}, floor((lon + 180.0) / 360.0 * {float(1 << n_lon)}))::BIGINT AS li,
+             least({(1 << n_lat) - 1}, floor((lat + 90.0) / 180.0 * {float(1 << n_lat)}))::BIGINT AS la
+      FROM pts),
+g AS (SELECT {gh} AS gh FROM q)
+SELECT {chars} AS key, count(*)::BIGINT AS doc_count
+FROM g GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 15
+"""
+
+
+def _geotile_sql(precision: int) -> str:
+    """DuckDB replay of aggs.geotile_cell (slippy-map tiles) over ``pts``."""
+    n = 1 << precision
+    return f"""
+WITH {_GEO_PTS_SQL},
+c AS (SELECT lon, greatest(-85.05112878, least(85.05112878, lat::DOUBLE)) AS latc FROM pts),
+t AS (SELECT '{precision}' || '/' ||
+             least({n - 1}, greatest(0, floor((lon + 180.0) / 360.0 * {float(n)})))::BIGINT || '/' ||
+             least({n - 1}, greatest(0, floor((1.0 - ln(tan(radians(latc)) + 1.0 / cos(radians(latc))) / pi()) / 2.0 * {float(n)})))::BIGINT AS key
+      FROM c)
+SELECT key, count(*)::BIGINT AS doc_count FROM t
+GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 15
+"""
+
+
 def _raw_cte(where: str) -> str:
     """``raw AS (...)`` BM25 score sum over the ``_BM25_PREAMBLE`` CTE names
     (tf/dfq/dl/st), restricted by ``where`` (a term predicate)."""
@@ -1556,6 +1603,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["agg_adjacency"] = _agg_adjacency
     q["agg_value_count"] = _agg_value_count
 
+    # ---- ES geo aggregations over the synthetic point field -----------------------
+    def _agg_geotile(spark, sf):
+        return aggs.geotile_grid(
+            _geo_pts(spark, sf), precision=4, size=15
+        )
+
+    def _agg_geohash(spark, sf):
+        return aggs.geohash_grid(
+            _geo_pts(spark, sf), precision=2, size=15
+        )
+
+    def _agg_geo_bounds(spark, sf):
+        # points restricted to both hemisphere edges so the wrapped box wins
+        pts = _geo_pts(spark, sf).filter(
+            (F.col("lon") >= 150) | (F.col("lon") <= -150)
+        )
+        return aggs.geo_bounds(pts, wrap_longitude=True)
+
+    def _agg_geo_centroid(spark, sf):
+        return aggs.geo_centroid(_geo_pts(spark, sf)).select(
+            F.round("lon", 6).alias("lon"), F.round("lat", 6).alias("lat"),
+            "count",
+        )
+
+    q["agg_geotile_grid"] = _agg_geotile
+    q["agg_geohash_grid"] = _agg_geohash
+    q["agg_geo_bounds"] = _agg_geo_bounds
+    q["agg_geo_centroid"] = _agg_geo_centroid
+
     # ---- driver-gate rotation ----------------------------------------------------
     # The driver's correctness gate records only the first ~50 entries by
     # insertion order, so entries that have never had a driver row rotate to
@@ -1574,6 +1650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rare_terms", "agg_bucket_pipeline2", "agg_sibling_stats",
         "agg_weighted_avg", "agg_mad", "agg_multi_terms", "agg_adjacency",
         "agg_value_count", "terms_set", "match_bool_prefix",
+        "agg_geotile_grid", "agg_geohash_grid", "agg_geo_bounds",
+        "agg_geo_centroid",
     ]
     return {
         k: q[k]
@@ -2952,6 +3030,32 @@ SELECT key, doc_count FROM (
 WHERE doc_count > 0 ORDER BY ord
 """
     o["agg_value_count"] = "SELECT count(value)::BIGINT AS value FROM events"
+    o["agg_geotile_grid"] = _geotile_sql(4)
+    o["agg_geohash_grid"] = _geohash_sql(2)
+    # wrapped geo_bounds: ES's six-extreme aggregator — the narrower of the
+    # unwrapped box and the antimeridian-crossing box (right < left = wrap)
+    o["agg_geo_bounds"] = f"""
+WITH {_GEO_PTS_SQL},
+f AS (SELECT lon::DOUBLE AS lon, lat::DOUBLE AS lat FROM pts WHERE lon >= 150 OR lon <= -150),
+a AS (SELECT max(lat) AS top, min(lat) AS bottom,
+             min(CASE WHEN lon >= 0 THEN lon END) AS pl,
+             max(CASE WHEN lon >= 0 THEN lon END) AS pr,
+             min(CASE WHEN lon < 0 THEN lon END) AS nl,
+             max(CASE WHEN lon < 0 THEN lon END) AS nr
+      FROM f)
+SELECT top, bottom,
+       CASE WHEN pl IS NOT NULL AND nl IS NOT NULL AND (360.0 + nr - pl) < (pr - nl)
+            THEN pl ELSE COALESCE(nl, pl) END AS "left",
+       CASE WHEN pl IS NOT NULL AND nl IS NOT NULL AND (360.0 + nr - pl) < (pr - nl)
+            THEN nr ELSE COALESCE(pr, nr) END AS "right"
+FROM a
+"""
+    o["agg_geo_centroid"] = f"""
+WITH {_GEO_PTS_SQL}
+SELECT round(avg(lon::DOUBLE), 6) AS lon, round(avg(lat::DOUBLE), 6) AS lat,
+       count(*)::BIGINT AS count
+FROM pts
+"""
     # terms_set: >= per-doc M of {data, stream, batch}; M = n_chars branch
     o["terms_set"] = f"""
 {_BM25_PREAMBLE},

@@ -636,3 +636,170 @@ def adjacency_matrix(
         .orderBy("_ord")
         .select("key", "doc_count")
     )
+
+
+# ----------------------------------------------------------------- geo aggs
+# ES geo_point aggregations (the portal's map facets run over the same
+# geo_point field the geo data index serves — ops/geoindex.py). All pure
+# column algebra: O(1) aggregation state per group, partial+final combine,
+# no Python in the data path.
+
+_MAX_MERC_LAT = 85.05112878  # ES/web-mercator latitude clamp
+
+
+def geo_bounds(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    *,
+    wrap_longitude: bool = False,
+) -> DataFrame:
+    """ES ``geo_bounds``: the bounding box of all points, one row
+    ``(top, bottom, left, right)``. ``wrap_longitude=True`` reproduces ES's
+    aggregator exactly: it tracks the positive-hemisphere and
+    negative-hemisphere longitude extremes separately (six doubles of
+    state), then picks the narrower of the unwrapped box and the
+    antimeridian-crossing box — ``right < left`` in the result means the box
+    crosses the antimeridian, ES's own convention."""
+    lon = F.col(lon_col).cast("double")
+    lat = F.col(lat_col).cast("double")
+    agg = df.agg(
+        F.max(lat).alias("top"),
+        F.min(lat).alias("bottom"),
+        F.min(F.when(lon >= 0, lon)).alias("_pl"),
+        F.max(F.when(lon >= 0, lon)).alias("_pr"),
+        F.min(F.when(lon < 0, lon)).alias("_nl"),
+        F.max(F.when(lon < 0, lon)).alias("_nr"),
+    )
+    unwrapped_left = F.coalesce(F.col("_nl"), F.col("_pl"))
+    unwrapped_right = F.coalesce(F.col("_pr"), F.col("_nr"))
+    if not wrap_longitude:
+        return agg.select(
+            "top", "bottom",
+            unwrapped_left.alias("left"), unwrapped_right.alias("right"),
+        )
+    both = F.col("_pl").isNotNull() & F.col("_nl").isNotNull()
+    unwrapped_w = F.col("_pr") - F.col("_nl")
+    wrapped_w = F.lit(360.0) + F.col("_nr") - F.col("_pl")
+    use_wrap = both & (wrapped_w < unwrapped_w)
+    return agg.select(
+        "top", "bottom",
+        F.when(use_wrap, F.col("_pl")).otherwise(unwrapped_left).alias("left"),
+        F.when(use_wrap, F.col("_nr")).otherwise(unwrapped_right).alias("right"),
+    )
+
+
+def geo_centroid(
+    df: DataFrame, lon_col: str = "lon", lat_col: str = "lat"
+) -> DataFrame:
+    """ES ``geo_centroid``: arithmetic mean of the coordinates plus the
+    point count (ES averages raw degrees, not spherical — same here)."""
+    return df.agg(
+        F.avg(F.col(lon_col).cast("double")).alias("lon"),
+        F.avg(F.col(lat_col).cast("double")).alias("lat"),
+        F.count(F.lit(1)).alias("count"),
+    )
+
+
+def geotile_cell(lon, lat, precision: int):
+    """Web-mercator tile key ``"z/x/y"`` for a point — ES ``geotile_grid``
+    bucketing (slippy-map tiles, the public OSM formula). Column-in,
+    column-out so callers can also use it as a projection."""
+    if not 0 <= precision <= 29:
+        raise ValueError("geotile precision must be in [0, 29]")
+    z = float(1 << precision)
+    lon = lon.cast("double")
+    latc = F.greatest(
+        F.lit(-_MAX_MERC_LAT), F.least(F.lit(_MAX_MERC_LAT), lat.cast("double"))
+    )
+    x = F.floor((lon + 180.0) / 360.0 * z)
+    x = F.least(F.lit(int(z) - 1), F.greatest(F.lit(0), x))
+    latr = F.radians(latc)
+    import math as _math
+
+    y = F.floor(
+        (1.0 - F.log(F.tan(latr) + 1.0 / F.cos(latr)) / _math.pi) / 2.0 * z
+    )
+    y = F.least(F.lit(int(z) - 1), F.greatest(F.lit(0), y))
+    return F.concat_ws("/", F.lit(str(precision)), x.cast("string"), y.cast("string"))
+
+
+def geotile_grid(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    *,
+    precision: int = 7,
+    size: int = 10,
+) -> DataFrame:
+    """ES ``geotile_grid`` aggregation: bucket points into web-mercator tiles
+    at ``precision`` (zoom), top ``size`` buckets by doc_count desc then key
+    asc. One hash aggregation on the computed tile key."""
+    key = geotile_cell(F.col(lon_col), F.col(lat_col), precision)
+    return (
+        df.groupBy(key.alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+    )
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_cell(lon, lat, precision: int):
+    """Geohash (public Gustavo Niemeyer base-32 encoding) of a point as a
+    column expression: quantize lon/lat to their bit budgets, interleave
+    (even bits from the MSB are longitude), emit base-32 chars. The
+    interleave unrolls to a fixed expression tree — pure JVM, no UDF."""
+    if not 1 <= precision <= 12:
+        raise ValueError("geohash precision must be in [1, 12]")
+    total = 5 * precision
+    n_lon = (total + 1) // 2
+    n_lat = total // 2
+    lon = lon.cast("double")
+    lat = lat.cast("double")
+    # quantized cell indices; clamp the degenerate +180/+90 edge into range
+    lon_i = F.least(
+        F.lit((1 << n_lon) - 1),
+        F.floor((lon + 180.0) / 360.0 * float(1 << n_lon)),
+    ).cast("long")
+    lat_i = F.least(
+        F.lit((1 << n_lat) - 1),
+        F.floor((lat + 90.0) / 180.0 * float(1 << n_lat)),
+    ).cast("long")
+    gh = F.lit(0).cast("long")
+    for b in range(total):
+        if b % 2 == 0:  # longitude bit
+            bit = F.shiftright(lon_i, n_lon - 1 - b // 2).bitwiseAND(F.lit(1).cast("long"))
+        else:
+            bit = F.shiftright(lat_i, n_lat - 1 - b // 2).bitwiseAND(F.lit(1).cast("long"))
+        gh = gh * F.lit(2) + bit
+    alphabet = F.array(*[F.lit(c) for c in _GEOHASH32])
+    chars = [
+        F.element_at(
+            alphabet,
+            (F.shiftright(gh, 5 * (precision - 1 - i)).bitwiseAND(F.lit(31).cast("long")) + 1).cast("int"),
+        )
+        for i in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_grid(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    *,
+    precision: int = 5,
+    size: int = 10,
+) -> DataFrame:
+    """ES ``geohash_grid`` aggregation: bucket points by geohash cell at
+    ``precision`` chars, top ``size`` by doc_count desc then key asc."""
+    key = geohash_cell(F.col(lon_col), F.col(lat_col), precision)
+    return (
+        df.groupBy(key.alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+    )

@@ -356,3 +356,116 @@ def test_adjacency_matrix_pairs_and_empty_omitted(spark):
              "jz": F.col("j") == "z"}).collect()]
     # jz and its pairs are empty -> omitted; request order preserved
     assert got == [("ka", 2), ("jx", 2), ("ka&jx", 2)]
+
+
+# ---- geo aggregations (geo_bounds / geo_centroid / geotile / geohash) ------
+
+import math as _math
+import random as _random
+
+_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _gh_py(lon, lat, p):
+    lon_rng, lat_rng = [-180.0, 180.0], [-90.0, 90.0]
+    bits, even = [], True
+    while len(bits) < 5 * p:
+        rng, v = (lon_rng, lon) if even else (lat_rng, lat)
+        mid = (rng[0] + rng[1]) / 2
+        if v >= mid:
+            bits.append(1); rng[0] = mid
+        else:
+            bits.append(0); rng[1] = mid
+        even = not even
+    return "".join(
+        _B32[int("".join(map(str, bits[5 * i:5 * i + 5])), 2)] for i in range(p)
+    )
+
+
+def _tile_py(lon, lat, z):
+    n = 1 << z
+    lat = max(-85.05112878, min(85.05112878, lat))
+    x = min(n - 1, max(0, _math.floor((lon + 180) / 360 * n)))
+    lr = _math.radians(lat)
+    y = min(n - 1, max(0, _math.floor(
+        (1 - _math.log(_math.tan(lr) + 1 / _math.cos(lr)) / _math.pi) / 2 * n)))
+    return f"{z}/{x}/{y}"
+
+
+@pytest.fixture(scope="module")
+def geo_pts(spark):
+    rng = _random.Random(7)
+    pts = [(rng.uniform(-180, 180), rng.uniform(-90, 90)) for _ in range(150)]
+    pts += [(-180.0, -90.0), (179.999999, 89.999999), (0.0, 0.0), (180.0, 90.0)]
+    return pts, spark.createDataFrame(pts, "lon double, lat double")
+
+
+@pytest.mark.parametrize("p", [1, 5, 12])
+def test_geohash_cell_reference_parity(geo_pts, p):
+    pts, df = geo_pts
+    got = [r[0] for r in df.select(aggs.geohash_cell(F.col("lon"), F.col("lat"), p)).collect()]
+    for (lon, lat), g in zip(pts, got):
+        if lon < 180 and lat < 90:  # the +180/+90 edge clamps (no reference cell)
+            assert g == _gh_py(lon, lat, p), (lon, lat)
+    # the degenerate edge clamps into the last cell instead of overflowing
+    assert got[-1] == "z" * p
+
+
+@pytest.mark.parametrize("z", [0, 7, 15])
+def test_geotile_cell_reference_parity(geo_pts, z):
+    pts, df = geo_pts
+    got = [r[0] for r in df.select(aggs.geotile_cell(F.col("lon"), F.col("lat"), z)).collect()]
+    for (lon, lat), g in zip(pts[:-1], got[:-1]):
+        assert g == _tile_py(lon, lat, z), (lon, lat)
+
+
+def test_geo_cell_precision_bounds():
+    with pytest.raises(ValueError):
+        aggs.geohash_cell(F.col("lon"), F.col("lat"), 0)
+    with pytest.raises(ValueError):
+        aggs.geohash_cell(F.col("lon"), F.col("lat"), 13)
+    with pytest.raises(ValueError):
+        aggs.geotile_cell(F.col("lon"), F.col("lat"), 30)
+
+
+def test_geo_bounds_wrap_vs_unwrapped(spark):
+    # cluster around the antimeridian: wrapped box is narrower
+    w = spark.createDataFrame(
+        [(170.0, 0.0), (-175.0, 10.0), (160.0, -5.0)], "lon double, lat double")
+    r = aggs.geo_bounds(w, wrap_longitude=True).collect()[0]
+    assert (r["top"], r["bottom"], r["left"], r["right"]) == (10.0, -5.0, 160.0, -175.0)
+    u = aggs.geo_bounds(w).collect()[0]
+    assert (u["left"], u["right"]) == (-175.0, 170.0)
+    # cluster around Greenwich: the unwrapped box stays narrower even wrapped
+    g = spark.createDataFrame(
+        [(-10.0, 0.0), (20.0, 5.0)], "lon double, lat double")
+    r2 = aggs.geo_bounds(g, wrap_longitude=True).collect()[0]
+    assert (r2["left"], r2["right"]) == (-10.0, 20.0)
+    # single hemisphere: wrap can't apply
+    s1 = spark.createDataFrame([(30.0, 0.0), (40.0, 1.0)], "lon double, lat double")
+    r3 = aggs.geo_bounds(s1, wrap_longitude=True).collect()[0]
+    assert (r3["left"], r3["right"]) == (30.0, 40.0)
+
+
+def test_geo_centroid(spark):
+    df = spark.createDataFrame([(0.0, 10.0), (10.0, 20.0)], "lon double, lat double")
+    r = aggs.geo_centroid(df).collect()[0]
+    assert (r["lon"], r["lat"], r["count"]) == (5.0, 15.0, 2)
+
+
+def test_geotile_grid_ordering(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1.0)] * 3 + [(-170.0, -80.0)] * 2 + [(100.0, 50.0)],
+        "lon double, lat double")
+    got = [(r["key"], r["doc_count"]) for r in
+           aggs.geotile_grid(df, precision=2, size=2).collect()]
+    assert got[0][1] == 3 and got[1][1] == 2
+
+
+def test_geohash_grid_counts(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (1.0001, 1.0001), (-170.0, -80.0)], "lon double, lat double")
+    got = {r["key"]: r["doc_count"] for r in
+           aggs.geohash_grid(df, precision=3, size=10).collect()}
+    assert got[_gh_py(1.0, 1.0, 3)] == 2
+    assert got[_gh_py(-170.0, -80.0, 3)] == 1
