@@ -1632,6 +1632,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["agg_geo_bounds"] = _agg_geo_bounds
     q["agg_geo_centroid"] = _agg_geo_centroid
 
+    # ---- remaining ES metric/bucket agg families (round-5 batch 2) ----------------
+    q["agg_percentile_ranks"] = lambda spark, sf: aggs.percentile_ranks_agg(
+        _events(spark, sf), "value", [50.0, 245.0, 480.0]
+    )
+    q["agg_boxplot"] = lambda spark, sf: aggs.boxplot_agg(_events(spark, sf), "value")
+    q["agg_string_stats"] = lambda spark, sf: aggs.string_stats_agg(
+        _docs(spark, sf), "text"
+    )
+    q["agg_top_metrics"] = lambda spark, sf: aggs.top_metrics_agg(
+        _events(spark, sf), "value", ["user_id", "event_id"],
+        size=3, tiebreak=["event_id"],
+    )
+    q["agg_date_range"] = lambda spark, sf: aggs.date_range_agg(
+        _events(spark, sf), "ts",
+        [(None, "2024-01-10"), ("2024-01-10", "2024-01-20"), ("2024-01-15", None)],
+    )
+    q["agg_rate"] = lambda spark, sf: aggs.rate_agg(
+        _events(spark, sf), "ts", interval="day", unit="hour", field="value"
+    )
+    q["agg_auto_date_histogram"] = lambda spark, sf: aggs.auto_date_histogram(
+        _events(spark, sf), "ts", buckets=40
+    )
+    q["agg_geo_distance_rings"] = lambda spark, sf: aggs.geo_distance_agg(
+        _geo_pts(spark, sf), 0.0, 0.0,
+        [(None, 3000.0), (3000.0, 8000.0), (8000.0, None)],
+    )
+
     # ---- driver-gate rotation ----------------------------------------------------
     # The driver's correctness gate records only the first ~50 entries by
     # insertion order, so entries that have never had a driver row rotate to
@@ -1651,7 +1678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_weighted_avg", "agg_mad", "agg_multi_terms", "agg_adjacency",
         "agg_value_count", "terms_set", "match_bool_prefix",
         "agg_geotile_grid", "agg_geohash_grid", "agg_geo_bounds",
-        "agg_geo_centroid",
+        "agg_geo_centroid", "agg_percentile_ranks", "agg_boxplot",
+        "agg_string_stats", "agg_top_metrics", "agg_date_range", "agg_rate",
+        "agg_auto_date_histogram", "agg_geo_distance_rings",
     ]
     return {
         k: q[k]
@@ -3055,6 +3084,99 @@ WITH {_GEO_PTS_SQL}
 SELECT round(avg(lon::DOUBLE), 6) AS lon, round(avg(lat::DOUBLE), 6) AS lat,
        count(*)::BIGINT AS count
 FROM pts
+"""
+    # exact empirical CDF (ES's own is a t-digest approximation)
+    o["agg_percentile_ranks"] = """
+WITH a AS (SELECT count(value)::DOUBLE AS n,
+                  sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END)::DOUBLE AS c0,
+                  sum(CASE WHEN value <= 245.0 THEN 1 ELSE 0 END)::DOUBLE AS c1,
+                  sum(CASE WHEN value <= 480.0 THEN 1 ELSE 0 END)::DOUBLE AS c2
+           FROM events)
+SELECT unnest([50.0, 245.0, 480.0])::DOUBLE AS value,
+       unnest([round(100.0 * c0 / n, 6), round(100.0 * c1 / n, 6),
+               round(100.0 * c2 / n, 6)])::DOUBLE AS percent_rank
+FROM a
+"""
+    o["agg_boxplot"] = """
+WITH q AS (SELECT min(value) AS mn, max(value) AS mx,
+                  quantile_cont(value, [0.25, 0.5, 0.75]) AS qs FROM events),
+e AS (SELECT mn, mx, qs[1] AS q1, qs[2] AS q2, qs[3] AS q3 FROM q),
+w AS (SELECT min(CASE WHEN value >= q1 - 1.5 * (q3 - q1) THEN value END) AS lower,
+             max(CASE WHEN value <= q3 + 1.5 * (q3 - q1) THEN value END) AS upper
+      FROM events, e)
+SELECT mn AS "min", mx AS "max", round(q1, 6) AS q1, round(q2, 6) AS q2,
+       round(q3, 6) AS q3, w.lower, w.upper
+FROM e, w
+"""
+    # entropy = log2(T) - sum(n*log2 n)/T over the corpus char distribution
+    o["agg_string_stats"] = """
+WITH ch AS (SELECT unnest(regexp_extract_all(text, '.')) AS c FROM documents),
+cc AS (SELECT c, count(*)::DOUBLE AS n FROM ch GROUP BY 1),
+e AS (SELECT round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 4) AS entropy FROM cc),
+l AS (SELECT count(text)::BIGINT AS "count",
+             min(length(text))::INT AS min_length,
+             max(length(text))::INT AS max_length,
+             round(avg(length(text)), 4) AS avg_length
+      FROM documents)
+SELECT l.*, e.entropy FROM l, e
+"""
+    o["agg_top_metrics"] = """
+SELECT value, user_id, event_id FROM events
+ORDER BY value DESC, event_id ASC LIMIT 3
+"""
+    o["agg_date_range"] = """
+WITH a AS (SELECT
+  sum(CASE WHEN ts < TIMESTAMP '2024-01-10' THEN 1 ELSE 0 END)::BIGINT AS b0,
+  sum(CASE WHEN ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+      THEN 1 ELSE 0 END)::BIGINT AS b1,
+  sum(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END)::BIGINT AS b2
+  FROM events)
+SELECT unnest(['*-2024-01-10', '2024-01-10-2024-01-20', '2024-01-15-*']) AS key,
+       unnest([b0, b1, b2]) AS doc_count
+FROM a
+"""
+    # rate: per-day sum(value) divided by the bucket's span in hours (24)
+    o["agg_rate"] = """
+SELECT date_trunc('day', ts)::TIMESTAMP AS bucket,
+       round(sum(value) / 24.0, 6) AS rate
+FROM events GROUP BY 1 ORDER BY 1
+"""
+    # auto_date_histogram: the finest calendar unit whose bucket count fits
+    # the target (40) — the same data-dependent ladder walk, in SQL
+    o["agg_auto_date_histogram"] = """
+WITH c AS (SELECT count(DISTINCT date_trunc('second', ts)) AS s,
+                  count(DISTINCT date_trunc('minute', ts)) AS mi,
+                  count(DISTINCT date_trunc('hour', ts)) AS h,
+                  count(DISTINCT date_trunc('day', ts)) AS d,
+                  count(DISTINCT date_trunc('month', ts)) AS mo
+           FROM events),
+u AS (SELECT CASE WHEN s <= 40 THEN 'second' WHEN mi <= 40 THEN 'minute'
+                  WHEN h <= 40 THEN 'hour' WHEN d <= 40 THEN 'day'
+                  WHEN mo <= 40 THEN 'month' ELSE 'year' END AS unit FROM c)
+SELECT u.unit AS interval,
+       (CASE u.unit WHEN 'second' THEN date_trunc('second', ts)
+                    WHEN 'minute' THEN date_trunc('minute', ts)
+                    WHEN 'hour' THEN date_trunc('hour', ts)
+                    WHEN 'day' THEN date_trunc('day', ts)
+                    WHEN 'month' THEN date_trunc('month', ts)
+                    ELSE date_trunc('year', ts) END)::TIMESTAMP AS bucket,
+       count(*)::BIGINT AS doc_count
+FROM events, u GROUP BY 1, 2 ORDER BY 2
+"""
+    # geo_distance rings: haversine from (0,0) on the IUGG radius, [from, to)
+    o["agg_geo_distance_rings"] = f"""
+WITH {_GEO_PTS_SQL},
+d AS (SELECT 2.0 * 6371.0088 * asin(sqrt(least(1.0,
+        pow(sin(radians(lat::DOUBLE) / 2), 2)
+        + cos(radians(lat::DOUBLE)) * pow(sin(radians(lon::DOUBLE) / 2), 2)
+      ))) AS dist FROM pts),
+a AS (SELECT sum(CASE WHEN dist < 3000.0 THEN 1 ELSE 0 END)::BIGINT AS b0,
+             sum(CASE WHEN dist >= 3000.0 AND dist < 8000.0 THEN 1 ELSE 0 END)::BIGINT AS b1,
+             sum(CASE WHEN dist >= 8000.0 THEN 1 ELSE 0 END)::BIGINT AS b2
+      FROM d)
+SELECT unnest(['*-3000.0', '3000.0-8000.0', '8000.0-*']) AS key,
+       unnest([b0, b1, b2]) AS doc_count
+FROM a
 """
     # terms_set: >= per-doc M of {data, stream, batch}; M = n_chars branch
     o["terms_set"] = f"""

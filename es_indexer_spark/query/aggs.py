@@ -803,3 +803,296 @@ def geohash_grid(
         .orderBy(F.desc("doc_count"), F.asc("key"))
         .limit(size)
     )
+
+
+# ------------------------------------------------------------ metric aggs 2
+# Remaining ES metric-aggregation families. Same design rule as the rest of
+# this module: single-pass conditional aggregation wherever possible, exact
+# variants that a SQL oracle can replay, rounding for replay-stable floats.
+
+
+def percentile_ranks_agg(
+    df: DataFrame,
+    col: str,
+    values: Sequence[float],
+    ndigits: int = 6,
+) -> DataFrame:
+    """ES ``percentile_ranks``: for each requested value, the percentage of
+    observed values <= it. ES computes this through the t-digest sketch
+    (approximate); this is the exact empirical CDF — one conditional-sum
+    pass, one row per requested value (long format, like
+    ``percentiles_agg``). Values below the minimum rank 0, above the
+    maximum rank 100, matching ES's endpoints."""
+    if not values:
+        raise ValueError("percentile_ranks needs at least one value")
+    c = F.col(col).cast("double")
+    one = df.agg(
+        F.count(c).alias("_n"),
+        *[
+            F.sum(F.when(c <= F.lit(float(v)), 1).otherwise(0)).alias(f"_le{i}")
+            for i, v in enumerate(values)
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(v)).alias("value"),
+                F.round(
+                    F.lit(100.0) * F.col(f"_le{i}") / F.col("_n"), ndigits
+                ).alias("percent_rank"),
+            )
+            for i, v in enumerate(values)
+        ]
+    )
+    return one.select(F.inline(pairs))
+
+
+def boxplot_agg(df: DataFrame, col: str, ndigits: int = 6) -> DataFrame:
+    """ES ``boxplot``: min/max/q1/q2/q3 plus the truncated whiskers (the
+    extreme observed values still within 1.5*IQR of the quartile, ES's
+    ``lower``/``upper``). Quartiles are exact linear-interpolation
+    (``F.percentile`` = SQL ``quantile_cont``; ES's own are t-digest
+    approximations). Two passes: one quantile aggregation, then one
+    conditional min/max pass with the 1-row quartile result broadcast —
+    never a sort of the data."""
+    c = F.col(col).cast("double")
+    q = df.agg(
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.percentile(c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("_q"),
+    ).select(
+        "min",
+        "max",
+        F.col("_q")[0].alias("q1"),
+        F.col("_q")[1].alias("q2"),
+        F.col("_q")[2].alias("q3"),
+    )
+    j = df.join(F.broadcast(q))
+    iqr = F.col("q3") - F.col("q1")
+    lo_fence = F.col("q1") - 1.5 * iqr
+    hi_fence = F.col("q3") + 1.5 * iqr
+    return j.agg(
+        F.first("min").alias("min"),
+        F.first("max").alias("max"),
+        F.round(F.first("q1"), ndigits).alias("q1"),
+        F.round(F.first("q2"), ndigits).alias("q2"),
+        F.round(F.first("q3"), ndigits).alias("q3"),
+        F.min(F.when(c >= lo_fence, c)).alias("lower"),
+        F.max(F.when(c <= hi_fence, c)).alias("upper"),
+    )
+
+
+def string_stats_agg(df: DataFrame, col: str, ndigits: int = 4) -> DataFrame:
+    """ES ``string_stats``: count, min/max/avg length, and the Shannon
+    entropy (base 2) of the corpus-wide character distribution. Lengths are
+    one aggregation; entropy is a per-character count (tiny key space) then
+    ``log2(T) - sum(n*log2 n)/T`` — algebraically -sum(p*log2 p) without
+    materializing probabilities. Both 1-row results broadcast-joined."""
+    c = F.col(col)
+    lens = df.agg(
+        F.count(c).alias("count"),
+        F.min(F.length(c)).alias("min_length"),
+        F.max(F.length(c)).alias("max_length"),
+        F.round(F.avg(F.length(c)), ndigits).alias("avg_length"),
+    )
+    chars = (
+        df.select(F.explode(F.split(c, "")).alias("ch"))
+        .filter(F.length("ch") > 0)
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ent = chars.agg(
+        F.round(
+            F.log2(F.sum("n"))
+            - F.sum(F.col("n") * F.log2(F.col("n"))) / F.sum("n"),
+            ndigits,
+        ).alias("entropy")
+    )
+    return lens.join(F.broadcast(ent))
+
+
+def top_metrics_agg(
+    df: DataFrame,
+    sort_col: str,
+    metrics: Sequence[str],
+    *,
+    size: int = 1,
+    asc: bool = False,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """ES ``top_metrics``: the metric column values taken from the ``size``
+    documents with the most extreme sort value. ES tiebreaks by internal doc
+    order (non-deterministic across shards); pass ``tiebreak`` columns for a
+    reproducible result. Plan is a TakeOrdered (per-partition top-size then
+    driver merge), never a full sort."""
+    order = [F.asc(sort_col) if asc else F.desc(sort_col)]
+    order += [F.asc(t) for t in tiebreak]
+    return df.orderBy(*order).limit(size).select(sort_col, *metrics)
+
+
+# ------------------------------------------------------------ bucket aggs 2
+# Remaining ES bucket-aggregation families over time and distance.
+
+
+def date_range_agg(
+    df: DataFrame,
+    ts_col: str,
+    ranges: list[tuple[str | None, str | None]],
+) -> DataFrame:
+    """ES ``date_range`` aggregation: one bucket per (from, to) half-open
+    timestamp range [from, to) — includes the from, excludes the to, ES's
+    documented rule. Bounds are ISO date/timestamp strings or None ("*").
+    Same single conditional-sum pass as :func:`range_agg`, request order
+    preserved; overlapping ranges double-count as in ES."""
+    if not ranges:
+        raise ValueError("date_range_agg needs at least one range")
+    c = F.col(ts_col)
+    sums, keys = [], []
+    for i, (lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (c >= F.to_timestamp(F.lit(lo)))
+        if hi is not None:
+            cond = cond & (c < F.to_timestamp(F.lit(hi)))
+        keys.append(f"{lo or '*'}-{hi or '*'}")
+        sums.append(F.sum(cond.cast("long")).alias(f"_b{i}"))
+    row = df.agg(*sums)
+    stack_args = ", ".join(f"'{k}', bigint(_b{i}), {i}" for i, k in enumerate(keys))
+    return (
+        row.selectExpr(f"stack({len(keys)}, {stack_args}) as (key, doc_count, _ord)")
+        .orderBy("_ord")
+        .select("key", "doc_count")
+    )
+
+
+_RATE_UNIT_SECONDS = {
+    "second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
+}
+
+
+def rate_agg(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    interval: str = "month",
+    unit: str = "day",
+    field: str | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """ES ``rate`` aggregation inside a ``date_histogram``: per calendar
+    bucket, ``sum(field)`` (or the doc count when ``field`` is None)
+    divided by the bucket's actual calendar length expressed in ``unit`` —
+    a 31-day month divides by 31 when ``unit='day'``, exactly ES's
+    behavior. One hash aggregation; the divisor is closed-form column math
+    on the bucket key."""
+    if interval not in _INTERVALS:
+        raise ValueError(f"interval must be one of {_INTERVALS}")
+    if unit not in _RATE_UNIT_SECONDS:
+        raise ValueError(f"unit must be one of {sorted(_RATE_UNIT_SECONDS)}")
+    val = F.count(F.lit(1)).cast("double") if field is None else F.sum(F.col(field))
+    out = (
+        df.groupBy(F.date_trunc(interval, F.col(ts_col)).alias("bucket"))
+        .agg(val.alias("_v"))
+    )
+    nxt = {
+        "year": F.add_months(F.col("bucket"), 12),
+        "quarter": F.add_months(F.col("bucket"), 3),
+        "month": F.add_months(F.col("bucket"), 1),
+        "week": F.date_add(F.col("bucket"), 7),
+        "day": F.date_add(F.col("bucket"), 1),
+        "hour": F.col("bucket") + F.expr("INTERVAL 1 HOUR"),
+        "minute": F.col("bucket") + F.expr("INTERVAL 1 MINUTE"),
+        "second": F.col("bucket") + F.expr("INTERVAL 1 SECOND"),
+    }[interval]
+    span_units = (
+        F.unix_timestamp(nxt.cast("timestamp")) - F.unix_timestamp(F.col("bucket"))
+    ) / F.lit(float(_RATE_UNIT_SECONDS[unit]))
+    return out.select(
+        "bucket", F.round(F.col("_v") / span_units, ndigits).alias("rate")
+    ).orderBy("bucket")
+
+
+_AUTO_DH_LADDER = ("second", "minute", "hour", "day", "month", "year")
+
+
+def auto_date_histogram(
+    df: DataFrame, ts_col: str, *, buckets: int = 10
+) -> DataFrame:
+    """ES ``auto_date_histogram``: pick the interval so the bucket count
+    stays <= the target. This implementation walks the pure calendar ladder
+    second→minute→hour→day→month→year and picks the FINEST unit whose
+    non-empty bucket count fits (falling back to ``year`` if none does);
+    ES's ladder also has intra-unit multiples (5s, 30m, ...), not
+    reproduced — documented divergence. Two passes: one aggregation
+    computing all six candidate bucket counts at once (never one scan per
+    candidate), then the final hash aggregation at the chosen unit."""
+    c = F.col(ts_col)
+    counts = df.agg(
+        *[
+            F.count_distinct(F.date_trunc(u, c)).alias(u)
+            for u in _AUTO_DH_LADDER
+        ]
+    ).collect()[0]
+    unit = next(
+        (u for u in _AUTO_DH_LADDER if counts[u] <= buckets), _AUTO_DH_LADDER[-1]
+    )
+    return (
+        df.groupBy(F.date_trunc(unit, c).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .select(F.lit(unit).alias("interval"), "bucket", "doc_count")
+        .orderBy("bucket")
+    )
+
+
+def haversine_km(lon1, lat1, lon2, lat2):
+    """Great-circle distance in km between two (lon, lat) column pairs —
+    haversine on the IUGG mean radius (the Lucene/ES constant). Pure JVM
+    column math; reused by the geo_distance aggregation and tests."""
+    from es_indexer_spark.ops.geoindex import EARTH_RADIUS_KM
+
+    phi1, phi2 = F.radians(lat1), F.radians(lat2)
+    dphi = F.radians(lat2 - lat1)
+    dlam = F.radians(lon2 - lon1)
+    h = F.pow(F.sin(dphi / 2), 2) + F.cos(phi1) * F.cos(phi2) * F.pow(
+        F.sin(dlam / 2), 2
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(F.least(F.lit(1.0), h)))
+
+
+def geo_distance_agg(
+    df: DataFrame,
+    origin_lon: float,
+    origin_lat: float,
+    ranges: list[tuple[float | None, float | None]],
+    *,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """ES ``geo_distance`` aggregation: ring buckets keyed "from-to" (km),
+    half-open [from, to), docs may fall in several overlapping rings. The
+    haversine distance is computed once per row and the rings are one
+    conditional-sum pass, as in :func:`range_agg`."""
+    if not ranges:
+        raise ValueError("geo_distance_agg needs at least one range")
+    d = haversine_km(
+        F.lit(float(origin_lon)),
+        F.lit(float(origin_lat)),
+        F.col(lon_col).cast("double"),
+        F.col(lat_col).cast("double"),
+    )
+    sums, keys = [], []
+    for i, (lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (d >= float(lo))
+        if hi is not None:
+            cond = cond & (d < float(hi))
+        keys.append(f"{'*' if lo is None else lo}-{'*' if hi is None else hi}")
+        sums.append(F.sum(cond.cast("long")).alias(f"_b{i}"))
+    row = df.agg(*sums)
+    stack_args = ", ".join(f"'{k}', bigint(_b{i}), {i}" for i, k in enumerate(keys))
+    return (
+        row.selectExpr(f"stack({len(keys)}, {stack_args}) as (key, doc_count, _ord)")
+        .orderBy("_ord")
+        .select("key", "doc_count")
+    )

@@ -469,3 +469,113 @@ def test_geohash_grid_counts(spark):
            aggs.geohash_grid(df, precision=3, size=10).collect()}
     assert got[_gh_py(1.0, 1.0, 3)] == 2
     assert got[_gh_py(-170.0, -80.0, 3)] == 1
+
+
+# ---- metric aggs 2 (percentile_ranks / boxplot / string_stats / top_metrics)
+
+def test_percentile_ranks_exact_cdf(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(1, 11)], "v double")
+    got = {r["value"]: r["percent_rank"] for r in
+           aggs.percentile_ranks_agg(df, "v", [0.5, 5.0, 7.5, 10.0, 99.0]).collect()}
+    assert got[0.5] == 0.0          # below min
+    assert got[5.0] == 50.0         # half the values <= 5
+    assert got[7.5] == 70.0
+    assert got[10.0] == 100.0       # at max
+    assert got[99.0] == 100.0       # above max
+    with pytest.raises(ValueError):
+        aggs.percentile_ranks_agg(df, "v", [])
+
+
+def test_boxplot_quartiles_and_whiskers(spark):
+    # 1..9 plus an outlier far beyond 1.5*IQR
+    df = spark.createDataFrame([(float(v),) for v in range(1, 10)] + [(100.0,)],
+                               "v double")
+    r = aggs.boxplot_agg(df, "v").collect()[0]
+    # exact linear-interpolation quartiles of 10 values
+    assert (r["min"], r["max"]) == (1.0, 100.0)
+    assert (r["q1"], r["q2"], r["q3"]) == (3.25, 5.5, 7.75)
+    # fences: q1-1.5*iqr = -3.5, q3+1.5*iqr = 14.5 -> whiskers are observed 1 and 9
+    assert (r["lower"], r["upper"]) == (1.0, 9.0)
+
+
+def test_string_stats_entropy(spark):
+    # "aabb" over two rows: 4 chars, p(a)=p(b)=0.5 -> entropy exactly 1 bit
+    df = spark.createDataFrame([("aa",), ("bb",)], "s string")
+    r = aggs.string_stats_agg(df, "s").collect()[0]
+    assert (r["count"], r["min_length"], r["max_length"], r["avg_length"]) == (2, 2, 2, 2.0)
+    assert r["entropy"] == 1.0
+    # uniform 4-symbol alphabet -> 2 bits
+    df4 = spark.createDataFrame([("abcd",)], "s string")
+    assert aggs.string_stats_agg(df4, "s").collect()[0]["entropy"] == 2.0
+
+
+def test_top_metrics_order_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(3.0, 1, "a"), (5.0, 2, "b"), (5.0, 1, "c"), (1.0, 9, "d")],
+        "v double, id int, m string")
+    got = [(r["v"], r["m"]) for r in
+           aggs.top_metrics_agg(df, "v", ["m"], size=2, tiebreak=["id"]).collect()]
+    assert got == [(5.0, "c"), (5.0, "b")]
+    asc = aggs.top_metrics_agg(df, "v", ["m"], size=1, asc=True).collect()
+    assert asc[0]["m"] == "d"
+
+
+# ---- bucket aggs 2 (date_range / rate / auto_date_histogram / geo_distance)
+
+def test_date_range_half_open(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",), ("2024-02-01 00:00:00",), ("2024-03-15 12:00:00",)],
+        "t string").select(F.to_timestamp("t").alias("t"))
+    got = [(r["key"], r["doc_count"]) for r in aggs.date_range_agg(
+        df, "t", [(None, "2024-02-01"), ("2024-02-01", "2024-04-01"), ("2024-01-01", None)]
+    ).collect()]
+    # from inclusive, to exclusive: the 02-01 row is NOT in the first bucket
+    assert got == [("*-2024-02-01", 1), ("2024-02-01-2024-04-01", 2),
+                   ("2024-01-01-*", 3)]
+
+
+def test_rate_calendar_divisor(spark):
+    # 62 events in Jan-2024 (31 d) and 29 in Feb-2024 (29 d, leap year)
+    rows = [(f"2024-01-{d:02d} 01:00:00",) for d in range(1, 32) for _ in range(2)]
+    rows += [(f"2024-02-{d:02d} 01:00:00",) for d in range(1, 30)]
+    df = spark.createDataFrame(rows, "t string").select(F.to_timestamp("t").alias("t"))
+    got = {str(r["bucket"])[:7]: r["rate"] for r in
+           aggs.rate_agg(df, "t", interval="month", unit="day").collect()}
+    assert got["2024-01"] == 2.0   # 62 / 31
+    assert got["2024-02"] == 1.0   # 29 / 29
+    # sum-field variant, weekly unit
+    df2 = df.withColumn("v", F.lit(31.0))
+    got2 = {str(r["bucket"])[:7]: r["rate"] for r in
+            aggs.rate_agg(df2, "t", interval="month", unit="week", field="v").collect()}
+    assert got2["2024-01"] == round(62 * 31.0 / (31 / 7.0), 6)
+
+
+def test_auto_date_histogram_picks_finest_fitting(spark):
+    # 3 distinct days x 4 distinct hours each = 12 hours > 10 -> day wins
+    rows = [(f"2024-01-{d:02d} {h:02d}:{m:02d}:00",)
+            for d in (1, 2, 3) for h in (0, 3, 6, 9) for m in range(10)]
+    df = spark.createDataFrame(rows, "t string").select(F.to_timestamp("t").alias("t"))
+    out = aggs.auto_date_histogram(df, "t", buckets=10).collect()
+    assert out[0]["interval"] == "day" and len(out) == 3
+    assert all(r["doc_count"] == 40 for r in out)
+    hour = aggs.auto_date_histogram(df, "t", buckets=60).collect()
+    assert hour[0]["interval"] == "hour" and len(hour) == 12
+    # a single month of data collapses to one month bucket at target 1
+    assert aggs.auto_date_histogram(df, "t", buckets=1).collect()[0]["interval"] == "month"
+
+
+def test_geo_distance_rings(spark):
+    # origin, ~111.2 km north (1 deg lat), antipode-ish far point
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (0.0, 1.0), (90.0, 0.0)], "lon double, lat double")
+    got = [(r["key"], r["doc_count"]) for r in aggs.geo_distance_agg(
+        df, 0.0, 0.0, [(None, 1.0), (1.0, 200.0), (200.0, None), (None, None)]
+    ).collect()]
+    assert got == [("*-1.0", 1), ("1.0-200.0", 1), ("200.0-*", 1), ("*-*", 3)]
+
+
+def test_haversine_known_distance(spark):
+    df = spark.createDataFrame([(0.0, 0.0)], "lon double, lat double")
+    d = df.select(aggs.haversine_km(
+        F.col("lon"), F.col("lat"), F.lit(0.0), F.lit(1.0)).alias("d")).collect()[0]["d"]
+    assert abs(d - 111.195) < 0.01  # 1 degree of latitude on the IUGG sphere
