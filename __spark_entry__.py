@@ -1341,6 +1341,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["collapse_by_field"] = _collapse
     q["function_score"] = _fscore
 
+    # ---- ES rank_feature / distance_feature / pinned (round-5 batch 3) ------------
+    def _rank_feature(spark, sf):
+        from es_indexer_spark.query.engine import rank_feature_topk
+
+        return rank_feature_topk(
+            spark, _index_root(spark, sf), "spark join window", "n_chars",
+            k=10, boost=2.0,
+        ).select(F.col("docid").alias("doc_id"), F.round("score", 4).alias("score"))
+
+    def _distance_feature(spark, sf):
+        from es_indexer_spark.query.engine import distance_feature_topk
+
+        return distance_feature_topk(
+            spark, _index_root(spark, sf), "spark join window", "n_chars",
+            origin=150.0, pivot=50.0, k=10,
+        ).select(F.col("docid").alias("doc_id"), F.round("score", 4).alias("score"))
+
+    def _pinned(spark, sf):
+        from es_indexer_spark.query.engine import pinned_topk
+
+        return pinned_topk(
+            spark, _index_root(spark, sf), [42, 7, 1_000_000_009],
+            "spark join window", k=10,
+        ).select(F.col("docid").alias("doc_id"), F.round("score", 4).alias("score"))
+
+    q["rank_feature_sat"] = _rank_feature
+    q["distance_feature"] = _distance_feature
+    q["pinned_query"] = _pinned
+
     # ---- training-data assembly (ops/packing.py) -----------------------------------
     def _split(spark, sf):
         from es_indexer_spark.ops.packing import assign_split
@@ -1681,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_geo_centroid", "agg_percentile_ranks", "agg_boxplot",
         "agg_string_stats", "agg_top_metrics", "agg_date_range", "agg_rate",
         "agg_auto_date_histogram", "agg_geo_distance_rings",
+        "rank_feature_sat", "distance_feature", "pinned_query",
     ]
     return {
         k: q[k]
@@ -2024,6 +2054,43 @@ r6 AS (SELECT raw.doc_id, round(raw.score_raw * ln(1.0 + d.n_chars), 6) AS s
        FROM raw JOIN documents d USING (doc_id))
 SELECT doc_id, round(s::DOUBLE, 4) AS score
 FROM r6 ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+    # rank_feature saturation, default pivot = exact geometric mean of the
+    # feature (ES documents an approximate geometric mean default)
+    o["rank_feature_sat"] = f"""
+{_BM25_PREAMBLE},
+{_RAW_JSW},
+gm AS (SELECT exp(avg(ln(n_chars))) AS g FROM documents),
+r6 AS (SELECT raw.doc_id,
+              round(raw.score_raw + 2.0 * (d.n_chars / (d.n_chars + gm.g)), 6) AS s
+       FROM raw JOIN documents d USING (doc_id), gm)
+SELECT doc_id, round(s::DOUBLE, 4) AS score
+FROM r6 ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+    # distance_feature: pivot/(pivot + |x - origin|) added to the BM25 sum
+    o["distance_feature"] = f"""
+{_BM25_PREAMBLE},
+{_RAW_JSW},
+r6 AS (SELECT raw.doc_id,
+              round(raw.score_raw + 50.0 / (50.0 + abs(d.n_chars - 150.0)), 6) AS s
+       FROM raw JOIN documents d USING (doc_id))
+SELECT doc_id, round(s::DOUBLE, 4) AS score
+FROM r6 ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+    # pinned: request-order constant scores above BM25, organic minus pins;
+    # the nonexistent pin (1000000009) drops out via the documents join
+    o["pinned_query"] = f"""
+{_BM25_PREAMBLE},
+{_RAW_JSW},
+org AS (SELECT doc_id, round(score_raw, 6) AS s FROM raw
+        WHERE doc_id NOT IN (42, 7, 1000000009)),
+pin AS (SELECT d.doc_id, 1000000000.0 - p.rk + 1 AS s
+        FROM (SELECT unnest([42, 7, 1000000009]) AS doc_id,
+                     unnest([1, 2, 3]) AS rk) p
+        JOIN documents d USING (doc_id))
+SELECT doc_id, round(s::DOUBLE, 4) AS score
+FROM (SELECT * FROM pin UNION ALL SELECT * FROM org)
+ORDER BY s DESC, doc_id ASC LIMIT 10
 """
     o["range_docs"] = """
 SELECT doc_id, n_chars FROM documents

@@ -29,6 +29,7 @@ embarrassingly parallel over shards; step 5 shuffles ≤ shards × k rows.
 from __future__ import annotations
 
 import os
+from collections.abc import Sequence
 
 import numpy as np
 import pandas as pd
@@ -1153,6 +1154,138 @@ def function_score_topk(
     return (
         hits.join(docs, "docid")
         .select("docid", F.round(combined, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+    )
+
+
+_RANK_FEATURE_FNS = ("saturation", "log", "sigmoid")
+
+
+def rank_feature_topk(
+    spark: SparkSession,
+    index_root: str,
+    query: str,
+    field: str,
+    k: int = 10,
+    *,
+    function: str = "saturation",
+    pivot: float | None = None,
+    scaling_factor: float = 1.0,
+    exponent: float = 1.0,
+    boost: float = 1.0,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``rank_feature`` query combined with a text query in a bool should
+    (the published usage shape): final score = BM25(query) + boost * S(x)
+    where x is a stored numeric feature and S is one of ES's three rank
+    functions — ``saturation`` x/(x+pivot), ``log`` ln(scaling_factor + x),
+    ``sigmoid`` x^e/(x^e + pivot^e). When ``pivot`` is omitted for
+    saturation, ES defaults to the *approximate* geometric mean of the
+    feature; this computes the exact geometric mean exp(avg(ln x)) from the
+    live docs store (documented divergence: exact, not sketched).
+
+    Like ``function_score_topk``, the feature reorders matches arbitrarily,
+    so every match is scored (k=None disjunction), the feature joins from
+    the docs store, and the combined score (rounded at 6 for ulp-stable
+    ordering) is top-k'd with docid ties ascending."""
+    from es_indexer_spark.query.boolean import bool_query
+
+    if function not in _RANK_FEATURE_FNS:
+        raise ValueError(f"function must be one of {_RANK_FEATURE_FNS}")
+    vdir = catalog.resolve(index_root)
+    docs = spark.read.parquet(os.path.join(vdir, "docs")).select("docid", field)
+    if function in ("saturation", "sigmoid") and pivot is None:
+        pivot = docs.agg(
+            F.exp(F.avg(F.log(F.col(field).cast("double"))))
+        ).collect()[0][0]
+    x = F.col(field).cast("double")
+    s = {
+        "saturation": x / (x + F.lit(float(pivot or 0.0))),
+        "log": F.log(F.lit(float(scaling_factor)) + x),
+        "sigmoid": F.pow(x, float(exponent))
+        / (F.pow(x, float(exponent)) + F.lit(float(pivot or 0.0)) ** float(exponent)),
+    }[function]
+    hits = bool_query(spark, index_root, should=[query], k=None, lang=lang)
+    combined = F.col("score") + F.lit(float(boost)) * s
+    return (
+        hits.join(docs, "docid")
+        .select("docid", F.round(combined, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+    )
+
+
+def distance_feature_topk(
+    spark: SparkSession,
+    index_root: str,
+    query: str,
+    field: str,
+    origin: float,
+    pivot: float,
+    k: int = 10,
+    *,
+    boost: float = 1.0,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``distance_feature`` query in a bool should: final score =
+    BM25(query) + boost * pivot / (pivot + |x - origin|) — ES's exact decay
+    form for date distances (milliseconds from origin); here over any stored
+    numeric/date-epoch field. Scored like ``rank_feature_topk``: all
+    matches, store join, round-6 top-k."""
+    from es_indexer_spark.query.boolean import bool_query
+
+    if not pivot > 0:
+        raise ValueError("pivot must be > 0")
+    vdir = catalog.resolve(index_root)
+    docs = spark.read.parquet(os.path.join(vdir, "docs")).select("docid", field)
+    dist = F.abs(F.col(field).cast("double") - F.lit(float(origin)))
+    contrib = F.lit(float(boost)) * F.lit(float(pivot)) / (F.lit(float(pivot)) + dist)
+    hits = bool_query(spark, index_root, should=[query], k=None, lang=lang)
+    return (
+        hits.join(docs, "docid")
+        .select("docid", F.round(F.col("score") + contrib, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+    )
+
+
+def pinned_topk(
+    spark: SparkSession,
+    index_root: str,
+    ids: Sequence[int],
+    organic: str,
+    k: int = 10,
+    *,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``pinned`` query: the given docids rank first IN THE GIVEN ORDER
+    (whether or not they match), then the organic query's matches by BM25
+    score, with pinned docs removed from the organic stream. ES implements
+    the pins as descending constant scores above any realistic BM25 value;
+    same here (1e9 - position). Pins that don't exist in the index (or are
+    tombstoned) are dropped, as in ES. The pin list is request-sized (ES
+    caps pinned ids at 100), so the driver-side literal is O(|pins|)."""
+    from es_indexer_spark.query.boolean import bool_query
+    from es_indexer_spark.query.lookup import doc_lookup
+
+    ids = [int(d) for d in ids]
+    if len(ids) > 100:
+        raise ValueError("pinned supports at most 100 ids (the ES cap)")
+    live_pins = doc_lookup(spark, index_root, ids).select("docid")
+    rank = F.array_position(
+        F.array(*[F.lit(d) for d in ids]), F.col("docid")
+    ).cast("double")
+    pins = live_pins.select(
+        "docid", (F.lit(1e9) - rank + 1).alias("score")
+    )
+    org = (
+        bool_query(spark, index_root, should=[organic], k=None, lang=lang)
+        .filter(~F.col("docid").isin(ids))
+        .select("docid", F.round("score", 6).alias("score"))
+    )
+    return (
+        pins.unionByName(org)
         .orderBy(F.desc("score"), F.asc("docid"))
         .limit(k)
     )

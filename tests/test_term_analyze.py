@@ -563,3 +563,97 @@ def test_function_score_field_value_factor(spark, documents, term_index):
         function_score_topk(spark, term_index, "x", "n_chars", modifier="cube")
     with pytest.raises(ValueError):
         function_score_topk(spark, term_index, "x", "n_chars", boost_mode="max")
+
+
+def test_rank_feature_saturation_and_log(spark, documents, term_index):
+    import math
+
+    from es_indexer_spark.query.engine import rank_feature_topk
+
+    nch = {r["doc_id"]: r["n_chars"] for r in documents.collect()}
+    base = {
+        r["docid"]: r["score"]
+        for r in topk(spark, term_index, "spark join window", k=100_000,
+                      use_blockmax=False).collect()
+    }
+    # default pivot = exact geometric mean of the feature over the docs store
+    gm = math.exp(sum(math.log(v) for v in nch.values()) / len(nch))
+    got = [
+        (r["docid"], r["score"])
+        for r in rank_feature_topk(
+            spark, term_index, "spark join window", "n_chars", k=10, boost=2.0
+        ).collect()
+    ]
+    exp = sorted(
+        ((d, round(s + 2.0 * (nch[d] / (nch[d] + gm)), 6)) for d, s in base.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    assert [s for _, s in got] == pytest.approx([s for _, s in exp])
+    # log function with explicit scaling factor
+    got_log = rank_feature_topk(
+        spark, term_index, "spark join window", "n_chars", k=5,
+        function="log", scaling_factor=3.0,
+    ).collect()
+    exp_log = sorted(
+        ((d, round(s + math.log(3.0 + nch[d]), 6)) for d, s in base.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    assert [(r["docid"], r["score"]) for r in got_log] == [
+        (d, pytest.approx(s)) for d, s in exp_log
+    ]
+    # sigmoid at exponent 1 with pivot p equals saturation with that pivot
+    sat = rank_feature_topk(spark, term_index, "spark join window", "n_chars",
+                            k=5, pivot=100.0).collect()
+    sig = rank_feature_topk(spark, term_index, "spark join window", "n_chars",
+                            k=5, function="sigmoid", pivot=100.0, exponent=1.0).collect()
+    assert [(r["docid"], r["score"]) for r in sat] == [
+        (r["docid"], r["score"]) for r in sig
+    ]
+    with pytest.raises(ValueError):
+        rank_feature_topk(spark, term_index, "x", "n_chars", function="linear")
+
+
+def test_distance_feature_decay(spark, documents, term_index):
+    from es_indexer_spark.query.engine import distance_feature_topk
+
+    nch = {r["doc_id"]: r["n_chars"] for r in documents.collect()}
+    base = {
+        r["docid"]: r["score"]
+        for r in topk(spark, term_index, "spark join window", k=100_000,
+                      use_blockmax=False).collect()
+    }
+    got = [
+        (r["docid"], r["score"])
+        for r in distance_feature_topk(
+            spark, term_index, "spark join window", "n_chars",
+            origin=150.0, pivot=50.0, k=10,
+        ).collect()
+    ]
+    exp = sorted(
+        ((d, round(s + 50.0 / (50.0 + abs(nch[d] - 150.0)), 6)) for d, s in base.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert got == [(d, pytest.approx(s)) for d, s in exp]
+    with pytest.raises(ValueError):
+        distance_feature_topk(spark, term_index, "x", "n_chars", 0.0, 0.0)
+
+
+def test_pinned_query_order_and_exclusion(spark, documents, term_index):
+    from es_indexer_spark.query.engine import pinned_topk
+
+    organic = [
+        r["docid"]
+        for r in topk(spark, term_index, "spark join window", k=10,
+                      use_blockmax=False).collect()
+    ]
+    # pin two real docs (one of them an organic hit) + one nonexistent id
+    pins = [organic[3], 0, 10_000_000]
+    got = [r["docid"] for r in pinned_topk(
+        spark, term_index, pins, "spark join window", k=10).collect()]
+    # pins first in request order (nonexistent dropped), then organic minus pins
+    assert got[:2] == [organic[3], 0]
+    rest = [d for d in organic if d not in pins]
+    assert got[2:] == rest[: 10 - 2]
+    with pytest.raises(ValueError):
+        pinned_topk(spark, term_index, list(range(101)), "x")
