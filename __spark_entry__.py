@@ -678,6 +678,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["span_first"] = _span_first
+
+    def _span_or(spark, sf):
+        from es_indexer_spark.query.phrase import span_or
+
+        return span_or(
+            spark, _index_root(spark, sf), ["data", "window"], k=None
+        ).select(
+            F.col("docid").alias("doc_id"),
+            "phrase_tf",
+            F.round("score", 4).alias("score"),
+        )
+
+    def _span_not(spark, sf):
+        from es_indexer_spark.query.phrase import span_not
+
+        return span_not(
+            spark, _index_root(spark, sf), "data", "stream",
+            pre=1, post=1, k=None,
+        ).select(
+            F.col("docid").alias("doc_id"),
+            "phrase_tf",
+            F.round("score", 4).alias("score"),
+        )
+
+    def _suggest_term_typo(spark, sf):
+        from es_indexer_spark.query.suggest import suggest_terms
+
+        return suggest_terms(
+            spark, _index_root(spark, sf), "data strem", max_edits=2
+        )
+
+    q["span_or_query"] = _span_or
+    q["span_not_query"] = _span_not
+    q["suggest_term_typo"] = _suggest_term_typo
     q["bm25_topk_synonym"] = lambda spark, sf: index_topk(
         spark, _index_root(spark, sf), "jw", k=10,
         synonyms={"jw": ["joined window"]},
@@ -1711,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_string_stats", "agg_top_metrics", "agg_date_range", "agg_rate",
         "agg_auto_date_histogram", "agg_geo_distance_rings",
         "rank_feature_sat", "distance_feature", "pinned_query",
+        "span_or_query", "span_not_query", "suggest_term_typo",
     ]
     return {
         k: q[k]
@@ -1805,6 +1840,55 @@ SELECT doc_id, ptf::BIGINT AS phrase_tf,
             + ln(1 + (st.n - dfs.df2 + 0.5) / (dfs.df2 + 0.5)))
              * ptf * 2.2 / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)), 4) AS score
 FROM pf CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
+"""
+    # span_or: union of single-term spans, freq = total occurrences, scored
+    # with the combined SpanOr weight (sum of the clause idfs)
+    o["span_or_query"] = """
+WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+              FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT sum(len(t)) FROM toks)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+dfs AS (SELECT (SELECT count(*) FROM toks WHERE list_contains(t, 'data'))::DOUBLE AS df1,
+               (SELECT count(*) FROM toks WHERE list_contains(t, 'window'))::DOUBLE AS df2),
+g AS (SELECT doc_id, len(t)::DOUBLE AS dl,
+             len([x for x in t if x = 'data']) + len([x for x in t if x = 'window']) AS ptf
+      FROM toks)
+SELECT doc_id, ptf::BIGINT AS phrase_tf,
+       round((ln(1 + (st.n - dfs.df1 + 0.5) / (dfs.df1 + 0.5))
+            + ln(1 + (st.n - dfs.df2 + 0.5) / (dfs.df2 + 0.5)))
+             * ptf * 2.2 / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)), 4) AS score
+FROM g CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
+"""
+    # span_not(data NOT stream, pre=1 post=1): include occurrences with no
+    # exclude occurrence in [p-1, p+1]; weight = the include term's idf only
+    o["span_not_query"] = """
+WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+              FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT sum(len(t)) FROM toks)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+dfs AS (SELECT (SELECT count(*) FROM toks WHERE list_contains(t, 'data'))::DOUBLE AS df1),
+pos AS (SELECT doc_id, len(t)::DOUBLE AS dl,
+               [i for i in range(1, len(t)+1) if t[i] = 'data'] AS p0,
+               [i for i in range(1, len(t)+1) if t[i] = 'stream'] AS p1
+        FROM toks),
+pf AS (SELECT doc_id, dl,
+              len([p for p in p0 if len([q for q in p1 if q >= p - 1 AND q <= p + 1]) = 0]) AS ptf
+       FROM pos)
+SELECT doc_id, ptf::BIGINT AS phrase_tf,
+       round(ln(1 + (st.n - dfs.df1 + 0.5) / (dfs.df1 + 0.5))
+             * ptf * 2.2 / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)), 4) AS score
+FROM pf CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
+"""
+    # term suggester over the dictionary: 'data' is present (missing mode
+    # drops it), 'strem' suggests within 2 edits, first char pinned
+    o["suggest_term_typo"] = f"""
+{_BM25_PREAMBLE}
+SELECT 'strem' AS input, term, levenshtein(term, 'strem')::INT AS edits,
+       df::BIGINT AS df
+FROM dfq
+WHERE substr(term, 1, 1) = 's' AND length(term) BETWEEN 3 AND 7
+  AND term <> 'strem' AND levenshtein(term, 'strem') <= 2
+ORDER BY edits ASC, df DESC, term ASC LIMIT 5
 """
     # live-docs phrase: stats over the FULL corpus, dead docs filtered from
     # the result only (same rule as bm25_topk_deleted)

@@ -612,3 +612,226 @@ def match_phrase_prefix(
     )
     out = scored.orderBy(F.desc("score"), F.asc("docid"))
     return out.limit(k) if k is not None else out
+
+
+def _span_or_shard_scorer(terms: list[str], sum_idf: float, k1, b, avgdl, tomb):
+    """Per-shard Lucene ``SpanOrQuery`` scorer: a doc matches when ANY clause
+    term occurs; freq = the total span (occurrence) count across clauses,
+    scored with the union SpanWeight (sum of the clause idfs — Lucene builds
+    one SimWeight over all wrapped terms). Positions are not needed — the
+    per-doc tf sums are already in the posting blocks."""
+
+    def score(pdf: pd.DataFrame, tomb_local: np.ndarray | None = None) -> pd.DataFrame:
+        tomb = tomb_local if tomb_local is not None else score.tomb_default
+        empty = pd.DataFrame({"docid": [], "phrase_tf": [], "score": []})
+        d_parts, t_parts, l_parts = [], [], []
+        for row in pdf.itertuples(index=False):
+            d, t, l = decode_block(row.gaps, row.tfs, row.dls, row.first_docid)
+            d64 = d.astype(np.int64)
+            if tomb is not None:
+                keep = live_mask(tomb, d64)
+                if keep is not None and not keep.all():
+                    d64, t, l = d64[keep], t[keep], l[keep]
+            if d64.size:
+                d_parts.append(d64)
+                t_parts.append(t.astype(np.int64))
+                l_parts.append(l.astype(np.int64))
+        if not d_parts:
+            return empty
+        docs = np.concatenate(d_parts)
+        tfs = np.concatenate(t_parts)
+        lens = np.concatenate(l_parts)
+        order = np.argsort(docs, kind="stable")
+        docs, tfs, lens = docs[order], tfs[order], lens[order]
+        uniq, start = np.unique(docs, return_index=True)
+        ptf = np.add.reduceat(tfs, start).astype(np.float64)
+        dl = lens[start].astype(np.float64)
+        s = sum_idf * ptf * (k1 + 1.0) / (ptf + k1 * (1.0 - b + b * dl / avgdl))
+        return pd.DataFrame(
+            {"docid": uniq, "phrase_tf": ptf.astype(np.int64), "score": s}
+        )
+
+    score.tomb_default = tomb
+    return score
+
+
+def span_or(
+    spark: SparkSession,
+    index_root: str,
+    clauses: Sequence[str],
+    *,
+    k: int | None = 10,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES/Lucene ``span_or``: union of the clause spans. Returns
+    ``(docid, phrase_tf, score)`` — phrase_tf = total occurrences across the
+    clauses, scored with the combined SpanWeight (sum of clause idfs), the
+    public Lucene SpanOrQuery behavior. One pruned postings scan over the
+    clause terms' buckets; the per-shard combine is pure numpy reduceat."""
+    vdir = catalog.resolve(index_root)
+    stats = catalog.read_stats(vdir)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    k1, b = stats["k1"], stats["b"]
+    from es_indexer_spark.query.engine import (
+        _apply_scorer,
+        _dict_lookup,
+        _postings_df,
+        _tomb_mode,
+    )
+
+    tomb, tomb_shards = _tomb_mode(spark, vdir, int(stats["shard_size"]))
+    terms = sorted(
+        {
+            t
+            for c in clauses
+            for t in tokenize_one(c, stats["tokenizer"], lang=lang)
+        }
+    )
+    if not terms:
+        return spark.createDataFrame([], _PHRASE_SCHEMA)
+    dict_rows = [r for r in _dict_lookup(spark, vdir, terms) if r is not None]
+    if not dict_rows:
+        return spark.createDataFrame([], _PHRASE_SCHEMA)
+    # absent clauses contribute nothing (disjunction) but keep their weight
+    # out of the sum — Lucene computes the SimWeight over the FOUND terms
+    sum_idf = float(sum(lucene_idf(n_docs, r["df"]) for r in dict_rows))
+    buckets = sorted({r["bucket"] for r in dict_rows})
+    found = sorted({r["term"] for r in dict_rows})
+    blocks = _postings_df(spark, vdir).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(found)
+    )
+    scored = _apply_scorer(
+        blocks,
+        _span_or_shard_scorer(found, sum_idf, k1, b, avgdl, tomb),
+        tomb_shards,
+        schema=_PHRASE_SCHEMA,
+    )
+    out = scored.orderBy(F.desc("score"), F.asc("docid"))
+    return out.limit(k) if k is not None else out
+
+
+def _span_not_shard_scorer(
+    include: str, exclude: str, idf: float, k1, b, avgdl, tomb, pre: int, post: int
+):
+    """Per-shard Lucene ``SpanNotQuery`` scorer over single-term spans: an
+    include occurrence at position p survives unless an exclude occurrence
+    sits within [p - pre, p + post]. Same packed ``docid<<32|pos`` int64 keys
+    as the phrase scorer: the window test is two searchsorted probes against
+    the sorted exclude keys (clamped to the doc floor so a window never leaks
+    into the previous doc; it cannot reach the next doc because positions are
+    far below 2^32)."""
+
+    def score(pdf: pd.DataFrame, tomb_local: np.ndarray | None = None) -> pd.DataFrame:
+        tomb = tomb_local if tomb_local is not None else score.tomb_default
+        empty = pd.DataFrame({"docid": [], "phrase_tf": [], "score": []})
+        inc_keys, inc_docs, inc_lens, exc_parts = [], [], [], []
+        for term, gg in pdf.groupby("term", sort=False):
+            for row in gg.itertuples(index=False):
+                d, t, l = decode_block(row.gaps, row.tfs, row.dls, row.first_docid)
+                flat = decode_positions(row.poss, t)
+                d64 = d.astype(np.int64)
+                if term == include and tomb is not None:
+                    keep = live_mask(tomb, d64)
+                    if keep is not None and not keep.all():
+                        flat = flat[np.repeat(keep, t.astype(np.int64))]
+                        d64, t, l = d64[keep], t[keep], l[keep]
+                if d64.size == 0:
+                    continue
+                keys = (np.repeat(d64, t.astype(np.int64)) << 32) | flat.astype(
+                    np.int64
+                )
+                if term == include:
+                    inc_keys.append(keys)
+                    inc_docs.append(d64)
+                    inc_lens.append(l.astype(np.int64))
+                else:
+                    exc_parts.append(keys)
+        if not inc_keys:
+            return empty
+        ik = np.concatenate(inc_keys)
+        if exc_parts:
+            ek = np.sort(np.concatenate(exc_parts))
+            floor = (ik >> 32) << 32
+            lo = np.maximum(ik - pre, floor)
+            hi = ik + post
+            hit = np.searchsorted(ek, hi, side="right") > np.searchsorted(
+                ek, lo, side="left"
+            )
+            ik = ik[~hit]
+        if ik.size == 0:
+            return empty
+        docids, ptf = np.unique(ik >> 32, return_counts=True)
+        docs = np.concatenate(inc_docs)
+        lens = np.concatenate(inc_lens)
+        order = np.argsort(docs, kind="stable")
+        dl = lens[order][np.searchsorted(docs[order], docids)].astype(np.float64)
+        ptf = ptf.astype(np.float64)
+        s = idf * ptf * (k1 + 1.0) / (ptf + k1 * (1.0 - b + b * dl / avgdl))
+        return pd.DataFrame(
+            {"docid": docids, "phrase_tf": ptf.astype(np.int64), "score": s}
+        )
+
+    score.tomb_default = tomb
+    return score
+
+
+def span_not(
+    spark: SparkSession,
+    index_root: str,
+    include: str,
+    exclude: str,
+    *,
+    pre: int = 0,
+    post: int = 0,
+    k: int | None = 10,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES/Lucene ``span_not``: occurrences of ``include`` with no ``exclude``
+    occurrence within ``pre`` positions before or ``post`` after (Lucene's
+    dist parameters; 0/0 = overlap-only, which single-term spans can never
+    trigger — pass pre/post >= 1 for adjacency exclusion). Returns
+    ``(docid, phrase_tf, score)``; phrase_tf = surviving include occurrences,
+    scored by the include term's BM25 weight (the SpanNot weight is the
+    include span's, Lucene semantics — the exclusion only drops spans)."""
+    vdir = catalog.resolve(index_root)
+    stats = catalog.read_stats(vdir)
+    if not stats.get("positions"):
+        raise ValueError(
+            f"index at {index_root} was built without store_positions=True"
+        )
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    k1, b = stats["k1"], stats["b"]
+    from es_indexer_spark.query.engine import (
+        _apply_scorer,
+        _dict_lookup,
+        _postings_df,
+        _tomb_mode,
+    )
+
+    tomb, tomb_shards = _tomb_mode(spark, vdir, int(stats["shard_size"]))
+    inc_terms = tokenize_one(include, stats["tokenizer"], lang=lang)
+    exc_terms = tokenize_one(exclude, stats["tokenizer"], lang=lang)
+    if len(inc_terms) != 1 or len(exc_terms) != 1:
+        raise ValueError("span_not wraps single-term spans on each side")
+    inc, exc = inc_terms[0], exc_terms[0]
+    if inc == exc:
+        raise ValueError("include and exclude must differ")
+    dict_rows = _dict_lookup(spark, vdir, sorted({inc, exc}))
+    found = {r["term"]: r for r in dict_rows}
+    if inc not in found:
+        return spark.createDataFrame([], _PHRASE_SCHEMA)
+    idf = float(lucene_idf(n_docs, found[inc]["df"]))
+    buckets = sorted({r["bucket"] for r in dict_rows})
+    blocks = _postings_df(spark, vdir).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(sorted(found))
+    )
+    scored = _apply_scorer(
+        blocks,
+        _span_not_shard_scorer(
+            inc, exc, idf, k1, b, avgdl, tomb, int(pre), int(post)
+        ),
+        tomb_shards,
+        schema=_PHRASE_SCHEMA,
+    )
+    out = scored.orderBy(F.desc("score"), F.asc("docid"))
+    return out.limit(k) if k is not None else out

@@ -335,3 +335,73 @@ def phrase_suggestions(
     if prefix:
         agg = agg.filter(F.col("phrase").startswith(prefix.lower()))
     return agg.orderBy(F.desc("df"), F.asc("phrase")).limit(k)
+
+
+def suggest_terms(
+    spark: SparkSession,
+    index_root: str,
+    text: str,
+    *,
+    max_edits: int = 2,
+    prefix_length: int = 1,
+    size: int = 5,
+    suggest_mode: str = "missing",
+    min_word_length: int = 4,
+) -> DataFrame:
+    """ES ``term`` suggester (did-you-mean): for each analyzed token of
+    ``text``, dictionary terms within ``max_edits`` Levenshtein edits,
+    ranked the way ES sorts with ``sort: score`` — closer first, then doc
+    frequency desc, then term asc — top ``size`` per token. ES rules
+    reproduced: ``prefix_length`` leading chars must match exactly (keeps
+    the dict scan a contiguous startswith range), tokens shorter than
+    ``min_word_length`` are skipped, and ``suggest_mode='missing'`` (the ES
+    default) only suggests for tokens absent from the index;
+    ``'always'`` suggests for every token (the exact token itself is never
+    returned as its own suggestion).
+
+    Execution: one pruned dict scan per input token (|tokens| is
+    request-sized), each a whole-stage-codegen length-window +
+    ``levenshtein(term, token)`` filter — no UDF, no expansion join.
+    Returns ``(input, term, edits, df)``."""
+    from es_indexer_spark.index import catalog as _catalog
+    from es_indexer_spark.analysis.tokenizer import tokenize_one
+    from es_indexer_spark.query.engine import _dict_lookup
+
+    if suggest_mode not in ("missing", "always"):
+        raise ValueError("suggest_mode must be 'missing' or 'always'")
+    vdir = _catalog.resolve(index_root)
+    stats = _catalog.read_stats(vdir)
+    tokens = [
+        t
+        for t in dict.fromkeys(tokenize_one(text, stats["tokenizer"]))
+        if len(t) >= int(min_word_length)
+    ]
+    if suggest_mode == "missing":
+        present = {r["term"] for r in _dict_lookup(spark, vdir, tokens)}
+        tokens = [t for t in tokens if t not in present]
+    schema = "input string, term string, edits int, df long"
+    if not tokens:
+        return spark.createDataFrame([], schema)
+    d = spark.read.parquet(os.path.join(vdir, "dict"))
+    parts = []
+    for tok in tokens:
+        head = tok[: int(prefix_length)]
+        cand = d.filter(F.col("term").startswith(head)) if head else d
+        cand = cand.filter(
+            (F.length("term") >= len(tok) - int(max_edits))
+            & (F.length("term") <= len(tok) + int(max_edits))
+            & (F.col("term") != tok)
+        )
+        cand = cand.withColumn(
+            "edits", F.levenshtein(F.col("term"), F.lit(tok))
+        ).filter(F.col("edits") <= int(max_edits))
+        w = (
+            cand.select(F.lit(tok).alias("input"), "term", "edits", "df")
+            .orderBy(F.asc("edits"), F.desc("df"), F.asc("term"))
+            .limit(int(size))
+        )
+        parts.append(w)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

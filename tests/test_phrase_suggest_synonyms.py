@@ -657,3 +657,116 @@ def test_span_first_unbounded_equals_span_near(spark, pos_index):
     b = [(r["docid"], r["phrase_tf"]) for r in span_first(
         spark, pos_index, ["data", "stream"], 1 << 30, slop=1, k=None).collect()]
     assert a == b and a
+
+
+# ---------------------------------------------------------------- span_or / span_not
+def test_span_or_union_and_tf(spark, documents, pos_index):
+    from es_indexer_spark.query.phrase import span_or
+
+    got = {
+        r["docid"]: r["phrase_tf"]
+        for r in span_or(spark, pos_index, ["data", "window"], k=None).collect()
+    }
+    # brute replay: union of docs containing either term; tf = total count
+    import math
+
+    docs = {r["doc_id"]: tokenize_one(r["text"]) for r in documents.collect()}
+    want = {
+        d: toks.count("data") + toks.count("window")
+        for d, toks in docs.items()
+        if "data" in toks or "window" in toks
+    }
+    assert got == want
+    # scoring: sum-idf SpanOr weight over the combined freq
+    n = len(docs)
+    df_a = sum(1 for t in docs.values() if "data" in t)
+    df_b = sum(1 for t in docs.values() if "window" in t)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    sidf = math.log(1 + (n - df_a + 0.5) / (df_a + 0.5)) + math.log(
+        1 + (n - df_b + 0.5) / (df_b + 0.5)
+    )
+    one = span_or(spark, pos_index, ["data", "window"], k=1).collect()[0]
+    ptf, dl = one["phrase_tf"], len(docs[one["docid"]])
+    exp = sidf * ptf * 2.2 / (ptf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert one["score"] == pytest.approx(exp)
+    # absent clause contributes nothing; all-absent -> empty
+    assert span_or(spark, pos_index, ["zzznope"], k=None).collect() == []
+
+
+def test_span_not_window_exclusion(spark, documents, pos_index):
+    from es_indexer_spark.query.phrase import span_not
+
+    docs = {r["doc_id"]: tokenize_one(r["text"]) for r in documents.collect()}
+
+    def brute(pre, post):
+        out = {}
+        for d, toks in docs.items():
+            inc = [i for i, t in enumerate(toks) if t == "data"]
+            exc = [i for i, t in enumerate(toks) if t == "stream"]
+            keep = [
+                p for p in inc
+                if not any(p - pre <= q <= p + post for q in exc)
+            ]
+            if keep:
+                out[d] = len(keep)
+        return out
+
+    for pre, post in ((0, 1), (1, 1), (2, 0)):
+        got = {
+            r["docid"]: r["phrase_tf"]
+            for r in span_not(
+                spark, pos_index, "data", "stream", pre=pre, post=post, k=None
+            ).collect()
+        }
+        assert got == brute(pre, post), (pre, post)
+    # pre=post=0 on single-term spans excludes nothing (distinct positions)
+    all_data = {
+        r["docid"]: r["phrase_tf"]
+        for r in span_not(spark, pos_index, "data", "stream", k=None).collect()
+    }
+    assert all_data == brute(0, 0) == {
+        d: toks.count("data") for d, toks in docs.items() if "data" in toks
+    }
+    with pytest.raises(ValueError):
+        span_not(spark, pos_index, "data stream", "x")
+    with pytest.raises(ValueError):
+        span_not(spark, pos_index, "data", "data")
+    # missing include term -> empty
+    assert span_not(spark, pos_index, "zzznope", "data", k=None).collect() == []
+
+
+# ---------------------------------------------------------------- term suggester
+def test_suggest_terms_missing_mode(spark, documents, pos_index):
+    from es_indexer_spark.query.suggest import suggest_terms
+
+    # 'strem' is a typo (absent); 'data' is present -> only 'strem' suggests
+    out = suggest_terms(spark, pos_index, "data strem", max_edits=2).collect()
+    inputs = {r["input"] for r in out}
+    assert inputs == {"strem"}
+    assert out[0]["term"] == "stream" and out[0]["edits"] == 1
+    # ranking: edits asc, then df desc, then term asc; all within max_edits
+    ranks = [(r["edits"], -r["df"], r["term"]) for r in out]
+    assert ranks == sorted(ranks)
+    assert all(r["edits"] <= 2 for r in out)
+    # prefix_length pins the first char: 'xtream' (x-prefix) gets nothing
+    assert suggest_terms(spark, pos_index, "xtream").collect() == []
+    # short tokens skipped (min_word_length=4)
+    assert suggest_terms(spark, pos_index, "dat").collect() == []
+    with pytest.raises(ValueError):
+        suggest_terms(spark, pos_index, "x", suggest_mode="popular")
+
+
+def test_suggest_terms_always_mode_micro(spark, tmp_path):
+    from es_indexer_spark.query.suggest import suggest_terms
+
+    rows = [(0, "stream stream"), (1, "streams"), (2, "steam"), (3, "diverge")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    root = str(tmp_path / "suggidx")
+    build_index(spark, docs, root, content_col="text", id_col="doc_id",
+                tokenizer="standard", n_buckets=2, shard_size=16,
+                n_ckpt_batches=1)
+    # missing mode: 'stream' is present -> nothing suggested
+    assert suggest_terms(spark, root, "stream").collect() == []
+    # always mode: both 1-edit neighbors, never the token itself
+    alw = suggest_terms(spark, root, "stream", suggest_mode="always").collect()
+    assert [(r["term"], r["edits"]) for r in alw] == [("steam", 1), ("streams", 1)]
