@@ -712,6 +712,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["span_or_query"] = _span_or
     q["span_not_query"] = _span_not
     q["suggest_term_typo"] = _suggest_term_typo
+
+    # round 5c: ES intervals query (query/intervals.py) — minimal-interval
+    # algebra with the filter rules; phrase_tf = minimal-interval count
+    def _intervals(spec: dict):
+        def run(spark: SparkSession, sf: str) -> DataFrame:
+            from es_indexer_spark.query.intervals import intervals_query
+
+            return intervals_query(
+                spark, _index_root(spark, sf), spec, k=None
+            ).select(
+                F.col("docid").alias("doc_id"),
+                "phrase_tf",
+                F.round("score", 4).alias("score"),
+            )
+
+        return run
+
+    q["intervals_gaps"] = _intervals(
+        {"match": "data stream", "ordered": True, "max_gaps": 2}
+    )
+    q["intervals_any_of"] = _intervals(
+        {"any_of": [
+            {"match": "data stream", "ordered": True, "max_gaps": 1},
+            {"match": "batch window", "ordered": True, "max_gaps": 1},
+        ]}
+    )
+    q["intervals_containing"] = _intervals(
+        {"match": "the stream", "ordered": True, "max_gaps": 6,
+         "filter": {"containing": {"match": "data"}}}
+    )
+
+    def _span_within_entry(spark, sf):
+        from es_indexer_spark.query.intervals import span_within
+
+        return span_within(
+            spark, _index_root(spark, sf), "data", ["the", "stream"],
+            slop=6, k=None,
+        ).select(
+            F.col("docid").alias("doc_id"),
+            "phrase_tf",
+            F.round("score", 4).alias("score"),
+        )
+
+    q["span_within_query"] = _span_within_entry
+
+    # round 5c: ES combined_fields (BM25F pseudo-field over the multi-index)
+    def _combined(spark, sf):
+        from es_indexer_spark.query.multifield import combined_fields
+
+        return combined_fields(
+            spark, _multi_root(spark, sf), "data stream",
+            weights={"title": 2.0, "text": 1.0}, k=10,
+        ).select(
+            F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+
+    q["combined_fields"] = _combined
     q["bm25_topk_synonym"] = lambda spark, sf: index_topk(
         spark, _index_root(spark, sf), "jw", k=10,
         synonyms={"jw": ["joined window"]},
@@ -1732,6 +1789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 5 front: the new round-5 surfaces (the round-4 front is
     # driver-verified green in CORRECTNESS_r04.json, all 50/50).
     never_driver_verified = [
+        "intervals_gaps", "intervals_any_of", "intervals_containing",
+        "span_within_query", "combined_fields",
         "phrase_slop", "span_near_unordered", "bool_msm_pct",
         "geo_shape_intersects", "related_links", "cloud_assets",
         "suggest_fuzzy", "phrase_match_deleted", "geo_shape_polygon",
@@ -1878,6 +1937,170 @@ SELECT doc_id, ptf::BIGINT AS phrase_tf,
        round(ln(1 + (st.n - dfs.df1 + 0.5) / (dfs.df1 + 0.5))
              * ptf * 2.2 / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)), 4) AS score
 FROM pf CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
+"""
+    # ---- round 5c: ES intervals query (query/intervals.py) --------------------
+    # intervals match 'data stream' ordered max_gaps=2: greedy min-successor
+    # pairs [s, e], gap filter e-s-1 <= 2, then MINIMALITY (drop a pair when a
+    # later-or-equal start has an end <= its end) — phrase_tf counts minimal
+    # intervals, unlike phrase_slop which counts all chain starts
+    o["intervals_gaps"] = """
+WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+              FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT sum(len(t)) FROM toks)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+dfs AS (SELECT (SELECT count(*) FROM toks WHERE list_contains(t, 'data'))::DOUBLE AS df1,
+               (SELECT count(*) FROM toks WHERE list_contains(t, 'stream'))::DOUBLE AS df2),
+pos AS (SELECT doc_id, len(t)::DOUBLE AS dl,
+               [i for i in range(1, len(t)+1) if t[i] = 'data'] AS p0,
+               [i for i in range(1, len(t)+1) if t[i] = 'stream'] AS p1
+        FROM toks),
+pv AS (SELECT doc_id, dl,
+              [p for p in [[s, coalesce(list_min([y for y in p1 if y > s]), 2147483647)] for s in p0]
+               if p[2] <> 2147483647 AND p[2] - p[1] - 1 <= 2] AS valid
+       FROM pos),
+pf AS (SELECT doc_id, dl,
+              len([p for p in valid if len([q for q in valid if q[1] > p[1] AND q[2] <= p[2]]) = 0]) AS ptf
+       FROM pv)
+SELECT doc_id, ptf::BIGINT AS phrase_tf,
+       round((ln(1 + (st.n - dfs.df1 + 0.5) / (dfs.df1 + 0.5))
+            + ln(1 + (st.n - dfs.df2 + 0.5) / (dfs.df2 + 0.5)))
+             * ptf * 2.2 / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)), 4) AS score
+FROM pf CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
+"""
+    # intervals any_of of two ordered matches (max_gaps=1 each): union of the
+    # children's minimal pairs, then minimality across the union (strict
+    # containment drops the container)
+    o["intervals_any_of"] = """
+WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+              FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT sum(len(t)) FROM toks)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+dfs AS (SELECT (SELECT count(*) FROM toks WHERE list_contains(t, 'data'))::DOUBLE AS df1,
+               (SELECT count(*) FROM toks WHERE list_contains(t, 'stream'))::DOUBLE AS df2,
+               (SELECT count(*) FROM toks WHERE list_contains(t, 'batch'))::DOUBLE AS df3,
+               (SELECT count(*) FROM toks WHERE list_contains(t, 'window'))::DOUBLE AS df4),
+pos AS (SELECT doc_id, len(t)::DOUBLE AS dl,
+               [i for i in range(1, len(t)+1) if t[i] = 'data'] AS p0,
+               [i for i in range(1, len(t)+1) if t[i] = 'stream'] AS p1,
+               [i for i in range(1, len(t)+1) if t[i] = 'batch'] AS p2,
+               [i for i in range(1, len(t)+1) if t[i] = 'window'] AS p3
+        FROM toks),
+pv AS (SELECT doc_id, dl,
+              -- no dedupe needed: a start is a 'data' position in one child
+              -- and a 'batch' position in the other, so the unions are
+              -- disjoint (list_distinct over BIGINT[][] is unimplemented)
+              [p for p in [[s, coalesce(list_min([y for y in p1 if y > s]), 2147483647)] for s in p0]
+               if p[2] <> 2147483647 AND p[2] - p[1] - 1 <= 1] ||
+              [p for p in [[s, coalesce(list_min([y for y in p3 if y > s]), 2147483647)] for s in p2]
+               if p[2] <> 2147483647 AND p[2] - p[1] - 1 <= 1] AS u
+       FROM pos),
+pf AS (SELECT doc_id, dl,
+              len([p for p in u if len([q for q in u
+                   if (q[1] > p[1] AND q[2] <= p[2]) OR (q[1] = p[1] AND q[2] < p[2])]) = 0]) AS ptf
+       FROM pv)
+SELECT doc_id, ptf::BIGINT AS phrase_tf,
+       round((ln(1 + (st.n - dfs.df1 + 0.5) / (dfs.df1 + 0.5))
+            + ln(1 + (st.n - dfs.df2 + 0.5) / (dfs.df2 + 0.5))
+            + ln(1 + (st.n - dfs.df3 + 0.5) / (dfs.df3 + 0.5))
+            + ln(1 + (st.n - dfs.df4 + 0.5) / (dfs.df4 + 0.5)))
+             * ptf * 2.2 / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)), 4) AS score
+FROM pf CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
+"""
+    # intervals 'the stream' (ordered, max_gaps=6) filter containing 'data':
+    # minimality FIRST (the rule's own output), containment filter second;
+    # the filter's term joins the scoring weight (extracted-terms convention)
+    o["intervals_containing"] = """
+WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+              FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT sum(len(t)) FROM toks)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+dfs AS (SELECT (SELECT count(*) FROM toks WHERE list_contains(t, 'the'))::DOUBLE AS df1,
+               (SELECT count(*) FROM toks WHERE list_contains(t, 'stream'))::DOUBLE AS df2,
+               (SELECT count(*) FROM toks WHERE list_contains(t, 'data'))::DOUBLE AS df3),
+pos AS (SELECT doc_id, len(t)::DOUBLE AS dl,
+               [i for i in range(1, len(t)+1) if t[i] = 'the'] AS p0,
+               [i for i in range(1, len(t)+1) if t[i] = 'stream'] AS p1,
+               [i for i in range(1, len(t)+1) if t[i] = 'data'] AS pd
+        FROM toks),
+pv AS (SELECT doc_id, dl, pd,
+              [p for p in [[s, coalesce(list_min([y for y in p1 if y > s]), 2147483647)] for s in p0]
+               if p[2] <> 2147483647 AND p[2] - p[1] - 1 <= 6] AS valid
+       FROM pos),
+pf AS (SELECT doc_id, dl,
+              len([p for p in valid
+                   if len([q for q in valid if q[1] > p[1] AND q[2] <= p[2]]) = 0
+                  AND len([d for d in pd if d >= p[1] AND d <= p[2]]) > 0]) AS ptf
+       FROM pv)
+SELECT doc_id, ptf::BIGINT AS phrase_tf,
+       round((ln(1 + (st.n - dfs.df1 + 0.5) / (dfs.df1 + 0.5))
+            + ln(1 + (st.n - dfs.df2 + 0.5) / (dfs.df2 + 0.5))
+            + ln(1 + (st.n - dfs.df3 + 0.5) / (dfs.df3 + 0.5)))
+             * ptf * 2.2 / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)), 4) AS score
+FROM pf CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
+"""
+    # span_within('data' within 'the stream' slop=6): little side returned —
+    # 'data' occurrences inside a minimal big interval; scored with the full
+    # extracted-terms weight (little + big)
+    o["span_within_query"] = """
+WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+              FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT sum(len(t)) FROM toks)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+dfs AS (SELECT (SELECT count(*) FROM toks WHERE list_contains(t, 'data'))::DOUBLE AS df1,
+               (SELECT count(*) FROM toks WHERE list_contains(t, 'the'))::DOUBLE AS df2,
+               (SELECT count(*) FROM toks WHERE list_contains(t, 'stream'))::DOUBLE AS df3),
+pos AS (SELECT doc_id, len(t)::DOUBLE AS dl,
+               [i for i in range(1, len(t)+1) if t[i] = 'the'] AS p0,
+               [i for i in range(1, len(t)+1) if t[i] = 'stream'] AS p1,
+               [i for i in range(1, len(t)+1) if t[i] = 'data'] AS pd
+        FROM toks),
+pv AS (SELECT doc_id, dl, pd,
+              [p for p in [[s, coalesce(list_min([y for y in p1 if y > s]), 2147483647)] for s in p0]
+               if p[2] <> 2147483647 AND p[2] - p[1] - 1 <= 6] AS valid
+       FROM pos),
+mv AS (SELECT doc_id, dl, pd,
+              [p for p in valid if len([q for q in valid if q[1] > p[1] AND q[2] <= p[2]]) = 0] AS big
+       FROM pv),
+pf AS (SELECT doc_id, dl,
+              len([d for d in pd if len([p for p in big if p[1] <= d AND p[2] >= d]) > 0]) AS ptf
+       FROM mv)
+SELECT doc_id, ptf::BIGINT AS phrase_tf,
+       round((ln(1 + (st.n - dfs.df1 + 0.5) / (dfs.df1 + 0.5))
+            + ln(1 + (st.n - dfs.df2 + 0.5) / (dfs.df2 + 0.5))
+            + ln(1 + (st.n - dfs.df3 + 0.5) / (dfs.df3 + 0.5)))
+             * ptf * 2.2 / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)), 4) AS score
+FROM pf CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
+"""
+    # combined_fields (BM25F pseudo-field over title^2 + text, title = first 8
+    # tokens): tf* = Σ w_f·tf_f, dl* = Σ w_f·dl_f, avgdl* = Σ w_f·avgdl_f,
+    # df* = max_f df_f (query/multifield.py combined_fields contract)
+    o["combined_fields"] = """
+WITH toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+               FROM documents),
+fx AS (SELECT doc_id, t AS tx, t[1:8] AS ti FROM toksl),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+tf_text AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+            FROM (SELECT doc_id, unnest(tx) AS term FROM fx) GROUP BY 1, 2),
+tf_title AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+             FROM (SELECT doc_id, unnest(ti) AS term FROM fx) GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(tx)::DOUBLE AS dlt, len(ti)::DOUBLE AS dli FROM fx),
+av AS (SELECT (SELECT sum(dlt) FROM dl) / (SELECT n FROM nn) AS a_text,
+              (SELECT sum(dli) FROM dl) / (SELECT n FROM nn) AS a_title),
+df_text AS (SELECT term, count(*)::DOUBLE AS df FROM tf_text GROUP BY 1),
+df_title AS (SELECT term, count(*)::DOUBLE AS df FROM tf_title GROUP BY 1),
+dfu AS (SELECT term, greatest(COALESCE(a.df, 0), COALESCE(b.df, 0)) AS df
+        FROM df_text a FULL OUTER JOIN df_title b USING (term)),
+tfu AS (SELECT doc_id, term, COALESCE(a.tf, 0) * 1.0 + COALESCE(b.tf, 0) * 2.0 AS tfc
+        FROM tf_text a FULL OUTER JOIN tf_title b USING (doc_id, term)),
+raw AS (SELECT tfu.doc_id,
+               sum(ln(1 + ((SELECT n FROM nn) - dfu.df + 0.5) / (dfu.df + 0.5)) *
+                   tfc * 2.2 / (tfc + 1.2 * (0.25 + 0.75 *
+                     (dl.dlt * 1.0 + dl.dli * 2.0) /
+                     ((SELECT a_text FROM av) * 1.0 + (SELECT a_title FROM av) * 2.0)))) AS s
+        FROM tfu JOIN dfu USING (term) JOIN dl USING (doc_id)
+        WHERE tfu.term IN ('data', 'stream') GROUP BY 1)
+SELECT doc_id, round(s::DOUBLE, 4) AS score
+FROM raw ORDER BY s DESC, doc_id ASC LIMIT 10
 """
     # term suggester over the dictionary: 'data' is present (missing mode
     # drops it), 'strem' suggests within 2 edits, first char pinned

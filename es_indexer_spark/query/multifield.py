@@ -157,6 +157,270 @@ def _multi_shard_scorer(
     return score
 
 
+def _combined_norms_df(
+    spark: SparkSession, root: str, fields: list[str], shard_size: int
+) -> DataFrame:
+    """Per-doc PER-FIELD lengths for :func:`combined_fields` — the combined
+    norm needs ``dl_f(d)`` for every field even where ``d`` lacks the query
+    terms in ``f``, so the postings alone can't supply it (Lucene reads the
+    pseudo-field norm from docvalues; the columnar analog is this sidecar).
+
+    Built once per (root, field-set) by full-outer-joining the sub-indexes'
+    ``docs`` tables on docid (2-column pushed projection) and cached as a
+    shard-keyed parquet artifact under ``root`` — at scale this is a
+    build-time product, not per-query work; queries re-read the narrow
+    (shard, docid, dl_*) columns and weight them JVM-side, so changing field
+    weights never rebuilds the artifact."""
+    key = "_".join(fields)
+    path = os.path.join(root, f"combined_norms_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        joined = None
+        for f_ in fields:
+            vdir = catalog.resolve(field_dir(root, f_))
+            d = spark.read.parquet(os.path.join(vdir, "docs")).select(
+                "docid", F.col("doc_len").alias(f"dl_{f_}")
+            )
+            joined = d if joined is None else joined.join(d, "docid", "full")
+        (
+            joined.withColumn(
+                "shard", (F.col("docid") / F.lit(int(shard_size))).cast("long")
+            )
+            .repartitionByRange(
+                spark.sparkContext.defaultParallelism, "docid"
+            )
+            .sortWithinPartitions("docid")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
+def _combined_shard_scorer(
+    idfs: dict[str, float],
+    weights: dict[str, float],
+    avgdl_c: float,
+    k1: float,
+    b: float,
+    k: int,
+):
+    """Per-shard BM25F combiner for :func:`combined_fields`. The cogroup's
+    right side carries kind-tagged rows: ``norm`` rows (docid, dlc = the
+    pre-weighted combined length, computed JVM-side) and ``tomb`` rows
+    (deleted docids) — one shared shuffle, no driver arrays."""
+
+    def score(pdf: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"docid": [], "score": []})
+        if len(pdf) == 0 or len(right) == 0:
+            return empty
+        norms = right[right["kind"] == "norm"]
+        if len(norms) == 0:
+            return empty
+        tomb_rows = right[right["kind"] == "tomb"]
+        tomb = (
+            np.unique(tomb_rows["docid"].to_numpy(dtype=np.int64))
+            if len(tomb_rows)
+            else None
+        )
+        norm_doc = norms["docid"].to_numpy(dtype=np.int64)
+        norm_dlc = norms["dlc"].to_numpy(dtype=np.float64)
+        order = np.argsort(norm_doc, kind="stable")
+        norm_doc, norm_dlc = norm_doc[order], norm_dlc[order]
+        # accumulate weighted tf per term across fields: tf*(t,d) = Σ_f w_f·tf_f
+        per_term: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+        for (field, term), gg in pdf.groupby(["field", "term"], sort=False):
+            if term not in idfs:
+                continue
+            w = weights[field]
+            for row in gg.itertuples(index=False):
+                d, t, _l = decode_block(row.gaps, row.tfs, row.dls, row.first_docid)
+                d64 = d.astype(np.int64)
+                if tomb is not None:
+                    keep = live_mask(tomb, d64)
+                    if keep is not None and not keep.all():
+                        d64, t = d64[keep], t[keep]
+                    if d64.size == 0:
+                        continue
+                per_term.setdefault(term, []).append(
+                    (d64, t.astype(np.float64) * w)
+                )
+        if not per_term:
+            return empty
+        acc_docs: np.ndarray | None = None
+        acc_sc: np.ndarray | None = None
+        for term, parts in per_term.items():
+            dd = np.concatenate([p[0] for p in parts])
+            tf = np.concatenate([p[1] for p in parts])
+            uniq, inv = np.unique(dd, return_inverse=True)
+            tfc = np.bincount(inv, weights=tf)
+            # combined norm lookup; every indexed doc has a norms row (the
+            # sidecar spans all docids), so a miss means a stale sidecar —
+            # drop defensively rather than mis-score
+            pos = np.searchsorted(norm_doc, uniq)
+            pos_c = np.minimum(pos, norm_doc.size - 1)
+            ok = norm_doc[pos_c] == uniq
+            uniq, tfc, pos_c = uniq[ok], tfc[ok], pos_c[ok]
+            if uniq.size == 0:
+                continue
+            dlc = norm_dlc[pos_c]
+            contrib = (
+                idfs[term] * tfc * (k1 + 1.0)
+                / (tfc + k1 * (1.0 - b + b * dlc / avgdl_c))
+            )
+            if acc_docs is None:
+                acc_docs, acc_sc = uniq, contrib
+            else:
+                both = np.concatenate([acc_docs, uniq])
+                sc = np.concatenate([acc_sc, contrib])
+                acc_docs, inv2 = np.unique(both, return_inverse=True)
+                acc_sc = np.bincount(inv2, weights=sc)
+        if acc_docs is None or acc_docs.size == 0:
+            return empty
+        if acc_docs.size > k:
+            order = np.lexsort((acc_docs, -acc_sc))[:k]
+        else:
+            order = np.argsort(-acc_sc, kind="stable")
+        return pd.DataFrame({"docid": acc_docs[order], "score": acc_sc[order]})
+
+    return score
+
+
+def combined_fields(
+    spark: SparkSession,
+    root: str,
+    query: str,
+    *,
+    weights: dict[str, float],
+    k: int = 10,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``combined_fields`` query (Lucene ``CombinedFieldQuery``, the
+    principled BM25F variant): the fields are scored as ONE pseudo-field —
+    term-centric, unlike ``multi_match``'s field-centric combination:
+
+    - ``tf*(t,d) = Σ_f w_f · tf_f(t,d)`` (weighted term freq across fields),
+    - ``dl*(d)  = Σ_f w_f · dl_f(d)``   (weighted combined doc length),
+    - ``avgdl*  = Σ_f w_f · avgdl_f``   (fields share the doc count),
+    - ``df*(t)  = max_f df_f(t)``       (Lucene's pseudo-df merge bound),
+    - ``score = Σ_t idf(df*) · tf*·(k1+1)/(tf* + k1·(1−b+b·dl*/avgdl*))``.
+
+    All fields must share the analyzer (ES rejects mixed analyzers;
+    enforced), and per-ES weights must be positive. k1/b come from the first
+    field's stats (build_multi_index writes identical values).
+
+    Execution: one pruned postings scan per field (field-tagged, unioned),
+    cogrouped per shard with the combined-norms sidecar
+    (:func:`_combined_norms_df`) and any distributed delete sets — a single
+    shuffle stage; per-shard math is pure numpy. Reference anchor: the
+    portal's multi-field ranked search surface
+    (geonetwork4-api/.../GeoNetworkServiceImpl.java:97-120); combined_fields
+    semantics are public ES/Lucene behavior."""
+    from es_indexer_spark.query.engine import _dict_df, _load_blocks, _tomb_mode
+
+    if not weights:
+        raise ValueError("combined_fields needs at least one field weight")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("combined_fields weights must be positive")
+    fields = sorted(weights)
+    tokenizers, shard_sizes = set(), set()
+    stats_by: dict[str, dict] = {}
+    for f_ in fields:
+        st = catalog.read_stats(catalog.resolve(field_dir(root, f_)))
+        stats_by[f_] = st
+        tokenizers.add(st["tokenizer"])
+        shard_sizes.add(st["shard_size"])
+    if len(tokenizers) > 1:
+        raise ValueError(
+            f"combined_fields requires one shared analyzer, got {sorted(tokenizers)}"
+        )
+    if len(shard_sizes) > 1:
+        raise ValueError(
+            f"sub-indexes disagree on shard_size ({sorted(shard_sizes)}); "
+            "rebuild with build_multi_index so shards align across fields"
+        )
+    shard_size = shard_sizes.pop()
+    st0 = stats_by[fields[0]]
+    n_docs, k1, b = st0["n_docs"], st0["k1"], st0["b"]
+    qterms = sorted(set(tokenize_one(query, st0["tokenizer"], lang=lang)))
+    if not qterms:
+        return spark.createDataFrame([], _SCORE_SCHEMA)
+
+    # pseudo-field stats: df* = max over fields; avgdl* = Σ w_f · avgdl_f
+    df_star: dict[str, float] = {}
+    buckets_by: dict[str, list[int]] = {}
+    terms_by: dict[str, list[str]] = {}
+    for f_ in fields:
+        vdir = catalog.resolve(field_dir(root, f_))
+        rows = _dict_df(spark, vdir).filter(F.col("term").isin(qterms)).collect()
+        terms_by[f_] = sorted({r["term"] for r in rows})
+        buckets_by[f_] = sorted({r["bucket"] for r in rows})
+        for r in rows:
+            df_star[r["term"]] = max(df_star.get(r["term"], 0.0), float(r["df"]))
+    if not df_star:
+        return spark.createDataFrame([], _SCORE_SCHEMA)
+    idfs = {t: lucene_idf(n_docs, d) for t, d in df_star.items()}
+    avgdl_c = float(sum(weights[f_] * stats_by[f_]["avgdl"] for f_ in fields))
+
+    parts: list[DataFrame] = []
+    tomb_parts: list[DataFrame] = []
+    tomb_arrays: list[np.ndarray] = []
+    for f_ in fields:
+        if not terms_by[f_]:
+            continue
+        vdir = catalog.resolve(field_dir(root, f_))
+        tomb_arr, tomb_sh = _tomb_mode(spark, vdir, int(shard_size))
+        if tomb_arr is not None and tomb_arr.size:
+            tomb_arrays.append(tomb_arr)
+        if tomb_sh is not None:
+            tomb_parts.append(
+                tomb_sh.select(
+                    "shard", "docid", F.lit(0.0).alias("dlc"),
+                    F.lit("tomb").alias("kind"),
+                )
+            )
+        parts.append(
+            _load_blocks(spark, vdir, terms_by[f_], buckets_by[f_]).select(
+                F.lit(f_).alias("field"), "term", "shard",
+                "gaps", "tfs", "dls", "first_docid",
+            )
+        )
+    if not parts:
+        return spark.createDataFrame([], _SCORE_SCHEMA)
+    blocks = parts[0]
+    for p in parts[1:]:
+        blocks = blocks.unionByName(p)
+
+    dlc_expr = None
+    for f_ in fields:
+        term = F.coalesce(F.col(f"dl_{f_}"), F.lit(0)).cast("double") * F.lit(
+            float(weights[f_])
+        )
+        dlc_expr = term if dlc_expr is None else dlc_expr + term
+    right = _combined_norms_df(spark, root, fields, int(shard_size)).select(
+        "shard", "docid", dlc_expr.alias("dlc"), F.lit("norm").alias("kind")
+    )
+    # array-mode delete sets fold into the same kind-tagged right side (their
+    # row counts are bounded by DISTRIBUTED_TOMB_THRESHOLD, so the
+    # createDataFrame is small); distributed-mode sets already ride as DFs
+    if tomb_arrays:
+        dead = np.unique(np.concatenate(tomb_arrays))
+        tomb_parts.append(
+            spark.createDataFrame(
+                [(int(d) // int(shard_size), int(d), 0.0, "tomb") for d in dead],
+                "shard long, docid long, dlc double, kind string",
+            )
+        )
+    for p in tomb_parts:
+        right = right.unionByName(p)
+
+    scorer = _combined_shard_scorer(idfs, weights, avgdl_c, k1, b, int(k))
+    scored = (
+        blocks.groupBy("shard")
+        .cogroup(right.groupBy("shard"))
+        .applyInPandas(scorer, _SCORE_SCHEMA)
+    )
+    return scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+
 def multi_match(
     spark: SparkSession,
     root: str,
