@@ -1779,6 +1779,128 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         [(None, 3000.0), (3000.0, 8000.0), (8000.0, None)],
     )
 
+    # ---- round 5c: nested + join-field relations (query/nested.py) ---------------
+    def _nested_users(spark, sf):
+        ev = _events(spark, sf)
+        return ev.groupBy("user_id").agg(
+            F.collect_list(F.struct("event_type", "value")).alias("evs")
+        )
+
+    def _nested_same(spark, sf):
+        from es_indexer_spark.query.nested import nested_count
+
+        return nested_count(
+            _nested_users(spark, sf), "evs",
+            lambda e: (e.event_type == "click") & (e.value > 150),
+        ).filter(F.col("nested_hits") > 0).select("user_id", "nested_hits")
+
+    def _nested_terms(spark, sf):
+        from es_indexer_spark.query.nested import nested_agg
+
+        return nested_agg(
+            _nested_users(spark, sf), "evs", "event_type", metric_field="value"
+        ).select(
+            "event_type", "doc_count", F.round("avg_value", 6).alias("avg_value")
+        )
+
+    def _reverse_nested(spark, sf):
+        from es_indexer_spark.query.nested import reverse_nested_agg
+
+        return reverse_nested_agg(
+            _nested_users(spark, sf), "user_id", "evs", "event_type"
+        )
+
+    q["nested_same_object"] = _nested_same
+    q["nested_terms_agg"] = _nested_terms
+    q["reverse_nested"] = _reverse_nested
+
+    def _orders(spark, sf):
+        return spark.read.parquet(os.path.join(sf, "orders.parquet"))
+
+    def _lineitem(spark, sf):
+        return spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+
+    def _has_child(spark, sf):
+        from es_indexer_spark.query.nested import has_child
+
+        return has_child(
+            _orders(spark, sf), _lineitem(spark, sf),
+            parent_key="o_orderkey", child_parent_key="l_orderkey",
+            child_pred=F.col("l_quantity") >= 45, score_mode="sum",
+            child_score=F.col("l_quantity"), min_children=2,
+        ).select(
+            "o_orderkey", "child_count", F.round("_score", 4).alias("score_sum")
+        )
+
+    def _has_parent(spark, sf):
+        from es_indexer_spark.query.nested import has_parent
+
+        return has_parent(
+            _orders(spark, sf), _lineitem(spark, sf),
+            parent_key="o_orderkey", child_parent_key="l_orderkey",
+            parent_pred=F.col("o_totalprice") > 450000,
+            score=True, parent_score=F.col("o_totalprice"),
+        ).select(
+            "l_orderkey", "l_linenumber", F.round("_score", 4).alias("score")
+        )
+
+    def _children_agg(spark, sf):
+        from es_indexer_spark.query.nested import children_agg
+
+        return children_agg(
+            _orders(spark, sf), _lineitem(spark, sf),
+            parent_key="o_orderkey", child_parent_key="l_orderkey",
+            group_field="o_orderpriority",
+            child_metric=F.round(F.avg("l_discount"), 6), metric_name="avg_disc",
+        )
+
+    q["has_child_query"] = _has_child
+    q["has_parent_query"] = _has_parent
+    q["children_agg_disc"] = _children_agg
+
+    # ---- round 5c: remaining pipeline/statistical agg families -------------------
+    def _day_buckets(spark, sf):
+        return _events(spark, sf).groupBy(
+            F.date_trunc("day", "ts").alias("bucket")
+        ).agg(F.count(F.lit(1)).alias("doc_count"))
+
+    q["agg_normalize"] = lambda spark, sf: aggs.normalize_agg(
+        _day_buckets(spark, sf), "doc_count", "percent_of_sum"
+    ).select("bucket", "doc_count", F.round("doc_count_norm", 6).alias("norm"))
+    q["agg_percentiles_bucket"] = lambda spark, sf: aggs.percentiles_bucket(
+        _day_buckets(spark, sf), "doc_count", (25, 50, 99)
+    ).select(
+        F.round("p25", 6).alias("p25"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p99", 6).alias("p99"),
+    )
+    q["agg_extended_stats_bucket"] = lambda spark, sf: aggs.extended_stats_bucket(
+        _day_buckets(spark, sf), "doc_count", sigma=3.0
+    ).select(
+        "count", "min", "max", F.round("avg", 6).alias("avg"), "sum",
+        "sum_of_squares", F.round("variance", 6).alias("variance"),
+        F.round("std_deviation", 6).alias("std_deviation"),
+        F.round("std_deviation_bounds_upper", 6).alias("bound_upper"),
+        F.round("std_deviation_bounds_lower", 6).alias("bound_lower"),
+    )
+    q["agg_moving_fn"] = lambda spark, sf: aggs.moving_fn(
+        _day_buckets(spark, sf), "doc_count", window=3, fn="stdDev", shift=0
+    ).select("bucket", "doc_count", F.round("doc_count_mfn", 6).alias("mfn"))
+    q["agg_t_test"] = lambda spark, sf: aggs.t_test_agg(
+        _events(spark, sf), "value", "event_type", "click", "view",
+        test_type="heteroscedastic",
+    ).select(
+        "n_a", "n_b", F.round("t_stat", 6).alias("t_stat"),
+        F.round("dof", 6).alias("dof"),
+    )
+    q["agg_matrix_stats"] = lambda spark, sf: aggs.matrix_stats_agg(
+        _lineitem(spark, sf), ["l_discount", "l_extendedprice", "l_quantity"]
+    ).select(
+        "field_x", "field_y",
+        F.round("covariance", 6).alias("covariance"),
+        F.round("correlation", 6).alias("correlation"),
+    )
+
     # ---- driver-gate rotation ----------------------------------------------------
     # The driver's correctness gate records only the first ~50 entries by
     # insertion order, so entries that have never had a driver row rotate to
@@ -1791,6 +1913,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never_driver_verified = [
         "intervals_gaps", "intervals_any_of", "intervals_containing",
         "span_within_query", "combined_fields",
+        "nested_same_object", "nested_terms_agg", "reverse_nested",
+        "has_child_query", "has_parent_query", "children_agg_disc",
+        "agg_normalize", "agg_percentiles_bucket", "agg_extended_stats_bucket",
+        "agg_moving_fn", "agg_t_test", "agg_matrix_stats",
         "phrase_slop", "span_near_unordered", "bool_msm_pct",
         "geo_shape_intersects", "related_links", "cloud_assets",
         "suggest_fuzzy", "phrase_match_deleted", "geo_shape_polygon",
@@ -3602,5 +3728,114 @@ SELECT term, fg_count, bg_count,
              * ((fg_count / tot.nf) / (bg_count / tot.na)), 8) AS score
 FROM cnt CROSS JOIN tot WHERE fg_count >= 3
 ORDER BY score DESC, term ASC LIMIT 10
+"""
+    # ---- round 5c: nested + join-field relations (query/nested.py) ---------------
+    # nested queries evaluate per nested OBJECT — over the events-derived
+    # per-user arrays that is exactly a predicate over the flat child rows
+    o["nested_same_object"] = """
+SELECT user_id, count(*)::INT AS nested_hits
+FROM events WHERE event_type = 'click' AND value > 150
+GROUP BY user_id
+"""
+    o["nested_terms_agg"] = """
+SELECT event_type, count(*)::BIGINT AS doc_count,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1 ORDER BY doc_count DESC, event_type ASC
+"""
+    o["reverse_nested"] = """
+SELECT event_type, count(*)::BIGINT AS doc_count,
+       count(DISTINCT user_id)::BIGINT AS root_doc_count
+FROM events GROUP BY 1 ORDER BY doc_count DESC, event_type ASC
+"""
+    o["has_child_query"] = """
+SELECT o.o_orderkey, c.n::BIGINT AS child_count, round(c.s, 4) AS score_sum
+FROM orders o
+JOIN (SELECT l_orderkey, count(*) AS n, sum(l_quantity) AS s
+      FROM lineitem WHERE l_quantity >= 45 GROUP BY 1 HAVING count(*) >= 2) c
+  ON o.o_orderkey = c.l_orderkey
+"""
+    o["has_parent_query"] = """
+SELECT l.l_orderkey, l.l_linenumber, round(o.o_totalprice, 4) AS score
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 450000
+"""
+    o["children_agg_disc"] = """
+SELECT o.o_orderpriority, count(*)::BIGINT AS doc_count,
+       round(avg(l.l_discount), 6) AS avg_disc
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+    # ---- round 5c: remaining pipeline/statistical agg families -------------------
+    # ::TIMESTAMP — DuckDB's day-trunc yields DATE, Spark's a timestamp
+    _DAY_BUCKETS = """
+db AS (SELECT date_trunc('day', ts)::TIMESTAMP AS bucket, count(*)::BIGINT AS doc_count
+       FROM events GROUP BY 1)"""
+    o["agg_normalize"] = f"""
+WITH {_DAY_BUCKETS}
+SELECT bucket, doc_count,
+       round(doc_count / sum(doc_count) OVER (), 6) AS norm
+FROM db
+"""
+    o["agg_percentiles_bucket"] = f"""
+WITH {_DAY_BUCKETS}
+SELECT round(quantile_cont(doc_count::DOUBLE, 0.25), 6) AS p25,
+       round(quantile_cont(doc_count::DOUBLE, 0.50), 6) AS p50,
+       round(quantile_cont(doc_count::DOUBLE, 0.99), 6) AS p99
+FROM db
+"""
+    o["agg_extended_stats_bucket"] = f"""
+WITH {_DAY_BUCKETS}
+SELECT count(*)::BIGINT AS count, min(doc_count)::DOUBLE AS min,
+       max(doc_count)::DOUBLE AS max, round(avg(doc_count), 6) AS avg,
+       sum(doc_count)::DOUBLE AS sum,
+       sum(doc_count::DOUBLE * doc_count)::DOUBLE AS sum_of_squares,
+       round(var_pop(doc_count), 6) AS variance,
+       round(stddev_pop(doc_count), 6) AS std_deviation,
+       round(avg(doc_count) + 3.0 * stddev_pop(doc_count), 6) AS bound_upper,
+       round(avg(doc_count) - 3.0 * stddev_pop(doc_count), 6) AS bound_lower
+FROM db
+"""
+    # moving_fn stdDev window=3 shift=0: the 3 buckets BEFORE the current one
+    o["agg_moving_fn"] = f"""
+WITH {_DAY_BUCKETS}
+SELECT bucket, doc_count,
+       round(stddev_pop(doc_count)
+             OVER (ORDER BY bucket ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+             6) AS mfn
+FROM db
+"""
+    # Welch t-test between the click and view populations: t-statistic and
+    # Welch-Satterthwaite dof (the engine leaves the CDF to the caller)
+    o["agg_t_test"] = """
+WITH s AS (
+  SELECT count(*) FILTER (event_type = 'click')::BIGINT AS n_a,
+         count(*) FILTER (event_type = 'view')::BIGINT AS n_b,
+         avg(value) FILTER (event_type = 'click') AS m_a,
+         avg(value) FILTER (event_type = 'view') AS m_b,
+         var_samp(value) FILTER (event_type = 'click') AS v_a,
+         var_samp(value) FILTER (event_type = 'view') AS v_b
+  FROM events)
+SELECT n_a, n_b,
+       round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6) AS t_stat,
+       round(pow(v_a / n_a + v_b / n_b, 2) /
+             (pow(v_a / n_a, 2) / (n_a - 1) + pow(v_b / n_b, 2) / (n_b - 1)),
+             6) AS dof
+FROM s
+"""
+    o["agg_matrix_stats"] = """
+WITH m AS (
+  SELECT covar_samp(l_discount, l_discount) AS c11, corr(l_discount, l_discount) AS r11,
+         covar_samp(l_discount, l_extendedprice) AS c12, corr(l_discount, l_extendedprice) AS r12,
+         covar_samp(l_discount, l_quantity) AS c13, corr(l_discount, l_quantity) AS r13,
+         covar_samp(l_extendedprice, l_extendedprice) AS c22, corr(l_extendedprice, l_extendedprice) AS r22,
+         covar_samp(l_extendedprice, l_quantity) AS c23, corr(l_extendedprice, l_quantity) AS r23,
+         covar_samp(l_quantity, l_quantity) AS c33, corr(l_quantity, l_quantity) AS r33
+  FROM lineitem)
+SELECT 'l_discount' AS field_x, 'l_discount' AS field_y, round(c11, 6) AS covariance, round(r11, 6) AS correlation FROM m
+UNION ALL SELECT 'l_discount', 'l_extendedprice', round(c12, 6), round(r12, 6) FROM m
+UNION ALL SELECT 'l_discount', 'l_quantity', round(c13, 6), round(r13, 6) FROM m
+UNION ALL SELECT 'l_extendedprice', 'l_extendedprice', round(c22, 6), round(r22, 6) FROM m
+UNION ALL SELECT 'l_extendedprice', 'l_quantity', round(c23, 6), round(r23, 6) FROM m
+UNION ALL SELECT 'l_quantity', 'l_quantity', round(c33, 6), round(r33, 6) FROM m
 """
     return o

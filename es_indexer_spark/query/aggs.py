@@ -1096,3 +1096,220 @@ def geo_distance_agg(
         .orderBy("_ord")
         .select("key", "doc_count")
     )
+
+
+def normalize_agg(
+    buckets: DataFrame, metric: str, method: str, *, bucket_col: str = "bucket"
+) -> DataFrame:
+    """ES ``normalize`` pipeline aggregation: rescale a sibling metric across
+    the bucket table. Methods (ES names): ``rescale_0_1``, ``rescale_0_100``,
+    ``percent_of_sum``, ``mean`` (de-mean), ``z-score``, ``softmax``.
+
+    The bucket table is pipeline-sized (one row per bucket), so the global
+    window is a single-partition pass over an already-reduced relation —
+    same as every other pipeline agg here."""
+    w = Window.partitionBy()
+    m = F.col(metric).cast("double")
+    if method == "rescale_0_1":
+        lo, hi = F.min(m).over(w), F.max(m).over(w)
+        out = (m - lo) / (hi - lo)
+    elif method == "rescale_0_100":
+        lo, hi = F.min(m).over(w), F.max(m).over(w)
+        out = (m - lo) / (hi - lo) * 100.0
+    elif method == "percent_of_sum":
+        out = m / F.sum(m).over(w)
+    elif method == "mean":
+        out = m - F.avg(m).over(w)
+    elif method == "z-score":
+        # ES uses the population std here (normalize works over the full
+        # bucket set, not a sample)
+        out = (m - F.avg(m).over(w)) / F.stddev_pop(m).over(w)
+    elif method == "softmax":
+        out = F.exp(m) / F.sum(F.exp(m)).over(w)
+    else:
+        raise ValueError(f"unknown normalize method: {method!r}")
+    return buckets.withColumn(f"{metric}_norm", out)
+
+
+def percentiles_bucket(
+    buckets: DataFrame, metric: str, percents: Sequence[float] = (1, 5, 25, 50, 75, 95, 99)
+) -> DataFrame:
+    """ES ``percentiles_bucket``: exact interpolated percentiles of a sibling
+    metric over the bucket table (ES computes these exactly — the bucket
+    list is small by construction, unlike the t-digest ``percentiles`` over
+    raw docs). One row out, one ``percentile`` call (Catalyst's exact
+    interpolated quantile, the same linear rule ES applies)."""
+    m = F.col(metric).cast("double")
+    # label p99.9 -> p99_9 ('%g' drops a float's trailing zeros, never an int's)
+    return buckets.agg(
+        *[
+            F.percentile(m, F.lit(p / 100.0)).alias(
+                "p" + ("%g" % p).replace(".", "_")
+            )
+            for p in percents
+        ]
+    )
+
+
+def extended_stats_bucket(
+    buckets: DataFrame, metric: str, *, sigma: float = 2.0
+) -> DataFrame:
+    """ES ``extended_stats_bucket``: the extended-stats family over a sibling
+    metric — count/min/max/avg/sum, sum_of_squares, POPULATION variance/std
+    (ES reports population moments) and the sigma bounds."""
+    m = F.col(metric).cast("double")
+    row = buckets.agg(
+        F.count(m).alias("count"),
+        F.min(m).alias("min"),
+        F.max(m).alias("max"),
+        F.avg(m).alias("avg"),
+        F.sum(m).alias("sum"),
+        F.sum(m * m).alias("sum_of_squares"),
+        F.var_pop(m).alias("variance"),
+        F.stddev_pop(m).alias("std_deviation"),
+    )
+    return row.select(
+        "*",
+        (F.col("avg") + F.lit(float(sigma)) * F.col("std_deviation")).alias(
+            "std_deviation_bounds_upper"
+        ),
+        (F.col("avg") - F.lit(float(sigma)) * F.col("std_deviation")).alias(
+            "std_deviation_bounds_lower"
+        ),
+    )
+
+
+def moving_fn(
+    buckets: DataFrame,
+    metric: str,
+    *,
+    window: int,
+    fn: str,
+    shift: int = 0,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """ES ``moving_fn``: apply a function over a sliding window of a sibling
+    metric in bucket order. ``shift=0`` (the ES default) looks at the
+    ``window`` buckets BEFORE the current one, current excluded —
+    ``shift=1`` includes it (:func:`moving_avg` is the shift=1 unweightedAvg
+    shortcut). Functions: ``min`` / ``max`` / ``sum`` / ``unweightedAvg`` /
+    ``stdDev`` (population, per MovingFunctions.stdDev) /
+    ``linearWeightedAvg`` (weight = position+1 within the window, ES's
+    linear decay). Head windows are partial like ES; an empty window yields
+    NULL (ES emits NaN/skips)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    lo, hi = -window + shift, shift - 1
+    w = Window.orderBy(bucket_col).rowsBetween(lo, hi)
+    m = F.col(metric).cast("double")
+    if fn == "min":
+        out = F.min(m).over(w)
+    elif fn == "max":
+        out = F.max(m).over(w)
+    elif fn == "sum":
+        out = F.sum(m).over(w)
+    elif fn == "unweightedAvg":
+        out = F.avg(m).over(w)
+    elif fn == "stdDev":
+        out = F.stddev_pop(m).over(w)
+    elif fn == "linearWeightedAvg":
+        # Σ v_i·(i+1) / Σ (i+1) over the frame in bucket order; the frame is
+        # an ordered row window, so collect_list preserves frame order
+        vals = F.collect_list(m).over(w)
+        num = F.aggregate(
+            F.zip_with(
+                vals,
+                F.sequence(F.lit(1), F.size(vals)),
+                lambda v, i: v * i.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        den = F.size(vals) * (F.size(vals) + 1) / 2.0
+        out = F.when(F.size(vals) > 0, num / den)
+    else:
+        raise ValueError(f"unknown moving_fn function: {fn!r}")
+    return buckets.withColumn(f"{metric}_mfn", out)
+
+
+def t_test_agg(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    *,
+    test_type: str = "heteroscedastic",
+) -> DataFrame:
+    """ES ``t_test`` aggregation between two filtered populations. Returns
+    the t-statistic and the degrees of freedom (Welch-Satterthwaite for
+    ``heteroscedastic``, pooled for ``homoscedastic``) — NOT ES's final
+    p-value: the two-sided Student-t CDF isn't SQL/Catalyst-expressible and a
+    driver-side special function would leave the data path, so the caller
+    converts (t, dof) with any stats library (documented divergence; both
+    columns are deterministic and oracle-replayable).
+
+    One conditional-aggregate pass (no second scan, no join): each side's
+    n / mean / sample variance come from sums over the same rows."""
+    if test_type not in ("heteroscedastic", "homoscedastic"):
+        raise ValueError(f"unknown t_test type: {test_type!r}")
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    sides = {}
+    for tag, key in (("a", group_a), ("b", group_b)):
+        cond = g == F.lit(key)
+        sides[tag] = [
+            F.sum(cond.cast("long")).alias(f"n_{tag}"),
+            F.avg(F.when(cond, v)).alias(f"m_{tag}"),
+            F.var_samp(F.when(cond, v)).alias(f"v_{tag}"),
+        ]
+    row = df.agg(*sides["a"], *sides["b"])
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma, mb, va, vb = F.col("m_a"), F.col("m_b"), F.col("v_a"), F.col("v_b")
+    if test_type == "heteroscedastic":
+        se2 = va / na + vb / nb
+        t = (ma - mb) / F.sqrt(se2)
+        dof = (se2 * se2) / (
+            (va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)
+        )
+    else:
+        sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+        t = (ma - mb) / F.sqrt(sp2 * (1.0 / na + 1.0 / nb))
+        dof = na + nb - 2
+    return row.select(
+        "n_a", "n_b", t.alias("t_stat"), dof.alias("dof")
+    )
+
+
+def matrix_stats_agg(df: DataFrame, fields: Sequence[str]) -> DataFrame:
+    """ES ``matrix_stats``: pairwise SAMPLE covariance and Pearson
+    correlation over the numeric ``fields`` (ES reports the sample moments),
+    one output row per unordered pair including the diagonal. A single
+    aggregate pass computes the full upper triangle — no self-join, no
+    second scan; at any scale this is one map-side-combined reduction of
+    |fields|² running sums."""
+    if len(fields) < 2:
+        raise ValueError("matrix_stats needs at least two fields")
+    aggs = []
+    pairs = []
+    for i, fx in enumerate(fields):
+        for fy in fields[i:]:
+            tag = f"{fx}__{fy}"
+            pairs.append((fx, fy, tag))
+            aggs.append(
+                F.covar_samp(
+                    F.col(fx).cast("double"), F.col(fy).cast("double")
+                ).alias(f"cov_{tag}")
+            )
+            aggs.append(
+                F.corr(
+                    F.col(fx).cast("double"), F.col(fy).cast("double")
+                ).alias(f"cor_{tag}")
+            )
+    row = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{fx}', '{fy}', cov_{tag}, cor_{tag}" for fx, fy, tag in pairs
+    )
+    return row.selectExpr(
+        f"stack({len(pairs)}, {stack}) as (field_x, field_y, covariance, correlation)"
+    ).orderBy("field_x", "field_y")
