@@ -1211,6 +1211,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bool_msm"] = _bool_msm
     q["bool_msm_pct"] = _bool_msm_pct
 
+    # round 5: Lucene classic query_string — the full syntax in ONE query
+    # (AND/must, -must_not, ^boost, trailing-* prefix expansion
+    # (rewrite=scoring_boolean), quoted-phrase filter, field/range/_exists_
+    # filters), parsed driver-side and lowered onto the bool engine
+    def _query_string(spark, sf):
+        from es_indexer_spark.query.classic import query_string
+
+        return query_string(
+            spark, _index_root(spark, sf),
+            'data AND "data stream" batch^2 stre* '
+            "lang:en n_chars:[200 TO 20000] _exists_:lang",
+            k=10,
+        ).select(
+            F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+
+    q["query_string_docs"] = _query_string
+
     # round 5: search_after on the SORTED surface — page 2 via the keyset
     # cursor (page-1 last row's sort values); oracle = OFFSET continuation
     def _sort_after(spark, sf):
@@ -2303,6 +2321,40 @@ ORDER BY d.n_chars DESC, r.score_raw DESC, r.doc_id ASC LIMIT 15 OFFSET 15
     o["bool_msm"] = _bool_sql(
         must=[], should=["data", "stream", "batch"], msm=2
     )
+    # classic query_string lowered semantics replayed: required spark+data,
+    # excluded key, exact 'data stream' phrase + lang/n_chars/exists filters;
+    # scoring = present terms of {spark, data, batch^2} plus the
+    # scoring_boolean expansion of 'stre*' (top-50 by df desc, term asc)
+    o["query_string_docs"] = f"""
+WITH toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+               FROM documents),
+t2 AS (SELECT doc_id, unnest(t) AS term FROM toksl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM t2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toksl),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              ((SELECT COALESCE(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents))::DOUBLE AS avgdl),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+exp AS (SELECT term FROM dfq WHERE term LIKE 'stre%' ORDER BY df DESC, term ASC LIMIT 50),
+flags AS (SELECT doc_id,
+                 count(DISTINCT CASE WHEN term = 'data' THEN term END) AS n_must
+          FROM tf GROUP BY doc_id),
+ph AS (SELECT doc_id FROM toksl
+       WHERE len([i for i in range(1, len(t) + 1) if t[i] = 'data' AND t[i+1] = 'stream']) > 0),
+rngd AS (SELECT doc_id FROM documents
+         WHERE lang = 'en' AND lang IS NOT NULL AND n_chars >= 200 AND n_chars <= 20000),
+raw AS (
+  SELECT tf.doc_id,
+         sum((CASE WHEN tf.term = 'batch' THEN 2.0 ELSE 1.0 END) *
+             ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+             tf.tf * {K1 + 1} / (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / st.avgdl))) AS score_raw
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('batch', 'data') OR tf.term IN (SELECT term FROM exp)
+  GROUP BY tf.doc_id)
+SELECT f.doc_id, round(COALESCE(r.score_raw, 0)::DOUBLE, 4) AS score
+FROM flags f LEFT JOIN raw r USING (doc_id) JOIN ph USING (doc_id) JOIN rngd USING (doc_id)
+WHERE f.n_must = 1
+ORDER BY COALESCE(r.score_raw, 0) DESC, f.doc_id ASC LIMIT 10
+"""
     o["bool_boost"] = _bool_sql(
         must=["data"], should=["stream", "batch"],
         weights={"data": 2.0, "stream": 0.5},

@@ -295,7 +295,7 @@ def bool_query(
     filter_terms: Sequence[str] = (),
     filter_phrase: str | None = None,
     filter_phrase_slop: int = 0,
-    filter_range: tuple[str, dict] | None = None,
+    filter_range: tuple[str, dict] | list[tuple[str, dict]] | None = None,
     filter_fields: Sequence[tuple[str, object]] = (),
     k: int | None = 10,
     lang: str | None = None,
@@ -305,6 +305,9 @@ def bool_query(
     fuzziness: int = 1,
     prefix_length: int = 1,
     max_expansions: int = 50,
+    must_prefix: Sequence[str | tuple[str, float]] = (),
+    should_prefix: Sequence[str | tuple[str, float]] = (),
+    filter_exists: Sequence[str] = (),
 ) -> DataFrame:
     """Top-k (docid, score) under ES bool semantics. Each clause is a query
     string run through the document analysis chain (so a multi-word ``must``
@@ -327,7 +330,20 @@ def bool_query(
     ``filter_fields=[("lang", "en"), ...]`` is ES ``bool.filter(term)`` on
     stored keyword fields — required, non-scoring, pushed into the SAME
     docs-store scan as the range bounds (stacked doc-level filters cost one
-    scan and one cogroup set total). ``k=None``
+    scan and one cogroup set total). ``filter_range`` also accepts a LIST of
+    ``(field, bounds)`` tuples (several stacked range clauses — the
+    query_string ``f:[a TO b] g:>x`` shape); all bounds land in the same
+    scan. ``filter_exists=["field", ...]`` is ES ``bool.filter(exists)``:
+    the stored field must be non-null — same pushed scan.
+    ``must_prefix`` / ``should_prefix`` are trailing-wildcard clauses
+    (ES/Lucene ``field:pre*`` inside query_string, or a ``prefix`` query in
+    a bool): each expands against the term-sorted dictionary (startswith
+    range, top ``max_expansions`` by df — Lucene's top-terms cap) into an
+    any-of group, and each PRESENT expansion scores its own BM25 × boost —
+    Lucene's ``rewrite=scoring_boolean`` multi-term rewrite, which keeps
+    per-term idf (documented divergence from the constant_score default
+    rewrite; scoring_boolean is the deterministic, SQL-replayable choice
+    and an ES-selectable rewrite). ``k=None``
     returns EVERY matching doc with no global sort (the delete-by-query /
     scroll shape — per-shard evaluation is unchanged, only the top-k merge
     is skipped).
@@ -416,6 +432,48 @@ def bool_query(
         for t, b_ in w.items():
             weight[t] = weight.get(t, 0.0) + b_
 
+    def prefix_groups(qs) -> list[tuple[list[str], dict[str, float]]]:
+        """Expand each trailing-wildcard clause against the dictionary
+        (one startswith-pruned scan per clause, O(max_expansions) rows to
+        the driver — never the postings). Same expansion order as
+        match_phrase_prefix: df desc, term asc, capped."""
+        if not qs:
+            return []
+        from es_indexer_spark.query.engine import _dict_df
+
+        d = _dict_df(spark, vdir)
+        out: list[tuple[list[str], dict[str, float]]] = []
+        for q in qs:
+            text, boost = clause(q)
+            ts = tokenize_one(text, stats["tokenizer"], lang=lang)
+            ts, marker = split_lang_marker(ts)
+            if marker is not None:
+                filt_extra.append(marker)
+            if len(ts) != 1:
+                raise ValueError(
+                    "a prefix clause takes a single analyzed term, got "
+                    f"{ts!r} from {text!r}"
+                )
+            rows = (
+                d.filter(F.col("term").startswith(ts[0]))
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(int(max_expansions))
+                .collect()
+            )
+            out.append(
+                ([r["term"] for r in rows], {r["term"]: boost for r in rows})
+            )
+        return out
+
+    for grp, w in prefix_groups(must_prefix):
+        must_groups.append(grp)
+        for t, b_ in w.items():
+            weight[t] = weight.get(t, 0.0) + b_
+    for grp, w in prefix_groups(should_prefix):
+        should_groups.append(grp)
+        for t, b_ in w.items():
+            weight[t] = weight.get(t, 0.0) + b_
+
     def toks(qs: Sequence[str]) -> list[str]:
         out: list[str] = []
         for q in qs:
@@ -450,8 +508,14 @@ def bool_query(
     if filter_range is not None:
         from es_indexer_spark.query.lookup import range_pred
 
-        field, bounds = filter_range
-        doc_preds.append(range_pred(field, bounds))
+        ranges = (
+            filter_range if isinstance(filter_range, list) else [filter_range]
+        )
+        for field, bounds in ranges:
+            doc_preds.append(range_pred(field, bounds))
+    for fld in filter_exists:
+        # ES bool.filter(exists): stored field non-null — same pushed scan
+        doc_preds.append(F.col(fld).isNotNull())
     for fld, val in filter_fields:
         # ES bool.filter(term) on a stored keyword field — equality pushed
         # into the same docs-store scan as the range bounds (one scan, one
