@@ -957,6 +957,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _qvec(spark, sf), k=10, n_centroids=8, nprobe=8,
     )
 
+    # round 5: ES 8 knn search — filter applied DURING the search (top-k
+    # among the filtered docs), similarity floor, _score = (1+cosine)/2
+    def _knn_filtered(spark, sf):
+        from es_indexer_spark.ops.similarity import knn_search
+
+        return knn_search(
+            _emb(spark, sf).filter(F.col("vec_id") != 0), "vec_id",
+            "embedding", _qvec(spark, sf), k=10,
+            filter_expr="label % 2 = 0", similarity=0.0,
+        )
+
+    q["knn_filtered"] = _knn_filtered
+
+    # round 5: hybrid retrieval — one request with a query section (BM25
+    # over the index) and a knn section (top-10 cosine over the embedding
+    # table, boost 2); final score = sum of the sides' contributions
+    def _knn_hybrid(spark, sf):
+        from es_indexer_spark.ops.similarity import knn_hybrid_topk
+
+        return knn_hybrid_topk(
+            spark, _index_root(spark, sf), "data stream", _emb(spark, sf),
+            "vec_id", "embedding", _qvec(spark, sf), k=10, knn_k=10,
+            query_boost=1.0, knn_boost=2.0,
+        ).select(F.col("docid").alias("doc_id"), "score")
+
+    q["knn_hybrid"] = _knn_hybrid
+
+    # round 5: script_score — the Painless slot takes a Catalyst expression
+    # over _score and stored fields; every match rescored, global top-k
+    def _script_score(spark, sf):
+        from es_indexer_spark.query.engine import script_score_topk
+
+        return script_score_topk(
+            spark, _index_root(spark, sf), "data stream",
+            "_score * sqrt(n_chars) / 10", fields=("n_chars",), k=10,
+        ).select(F.col("docid").alias("doc_id"), "score")
+
+    q["script_score"] = _script_score
+
     # ---- multimodal plumbing -----------------------------------------------------
     q["media_metadata"] = lambda spark, sf: pack_media(
         _docs(spark, sf), "doc_id", "text"
@@ -2936,6 +2975,42 @@ s AS (SELECT e.vec_id,
               sqrt(list_dot_product(q.v, q.v))) AS c
       FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
 SELECT vec_id, round(c, 6) AS cosine FROM s ORDER BY c DESC, vec_id ASC LIMIT 10
+"""
+    o["knn_filtered"] = """
+WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q.v) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(q.v, q.v))) AS c
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0 AND e.label % 2 = 0)
+SELECT vec_id, round(c, 6) AS cosine, round((1 + c) / 2, 6) AS score
+FROM s WHERE c >= 0.0 ORDER BY c DESC, vec_id ASC LIMIT 10
+"""
+    # hybrid = BM25('data stream' should-match set) + 2x the knn top-10
+    # ((1+cos)/2 score), summed per doc — engine rounds the knn _score at 6
+    # before the boost and the final sum at 6, replayed identically
+    o["knn_hybrid"] = f"""
+{_BM25_PREAMBLE},
+{_raw_cte("tf.term IN ('data', 'stream')")},
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+kn AS (SELECT e.vec_id AS doc_id,
+              2.0 * round((1 + list_dot_product(e.embedding::DOUBLE[], qv.v) /
+                    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                     sqrt(list_dot_product(qv.v, qv.v)))) / 2, 6) AS s
+       FROM embeddings e CROSS JOIN qv
+       ORDER BY list_dot_product(e.embedding::DOUBLE[], qv.v) /
+                (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                 sqrt(list_dot_product(qv.v, qv.v))) DESC, e.vec_id ASC LIMIT 10),
+u AS (SELECT doc_id, score_raw AS s FROM raw UNION ALL SELECT doc_id, s FROM kn)
+SELECT doc_id, round(sum(s)::DOUBLE, 6) AS score FROM u GROUP BY doc_id
+ORDER BY round(sum(s)::DOUBLE, 6) DESC, doc_id ASC LIMIT 10
+"""
+    o["script_score"] = f"""
+{_BM25_PREAMBLE},
+{_raw_cte("tf.term IN ('data', 'stream')")}
+SELECT r.doc_id, round((r.score_raw * sqrt(d.n_chars) / 10)::DOUBLE, 6) AS score
+FROM raw r JOIN documents d USING (doc_id)
+ORDER BY round((r.score_raw * sqrt(d.n_chars) / 10)::DOUBLE, 6) DESC, r.doc_id ASC LIMIT 10
 """
     # ---- relational oracles -------------------------------------------------------
     o["agg_partial_final"] = """

@@ -277,3 +277,101 @@ def ann_ivf_topk(
     assigned = ivf_assign(df, id_col, vec_col, centroids)
     cands = assigned.filter(F.col("cell").isin(probes))
     return ann_brute_topk(cands, "vec_id", "vec", qvec, k)
+
+
+# ---------------------------------------------------------------------- ES knn
+def knn_search(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    qvec: list[float],
+    k: int = 10,
+    *,
+    filter_expr=None,
+    similarity: float | None = None,
+    num_candidates: int | None = None,
+) -> DataFrame:
+    """ES 8 top-level ``knn`` search section over a dense_vector column.
+
+    ES semantics reproduced (public knn-search contract):
+
+    - ``filter``: applied DURING the search, not after — the top-k is taken
+      among the docs passing the filter, so k survivors come back even for a
+      selective filter (``filter_expr`` is a Column or SQL string, pushed
+      into the vector scan);
+    - ``similarity``: minimum raw cosine — candidates below it are dropped
+      BEFORE the k cut (the ES knob);
+    - ``_score`` = ``(1 + cosine) / 2`` — ES's published score transform for
+      cosine-similarity dense_vector fields;
+    - ``num_candidates`` is accepted for API parity and intentionally
+      unused: it sizes the per-shard HNSW candidate pool, and this exact
+      scan always has recall 1.0 (the IVF/LSH routes in this module are the
+      approximate scale paths; route through ``ann_ivf_topk`` when a graph/
+      cell pruned search is wanted).
+
+    Returns ``(vec_id, cosine, score)``, ties broken by id ascending.
+    At 100 TB: the filter prunes the scan (pushed predicate), the cosine is
+    one JVM column expression per row, and the top-k is a TakeOrdered — no
+    shuffle beyond the final k merge.
+    """
+    base = df if filter_expr is None else df.filter(filter_expr)
+    scored = cosine_to_query(base, id_col, vec_col, qvec)
+    if similarity is not None:
+        scored = scored.filter(F.col("cosine") >= float(similarity))
+    return (
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+        .select(
+            "vec_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.round((F.lit(1.0) + F.col("cosine")) / F.lit(2.0), 6).alias("score"),
+        )
+    )
+
+
+def knn_hybrid_topk(
+    spark,
+    index_root: str,
+    query: str,
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    qvec: list[float],
+    k: int = 10,
+    *,
+    knn_k: int = 10,
+    query_boost: float = 1.0,
+    knn_boost: float = 1.0,
+    filter_expr=None,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES hybrid retrieval: a ``query`` section and a ``knn`` section in ONE
+    search request. Each side retrieves independently — the text side scores
+    every BM25 match of ``query``, the vector side takes the knn top
+    ``knn_k`` — and a doc's final score is the SUM of its boosted
+    contributions (ES's documented hybrid combination; a doc found by only
+    one side contributes 0 for the other). knn ``_score`` is
+    ``(1 + cosine)/2`` as in :func:`knn_search`.
+
+    Execution: unionByName of the two sparse contribution sets then ONE
+    docid hash agg (map-side combined) — no full-outer join, so the text
+    side's match set never shuffles against more than k vector rows.
+    """
+    from es_indexer_spark.query.boolean import bool_query
+
+    bm = bool_query(spark, index_root, should=[query], k=None, lang=lang).select(
+        "docid", (F.col("score") * F.lit(float(query_boost))).alias("s")
+    )
+    kn = knn_search(
+        emb_df, id_col, vec_col, qvec, k=knn_k, filter_expr=filter_expr
+    ).select(
+        F.col("vec_id").alias("docid"),
+        (F.col("score") * F.lit(float(knn_boost))).alias("s"),
+    )
+    return (
+        bm.unionByName(kn)
+        .groupBy("docid")
+        .agg(F.round(F.sum("s"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+    )

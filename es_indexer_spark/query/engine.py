@@ -1159,6 +1159,47 @@ def function_score_topk(
     )
 
 
+def script_score_topk(
+    spark: SparkSession,
+    index_root: str,
+    query: str,
+    script: str,
+    k: int = 10,
+    *,
+    fields: Sequence[str] = (),
+    min_score: float | None = None,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``script_score``: REPLACE every match's BM25 score with a script
+    over ``_score`` and stored doc fields. The Painless script slot takes a
+    Catalyst SQL expression here (documented divergence: same role,
+    deterministic, evaluated inside whole-stage codegen instead of a JVM
+    scripting sandbox) — e.g. ``"_score * sqrt(n_chars)"`` or
+    ``"1.0 / (1.0 + exp(-_score))"``. ``fields`` lists the stored doc
+    columns the expression reads (column-pruned docs-store scan, joined only
+    when non-empty). ``min_score`` drops rescored matches below the bound
+    (the ES knob). Like function_score, the script reorders matches
+    arbitrarily, so every match is evaluated (k=None disjunction) and the
+    global top-k of the rescored set is taken; rounded at 6 for ulp-stable
+    ordering, ties by docid."""
+    from es_indexer_spark.query.boolean import bool_query
+
+    vdir = catalog.resolve(index_root)
+    hits = bool_query(spark, index_root, should=[query], k=None, lang=lang)
+    sel = hits.withColumnRenamed("score", "_score")
+    if fields:
+        docs = spark.read.parquet(os.path.join(vdir, "docs")).select(
+            "docid", *fields
+        )
+        sel = sel.join(docs, "docid")
+    out = sel.select(
+        "docid", F.round(F.expr(script).cast("double"), 6).alias("score")
+    )
+    if min_score is not None:
+        out = out.filter(F.col("score") >= float(min_score))
+    return out.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+
 _RANK_FEATURE_FNS = ("saturation", "log", "sigmoid")
 
 
