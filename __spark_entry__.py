@@ -1688,6 +1688,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["agg_significant_terms"] = lambda spark, sf: aggs.significant_terms(
         _docs(spark, sf), "text", F.col("lang") == "en", size=10, min_doc_count=3
     )
+
+    # round 5: sampler / diversified_sampler — terms sub-agg over the global
+    # top-scoring matches (ES samples per shard; global = the deterministic
+    # replayable analog, documented in query/aggs.py)
+    def _agg_sampler(spark, sf):
+        return aggs.sampler_terms(
+            spark, _index_root(spark, sf), "data stream", "lang",
+            shard_size=50, size=10,
+        )
+
+    q["agg_sampler"] = _agg_sampler
+
+    def _agg_diversified(spark, sf):
+        return aggs.sampler_terms(
+            spark, _index_root(spark, sf), "data stream", "lang",
+            shard_size=20, size=10,
+            diversify_field="source", max_docs_per_value=2,
+        )
+
+    q["agg_diversified_sampler"] = _agg_diversified
+
+    # round 5: significant_text — foreground re-tokenized from the SOURCE
+    # table restricted to the hit set; background df free from the dictionary
+    def _agg_significant_text(spark, sf):
+        return aggs.significant_text(
+            spark, _index_root(spark, sf), "data stream", _docs(spark, sf),
+            size=10, min_doc_count=3,
+        )
+
+    q["agg_significant_text"] = _agg_significant_text
     # round 4: range + filters aggs — overlapping buckets, one
     # conditional-sum pass each (never a per-bucket scan)
     # round 5: ES pipeline aggs over the monthly histogram — derivative,
@@ -3854,6 +3884,51 @@ SELECT term, fg_count, bg_count,
        round((fg_count / tot.nf - bg_count / tot.na)
              * ((fg_count / tot.nf) / (bg_count / tot.na)), 8) AS score
 FROM cnt CROSS JOIN tot WHERE fg_count >= 3
+ORDER BY score DESC, term ASC LIMIT 10
+"""
+    # sampler: terms('lang') over the top-50 BM25 matches of 'data stream'
+    o["agg_sampler"] = f"""
+{_BM25_PREAMBLE},
+{_RAW_DS},
+top AS (SELECT doc_id FROM raw ORDER BY score_raw DESC, doc_id ASC LIMIT 50)
+SELECT d.lang AS key, count(*)::BIGINT AS doc_count
+FROM top JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 10
+"""
+    # diversified_sampler: at most 2 docs per source value (rank by score
+    # desc, doc_id asc within each source), then the global top 20, then
+    # terms('lang')
+    o["agg_diversified_sampler"] = f"""
+{_BM25_PREAMBLE},
+{_RAW_DS},
+dv AS (SELECT r.doc_id, r.score_raw,
+              row_number() OVER (PARTITION BY d.source
+                                 ORDER BY r.score_raw DESC, r.doc_id ASC) AS rn
+       FROM raw r JOIN documents d USING (doc_id)),
+top AS (SELECT doc_id FROM dv WHERE rn <= 2
+        ORDER BY score_raw DESC, doc_id ASC LIMIT 20)
+SELECT d.lang AS key, count(*)::BIGINT AS doc_count
+FROM top JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 10
+"""
+    # significant_text: fg = the 'data stream' match set re-tokenized, bg df
+    # = the whole corpus (the dictionary on the engine side); JLH at 8,
+    # operation order mirrors query/aggs.py::significant_text
+    o["agg_significant_text"] = """
+WITH toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+               FROM documents),
+t2 AS (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toksl),
+fgdocs AS (SELECT DISTINCT doc_id FROM t2 WHERE term IN ('data', 'stream')),
+nf AS (SELECT count(*)::DOUBLE AS n FROM fgdocs),
+na AS (SELECT count(*)::DOUBLE AS n FROM documents),
+fgc AS (SELECT term, count(*)::BIGINT AS fg_count
+        FROM t2 JOIN fgdocs USING (doc_id) GROUP BY term),
+bg AS (SELECT term, count(*)::BIGINT AS bg_count FROM t2 GROUP BY term)
+SELECT term, fg_count, bg_count,
+       round((fg_count / nf.n - bg_count / na.n)
+             * ((fg_count / nf.n) / (bg_count / na.n)), 8) AS score
+FROM fgc JOIN bg USING (term) CROSS JOIN nf CROSS JOIN na
+WHERE fg_count >= 3
 ORDER BY score DESC, term ASC LIMIT 10
 """
     # ---- round 5c: nested + join-field relations (query/nested.py) ---------------

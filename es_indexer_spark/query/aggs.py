@@ -1313,3 +1313,154 @@ def matrix_stats_agg(df: DataFrame, fields: Sequence[str]) -> DataFrame:
     return row.selectExpr(
         f"stack({len(pairs)}, {stack}) as (field_x, field_y, covariance, correlation)"
     ).orderBy("field_x", "field_y")
+
+
+# ------------------------------------------------------- sampler aggregations
+def sampler_hits(
+    spark,
+    index_root: str,
+    query: str,
+    shard_size: int = 100,
+    *,
+    diversify_field: str | None = None,
+    max_docs_per_value: int = 1,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``sampler`` / ``diversified_sampler`` candidate set: the best-scoring
+    ``shard_size`` matches of ``query``, optionally de-duplicated so at most
+    ``max_docs_per_value`` docs share one ``diversify_field`` value (the
+    diversified variant). Returns ``(docid, score)`` for sub-aggregations to
+    consume.
+
+    ES samples per shard; this takes the GLOBAL top — the deterministic
+    analog (documented divergence: global sampling is a strict superset in
+    quality and makes the result replayable; per-shard behavior would depend
+    on routing). The diversify window partitions by the field value — skew
+    bounded by the most common value's match count, and only the match set
+    (not the corpus) flows through it."""
+    from es_indexer_spark.query.boolean import bool_query
+    from pyspark.sql import Window
+
+    hits = bool_query(spark, index_root, should=[query], k=None, lang=lang)
+    if diversify_field is not None:
+        docs = index_docs(spark, index_root).select("docid", diversify_field)
+        w = Window.partitionBy(diversify_field).orderBy(
+            F.desc("score"), F.asc("docid")
+        )
+        hits = (
+            hits.join(docs, "docid")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(max_docs_per_value))
+            .drop("_rn", diversify_field)
+        )
+    return hits.orderBy(F.desc("score"), F.asc("docid")).limit(int(shard_size))
+
+
+def sampler_terms(
+    spark,
+    index_root: str,
+    query: str,
+    field: str,
+    shard_size: int = 100,
+    size: int = 10,
+    **sampler_kw,
+) -> DataFrame:
+    """A ``terms`` sub-aggregation under a (diversified) sampler: bucket
+    counts of ``field`` over the sampled hit set — the canonical ES pattern
+    (sample the best matches, then aggregate cheaply). Returns
+    ``(key, doc_count)``, count desc / key asc."""
+    sample = sampler_hits(spark, index_root, query, shard_size, **sampler_kw)
+    docs = index_docs(spark, index_root).select("docid", field)
+    return (
+        sample.join(docs, "docid")
+        .groupBy(F.col(field).alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(int(size))
+    )
+
+
+def significant_text(
+    spark,
+    index_root: str,
+    query: str,
+    source_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 10,
+    *,
+    min_doc_count: int = 3,
+    sample_size: int | None = None,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``significant_text``: terms unusually frequent in the docs matching
+    ``query`` vs the whole corpus, re-analyzed from the source text (the ES
+    contract — significant_text re-tokenizes ``_source`` because the index
+    stores no per-doc term vectors; same here). Scored with the published JLH
+    heuristic over document frequencies, ties by term asc.
+
+    The 100 TB shape: the expensive part (re-tokenization) touches ONLY the
+    foreground — the hit docids semi-join the source table before the
+    tokenizer runs (``sample_size`` caps it further, the ES
+    sampler-wrapped idiom) — while the background doc frequencies come FREE
+    from the index dictionary (exact, no corpus pass; ES pays a term-vector
+    lookup per term here). One groupBy over the foreground's distinct
+    (doc, term) pairs, one broadcast join of the small fg term set against
+    the dictionary.
+    """
+    from es_indexer_spark.index import catalog as _catalog
+    from es_indexer_spark.query.boolean import bool_query
+    from es_indexer_spark.query.engine import _dict_df
+
+    if min_doc_count < 1:
+        raise ValueError("min_doc_count must be >= 1")
+    vdir = _catalog.resolve(index_root)
+    stats = _catalog.read_stats(vdir)
+    n_docs = float(stats["n_docs"])
+
+    hits = bool_query(spark, index_root, should=[query], k=None, lang=lang)
+    if sample_size is not None:
+        hits = hits.orderBy(F.desc("score"), F.asc("docid")).limit(int(sample_size))
+    fg_ids = hits.select(F.col("docid").alias(id_col))
+    fg_docs = source_df.join(fg_ids, id_col, "left_semi")
+
+    if stats["tokenizer"] == "standard":
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        )
+    elif stats["tokenizer"] == "code":
+        from es_indexer_spark.analysis.tokenizer import get_tokenizer_udf
+
+        lang_col = (
+            F.col("lang") if "lang" in source_df.columns
+            else F.lit(None).cast("string")
+        )
+        toks = get_tokenizer_udf("code")(F.col(text_col), lang_col)
+    else:
+        from es_indexer_spark.analysis.tokenizer import get_tokenizer_udf
+
+        toks = get_tokenizer_udf(stats["tokenizer"])(F.col(text_col))
+    per_doc = fg_docs.select(
+        F.col(id_col), F.explode(F.array_distinct(toks)).alias("term")
+    )
+    fg_counts = per_doc.groupBy("term").agg(
+        F.count("*").cast("long").alias("fg_count")
+    )
+    nf = fg_docs.agg(F.count("*").cast("double").alias("_nf"))
+    d = _dict_df(spark, vdir).select("term", F.col("df").alias("bg_count"))
+    fg_pct = F.col("fg_count") / F.col("_nf")
+    bg_pct = F.col("bg_count") / F.lit(n_docs)
+    return (
+        d.join(F.broadcast(fg_counts), "term")
+        .crossJoin(F.broadcast(nf))
+        .filter(F.col("fg_count") >= int(min_doc_count))
+        .select(
+            "term",
+            F.col("fg_count").cast("long").alias("fg_count"),
+            F.col("bg_count").cast("long").alias("bg_count"),
+            F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 8).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(int(size))
+    )
