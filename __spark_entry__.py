@@ -1416,6 +1416,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["terms_set"] = _terms_set
     q["match_bool_prefix"] = _mbprefix
 
+    # round 5: percolate — stored queries matched against candidate docs as
+    # ONE inverted term equi-join + ONE counting agg (never docs x queries)
+    def _percolate(spark, sf):
+        from es_indexer_spark.query.percolate import percolate
+
+        queries = spark.createDataFrame(
+            [
+                ("q_ds", ["data", "stream"], None, None, None),
+                ("q_any2", None, ["spark", "join", "window"], None, 2),
+                ("q_not", ["data"], None, ["key"], None),
+                ("q_should", None, ["customer", "supplier"], None, None),
+            ],
+            "query_id string, must array<string>, should array<string>, "
+            "must_not array<string>, minimum_should_match int",
+        )
+        return percolate(queries, _docs(spark, sf))
+
+    q["percolate"] = _percolate
+
     # ---- ES more_like_this (like = doc 42's source text) -------------------------
     def _mlt(spark, sf):
         from es_indexer_spark.query.engine import more_like_this
@@ -3836,6 +3855,26 @@ SELECT unnest(['*-3000.0', '3000.0-8000.0', '8000.0-*']) AS key,
 FROM a
 """
     # terms_set: >= per-doc M of {data, stream, batch}; M = n_chars branch
+    # percolate: the four stored queries replayed as per-query predicates
+    # over the analyzed token lists (must=all, should>=msm with the Lucene
+    # >=1 pure-should default, must_not=none)
+    o["percolate"] = """
+WITH toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+               FROM documents)
+SELECT doc_id, 'q_ds' AS query_id FROM toksl
+WHERE list_contains(t, 'data') AND list_contains(t, 'stream')
+UNION ALL
+SELECT doc_id, 'q_any2' FROM toksl
+WHERE (CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(t, 'join') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(t, 'window') THEN 1 ELSE 0 END) >= 2
+UNION ALL
+SELECT doc_id, 'q_not' FROM toksl
+WHERE list_contains(t, 'data') AND NOT list_contains(t, 'key')
+UNION ALL
+SELECT doc_id, 'q_should' FROM toksl
+WHERE list_contains(t, 'customer') OR list_contains(t, 'supplier')
+"""
     o["terms_set"] = f"""
 {_BM25_PREAMBLE},
 m AS (SELECT tf.doc_id, count(DISTINCT tf.term)::BIGINT AS matched,
