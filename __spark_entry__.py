@@ -2007,6 +2007,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.round("correlation", 6).alias("correlation"),
     )
 
+    # ---- round 5d: the last agg families ----------------------------------------
+    q["agg_moving_percentiles"] = lambda spark, sf: aggs.moving_percentiles(
+        _day_buckets(spark, sf), "doc_count", window=7, percent=50.0, shift=0
+    ).select("bucket", "doc_count", F.round("doc_count_p50", 6).alias("p50"))
+
+    # variable_width_histogram: equal-frequency boundaries (exact quantiles
+    # for the replay; percentile_approx is the default 100 TB path)
+    q["agg_vwh"] = lambda spark, sf: aggs.variable_width_histogram(
+        _events(spark, sf), "value", buckets=5, exact=True
+    ).select(
+        "bucket_idx", F.round("min", 6).alias("min"),
+        F.round("max", 6).alias("max"), F.round("key", 6).alias("key"),
+        "doc_count",
+    )
+
+    # categorize_text over log-like messages synthesized in-plan from events
+    def _agg_categorize(spark, sf):
+        ev = _events(spark, sf).select(
+            F.concat(
+                F.lit("User "), F.col("user_id"), F.lit(" performed "),
+                F.col("event_type"), F.lit(" op 0xDEADBEEF seq "),
+                F.col("event_id"),
+            ).alias("msg")
+        )
+        return aggs.categorize_text(ev, "msg", size=10)
+
+    q["agg_categorize_text"] = _agg_categorize
+
+    q["agg_scripted_metric"] = lambda spark, sf: aggs.scripted_metric(
+        _lineitem(spark, sf), "l_extendedprice * (1 - l_discount)",
+        "total / n", group_by=["l_returnflag"],
+    ).select("l_returnflag", F.round("value", 6).alias("value"))
+
+    q["agg_parent"] = lambda spark, sf: __import__(
+        "es_indexer_spark.query.nested", fromlist=["parent_agg"]
+    ).parent_agg(
+        _orders(spark, sf), _lineitem(spark, sf),
+        parent_key="o_orderkey", child_parent_key="l_orderkey",
+        group_field="l_returnflag",
+        parent_metric=F.round(F.avg("o_totalprice"), 6),
+        metric_name="avg_total",
+    )
+
+    q["agg_global"] = lambda spark, sf: aggs.global_metric(
+        spark, _index_root(spark, sf), "data stream", "n_chars", "avg"
+    ).select(
+        F.round("query_value", 6).alias("query_value"), "query_count",
+        F.round("global_value", 6).alias("global_value"), "global_count",
+    )
+
     # ---- driver-gate rotation ----------------------------------------------------
     # The driver's correctness gate records only the first ~50 entries by
     # insertion order, so entries that have never had a driver row rotate to
@@ -2037,6 +2087,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_auto_date_histogram", "agg_geo_distance_rings",
         "rank_feature_sat", "distance_feature", "pinned_query",
         "span_or_query", "span_not_query", "suggest_term_typo",
+        # round 5d (this session): classic query_string, knn, script_score,
+        # sampler family, percolate, and the final agg families
+        "query_string_docs", "knn_filtered", "knn_hybrid", "script_score",
+        "agg_sampler", "agg_diversified_sampler", "agg_significant_text",
+        "percolate", "agg_moving_percentiles", "agg_vwh",
+        "agg_categorize_text", "agg_scripted_metric", "agg_parent",
+        "agg_global",
     ]
     return {
         k: q[k]
@@ -4078,5 +4135,60 @@ UNION ALL SELECT 'l_discount', 'l_quantity', round(c13, 6), round(r13, 6) FROM m
 UNION ALL SELECT 'l_extendedprice', 'l_extendedprice', round(c22, 6), round(r22, 6) FROM m
 UNION ALL SELECT 'l_extendedprice', 'l_quantity', round(c23, 6), round(r23, 6) FROM m
 UNION ALL SELECT 'l_quantity', 'l_quantity', round(c33, 6), round(r33, 6) FROM m
+"""
+    # ---- round 5d oracles --------------------------------------------------------
+    # moving_percentiles: exact p50 with linear interpolation over the 7
+    # buckets BEFORE the current one (moving_fn shift=0 frame)
+    o["agg_moving_percentiles"] = """
+WITH b AS (SELECT date_trunc('day', ts)::TIMESTAMP AS bucket, count(*)::BIGINT AS doc_count
+           FROM events GROUP BY 1)
+SELECT bucket, doc_count,
+       round(quantile_cont(doc_count, 0.5) OVER
+             (ORDER BY bucket ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 6) AS p50
+FROM b
+"""
+    # variable_width_histogram: 4 exact interior quintile boundaries,
+    # boundary-equal values go LEFT (strict > on both sides)
+    o["agg_vwh"] = """
+WITH v AS (SELECT value::DOUBLE AS v FROM events WHERE value IS NOT NULL),
+b AS (SELECT quantile_cont(v, [0.2, 0.4, 0.6, 0.8]) AS bs FROM v),
+a AS (SELECT v,
+             (CASE WHEN v > bs[1] THEN 1 ELSE 0 END +
+              CASE WHEN v > bs[2] THEN 1 ELSE 0 END +
+              CASE WHEN v > bs[3] THEN 1 ELSE 0 END +
+              CASE WHEN v > bs[4] THEN 1 ELSE 0 END) AS bucket_idx
+      FROM v CROSS JOIN b)
+SELECT bucket_idx, round(min(v), 6) AS min, round(max(v), 6) AS max,
+       round(avg(v), 6) AS key, count(*)::BIGINT AS doc_count
+FROM a GROUP BY 1 ORDER BY 1
+"""
+    # categorize_text: the synthesized messages vary only in the numeric /
+    # hex parts, so the template collapses to one category per event_type
+    o["agg_categorize_text"] = """
+SELECT 'user <num> performed ' || event_type || ' op <hex> seq <num>' AS key,
+       count(*)::BIGINT AS doc_count
+FROM events GROUP BY event_type ORDER BY doc_count DESC, key ASC LIMIT 10
+"""
+    o["agg_scripted_metric"] = """
+SELECT l_returnflag,
+       round((sum(l_extendedprice * (1 - l_discount)) / count(*))::DOUBLE, 6) AS value
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+    # parent agg: distinct (bucket, parent) pairs, then the parent metric
+    o["agg_parent"] = """
+WITH pairs AS (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem)
+SELECT l_returnflag, count(*)::BIGINT AS doc_count,
+       round(avg(o_totalprice)::DOUBLE, 6) AS avg_total
+FROM pairs JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+    # global agg: the query-scoped avg next to the corpus-wide avg
+    o["agg_global"] = f"""
+{_BM25_PREAMBLE},
+{_RAW_DS}
+SELECT (SELECT round(avg(d.n_chars)::DOUBLE, 6) FROM raw JOIN documents d USING (doc_id)) AS query_value,
+       (SELECT count(*) FROM raw)::BIGINT AS query_count,
+       (SELECT round(avg(n_chars)::DOUBLE, 6) FROM documents) AS global_value,
+       (SELECT count(*) FROM documents)::BIGINT AS global_count
 """
     return o

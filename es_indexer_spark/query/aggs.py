@@ -1464,3 +1464,173 @@ def significant_text(
         .orderBy(F.desc("score"), F.asc("term"))
         .limit(int(size))
     )
+
+
+def moving_percentiles(
+    buckets: DataFrame,
+    metric: str,
+    *,
+    window: int,
+    percent: float = 50.0,
+    shift: int = 0,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """ES ``moving_percentiles``: slide a percentile over a sibling metric in
+    bucket order, same window/shift convention as :func:`moving_fn`
+    (``shift=0`` = the ``window`` buckets before the current one). The
+    percentile is EXACT with linear interpolation (R-7, the quantile_cont
+    definition) — ES runs a t-digest here, but over a window of at most
+    ``window`` scalars the exact computation is both cheaper and replayable.
+    Bounded by the bucket table like every pipeline agg — the corpus work
+    happened in the parent aggregation. Empty head windows yield NULL."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if not (0.0 <= percent <= 100.0):
+        raise ValueError("percent must be within [0, 100]")
+    lo, hi = -window + shift, shift - 1
+    w = Window.orderBy(bucket_col).rowsBetween(lo, hi)
+    vals = F.sort_array(F.collect_list(F.col(metric).cast("double")).over(w))
+    n = F.size(vals)
+    rank = (F.lit(float(percent)) / F.lit(100.0)) * (n.cast("double") - 1.0)
+    lo_i = F.floor(rank).cast("int")
+    frac = rank - lo_i.cast("double")
+    v_lo = F.element_at(vals, lo_i + 1)
+    v_hi = F.element_at(vals, F.least(lo_i + 2, n))
+    out = F.when(n > 0, v_lo + (v_hi - v_lo) * frac)
+    return buckets.withColumn(f"{metric}_p{int(percent)}", out)
+
+
+def variable_width_histogram(
+    df: DataFrame, field: str, buckets: int = 10, *, exact: bool = False
+) -> DataFrame:
+    """ES ``variable_width_histogram``: N buckets whose widths adapt to the
+    value density. ES clusters per shard with an order-dependent streaming
+    sketch; the deterministic, replayable analog here is EQUAL-FREQUENCY
+    clustering — (N-1) interior quantile boundaries, then one bucket-assign
+    pass + one hash agg (documented divergence: boundaries are quantiles,
+    not k-means centroids; both adapt width to density, and this one is
+    stable under reordering). Response shape per ES: per-bucket ``min`` /
+    ``max`` / ``key`` (the centroid = mean) / ``doc_count``.
+
+    ``exact=False`` (default) computes boundaries with the MERGEABLE
+    ``percentile_approx`` sketch — the 100 TB path (one map-combined pass,
+    no sort). ``exact=True`` uses the exact ``percentile`` aggregate
+    (R-7 interpolation) — bounded by memory on huge cardinalities, used by
+    the oracle replay and small-scale tests. NULLs are skipped."""
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    v = F.col(field).cast("double")
+    base = df.filter(v.isNotNull())
+    if buckets == 1:
+        return base.agg(
+            F.min(v).alias("min"), F.max(v).alias("max"),
+            F.avg(v).alias("key"), F.count(F.lit(1)).alias("doc_count"),
+        ).select(F.lit(0).alias("bucket_idx"), "min", "max", "key", "doc_count")
+    ps = [i / buckets for i in range(1, buckets)]
+    fn = "percentile" if exact else "percentile_approx"
+    arr = ", ".join(repr(p) for p in ps)
+    bounds = base.agg(
+        F.expr(f"{fn}({field}, array({arr}))").alias("_b")
+    )
+    # bucket id = number of interior boundaries strictly below the value
+    # (values equal to a boundary go LEFT — matches the SQL replay)
+    assigned = base.crossJoin(F.broadcast(bounds)).select(
+        v.alias("_v"),
+        F.aggregate(
+            "_b",
+            F.lit(0),
+            lambda acc, b: acc + F.when(v > b, F.lit(1)).otherwise(F.lit(0)),
+        ).alias("bucket_idx"),
+    )
+    return (
+        assigned.groupBy("bucket_idx")
+        .agg(
+            F.min("_v").alias("min"),
+            F.max("_v").alias("max"),
+            F.avg("_v").alias("key"),
+            F.count(F.lit(1)).alias("doc_count"),
+        )
+        .orderBy("bucket_idx")
+    )
+
+
+def categorize_text(
+    df: DataFrame, text_col: str, size: int = 10
+) -> DataFrame:
+    """ES ``categorize_text``: group semi-structured messages (log lines) by
+    their TEMPLATE. ES runs its ML categorizer (a drain-like token tree whose
+    buckets depend on document order); the deterministic, SQL-replayable
+    analog here normalizes each message to a template — lowercase, hex runs
+    and numbers to placeholders, whitespace collapsed — and buckets by it
+    (the documented intent: messages differing only in variable parts share
+    a category). One regexp chain + one hash agg; count desc / key asc."""
+    norm = F.lower(F.col(text_col))
+    norm = F.regexp_replace(norm, r"\b0x[0-9a-f]+\b", "<hex>")
+    norm = F.regexp_replace(norm, r"\b[0-9a-f]*[0-9][0-9a-f]*[a-f][0-9a-f]{6,}\b", "<hex>")
+    norm = F.regexp_replace(norm, r"[0-9]+(\.[0-9]+)?", "<num>")
+    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(norm.alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(int(size))
+    )
+
+
+def scripted_metric(
+    df: DataFrame,
+    map_expr: str,
+    reduce_expr: str = "total",
+    *,
+    group_by: "list[str] | None" = None,
+) -> DataFrame:
+    """ES ``scripted_metric`` with the Painless scripts replaced by Catalyst
+    expressions (the documented sum-shaped subset): ``map_script`` →
+    ``map_expr`` evaluated per doc; ``combine_script`` → the map-side
+    partial SUM Spark performs automatically; ``reduce_script`` →
+    ``reduce_expr`` over the combined state (``total`` = Σ map_expr, ``n`` =
+    doc count). Arbitrary stateful scripts only distribute when the combine
+    step is associative — which is exactly the sum shape; anything else
+    would serialize on one node, so restricting the contract here is the
+    scale-honest choice. Returns group columns + ``value``."""
+    g = df.groupBy(*[F.col(c) for c in group_by]) if group_by else df.groupBy()
+    base = g.agg(
+        F.sum(F.expr(map_expr)).cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cols = list(group_by or []) + [F.expr(reduce_expr).cast("double").alias("value")]
+    out = base.select(*cols)
+    return out.orderBy(*[F.asc(c) for c in (group_by or [])]) if group_by else out
+
+
+def global_metric(
+    spark,
+    index_root: str,
+    query: str,
+    field: str,
+    metric: str = "avg",
+    *,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``global`` aggregation — break OUT of the query context: one row
+    with the metric over the query's matches next to the same metric over
+    ALL live docs of the index (the canonical use: compare a slice to its
+    background). The global side is one column-pruned pass over the docs
+    store; the query side reuses the bool engine's match set."""
+    from es_indexer_spark.query.boolean import bool_query
+
+    fn = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}.get(metric)
+    if fn is None:
+        raise ValueError("metric must be avg/sum/min/max")
+    docs = index_docs(spark, index_root).select("docid", field)
+    hits = bool_query(spark, index_root, should=[query], k=None, lang=lang)
+    q_side = hits.join(docs, "docid").agg(
+        fn(F.col(field).cast("double")).alias("query_value"),
+        F.count(F.lit(1)).alias("query_count"),
+    )
+    g_side = docs.agg(
+        fn(F.col(field).cast("double")).alias("global_value"),
+        F.count(F.lit(1)).alias("global_count"),
+    )
+    return q_side.crossJoin(F.broadcast(g_side))

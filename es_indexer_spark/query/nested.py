@@ -212,3 +212,38 @@ def children_agg(
         )
         .orderBy(F.asc(group_field))
     )
+
+
+def parent_agg(
+    parents: DataFrame,
+    children: DataFrame,
+    *,
+    parent_key: str,
+    child_parent_key: str,
+    group_field: str,
+    parent_metric: Column,
+    metric_name: str = "metric",
+) -> DataFrame:
+    """ES ``parent`` aggregation (the reverse of :func:`children_agg`):
+    bucket CHILDREN by ``group_field``, then aggregate over each bucket's
+    DISTINCT parents — a parent counts once per bucket no matter how many of
+    its children land there (ES doc_count semantics in parent context;
+    ``doc_count`` = distinct parents per bucket).
+
+    Plan shape: the child side reduces to DISTINCT (bucket, parent-key)
+    pairs BEFORE the join (map-side combinable), so the join carries at most
+    |buckets| x |parents| rows and the parent table is scanned once,
+    column-pruned to the key + metric inputs."""
+    pairs = children.select(
+        F.col(group_field), F.col(child_parent_key).alias("__pk")
+    ).distinct()
+    keyed = parents.withColumn("__pk", F.col(parent_key))
+    return (
+        pairs.join(keyed, "__pk")
+        .groupBy(group_field)
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            parent_metric.alias(metric_name),
+        )
+        .orderBy(F.asc(group_field))
+    )
