@@ -1268,6 +1268,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["query_string_docs"] = _query_string
 
+    # round 5: span_multi inside span_near — the 's*' slot matches any
+    # dictionary expansion of the prefix at that chain position
+    def _span_multi(spark, sf):
+        from es_indexer_spark.query.phrase import span_multi_near
+
+        return span_multi_near(
+            spark, _index_root(spark, sf), ["data", "s*"], slop=1, k=None,
+        ).select(
+            F.col("docid").alias("doc_id"), "phrase_tf",
+            F.round("score", 4).alias("score"),
+        )
+
+    q["span_multi_query"] = _span_multi
+
     # round 5: search_after on the SORTED surface — page 2 via the keyset
     # cursor (page-1 last row's sort values); oracle = OFFSET continuation
     def _sort_after(spark, sf):
@@ -2093,7 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_sampler", "agg_diversified_sampler", "agg_significant_text",
         "percolate", "agg_moving_percentiles", "agg_vwh",
         "agg_categorize_text", "agg_scripted_metric", "agg_parent",
-        "agg_global",
+        "agg_global", "span_multi_query",
     ]
     return {
         k: q[k]
@@ -2161,6 +2175,34 @@ SELECT doc_id, ptf::BIGINT AS phrase_tf,
        round((ln(1 + (st.n - dfs.df1 + 0.5) / (dfs.df1 + 0.5))
             + ln(1 + (st.n - dfs.df2 + 0.5) / (dfs.df2 + 0.5))
             + ln(1 + (st.n - dfs.df3 + 0.5) / (dfs.df3 + 0.5)))
+             * ptf * 2.2 / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)), 4) AS score
+FROM pf CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
+"""
+    # span_multi: slot0 = 'data', slot1 = ANY term LIKE 's%' (the dictionary
+    # expansion of the 's*' prefix — uncapped here, 6 < max_expansions);
+    # greedy ordered chain with slop=1; multi-slot idf = union-df bound
+    o["span_multi_query"] = """
+WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+              FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT sum(len(t)) FROM toks)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+dfs AS (SELECT (SELECT count(*) FROM toks WHERE list_contains(t, 'data'))::DOUBLE AS df1,
+               least((SELECT count(*) FROM documents),
+                     (SELECT sum(cnt) FROM (SELECT count(*) AS cnt
+                        FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks)
+                        WHERE term LIKE 's%' GROUP BY term)))::DOUBLE AS df2),
+pos AS (SELECT doc_id, len(t)::DOUBLE AS dl,
+               [i for i in range(1, len(t)+1) if t[i] = 'data'] AS p0,
+               [i for i in range(1, len(t)+1) if t[i] LIKE 's%'] AS p1
+        FROM toks),
+pf AS (SELECT doc_id, dl,
+              len([s for s in p0 if
+                   coalesce(list_min([x for x in p1 if x > s]), 2147483647) - s - 1 <= 1
+                  ]) AS ptf
+       FROM pos)
+SELECT doc_id, ptf::BIGINT AS phrase_tf,
+       round((ln(1 + (st.n - dfs.df1 + 0.5) / (dfs.df1 + 0.5))
+            + ln(1 + (st.n - dfs.df2 + 0.5) / (dfs.df2 + 0.5)))
              * ptf * 2.2 / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)), 4) AS score
 FROM pf CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
 """

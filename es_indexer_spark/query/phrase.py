@@ -835,3 +835,230 @@ def span_not(
     )
     out = scored.orderBy(F.desc("score"), F.asc("docid"))
     return out.limit(k) if k is not None else out
+
+
+def _span_multi_scorer(
+    slots: list[list[str]],
+    sum_idf: float,
+    k1,
+    b,
+    avgdl,
+    tomb,
+    slop: int = 0,
+    orders: list[list[int]] | None = None,
+):
+    """Per-shard scorer for span_near chains whose SLOTS are term SETS
+    (Lucene SpanMultiTermQueryWrapper): slot i matches at a position where
+    ANY of its terms occurs. Each slot's position keys are the merged union
+    of its present terms' keys — one sorted int64 array per slot — and the
+    chain then runs EXACTLY like the single-term sloppy merge
+    (:func:`_chain_starts` over synthetic per-slot names). Two terms can
+    never share a (doc, position), so the union concat is duplicate-free."""
+    flat = sorted({t for s in slots for t in s})
+
+    def score(pdf: pd.DataFrame, tomb_local: np.ndarray | None = None) -> pd.DataFrame:
+        tomb = tomb_local if tomb_local is not None else score.tomb_default
+        empty = pd.DataFrame({"docid": [], "phrase_tf": [], "score": []})
+        if len(pdf) == 0:
+            return empty
+        term_keys: dict[str, np.ndarray] = {}
+        doc_arr: np.ndarray | None = None
+        len_arr: np.ndarray | None = None
+        for term, gg in pdf.groupby("term", sort=False):
+            if term not in flat:
+                continue
+            key_parts, d_parts, l_parts = [], [], []
+            for row in gg.itertuples(index=False):
+                d, t, l = decode_block(row.gaps, row.tfs, row.dls, row.first_docid)
+                flat_pos = decode_positions(row.poss, t)
+                d64 = d.astype(np.int64)
+                if tomb is not None:
+                    keep = live_mask(tomb, d64)
+                    if keep is not None and not keep.all():
+                        flat_pos = flat_pos[np.repeat(keep, t.astype(np.int64))]
+                        d64, t, l = d64[keep], t[keep], l[keep]
+                    if d64.size == 0:
+                        continue
+                doc_of_pos = np.repeat(d64, t.astype(np.int64))
+                key_parts.append((doc_of_pos << 32) | flat_pos.astype(np.int64))
+                d_parts.append(d64)
+                l_parts.append(l.astype(np.int64))
+            if not key_parts:
+                continue
+            keys = np.concatenate(key_parts)
+            keys.sort()
+            term_keys[term] = keys
+            if doc_arr is None:
+                doc_arr = np.concatenate(d_parts)
+                len_arr = np.concatenate(l_parts)
+            else:
+                doc_arr = np.concatenate([doc_arr, np.concatenate(d_parts)])
+                len_arr = np.concatenate([len_arr, np.concatenate(l_parts)])
+        slot_keys: dict[str, np.ndarray] = {}
+        names: list[str] = []
+        for i, s in enumerate(slots):
+            parts = [term_keys[t] for t in s if t in term_keys]
+            if not parts:
+                return empty  # a required slot absent from this shard
+            u = parts[0] if len(parts) == 1 else np.sort(np.concatenate(parts))
+            nm = f"#{i}"
+            slot_keys[nm] = u
+            names.append(nm)
+        if orders is None:
+            cand = _chain_starts(slot_keys, names, slop)
+        else:
+            parts = [
+                _chain_starts(slot_keys, [names[i] for i in o], slop)
+                for o in orders
+            ]
+            parts = [p for p in parts if p.size]
+            cand = (
+                np.unique(np.concatenate(parts))
+                if parts
+                else np.empty(0, dtype=np.int64)
+            )
+        if cand.size == 0:
+            return empty
+        docids, ptf = np.unique(cand >> 32, return_counts=True)
+        order = np.argsort(doc_arr, kind="stable")
+        dl = len_arr[order][np.searchsorted(doc_arr[order], docids)].astype(np.float64)
+        ptf_f = ptf.astype(np.float64)
+        s = sum_idf * ptf_f * (k1 + 1.0) / (ptf_f + k1 * (1.0 - b + b * dl / avgdl))
+        return pd.DataFrame(
+            {"docid": docids, "phrase_tf": ptf.astype(np.int64), "score": s}
+        )
+
+    score.tomb_default = tomb
+    return score
+
+
+def span_multi_near(
+    spark: SparkSession,
+    index_root: str,
+    clauses: Sequence[str],
+    *,
+    slop: int = 0,
+    in_order: bool = True,
+    k: int | None = 10,
+    lang: str | None = None,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES/Lucene ``span_near`` whose clauses may be ``span_multi`` wrappers:
+    a clause ending in ``*`` matches ANY dictionary expansion of its prefix
+    at that chain position (Lucene SpanMultiTermQueryWrapper around a
+    PrefixQuery, top-``max_expansions``-by-df rewrite — the same cap as
+    match_phrase_prefix). Literal clauses chain exactly as
+    :func:`span_near`; with no ``*`` clause the two functions agree
+    (pytest-pinned).
+
+    Scoring keeps the phrase shape: a multi slot contributes
+    ``idf(min(n_docs, Σ df(expansion)))`` — the union-df bound, the same
+    deterministic or-position analog as match_phrase_prefix — and literal
+    slots their own idf; ``phrase_tf`` counts distinct chain starts.
+
+    Execution: ONE dictionary lookup resolves the expansions driver-side
+    (O(max_expansions) rows), one pruned postings scan over all slot terms,
+    per-shard union-merge + the vectorized greedy chain. ``in_order=False``
+    unions the distinct slot permutations (<= 6 slots, as span_near)."""
+    vdir = catalog.resolve(index_root)
+    stats = catalog.read_stats(vdir)
+    if not stats.get("positions"):
+        raise ValueError(
+            f"index at {index_root} was built without store_positions=True"
+        )
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    k1, b = stats["k1"], stats["b"]
+    from es_indexer_spark.query.engine import (
+        _apply_scorer,
+        _dict_df,
+        _dict_lookup,
+        _postings_df,
+        _tomb_mode,
+    )
+    from es_indexer_spark.analysis.tokenizer import split_lang_marker
+
+    tomb, tomb_shards = _tomb_mode(spark, vdir, int(stats["shard_size"]))
+
+    slots: list[list[str]] = []
+    slot_dfs: list[float] = []
+    d = None
+    for c in clauses:
+        if c.endswith("*") and len(c) > 1:
+            body = c[:-1]
+            if "*" in body or "?" in body:
+                raise ValueError(
+                    "span_multi supports a single trailing * prefix"
+                )
+            ts, _m = split_lang_marker(
+                tokenize_one(body, stats["tokenizer"], lang=lang)
+            )
+            if len(ts) != 1:
+                raise ValueError(
+                    f"a span_multi prefix must analyze to one token, got {ts!r}"
+                )
+            if d is None:
+                d = _dict_df(spark, vdir)
+            rows = (
+                d.filter(F.col("term").startswith(ts[0]))
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(int(max_expansions))
+                .collect()
+            )
+            if not rows:
+                return spark.createDataFrame([], _PHRASE_SCHEMA)
+            slots.append(sorted(r["term"] for r in rows))
+            slot_dfs.append(float(min(n_docs, sum(r["df"] for r in rows))))
+        else:
+            ts, _m = split_lang_marker(
+                tokenize_one(c, stats["tokenizer"], lang=lang)
+            )
+            for t in ts:
+                slots.append([t])
+                slot_dfs.append(-1.0)  # resolved from the dict below
+    if not slots:
+        return spark.createDataFrame([], _PHRASE_SCHEMA)
+
+    lit_terms = sorted({s[0] for s, df_ in zip(slots, slot_dfs) if df_ < 0})
+    found = {r["term"]: r for r in _dict_lookup(spark, vdir, lit_terms)}
+    if any(t not in found for t in lit_terms):
+        return spark.createDataFrame([], _PHRASE_SCHEMA)
+    sum_idf = 0.0
+    for s, df_ in zip(slots, slot_dfs):
+        sum_idf += lucene_idf(
+            n_docs, found[s[0]]["df"] if df_ < 0 else df_
+        )
+
+    orders: list[list[int]] | None = None
+    if not in_order and len(slots) > 1:
+        if len(slots) > 6:
+            raise ValueError(
+                "span_multi_near(in_order=False) supports at most 6 slots"
+            )
+        from itertools import permutations
+
+        seen: set[tuple[tuple[str, ...], ...]] = set()
+        orders = []
+        for p in permutations(range(len(slots))):
+            key = tuple(tuple(slots[i]) for i in p)
+            if key not in seen:
+                seen.add(key)
+                orders.append(list(p))
+
+    all_terms = sorted({t for s in slots for t in s})
+    dict_rows = _dict_lookup(spark, vdir, all_terms)
+    buckets = sorted({r["bucket"] for r in dict_rows})
+    present = sorted({r["term"] for r in dict_rows})
+    blocks = _postings_df(spark, vdir).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(present)
+    )
+    scored = _apply_scorer(
+        blocks,
+        _span_multi_scorer(
+            slots, float(sum_idf), k1, b, avgdl, tomb,
+            slop=int(slop), orders=orders,
+        ),
+        tomb_shards,
+        schema=_PHRASE_SCHEMA,
+    )
+    out = scored.orderBy(F.desc("score"), F.asc("docid"))
+    return out.limit(k) if k is not None else out
