@@ -996,6 +996,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["script_score"] = _script_score
 
+    # round 5: retriever.rrf — reciprocal rank fusion of the BM25 and knn
+    # retrievers, ES defaults (rank_constant=60), window 50
+    def _rrf(spark, sf):
+        from es_indexer_spark.ops.similarity import rrf_topk
+
+        return rrf_topk(
+            spark, _index_root(spark, sf), "data stream", _emb(spark, sf),
+            "vec_id", "embedding", _qvec(spark, sf), k=10,
+            rank_constant=60, rank_window_size=50,
+        ).select(F.col("docid").alias("doc_id"), "score")
+
+    q["rrf_fusion"] = _rrf
+
     # ---- multimodal plumbing -----------------------------------------------------
     q["media_metadata"] = lambda spark, sf: pack_media(
         _docs(spark, sf), "doc_id", "text"
@@ -2107,7 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_sampler", "agg_diversified_sampler", "agg_significant_text",
         "percolate", "agg_moving_percentiles", "agg_vwh",
         "agg_categorize_text", "agg_scripted_metric", "agg_parent",
-        "agg_global", "span_multi_query",
+        "agg_global", "span_multi_query", "rrf_fusion",
     ]
     return {
         k: q[k]
@@ -3152,6 +3165,27 @@ kn AS (SELECT e.vec_id AS doc_id,
 u AS (SELECT doc_id, score_raw AS s FROM raw UNION ALL SELECT doc_id, s FROM kn)
 SELECT doc_id, round(sum(s)::DOUBLE, 6) AS score FROM u GROUP BY doc_id
 ORDER BY round(sum(s)::DOUBLE, 6) DESC, doc_id ASC LIMIT 10
+"""
+    # rrf: each retriever's top-50 ranked by its own ordering (knn ranks on
+    # the 6-rounded cosine, as the engine's knn_search emits), fused with
+    # 1/(60+rank) and summed
+    o["rrf_fusion"] = f"""
+{_BM25_PREAMBLE},
+{_RAW_DS},
+bmw AS (SELECT doc_id, score_raw FROM raw ORDER BY score_raw DESC, doc_id ASC LIMIT 50),
+bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score_raw DESC, doc_id ASC) AS r FROM bmw),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+kc AS (SELECT e.vec_id,
+              list_dot_product(e.embedding::DOUBLE[], qv.v) /
+              (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+               sqrt(list_dot_product(qv.v, qv.v))) AS c
+       FROM embeddings e CROSS JOIN qv),
+kw AS (SELECT vec_id, round(c, 6) AS c6 FROM kc ORDER BY c DESC, vec_id ASC LIMIT 50),
+knr AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY c6 DESC, vec_id ASC) AS r FROM kw),
+u AS (SELECT doc_id, 1.0 / (60 + r) AS s FROM bmr
+      UNION ALL SELECT doc_id, 1.0 / (60 + r) FROM knr)
+SELECT doc_id, round(sum(s)::DOUBLE, 8) AS score FROM u GROUP BY doc_id
+ORDER BY round(sum(s)::DOUBLE, 8) DESC, doc_id ASC LIMIT 10
 """
     o["script_score"] = f"""
 {_BM25_PREAMBLE},

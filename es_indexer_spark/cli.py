@@ -78,8 +78,24 @@ def build_parser() -> argparse.ArgumentParser:
                  "delete", "compact", "bool", "fuzzy", "prefix", "explain",
                  "delete-query", "wildcard", "phrase-prefix", "mlt",
                  "simple-qs", "rescore", "range", "sortquery", "geo-bbox",
-                 "span-near", "suggest-fuzzy", "geo-shape"],
+                 "span-near", "suggest-fuzzy", "geo-shape",
+                 "qs", "span-multi", "knn", "rrf", "percolate"],
     )
+    p.add_argument("--emb-input", default=None,
+                   help="knn/rrf: embeddings parquet (id + vector columns)")
+    p.add_argument("--vec-id-col", default="vec_id", help="knn/rrf: id column")
+    p.add_argument("--vec-col", default="embedding", help="knn/rrf: vector column")
+    p.add_argument("--qvec-id", type=int, default=None,
+                   help="knn/rrf: take the query vector from this id's row")
+    p.add_argument("--knn-filter", default=None,
+                   help="knn: SQL filter applied DURING the search")
+    p.add_argument("--similarity", type=float, default=None,
+                   help="knn: minimum raw cosine before the k cut")
+    p.add_argument("--rank-constant", type=int, default=60, help="rrf constant")
+    p.add_argument("--rank-window", type=int, default=100, help="rrf window")
+    p.add_argument("--queries-input", default=None,
+                   help="percolate: stored-queries parquet (query_id, must, "
+                        "should, must_not, minimum_should_match)")
     p.add_argument("--slop", type=int, default=0,
                    help="phrase/span-near: ordered slop (greedy-chain semantics)")
     p.add_argument("--in-order", default="true", choices=["true", "false"],
@@ -446,6 +462,83 @@ def main(argv: list[str] | None = None) -> int:
                 default_operator=args.default_operator, lang=args.lang,
             )
             for r in hits.collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.job == "qs":
+            from es_indexer_spark.query.classic import query_string
+
+            if not args.query:
+                print("--query required", file=sys.stderr)
+                return 2
+            hits = query_string(
+                spark, args.index, args.query, k=args.k,
+                default_operator=args.default_operator, lang=args.lang,
+                fuzziness=args.fuzziness,
+                minimum_should_match=args.min_should_match,
+            )
+            for r in hits.collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.job == "span-multi":
+            from es_indexer_spark.query.phrase import span_multi_near
+
+            if not args.clauses:
+                print("--clauses required", file=sys.stderr)
+                return 2
+            hits = span_multi_near(
+                spark, args.index, args.clauses, slop=args.slop,
+                in_order=args.in_order == "true", k=args.k, lang=args.lang,
+            )
+            for r in hits.collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.job in ("knn", "rrf"):
+            from pyspark.sql import functions as F
+
+            from es_indexer_spark.ops.similarity import knn_search, rrf_topk
+
+            if not args.emb_input or args.qvec_id is None:
+                print("--emb-input and --qvec-id required", file=sys.stderr)
+                return 2
+            emb = spark.read.parquet(args.emb_input)
+            qrow = emb.filter(
+                F.col(args.vec_id_col) == args.qvec_id
+            ).select(args.vec_col).collect()
+            if not qrow:
+                print(f"qvec id {args.qvec_id} not found", file=sys.stderr)
+                return 2
+            qvec = [float(x) for x in qrow[0][0]]
+            if args.job == "knn":
+                hits = knn_search(
+                    emb, args.vec_id_col, args.vec_col, qvec, k=args.k,
+                    filter_expr=args.knn_filter, similarity=args.similarity,
+                )
+            else:
+                if not args.query:
+                    print("--query required for rrf", file=sys.stderr)
+                    return 2
+                hits = rrf_topk(
+                    spark, args.index, args.query, emb, args.vec_id_col,
+                    args.vec_col, qvec, k=args.k,
+                    rank_constant=args.rank_constant,
+                    rank_window_size=args.rank_window, lang=args.lang,
+                )
+            for r in hits.collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.job == "percolate":
+            from es_indexer_spark.query.percolate import percolate
+
+            if not args.queries_input or not args.input:
+                print("--queries-input and --input required", file=sys.stderr)
+                return 2
+            out = percolate(
+                spark.read.parquet(args.queries_input),
+                spark.read.format(args.format).load(args.input)
+                if args.format != "parquet"
+                else spark.read.parquet(args.input),
+                doc_id_col=args.id_col or "doc_id",
+                text_col=args.content_col,
+                tokenizer=args.tokenizer,
+                lang_col=args.lang_col,
+            )
+            for r in out.collect():
                 print(json.dumps(r.asDict(), default=str))
         elif args.job == "rescore":
             from es_indexer_spark.query.engine import rescore_phrase

@@ -375,3 +375,64 @@ def knn_hybrid_topk(
         .orderBy(F.desc("score"), F.asc("docid"))
         .limit(k)
     )
+
+
+def rrf_topk(
+    spark,
+    index_root: str,
+    query: str,
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    qvec: list[float],
+    k: int = 10,
+    *,
+    rank_constant: int = 60,
+    rank_window_size: int = 100,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``retriever.rrf`` — reciprocal rank fusion of a standard (BM25)
+    retriever and a knn retriever, the published RRF formula:
+    ``score(d) = Σ_r 1 / (rank_constant + rank_r(d))`` over the retrievers
+    that returned ``d`` within their ``rank_window_size`` (ES defaults 60 /
+    100). Ranks use each retriever's own ordering with ties by id asc.
+
+    Execution: each retriever contributes ONLY its top window-size rows —
+    the rank window (row_number over <= window rows, a deliberately tiny
+    single-partition step) runs after the retriever's own distributed top-k,
+    never over the corpus; fusion is a unionByName + one hash agg."""
+    from pyspark.sql import Window
+
+    from es_indexer_spark.query.boolean import bool_query
+
+    w = int(rank_window_size)
+    bm = (
+        bool_query(spark, index_root, should=[query], k=w, lang=lang)
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("docid"))
+            ),
+        )
+        .select("docid", (F.lit(1.0) / (F.lit(int(rank_constant)) + F.col("_r"))).alias("s"))
+    )
+    kn = (
+        knn_search(emb_df, id_col, vec_col, qvec, k=w)
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+            ),
+        )
+        .select(
+            F.col("vec_id").alias("docid"),
+            (F.lit(1.0) / (F.lit(int(rank_constant)) + F.col("_r"))).alias("s"),
+        )
+    )
+    return (
+        bm.unionByName(kn)
+        .groupBy("docid")
+        .agg(F.round(F.sum("s"), 8).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(int(k))
+    )

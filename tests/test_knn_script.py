@@ -154,3 +154,35 @@ def test_script_score_score_only_and_min_score(spark, ss_index):
     ).collect()
     assert 0 < len(kept) < len(all_rows)
     assert all(r["score"] >= floor for r in kept)
+
+
+def test_rrf_fusion_brute(spark, emb, emb_np, ss_index):
+    """RRF = sum of 1/(rank_constant + rank) over the two retrievers' top
+    rank_window_size rows — checked against ranks computed independently."""
+    from es_indexer_spark.ops.similarity import rrf_topk
+
+    q = emb_np[0][0]
+    got = rrf_topk(
+        spark, ss_index, "data stream", emb, "vec_id", "embedding",
+        [float(x) for x in q], k=15, rank_constant=10, rank_window_size=20,
+    ).collect()
+    bm = sorted(
+        (
+            (r["docid"], r["score"])
+            for r in bool_query(spark, ss_index, should=["data stream"], k=20).collect()
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    cos = _cosines(emb_np, q)
+    kn = sorted(
+        ((v, round(c, 6)) for v, c in cos.items()), key=lambda kv: (-kv[1], kv[0])
+    )[:20]
+    comb: dict[int, float] = {}
+    for i, (d, _) in enumerate(bm, start=1):
+        comb[d] = comb.get(d, 0.0) + 1.0 / (10 + i)
+    for i, (d, _) in enumerate(kn, start=1):
+        comb[d] = comb.get(d, 0.0) + 1.0 / (10 + i)
+    exp = sorted(
+        ((d, round(s, 8)) for d, s in comb.items()), key=lambda kv: (-kv[1], kv[0])
+    )[:15]
+    assert [(r["docid"], r["score"]) for r in got] == exp
