@@ -506,6 +506,82 @@ def main() -> int:
         ],
     ))
 
+    # 23. round 5d: percolate — reverse search must be an equi-join +
+    # counting agg, never docs x queries
+    from es_indexer_spark.query.percolate import percolate as _perc
+
+    _pq = spark.createDataFrame(
+        [("qa", ["data", "stream"], None, None, None),
+         ("qb", None, ["spark", "join"], None, 1)],
+        "query_id string, must array<string>, should array<string>, "
+        "must_not array<string>, minimum_should_match int",
+    )
+    _pdocs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    p = formatted(_perc(_pq, _pdocs))
+    sections.append((
+        "percolate: term equi-join + one counting hash agg (no cross product)",
+        p,
+        [
+            ("no cartesian", "CartesianProduct" not in p),
+            ("equi-join on term", "Join" in p and "term" in p),
+            ("counting hash agg", "HashAggregate" in p),
+        ],
+    ))
+
+    # 24. round 5d: knn_search — the ES knn filter is pushed into the vector
+    # scan and the k cut is a TakeOrdered, not a global sort
+    from es_indexer_spark.ops.similarity import knn_search as _knn
+
+    _embp = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    _qv = [float(x) for x in _embp.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    p = formatted(
+        _knn(_embp, "vec_id", "embedding", _qv, k=10, filter_expr=F.col("label") >= 2)
+    )
+    sections.append((
+        "knn_search: filter pushed to the embedding scan, top-k via TakeOrdered",
+        p,
+        [
+            ("label filter pushed", "GreaterThanOrEqual(label" in p.split("PushedFilters")[-1][:400]
+             if "PushedFilters" in p else False),
+            ("TakeOrdered top-k (no global sort)", "TakeOrderedAndProject" in p),
+            ("no cartesian", "CartesianProduct" not in p),
+        ],
+    ))
+
+    # 25. round 5d: significant_text — the expensive re-tokenization is
+    # gated behind a LEFT SEMI join on the hit set; the fg term counts
+    # broadcast against the dictionary
+    from es_indexer_spark.query.aggs import significant_text as _sigt
+
+    p = formatted(_sigt(spark, root, "data stream", _pdocs, size=10))
+    sections.append((
+        "significant_text: semi-join gates the tokenizer, fg counts broadcast",
+        p,
+        [
+            ("LeftSemi before tokenize", "LeftSemi" in p),
+            ("fg counts broadcast", "BroadcastHashJoin" in p or "BroadcastExchange" in p),
+            ("no cartesian", "CartesianProduct" not in p),
+        ],
+    ))
+
+    # 26. round 5d: rrf fusion — union of the two retrievers' rank
+    # contributions into ONE hash agg (no join at the fusion step)
+    from es_indexer_spark.ops.similarity import rrf_topk as _rrf
+
+    p = formatted(
+        _rrf(spark, root, "data stream", _embp, "vec_id", "embedding", _qv,
+             k=10, rank_window_size=50)
+    )
+    sections.append((
+        "rrf: retriever union + one fusion hash agg",
+        p,
+        [
+            ("union of contributions", "Union" in p),
+            ("fusion hash agg", "HashAggregate" in p),
+            ("no cartesian", "CartesianProduct" not in p),
+        ],
+    ))
+
     failures = 0
     lines = [
         "# PLANS — physical-plan audit evidence",
