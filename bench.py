@@ -290,6 +290,30 @@ def main() -> None:
         lambda: A.date_histogram_stats(events, "ts", "value", "day").collect(),
     )
 
+    # ---- round-5d serving surfaces ------------------------------------------------
+    from es_indexer_spark.ops.similarity import knn_search, rrf_topk
+    from es_indexer_spark.query.classic import query_string
+
+    timed(
+        "q_query_string",
+        lambda: query_string(
+            spark, idx_root, "index AND query scor* -getname42", k=10
+        ).collect(),
+    )
+    timed(
+        "q_knn",
+        lambda: knn_search(
+            emb, "vec_id", "embedding", qvec, k=10, filter_expr="label % 2 = 0"
+        ).collect(),
+    )
+    timed(
+        "q_rrf",
+        lambda: rrf_topk(
+            spark, idx_root, "index query", emb, "vec_id", "embedding",
+            qvec, k=10, rank_window_size=50,
+        ).collect(),
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
