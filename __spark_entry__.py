@@ -1295,6 +1295,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["span_multi_query"] = _span_multi
 
+    # round 5: the ES request-body DSL layer — a verbatim JSON body
+    # dispatched onto the bool engine (translation only, no logic of its own)
+    def _dsl(spark, sf):
+        from es_indexer_spark.query.dsl import search as dsl_search
+
+        body = {
+            "query": {"bool": {
+                "must": [{"match": {"text": "data"}}],
+                "should": [{"match": {"text": {"query": "batch", "boost": 2.0}}}],
+                "must_not": [{"match": {"text": "key"}}],
+                "filter": [
+                    {"term": {"lang": "en"}},
+                    {"range": {"n_chars": {"gte": 200, "lte": 20000}}},
+                ],
+            }},
+            "size": 10,
+        }
+        return dsl_search(spark, _index_root(spark, sf), body).select(
+            F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+
+    q["dsl_search"] = _dsl
+
     # round 5: search_after on the SORTED surface — page 2 via the keyset
     # cursor (page-1 last row's sort values); oracle = OFFSET continuation
     def _sort_after(spark, sf):
@@ -2120,7 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_sampler", "agg_diversified_sampler", "agg_significant_text",
         "percolate", "agg_moving_percentiles", "agg_vwh",
         "agg_categorize_text", "agg_scripted_metric", "agg_parent",
-        "agg_global", "span_multi_query", "rrf_fusion",
+        "agg_global", "span_multi_query", "rrf_fusion", "dsl_search",
     ]
     return {
         k: q[k]
@@ -2514,6 +2537,13 @@ FROM raw r JOIN documents d USING (doc_id)
 ORDER BY d.n_chars DESC, r.score_raw DESC, r.doc_id ASC LIMIT 15 OFFSET 15
 """
     o["bool_filter_term"] = _bool_sql(must=["data"], rng="lang = 'en'")
+    # the DSL layer is pure translation: the body in queries() lowers to the
+    # same bool as this oracle
+    o["dsl_search"] = _bool_sql(
+        must=["data"], should=["batch"], must_not=["key"],
+        rng="lang = 'en' AND n_chars >= 200 AND n_chars <= 20000",
+        weights={"batch": 2.0},
+    )
     # "-25%" of 4 should clauses = 4 + trunc(-1.0) = 3 required
     o["bool_msm_pct"] = _bool_sql(
         must=[], should=["data", "stream", "batch", "key"], msm=3
