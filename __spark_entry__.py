@@ -1908,6 +1908,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["agg_geo_bounds"] = _agg_geo_bounds
     q["agg_geo_centroid"] = _agg_geo_centroid
 
+    # round 5: geo_grid query — the points of ONE geotile cell, using the
+    # same cell expression the grid agg buckets with
+    q["geo_grid_query"] = lambda spark, sf: aggs.geo_grid_query(
+        _geo_pts(spark, sf), geotile="3/0/4"
+    ).select("lon", "lat").orderBy("lon", "lat")
+
+    # round 5: ip_range agg over an IPv4 column synthesized in-plan
+    def _agg_ip_range(spark, sf):
+        ev = _events(spark, sf).select(
+            F.concat_ws(
+                ".", F.lit("10"), (F.col("user_id") % 200).cast("string"),
+                F.lit("0"), (F.col("event_id") % 250).cast("string"),
+            ).alias("ip")
+        )
+        return aggs.ip_range_agg(
+            ev, "ip",
+            [(None, "10.50.0.0"), ("10.50.0.0", "10.150.0.0"),
+             ("10.150.0.0", None)],
+        )
+
+    q["agg_ip_range"] = _agg_ip_range
+
     # ---- remaining ES metric/bucket agg families (round-5 batch 2) ----------------
     q["agg_percentile_ranks"] = lambda spark, sf: aggs.percentile_ranks_agg(
         _events(spark, sf), "value", [50.0, 245.0, 480.0]
@@ -2144,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate", "agg_moving_percentiles", "agg_vwh",
         "agg_categorize_text", "agg_scripted_metric", "agg_parent",
         "agg_global", "span_multi_query", "rrf_fusion", "dsl_search",
+        "geo_grid_query", "agg_ip_range",
     ]
     return {
         k: q[k]
@@ -2241,6 +2264,30 @@ SELECT doc_id, ptf::BIGINT AS phrase_tf,
             + ln(1 + (st.n - dfs.df2 + 0.5) / (dfs.df2 + 0.5)))
              * ptf * 2.2 / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)), 4) AS score
 FROM pf CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
+"""
+    # geo_grid query: the tile-3/0/4 points via the same slippy-map formula
+    # as the geotile agg oracle
+    o["geo_grid_query"] = """
+WITH pts AS (SELECT (event_id * 7) % 360 - 180 AS lon,
+                    (event_id * 13) % 170 - 85 AS lat FROM events),
+c AS (SELECT lon, lat, greatest(-85.05112878, least(85.05112878, lat::DOUBLE)) AS latc FROM pts)
+SELECT lon, lat FROM c
+WHERE least(7, greatest(0, floor((lon + 180.0) / 360.0 * 8.0)))::BIGINT = 0
+  AND least(7, greatest(0, floor((1.0 - ln(tan(radians(latc)) + 1.0 / cos(radians(latc))) / pi()) / 2.0 * 8.0)))::BIGINT = 4
+ORDER BY lon, lat
+"""
+    # ip_range over the synthesized dotted quads — bounds as packed int64:
+    # 10.0.0.0=167772160, 10.50.0.0=171048960, 10.150.0.0=177602560
+    o["agg_ip_range"] = """
+WITH v AS (SELECT 167772160 + (user_id % 200) * 65536 + (event_id % 250) AS ip FROM events)
+SELECT '*-10.50.0.0' AS key,
+       (SELECT count(*) FROM v WHERE ip < 171048960)::BIGINT AS doc_count
+UNION ALL
+SELECT '10.50.0.0-10.150.0.0',
+       (SELECT count(*) FROM v WHERE ip >= 171048960 AND ip < 177602560)::BIGINT
+UNION ALL
+SELECT '10.150.0.0-*',
+       (SELECT count(*) FROM v WHERE ip >= 177602560)::BIGINT
 """
     # span_near(['stream','data'], slop=1, in_order=False): union of the two
     # permutations' ordered chains; tf = distinct start positions

@@ -79,8 +79,10 @@ def build_parser() -> argparse.ArgumentParser:
                  "delete-query", "wildcard", "phrase-prefix", "mlt",
                  "simple-qs", "rescore", "range", "sortquery", "geo-bbox",
                  "span-near", "suggest-fuzzy", "geo-shape",
-                 "qs", "span-multi", "knn", "rrf", "percolate"],
+                 "qs", "span-multi", "knn", "rrf", "percolate", "dsl"],
     )
+    p.add_argument("--body", default=None,
+                   help="dsl: an ES request body as a JSON string (or @file)")
     p.add_argument("--emb-input", default=None,
                    help="knn/rrf: embeddings parquet (id + vector columns)")
     p.add_argument("--vec-id-col", default="vec_id", help="knn/rrf: id column")
@@ -520,6 +522,26 @@ def main(argv: list[str] | None = None) -> int:
                     rank_constant=args.rank_constant,
                     rank_window_size=args.rank_window, lang=args.lang,
                 )
+            for r in hits.collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.job == "dsl":
+            from es_indexer_spark.query.dsl import search as dsl_search
+
+            if not args.body:
+                print("--body required (JSON request body or @file)", file=sys.stderr)
+                return 2
+            raw = args.body
+            if raw.startswith("@"):
+                with open(raw[1:]) as fh:
+                    raw = fh.read()
+            emb = (
+                spark.read.parquet(args.emb_input) if args.emb_input else None
+            )
+            hits = dsl_search(
+                spark, args.index, json.loads(raw), emb_df=emb,
+                emb_id_col=args.vec_id_col, emb_vec_col=args.vec_col,
+                lang=args.lang,
+            )
             for r in hits.collect():
                 print(json.dumps(r.asDict(), default=str))
         elif args.job == "percolate":

@@ -1634,3 +1634,84 @@ def global_metric(
         F.count(F.lit(1)).alias("global_count"),
     )
     return q_side.crossJoin(F.broadcast(g_side))
+
+
+def _ip2long_col(col):
+    """Dotted-quad IPv4 string → int64 — pure column algebra (split + cast),
+    no UDF."""
+    p = F.split(col, r"\.")
+    return (
+        p[0].cast("long") * 16777216 + p[1].cast("long") * 65536
+        + p[2].cast("long") * 256 + p[3].cast("long")
+    )
+
+
+def _ip2long(s: str) -> int:
+    a, b, c, d = (int(x) for x in s.split("."))
+    for o in (a, b, c, d):
+        if not 0 <= o <= 255:
+            raise ValueError(f"bad IPv4 octet in {s!r}")
+    return a * 16777216 + b * 65536 + c * 256 + d
+
+
+def ip_range_agg(
+    df: DataFrame, col: str, ranges: "list[tuple[str | None, str | None]]"
+) -> DataFrame:
+    """ES ``ip_range`` aggregation over an IPv4 string field: one bucket per
+    ``(from, to)`` with ES's bound rule (``from`` inclusive, ``to``
+    exclusive); buckets may overlap, so like :func:`range_agg` this is ONE
+    conditional-sum pass, never a per-range scan. Keys render ``from-to``
+    with ``*`` for unbounded, in request order. The dotted quad converts to
+    an int64 with column algebra (no UDF); IPv6 raises by name (this packing
+    is 32-bit — ES stores both, the synthetic corpus has neither)."""
+    if not ranges:
+        raise ValueError("ip_range_agg needs at least one range")
+    v = _ip2long_col(F.col(col))
+    aggs = []
+    keys = []
+    for lo, hi in ranges:
+        if (lo and ":" in lo) or (hi and ":" in hi):
+            raise ValueError("IPv6 is not supported by this 32-bit packing")
+        cond = F.col(col).isNotNull()
+        if lo is not None:
+            cond = cond & (v >= _ip2long(lo))
+        if hi is not None:
+            cond = cond & (v < _ip2long(hi))
+        key = f"{lo or '*'}-{hi or '*'}"
+        keys.append(key)
+        aggs.append(F.sum(cond.cast("long")).alias(key))
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{k}', bigint(`{k}`), {i}" for i, k in enumerate(keys)
+    )
+    return (
+        row.selectExpr(
+            f"stack({len(keys)}, {stack_args}) as (key, doc_count, _ord)"
+        )
+        .orderBy("_ord")
+        .select("key", "doc_count")
+    )
+
+
+def geo_grid_query(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    *,
+    geotile: str | None = None,
+    geohash: str | None = None,
+) -> DataFrame:
+    """ES ``geo_grid`` query: the docs whose point falls inside ONE grid
+    cell — a ``geotile`` key (``"z/x/y"``) or a ``geohash``. The cell
+    expression is the SAME one the grid aggregations bucket with, so a
+    bucket's doc_count always equals this query's row count (pytest-pinned).
+    Pure JVM column predicate; at 100 TB store the cell as a column and the
+    equality prunes parquet row groups."""
+    if (geotile is None) == (geohash is None):
+        raise ValueError("pass exactly one of geotile= / geohash=")
+    if geotile is not None:
+        z = int(geotile.split("/")[0])
+        pred = geotile_cell(F.col(lon_col), F.col(lat_col), z) == geotile
+    else:
+        pred = geohash_cell(F.col(lon_col), F.col(lat_col), len(geohash)) == geohash
+    return df.filter(pred)

@@ -120,3 +120,50 @@ def test_parent_agg_distinct_parents(spark):
     assert [(r["tag"], r["doc_count"], r["avg_amt"]) for r in out] == [
         ("x", 2, 150.0), ("y", 2, 250.0),
     ]
+
+
+def test_geo_grid_query_agrees_with_grid_agg(spark):
+    from es_indexer_spark.query.aggs import (
+        geo_grid_query,
+        geohash_grid,
+        geotile_grid,
+    )
+
+    pts = spark.createDataFrame(
+        [(float((i * 7) % 360 - 180), float((i * 13) % 170 - 85)) for i in range(400)],
+        "lon double, lat double",
+    )
+    top = geotile_grid(pts, precision=3, size=1).collect()[0]
+    got = geo_grid_query(pts, geotile=top["key"]).count()
+    assert got == top["doc_count"]
+    toph = geohash_grid(pts, precision=2, size=1).collect()[0]
+    goth = geo_grid_query(pts, geohash=toph["key"]).count()
+    assert goth == toph["doc_count"]
+    with pytest.raises(ValueError):
+        geo_grid_query(pts)
+    with pytest.raises(ValueError):
+        geo_grid_query(pts, geotile="3/0/0", geohash="u0")
+
+
+def test_ip_range_agg_brute(spark):
+    from es_indexer_spark.query.aggs import ip_range_agg
+
+    rows = [(f"10.{i % 4}.{i % 7}.{i % 250}",) for i in range(300)] + [(None,)]
+    df = spark.createDataFrame(rows, "ip string")
+    ranges = [(None, "10.1.0.0"), ("10.1.0.0", "10.3.0.0"), ("10.2.0.0", None)]
+    got = [(r["key"], r["doc_count"]) for r in ip_range_agg(df, "ip", ranges).collect()]
+
+    def ip2i(s):
+        a, b, c, d = map(int, s.split("."))
+        return ((a * 256 + b) * 256 + c) * 256 + d
+
+    vals = [ip2i(r[0]) for r in rows if r[0] is not None]
+    exp = [
+        ("*-10.1.0.0", sum(v < ip2i("10.1.0.0") for v in vals)),
+        ("10.1.0.0-10.3.0.0",
+         sum(ip2i("10.1.0.0") <= v < ip2i("10.3.0.0") for v in vals)),
+        ("10.2.0.0-*", sum(v >= ip2i("10.2.0.0") for v in vals)),
+    ]
+    assert got == exp
+    with pytest.raises(ValueError):
+        ip_range_agg(df, "ip", [("::1", None)])
