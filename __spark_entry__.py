@@ -1318,6 +1318,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsl_search"] = _dsl
 
+    # round 5: _termvectors for an artificial doc — request-side analysis +
+    # dictionary field statistics (unseen terms report 0/0 like ES)
+    q["term_vectors"] = lambda spark, sf: __import__(
+        "es_indexer_spark.query.lookup", fromlist=["term_vectors"]
+    ).term_vectors(
+        spark, _index_root(spark, sf),
+        "Data stream DATA spark nosuchtermxyz",
+    )
+
     # round 5: search_after on the SORTED surface — page 2 via the keyset
     # cursor (page-1 last row's sort values); oracle = OFFSET continuation
     def _sort_after(spark, sf):
@@ -2166,7 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate", "agg_moving_percentiles", "agg_vwh",
         "agg_categorize_text", "agg_scripted_metric", "agg_parent",
         "agg_global", "span_multi_query", "rrf_fusion", "dsl_search",
-        "geo_grid_query", "agg_ip_range",
+        "geo_grid_query", "agg_ip_range", "term_vectors",
     ]
     return {
         k: q[k]
@@ -2264,6 +2273,25 @@ SELECT doc_id, ptf::BIGINT AS phrase_tf,
             + ln(1 + (st.n - dfs.df2 + 0.5) / (dfs.df2 + 0.5)))
              * ptf * 2.2 / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)), 4) AS score
 FROM pf CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
+"""
+    # _termvectors: the literal request text analyzed in SQL, positions
+    # 0-based; df/ttf from the corpus token stats (0/0 for unseen terms)
+    o["term_vectors"] = """
+WITH lit AS (SELECT list_filter(string_split_regex(lower('Data stream DATA spark nosuchtermxyz'), '[^a-z0-9]+'), x -> x <> '') AS t),
+terms AS (SELECT DISTINCT unnest(t) AS term FROM lit),
+tv AS (SELECT term,
+              len([i for i in range(1, len(t) + 1) if t[i] = term])::INT AS term_freq,
+              [i - 1 for i in range(1, len(t) + 1) if t[i] = term] AS positions
+       FROM terms CROSS JOIN lit),
+toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+          FROM documents),
+t2 AS (SELECT doc_id, unnest(t) AS term FROM toksl),
+stats AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq, count(*)::BIGINT AS ttf
+          FROM t2 GROUP BY term)
+SELECT tv.term, tv.term_freq, tv.positions,
+       COALESCE(s.doc_freq, 0)::BIGINT AS doc_freq,
+       COALESCE(s.ttf, 0)::BIGINT AS ttf
+FROM tv LEFT JOIN stats s USING (term) ORDER BY tv.term
 """
     # geo_grid query: the tile-3/0/4 points via the same slippy-map formula
     # as the geotile agg oracle

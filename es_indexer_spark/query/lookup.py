@@ -206,3 +206,51 @@ def analyze_df(
         else:
             toks = udf(F.col(text_col))
     return df.select(F.col(id_col), F.posexplode(toks).alias("position", "token"))
+
+
+def term_vectors(
+    spark: SparkSession,
+    index_root: str,
+    text: str,
+    *,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``_termvectors`` for an ARTIFICIAL document (the doc body comes in
+    the request — ES's own shape for un-stored docs; the stored-doc variant
+    would need a forward index this engine deliberately does not keep, and
+    ES re-analyzes ``_source`` there too). One row per term of the analyzed
+    text: ``term_freq``, 0-based ``positions``, plus the field statistics
+    the real corpus provides — ``doc_freq`` and ``ttf`` (total term
+    frequency) from the broadcast dictionary; terms absent from the corpus
+    report 0/0, as ES does for unseen terms.
+
+    Work: O(|text|) driver-side analysis (bytes of one request, never data)
+    + ONE pruned dictionary lookup joined broadcast."""
+    from es_indexer_spark.analysis.tokenizer import split_lang_marker, tokenize_one
+    from es_indexer_spark.index import catalog as _catalog
+    from es_indexer_spark.query.engine import _dict_lookup
+
+    vdir = _catalog.resolve(index_root)
+    stats = _catalog.read_stats(vdir)
+    toks, _marker = split_lang_marker(
+        tokenize_one(text, stats["tokenizer"], lang=lang)
+    )
+    tv: dict[str, list[int]] = {}
+    for pos, t in enumerate(toks):
+        tv.setdefault(t, []).append(pos)
+    found = {r["term"]: r for r in _dict_lookup(spark, vdir, sorted(tv))}
+    rows = [
+        (
+            t,
+            len(ps),
+            ps,
+            int(found[t]["df"]) if t in found else 0,
+            int(found[t]["cf"]) if t in found else 0,
+        )
+        for t, ps in sorted(tv.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "term string, term_freq int, positions array<int>, "
+        "doc_freq long, ttf long",
+    )

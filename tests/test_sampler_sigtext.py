@@ -125,3 +125,18 @@ def test_significant_text_sample_size(spark, samp_index, documents):
         scored.append((t, round((fp - bp) * (fp / bp), 8)))
     exp = sorted(scored, key=lambda r: (-r[1], r[0]))[:5]
     assert [(r["term"], r["score"]) for r in got] == exp
+
+
+def test_term_vectors_artificial_doc(spark, samp_index):
+    from es_indexer_spark.query.lookup import term_vectors
+
+    root, toks, _ = samp_index
+    out = {
+        r["term"]: r
+        for r in term_vectors(spark, root, "data stream data zzzqx").collect()
+    }
+    assert out["data"]["term_freq"] == 2 and out["data"]["positions"] == [0, 2]
+    assert out["stream"]["positions"] == [1]
+    assert out["zzzqx"]["doc_freq"] == 0 and out["zzzqx"]["ttf"] == 0
+    assert out["data"]["doc_freq"] == sum(1 for ts in toks.values() if "data" in ts)
+    assert out["data"]["ttf"] == sum(ts.count("data") for ts in toks.values())
