@@ -456,3 +456,104 @@ def test_topk_sorted_search_after_pages_concatenate(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         topk_sorted(spark, root, "alpha", sort=[("tag", "asc")], k=5, after=(1,))
+
+
+# ---- abnormal inputs through the round-5d surfaces ------------------------------
+
+
+def test_query_string_degenerate_inputs(spark, abnormal_index):
+    """Operator remnants and absent terms degrade to empty/valid results,
+    never a crash; null-meta docs survive field filters correctly."""
+    from es_indexer_spark.query.classic import query_string
+
+    # bare operators and empty string -> no clauses -> empty result
+    assert query_string(spark, abnormal_index, "", k=10).count() == 0
+    assert query_string(spark, abnormal_index, "+ - ^2", k=10).count() == 0
+    # absent must term -> empty, not error
+    assert query_string(spark, abnormal_index, "zzzqqq AND data", k=10).count() == 0
+    # _exists_ drops the null-lang doc 2
+    ids = {r["docid"] for r in
+           query_string(spark, abnormal_index, "data _exists_:lang", k=10).collect()}
+    assert 2 not in ids and 1 in ids
+
+
+def test_script_score_null_field_and_empty_matchset(spark, abnormal_index):
+    """A script reading a NULL stored field yields a NULL score for that doc;
+    the null-scored row sorts last, never aborts (ANSI-safe)."""
+    from es_indexer_spark.query.engine import script_score_topk
+
+    rows = script_score_topk(
+        spark, abnormal_index, "data", "_score * n_chars", fields=("n_chars",),
+        k=10,
+    ).collect()
+    by_id = {r["docid"]: r["score"] for r in rows}
+    assert by_id[2] is None  # null n_chars -> null score, row kept
+    assert rows[-1]["docid"] == 2  # desc sort puts the null last
+    assert script_score_topk(
+        spark, abnormal_index, "zzzqqq", "_score * 2", k=10
+    ).count() == 0
+
+
+def test_percolate_empty_and_null_shapes(spark):
+    """Null clause arrays, empty docs frame, and an empty queries frame all
+    produce empty results without errors."""
+    from es_indexer_spark.query.percolate import percolate
+
+    qdf = spark.createDataFrame(
+        [("q1", ["alpha"], None, None, None)],
+        "query_id string, must array<string>, should array<string>, "
+        "must_not array<string>, minimum_should_match int",
+    )
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert percolate(qdf, empty_docs).count() == 0
+    docs = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    empty_q = spark.createDataFrame(
+        [], "query_id string, must array<string>, should array<string>, "
+            "must_not array<string>, minimum_should_match int",
+    )
+    assert percolate(empty_q, docs).count() == 0
+    null_text = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    assert percolate(qdf, null_text).count() == 0
+
+
+def test_knn_dimension_mismatch_and_empty(spark):
+    """A query vector of the wrong dimensionality raises at evaluation (the
+    zip_with dot product nulls out -> no silent wrong answer); an empty
+    frame returns empty."""
+    from es_indexer_spark.ops.similarity import knn_search
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    out = knn_search(emb, "vec_id", "embedding", [1.0, 0.0], k=5)
+    assert [r["vec_id"] for r in out.collect()] == [1, 2]
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert knn_search(empty, "vec_id", "embedding", [1.0, 0.0], k=5).count() == 0
+    # mismatched dims: zip_with pads with NULL -> cosine NULL -> rows drop
+    # from the similarity floor rather than scoring garbage
+    bad = knn_search(emb, "vec_id", "embedding", [1.0, 0.0, 5.0], k=5,
+                     similarity=-1.0)
+    assert bad.count() == 0
+
+
+def test_significant_text_no_hits(spark, abnormal_index):
+    from es_indexer_spark.query.aggs import significant_text
+
+    docs = spark.createDataFrame(
+        [(1, "data stream batch"), (2, "data stream"), (3, ""), (4, "data data data")],
+        "doc_id long, text string",
+    )
+    assert significant_text(
+        spark, abnormal_index, "zzzqqq", docs, size=10, min_doc_count=1
+    ).count() == 0
+
+
+def test_dsl_empty_and_unknown_fields(spark, abnormal_index):
+    from es_indexer_spark.query.dsl import search
+
+    # body with no query defaults to match_all over the live docs
+    assert search(spark, abnormal_index, {"size": 10}).count() == 4
+    # a match against an absent term -> empty, not error
+    assert search(
+        spark, abnormal_index, {"query": {"match": {"text": "zzzqqq"}}}
+    ).count() == 0
