@@ -2131,6 +2131,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         metric_name="avg_total",
     )
 
+    # random_sampler: deterministic sha-bucket sample at p=0.5, per-type
+    # counts scaled back by 1/p
+    q["agg_random_sampler"] = lambda spark, sf: aggs.random_sampler_agg(
+        _events(spark, sf), "event_id", 0.5, group_field="event_type"
+    )
+
+    # change_point: least-squares step-change over the daily bucket series
+    q["agg_change_point"] = lambda spark, sf: aggs.change_point_agg(
+        _day_buckets(spark, sf), "doc_count"
+    )
+
     q["agg_global"] = lambda spark, sf: aggs.global_metric(
         spark, _index_root(spark, sf), "data stream", "n_chars", "avg"
     ).select(
@@ -2176,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_categorize_text", "agg_scripted_metric", "agg_parent",
         "agg_global", "span_multi_query", "rrf_fusion", "dsl_search",
         "geo_grid_query", "agg_ip_range", "term_vectors",
+        "agg_random_sampler", "agg_change_point",
     ]
     return {
         k: q[k]
@@ -4362,6 +4374,33 @@ SELECT l_returnflag, count(*)::BIGINT AS doc_count,
        round(avg(o_totalprice)::DOUBLE, 6) AS avg_total
 FROM pairs JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1 ORDER BY 1
+"""
+    # random_sampler: the sha-bucket membership replayed; p=0.5 keeps the
+    # 1/p estimate integral (no cross-engine rounding-mode seam)
+    o["agg_random_sampler"] = f"""
+WITH s AS (SELECT event_type, sha256(event_id::VARCHAR) AS h FROM events),
+b AS (SELECT event_type FROM s WHERE {sha15} % 1000000 < 0.5 * 1000000)
+SELECT event_type, count(*)::BIGINT AS sampled_count,
+       round(count(*) / 0.5)::BIGINT AS doc_count
+FROM b GROUP BY 1 ORDER BY 1
+"""
+    # change_point: identical cumsum/argmin formulation over the day buckets
+    o["agg_change_point"] = """
+WITH b AS (SELECT date_trunc('day', ts)::TIMESTAMP AS bucket, count(*)::DOUBLE AS x
+           FROM events GROUP BY 1),
+w AS (SELECT bucket, x, row_number() OVER (ORDER BY bucket) AS k,
+             sum(x) OVER (ORDER BY bucket) AS s,
+             sum(x * x) OVER (ORDER BY bucket) AS sq,
+             lead(bucket) OVER (ORDER BY bucket) AS nxt
+      FROM b),
+t AS (SELECT count(*)::DOUBLE AS n, sum(x) AS tt, sum(x * x) AS tsq FROM w),
+c AS (SELECT nxt, s / k AS lm, (t.tt - s) / (t.n - k) AS rm,
+             (sq - s * s / k) + ((t.tsq - sq) - (t.tt - s) * (t.tt - s) / (t.n - k)) AS cost,
+             t.tsq - t.tt * t.tt / t.n AS sse_tot, k
+      FROM w CROSS JOIN t WHERE k < t.n)
+SELECT nxt AS change_bucket, round(lm, 6) AS left_mean, round(rm, 6) AS right_mean,
+       round(CASE WHEN sse_tot > 0 THEN 1 - cost / sse_tot ELSE 0 END, 6) AS variance_reduction
+FROM c ORDER BY cost ASC, k ASC LIMIT 1
 """
     # global agg: the query-scoped avg next to the corpus-wide avg
     o["agg_global"] = f"""

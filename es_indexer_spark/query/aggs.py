@@ -1715,3 +1715,96 @@ def geo_grid_query(
     else:
         pred = geohash_cell(F.col(lon_col), F.col(lat_col), len(geohash)) == geohash
     return df.filter(pred)
+
+
+def random_sampler_agg(
+    df: DataFrame,
+    id_col: str,
+    probability: float,
+    *,
+    group_field: str | None = None,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """ES ``random_sampler``: run sub-aggregations over a probability sample
+    and scale counts back by ``1/p``. ES samples with a per-shard RNG
+    (results vary run to run); here membership is the DETERMINISTIC
+    sha-bucket of the doc id — the same growth-stable construction as the
+    corpus-mixing ops, so the sample is replayable and a doc's membership
+    never flips as the corpus grows (documented divergence, strictly more
+    reproducible). Returns per-group ``sampled_count`` plus the
+    ``1/p``-scaled ``doc_count`` estimate, the ES response shape. The
+    filter is one row-local predicate — the scan reads ``p`` of the data's
+    rows' worth of downstream work, which is the entire point at 100 TB."""
+    from es_indexer_spark.ops.packing import _sha_bucket
+
+    if not 0.0 < probability <= 1.0:
+        raise ValueError("probability must be in (0, 1]")
+    sampled = df.filter(
+        _sha_bucket(F.col(id_col), buckets) < float(probability) * buckets
+    )
+    g = sampled.groupBy(F.col(group_field)) if group_field else sampled.groupBy()
+    out = g.agg(F.count(F.lit(1)).alias("sampled_count"))
+    est = F.round(F.col("sampled_count") / F.lit(float(probability))).cast("long")
+    cols = ([F.col(group_field)] if group_field else []) + [
+        "sampled_count", est.alias("doc_count")
+    ]
+    out = out.select(*cols)
+    return out.orderBy(F.asc(group_field)) if group_field else out
+
+
+def change_point_agg(
+    buckets_df: DataFrame, metric: str, bucket_col: str = "bucket"
+) -> DataFrame:
+    """ES ``change_point`` (the step-change core): the split of the bucket
+    series minimizing the two-segment squared error — the classic
+    least-squares changepoint statistic. ES's ML flavor further classifies
+    spike/dip/trend; this deterministic core reports what those derive
+    from: the first bucket of the new regime, both segment means, and the
+    variance reduction ``1 - min_cost/SSE_total`` (0 = stationary, → 1 =
+    clean step). Ties break on the earliest split.
+
+    Runs entirely over the BOUNDED bucket table: two window cumsums + one
+    argmin — the corpus-sized work happened in the parent aggregation,
+    exactly like every other pipeline agg here."""
+    x = F.col(metric).cast("double")
+    ord_w = Window.orderBy(bucket_col)
+    cum = Window.orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, 0)
+    base = (
+        buckets_df.select(F.col(bucket_col), x.alias("_x"))
+        .withColumn("_k", F.row_number().over(ord_w))
+        .withColumn("_s", F.sum("_x").over(cum))
+        .withColumn("_sq", F.sum(F.col("_x") * F.col("_x")).over(cum))
+        .withColumn("_next", F.lead(bucket_col).over(ord_w))
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_x").alias("_t"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_tsq"),
+    )
+    j = base.crossJoin(F.broadcast(tot)).filter(F.col("_k") < F.col("_n"))
+    k = F.col("_k").cast("double")
+    sse_l = F.col("_sq") - F.col("_s") * F.col("_s") / k
+    rs = F.col("_t") - F.col("_s")
+    rn = F.col("_n") - k
+    sse_r = (F.col("_tsq") - F.col("_sq")) - rs * rs / rn
+    sse_tot = F.col("_tsq") - F.col("_t") * F.col("_t") / F.col("_n")
+    scored = j.select(
+        F.col("_next").alias("change_bucket"),
+        (F.col("_s") / k).alias("left_mean"),
+        (rs / rn).alias("right_mean"),
+        (sse_l + sse_r).alias("_cost"),
+        sse_tot.alias("_sse_tot"),
+        "_k",
+    )
+    best = scored.orderBy(F.asc("_cost"), F.asc("_k")).limit(1)
+    return best.select(
+        "change_bucket",
+        F.round("left_mean", 6).alias("left_mean"),
+        F.round("right_mean", 6).alias("right_mean"),
+        F.round(
+            F.when(F.col("_sse_tot") > 0.0,
+                   F.lit(1.0) - F.col("_cost") / F.col("_sse_tot"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("variance_reduction"),
+    )

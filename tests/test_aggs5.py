@@ -167,3 +167,42 @@ def test_ip_range_agg_brute(spark):
     assert got == exp
     with pytest.raises(ValueError):
         ip_range_agg(df, "ip", [("::1", None)])
+
+
+def test_random_sampler_deterministic_and_scaled(spark):
+    from es_indexer_spark.query.aggs import random_sampler_agg
+
+    df = spark.createDataFrame([(i, "t") for i in range(1000)], "id long, g string")
+    a = random_sampler_agg(df, "id", 0.25, group_field="g").collect()[0]
+    b = random_sampler_agg(df, "id", 0.25, group_field="g").collect()[0]
+    assert a == b                       # deterministic (ES's RNG is not)
+    assert a["doc_count"] == round(a["sampled_count"] / 0.25)
+    assert 0.15 * 1000 < a["sampled_count"] < 0.35 * 1000
+    # growth stability: adding rows never flips prior membership
+    from es_indexer_spark.ops.packing import _sha_bucket
+    from pyspark.sql import functions as F
+
+    small = {r["id"] for r in df.limit(400).filter(
+        _sha_bucket(F.col("id"), 1_000_000) < 250_000).collect()}
+    big = {r["id"] for r in df.filter(
+        _sha_bucket(F.col("id"), 1_000_000) < 250_000).collect()}
+    assert small <= big
+    with pytest.raises(ValueError):
+        random_sampler_agg(df, "id", 0.0)
+
+
+def test_change_point_step_series(spark):
+    from es_indexer_spark.query.aggs import change_point_agg
+
+    rows = [(i, 10.0) for i in range(10)] + [(i, 50.0) for i in range(10, 20)]
+    df = spark.createDataFrame(rows, "bucket int, m double")
+    got = change_point_agg(df, "m").collect()[0]
+    assert got["change_bucket"] == 10
+    assert got["left_mean"] == 10.0 and got["right_mean"] == 50.0
+    assert got["variance_reduction"] == 1.0
+    # stationary series: variance reduction near zero
+    flat = spark.createDataFrame(
+        [(i, 10.0 + (i % 2)) for i in range(20)], "bucket int, m double"
+    )
+    st = change_point_agg(flat, "m").collect()[0]
+    assert st["variance_reduction"] < 0.3
