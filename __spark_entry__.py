@@ -819,6 +819,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["highlight_topk"] = _highlight
+
+    # round 5: phrase highlighting — the whole 'data stream' occurrence
+    # tagged as ONE unit (unified-highlighter phrase behavior)
+    def _highlight_phrase(spark, sf):
+        from es_indexer_spark.query.highlight import highlight_phrase
+
+        return highlight_phrase(
+            spark, _index_root(spark, sf), _docs(spark, sf), "doc_id", "text",
+            "data stream", k=10,
+        ).select(
+            F.col("docid").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+            "fragment",
+        )
+
+    q["highlight_phrase"] = _highlight_phrase
     q["suggest_prefix"] = lambda spark, sf: suggest_prefix(
         spark, _index_root(spark, sf), "d", k=10
     )
@@ -2187,7 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_categorize_text", "agg_scripted_metric", "agg_parent",
         "agg_global", "span_multi_query", "rrf_fusion", "dsl_search",
         "geo_grid_query", "agg_ip_range", "term_vectors",
-        "agg_random_sampler", "agg_change_point",
+        "agg_random_sampler", "agg_change_point", "highlight_phrase",
     ]
     return {
         k: q[k]
@@ -3037,6 +3053,36 @@ SELECT t.doc_id, t.score,
                 greatest(1, length(regexp_extract(d.text, '(?i)^([\\s\\S]*?){_HLPAT}', 1)) + 1 - 80),
                 160),
          '(?i){_HLPAT}', '<em>\\1</em>', 'g') AS fragment
+FROM topk t JOIN documents d USING (doc_id)
+"""
+    # phrase highlighting: phrase_match top-10 + the whole-phrase regex
+    # (tokens joined by the analyzer's split class), tagged as one unit
+    _PHPAT = r"\b(data[^a-zA-Z0-9]+stream)\b"
+    o["highlight_phrase"] = f"""
+WITH toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+               FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT sum(len(t)) FROM toksl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+dfs AS (SELECT (SELECT count(*) FROM toksl WHERE list_contains(t, 'data'))::DOUBLE AS df1,
+               (SELECT count(*) FROM toksl WHERE list_contains(t, 'stream'))::DOUBLE AS df2),
+pf AS (SELECT doc_id, len(t)::DOUBLE AS dl,
+              len([i for i in range(1, len(t)) if t[i] = 'data' AND t[i+1] = 'stream']) AS ptf
+       FROM toksl),
+topk AS (SELECT doc_id,
+                round(((ln(1 + (st.n - dfs.df1 + 0.5) / (dfs.df1 + 0.5))
+                      + ln(1 + (st.n - dfs.df2 + 0.5) / (dfs.df2 + 0.5)))
+                       * ptf * 2.2 / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)))::DOUBLE, 4) AS score,
+                (ln(1 + (st.n - dfs.df1 + 0.5) / (dfs.df1 + 0.5))
+                      + ln(1 + (st.n - dfs.df2 + 0.5) / (dfs.df2 + 0.5)))
+                       * ptf * 2.2 / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)) AS raw
+         FROM pf CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
+         ORDER BY raw DESC, doc_id ASC LIMIT 10)
+SELECT t.doc_id, t.score,
+       regexp_replace(
+         substr(d.text,
+                greatest(1, length(regexp_extract(d.text, '(?i)^([\\s\\S]*?){_PHPAT}', 1)) + 1 - 80),
+                160),
+         '(?i){_PHPAT}', '<em>\\1</em>', 'g') AS fragment
 FROM topk t JOIN documents d USING (doc_id)
 """
     o["suggest_prefix"] = """

@@ -38,6 +38,18 @@ def term_pattern(terms: list[str]) -> str:
     return "(?i)" + _pattern_body(terms)
 
 
+def phrase_pattern_body(terms: list[str]) -> str:
+    """Whole-phrase body: the analyzed tokens IN ORDER, separated by the same
+    character class the standard analyzer splits on — so adjacency in token
+    space is exactly this regex on the raw text. One capture group wraps the
+    whole phrase (the tag-injection contract)."""
+    return (
+        r"\b("
+        + r"[^a-zA-Z0-9]+".join(_re.escape(t) for t in terms)
+        + r")\b"
+    )
+
+
 def highlight_hits(
     hits: DataFrame,
     src: DataFrame,
@@ -48,14 +60,18 @@ def highlight_hits(
     fragment_size: int = 160,
     pre_tag: str = "<em>",
     post_tag: str = "</em>",
+    pattern_body: str | None = None,
 ) -> DataFrame:
     """(docid, score, fragment) for scored ``hits`` against source text.
 
     Fragment = ``fragment_size`` chars starting ``fragment_size // 2`` before
     the first whole-word query-term match, with every in-window match wrapped
-    in the tags."""
-    pat = term_pattern(terms)
-    pos_pat = r"(?i)^([\s\S]*?)" + _pattern_body(terms)
+    in the tags. ``pattern_body`` overrides the per-term alternation (the
+    phrase highlighter passes a whole-phrase body; it must contain exactly
+    one capture group)."""
+    body = pattern_body if pattern_body is not None else _pattern_body(terms)
+    pat = "(?i)" + body
+    pos_pat = r"(?i)^([\s\S]*?)" + body
     pos = F.length(F.regexp_extract(F.col(text_col), pos_pat, 1)) + F.lit(1)
     start = F.greatest(F.lit(1), pos - F.lit(fragment_size // 2))
     frag = F.substring(F.col(text_col), start, fragment_size)
@@ -102,4 +118,46 @@ def highlight(
     return highlight_hits(
         hits, src, id_col, text_col, terms,
         fragment_size=fragment_size, pre_tag=pre_tag, post_tag=post_tag,
+    )
+
+
+def highlight_phrase(
+    spark: SparkSession,
+    index_root: str,
+    src: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: str,
+    k: int = 10,
+    *,
+    fragment_size: int = 160,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+    lang: str | None = None,
+) -> DataFrame:
+    """Phrase top-k with the WHOLE phrase occurrence tagged as one unit —
+    the ES unified highlighter's phrase behavior (a match_phrase query
+    highlights consecutive-token matches together, not word by word).
+
+    Exact adjacency only: a sloppy (slop > 0) match admits gaps a single
+    regex cannot bound by TOTAL displacement, so there is deliberately no
+    slop parameter — highlight a sloppy match set per-term through
+    :func:`highlight_hits` instead. Execution identical to
+    :func:`highlight`: the phrase engine ranks, the ≤k hits broadcast-join
+    the pruned source read, and the tag injection is one string expression."""
+    from es_indexer_spark.analysis.tokenizer import split_lang_marker
+    from es_indexer_spark.query.phrase import phrase_match
+
+    vdir = catalog.resolve(index_root)
+    stats = catalog.read_stats(vdir)
+    terms, _marker = split_lang_marker(
+        tokenize_one(phrase, stats["tokenizer"], lang=lang)
+    )
+    hits = phrase_match(spark, index_root, phrase, k=k, lang=lang).select(
+        "docid", "score"
+    )
+    return highlight_hits(
+        hits, src, id_col, text_col, terms,
+        fragment_size=fragment_size, pre_tag=pre_tag, post_tag=post_tag,
+        pattern_body=phrase_pattern_body(terms),
     )

@@ -770,3 +770,30 @@ def test_suggest_terms_always_mode_micro(spark, tmp_path):
     # always mode: both 1-edit neighbors, never the token itself
     alw = suggest_terms(spark, root, "stream", suggest_mode="always").collect()
     assert [(r["term"], r["edits"]) for r in alw] == [("steam", 1), ("streams", 1)]
+
+
+def test_highlight_phrase_whole_unit(spark, documents, tmp_path_factory):
+    """The phrase occurrence tags as ONE unit; per-term tags would split it."""
+    from es_indexer_spark.index.builder import build_index
+    from es_indexer_spark.query.highlight import highlight_phrase
+
+    root = str(tmp_path_factory.mktemp("idx_hlp"))
+    build_index(
+        spark, documents, root, content_col="text", id_col="doc_id",
+        meta_cols=("lang",), tokenizer="standard", n_buckets=4,
+        shard_size=100, n_ckpt_batches=1, store_positions=True,
+    )
+    rows = highlight_phrase(
+        spark, root, documents, "doc_id", "text", "data stream", k=5
+    ).collect()
+    assert rows
+    for r in rows:
+        assert "<em>" in r["fragment"]
+        # the tag wraps the WHOLE phrase: opening tag followed by 'data',
+        # then the separator and 'stream', then the closing tag
+        import re
+
+        assert re.search(
+            r"<em>data[^a-zA-Z0-9]+stream</em>", r["fragment"], re.I
+        ), r["fragment"]
+        assert "<em>data</em>" not in r["fragment"].lower()
