@@ -1334,6 +1334,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsl_search"] = _dsl
 
+    # round 5: the aggs half of the DSL layer — each request aggregation
+    # compiles to ONE hash agg (bucket key + every metric child in the same
+    # groupBy) over the query's FULL match set (ES: aggs ignore `size`)
+    def _dsl_aggs(key: str, body: dict):
+        def run(spark, sf):
+            from es_indexer_spark.query.dsl_aggs import aggregations
+
+            return aggregations(
+                spark, _index_root(spark, sf), body, exact=True
+            )[key]
+
+        return run
+
+    q["dsl_aggs_terms"] = _dsl_aggs("langs", {
+        "query": {"match": {"text": "data"}},
+        "size": 0,
+        "aggs": {"langs": {
+            "terms": {"field": "lang", "size": 10},
+            "aggs": {"avg_len": {"avg": {"field": "n_chars"}},
+                     "max_len": {"max": {"field": "n_chars"}}},
+        }},
+    })
+    q["dsl_aggs_range"] = _dsl_aggs("len", {
+        "query": {"term": {"lang": "en"}},
+        "aggs": {"len": {
+            "range": {"field": "n_chars", "ranges": [
+                {"to": 300}, {"from": 200, "to": 400}, {"from": 300},
+            ]},
+            "aggs": {"avg_len": {"avg": {"field": "n_chars"}}},
+        }},
+    })
+    q["dsl_aggs_pipeline"] = _dsl_aggs("h", {
+        "aggs": {"h": {
+            "histogram": {"field": "n_chars", "interval": 100},
+            "aggs": {
+                "avg_len": {"avg": {"field": "n_chars"}},
+                "d": {"derivative": {"buckets_path": "_count"}},
+                "cs": {"cumulative_sum": {"buckets_path": "_count"}},
+            },
+        }},
+    })
+    q["dsl_aggs_nested"] = _dsl_aggs("h", {
+        "aggs": {"h": {
+            "histogram": {"field": "n_chars", "interval": 200},
+            "aggs": {"langs": {"terms": {"field": "lang", "size": 2}}},
+        }},
+    })
+
     # round 5: _termvectors for an artificial doc — request-side analysis +
     # dictionary field statistics (unseen terms report 0/0 like ES)
     q["term_vectors"] = lambda spark, sf: __import__(
@@ -2204,6 +2252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_global", "span_multi_query", "rrf_fusion", "dsl_search",
         "geo_grid_query", "agg_ip_range", "term_vectors",
         "agg_random_sampler", "agg_change_point", "highlight_phrase",
+        "dsl_aggs_terms", "dsl_aggs_range", "dsl_aggs_pipeline",
+        "dsl_aggs_nested",
     ]
     return {
         k: q[k]
@@ -2647,6 +2697,47 @@ ORDER BY d.n_chars DESC, r.score_raw DESC, r.doc_id ASC LIMIT 15 OFFSET 15
         rng="lang = 'en' AND n_chars >= 200 AND n_chars <= 20000",
         weights={"batch": 2.0},
     )
+    # the aggs half of the DSL layer: every compiled bucket table replayed
+    # over the same match set (terms of 'data' = the one-term should set)
+    o["dsl_aggs_terms"] = """
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'data')
+SELECT lang AS key, count(*)::BIGINT AS doc_count,
+       round(avg(n_chars), 6) AS avg_len, max(n_chars) AS max_len
+FROM documents JOIN m USING (doc_id)
+WHERE lang IS NOT NULL
+GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10
+"""
+    o["dsl_aggs_range"] = """
+WITH m AS (SELECT n_chars FROM documents WHERE lang = 'en')
+SELECT '*-300' AS key, count(*) FILTER (n_chars < 300.0)::BIGINT AS doc_count,
+       round(avg(n_chars) FILTER (n_chars < 300.0), 6) AS avg_len FROM m
+UNION ALL
+SELECT '200-400', count(*) FILTER (n_chars >= 200.0 AND n_chars < 400.0)::BIGINT,
+       round(avg(n_chars) FILTER (n_chars >= 200.0 AND n_chars < 400.0), 6) FROM m
+UNION ALL
+SELECT '300-*', count(*) FILTER (n_chars >= 300.0)::BIGINT,
+       round(avg(n_chars) FILTER (n_chars >= 300.0), 6) FROM m
+"""
+    o["dsl_aggs_pipeline"] = """
+WITH g AS (SELECT floor(n_chars / 100.0) * 100.0 AS bucket,
+                  count(*)::BIGINT AS doc_count,
+                  round(avg(n_chars), 6) AS avg_len
+           FROM documents GROUP BY 1)
+SELECT bucket, doc_count, avg_len,
+       (doc_count - lag(doc_count) OVER (ORDER BY bucket))::BIGINT AS d,
+       sum(doc_count) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)::BIGINT AS cs
+FROM g ORDER BY bucket
+"""
+    o["dsl_aggs_nested"] = """
+SELECT bucket, lang AS key, doc_count FROM (
+  SELECT floor(n_chars / 200.0) * 200.0 AS bucket, lang,
+         count(*)::BIGINT AS doc_count,
+         row_number() OVER (PARTITION BY floor(n_chars / 200.0) * 200.0
+                            ORDER BY count(*) DESC, lang ASC) AS rn
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2)
+WHERE rn <= 2
+"""
     # "-25%" of 4 should clauses = 4 + trunc(-1.0) = 3 required
     o["bool_msm_pct"] = _bool_sql(
         must=[], should=["data", "stream", "batch", "key"], msm=3

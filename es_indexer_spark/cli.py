@@ -537,13 +537,27 @@ def main(argv: list[str] | None = None) -> int:
             emb = (
                 spark.read.parquet(args.emb_input) if args.emb_input else None
             )
-            hits = dsl_search(
-                spark, args.index, json.loads(raw), emb_df=emb,
-                emb_id_col=args.vec_id_col, emb_vec_col=args.vec_col,
-                lang=args.lang,
-            )
-            for r in hits.collect():
-                print(json.dumps(r.asDict(), default=str))
+            body = json.loads(raw)
+            aggs_node = body.get("aggs") or body.get("aggregations")
+            if aggs_node:
+                from es_indexer_spark.query.dsl_aggs import aggregations
+
+                tables = aggregations(spark, args.index, body, lang=args.lang)
+                for name, tbl in tables.items():
+                    for r in tbl.collect():
+                        print(json.dumps({"agg": name, **r.asDict()}, default=str))
+            if not aggs_node or int(body.get("size", 10)) > 0:
+                hits_body = {
+                    k: v for k, v in body.items()
+                    if k not in ("aggs", "aggregations")
+                }
+                hits = dsl_search(
+                    spark, args.index, hits_body, emb_df=emb,
+                    emb_id_col=args.vec_id_col, emb_vec_col=args.vec_col,
+                    lang=args.lang,
+                )
+                for r in hits.collect():
+                    print(json.dumps(r.asDict(), default=str))
         elif args.job == "percolate":
             from es_indexer_spark.query.percolate import percolate
 

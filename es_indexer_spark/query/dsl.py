@@ -184,6 +184,12 @@ def search(
 
     if not isinstance(body, dict):
         raise ValueError("body must be a dict (the parsed JSON request)")
+    if body.get("aggs") or body.get("aggregations"):
+        raise ValueError(
+            "body has an aggs section — run it with dsl_aggs.aggregations() "
+            "(one bucket table per aggregation; the CLI dsl job runs both "
+            "halves); pass search() the body without aggs for the hits"
+        )
     size = int(body.get("size", 10))
     from_ = int(body.get("from", 0))
     knn_spec = body.get("knn")

@@ -1,0 +1,578 @@
+"""ES request-body ``aggs`` section for the JSON DSL layer.
+
+The reference's portal builds every facet/summary panel by POSTing a body
+with a ``query`` AND an ``aggs`` section (GeoNetworkServiceImpl and the
+portal UI send ``terms`` facets plus metric sub-aggregations next to the
+search itself; see `stacmodel/.../portal_records_index_schema.json` for the
+aggregatable keyword fields). :func:`search` only covers the hits; this
+module runs the ``aggs`` half: ``aggregations(spark, root, body)`` returns
+one bucket table per top-level aggregation name.
+
+ES semantics reproduced:
+
+- aggregations run over the FULL match set of ``query`` (not the top-k
+  ``size`` page — ES users send ``"size": 0`` for agg-only requests), with
+  ``match_all`` when no query is given;
+- bucket families: ``terms`` (+``size``/``missing``), ``multi_terms``,
+  ``histogram`` / ``date_histogram`` (+``min_doc_count``), ``range``
+  (request-ordered, overlap allowed), ``filters`` (named predicate buckets),
+  ``missing``;
+- metric sub-aggregations (``aggs`` inside a bucket agg): ``avg`` / ``sum``
+  / ``min`` / ``max`` / ``value_count`` / ``cardinality`` / ``stats`` /
+  ``extended_stats`` / ``percentiles`` / ``weighted_avg`` — multi-valued
+  families flatten to ``{name}_{stat}`` columns (a DataFrame row is the
+  bucket object);
+- pipeline sub-aggregations under a histogram parent: ``derivative`` /
+  ``cumulative_sum`` / ``moving_fn`` (unweightedAvg) / ``serial_diff`` /
+  ``bucket_script`` / ``bucket_selector`` / ``bucket_sort``, applied in
+  request order like ES;
+- one level of bucket-in-bucket nesting: a ``terms`` child under a
+  ``histogram``/``date_histogram`` parent (per-parent top-``size`` buckets).
+
+Spark-first shape — this is why the module exists rather than a loop over
+the per-family functions in :mod:`es_indexer_spark.query.aggs`: a bucket
+aggregation WITH its metric children compiles to ONE ``groupBy(...).agg()``
+(partial+final hash agg, one corpus pass no matter how many metrics the
+request carries), ``range``/``filters`` compile to ONE conditional-aggregate
+pass + a ``stack`` unpivot (never a scan per bucket), and the nested-terms
+case is ONE composite-key hash agg + a bounded per-parent window. The
+query's match set joins in as a ``left_semi`` (AQE broadcasts the small hit
+sets). Pipeline children run over the bucket table only (bounded by the
+interval, never corpus-sized — same note as ``query/aggs.py``).
+
+Unsupported shapes raise ``ValueError`` naming the construct, never a
+silent mis-parse (same contract as :func:`es_indexer_spark.query.dsl.search`).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+_INTERVALS = ("year", "quarter", "month", "week", "day", "hour", "minute")
+
+_METRIC_FAMILIES = (
+    "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
+    "extended_stats", "percentiles", "weighted_avg",
+)
+_PIPELINE_FAMILIES = (
+    "derivative", "cumulative_sum", "moving_fn", "serial_diff",
+    "bucket_script", "bucket_selector", "bucket_sort",
+)
+_BUCKET_FAMILIES = (
+    "terms", "multi_terms", "histogram", "date_histogram", "range",
+    "filters", "missing",
+)
+
+
+# --------------------------------------------------------------- match set
+
+
+def match_docids(
+    spark: SparkSession,
+    index_root: str,
+    qnode: dict | None,
+    *,
+    lang: str | None = None,
+) -> DataFrame | None:
+    """The FULL match set (``docid`` column) of a request-body ``query``
+    node — filter context, every match, fully distributed (``k=None`` legs,
+    never a top-k truncation). ``None`` means "the whole live docs store"
+    (``match_all`` / absent query) so the caller can skip the join."""
+    from es_indexer_spark.query.dsl import _bool_kwargs, _field_query, _one
+
+    if qnode is None:
+        return None
+    kind, v = _one(qnode, "query")
+    if kind == "match_all":
+        return None
+    if kind == "match":
+        from es_indexer_spark.query.boolean import bool_query
+
+        mspec = _field_query(v)
+        if "query" not in mspec:
+            _fn, fspec = _one(mspec, "match")
+            mspec = _field_query(fspec)
+        text = str(mspec["query"])
+        operator = str(mspec.get("operator", "or")).lower()
+        kw = {"must": [text]} if operator == "and" else {"should": [text]}
+        return bool_query(spark, index_root, k=None, lang=lang, **kw).select("docid")
+    if kind == "bool":
+        from es_indexer_spark.query.boolean import bool_query
+
+        return bool_query(
+            spark, index_root, k=None, lang=lang, **_bool_kwargs(v)
+        ).select("docid")
+    if kind == "match_phrase":
+        from es_indexer_spark.query.phrase import phrase_match
+
+        _fn, ps = _one(v, "match_phrase")
+        ps = _field_query(ps)
+        return phrase_match(
+            spark, index_root, str(ps["query"]), k=None,
+            slop=int(ps.get("slop", 0)), lang=lang,
+        ).select("docid")
+    if kind in ("term", "terms"):
+        from es_indexer_spark.query.lookup import term_query, terms_query
+
+        fname, fv = _one(v, kind)
+        if kind == "term":
+            val = fv["value"] if isinstance(fv, dict) else fv
+            return term_query(spark, index_root, fname, val).select("docid")
+        return terms_query(spark, index_root, fname, list(fv)).select("docid")
+    if kind == "range":
+        from es_indexer_spark.query.lookup import range_query
+
+        fname, bounds = _one(v, "range")
+        return range_query(
+            spark, index_root, fname,
+            {k: b for k, b in bounds.items() if k in ("gt", "gte", "lt", "lte")},
+        ).select("docid")
+    if kind == "exists":
+        from es_indexer_spark.query.lookup import exists_query
+
+        return exists_query(spark, index_root, v["field"]).select("docid")
+    raise ValueError(
+        "aggregations query supports match_all/match/bool/match_phrase/"
+        f"term/terms/range/exists (filter context), got {kind!r}"
+    )
+
+
+# ----------------------------------------------------------------- metrics
+
+
+def _src(field: str, cond: Column | None) -> Column:
+    c = F.col(field)
+    return F.when(cond, c) if cond is not None else c
+
+
+def _metric_pairs(
+    name: str,
+    fam: str,
+    spec: dict,
+    *,
+    cond: Column | None = None,
+    exact: bool = False,
+) -> list[tuple[str, Column]]:
+    """Compile one metric sub-aggregation to ``(output_name, unaliased
+    aggregate expression)`` pairs. All order-dependent floating results round
+    to 6 digits (replay-stable under parallel reduce, same rule as
+    ``stats_agg``). ``cond`` restricts the metric to a conditional bucket
+    (range/filters) — aggregate functions ignore the NULLs the ``when``
+    injects, which IS the bucket filter."""
+    if fam == "weighted_avg":
+        vspec, wspec = spec.get("value"), spec.get("weight")
+        if not (isinstance(vspec, dict) and isinstance(wspec, dict)):
+            raise ValueError("weighted_avg needs value.field and weight.field")
+        v = F.col(vspec["field"]).cast("double")
+        w = F.col(wspec["field"]).cast("double")
+        ok = v.isNotNull() & w.isNotNull()
+        if cond is not None:
+            ok = ok & cond
+        return [
+            (name, F.round(F.sum(F.when(ok, v * w)) / F.sum(F.when(ok, w)), 6))
+        ]
+    field = spec.get("field")
+    if not field:
+        raise ValueError(f"metric {fam!r} ({name}) needs a field")
+    s = _src(field, cond)
+    if fam == "avg":
+        return [(name, F.round(F.avg(s), 6))]
+    if fam == "sum":
+        return [(name, F.round(F.sum(s), 6))]
+    if fam == "min":
+        return [(name, F.min(s))]
+    if fam == "max":
+        return [(name, F.max(s))]
+    if fam == "value_count":
+        return [(name, F.count(s))]
+    if fam == "cardinality":
+        agg = (
+            F.count_distinct(s)
+            if exact
+            else F.approx_count_distinct(s, float(spec.get("rsd", 0.05)))
+        )
+        return [(name, agg)]
+    if fam == "stats":
+        return [
+            (f"{name}_count", F.count(s)),
+            (f"{name}_min", F.min(s)),
+            (f"{name}_max", F.max(s)),
+            (f"{name}_avg", F.round(F.avg(s), 6)),
+            (f"{name}_sum", F.round(F.sum(s), 6)),
+        ]
+    if fam == "extended_stats":
+        d = s.cast("double")
+        return [
+            (f"{name}_count", F.count(d)),
+            (f"{name}_min", F.min(d)),
+            (f"{name}_max", F.max(d)),
+            (f"{name}_avg", F.round(F.avg(d), 6)),
+            (f"{name}_sum", F.round(F.sum(d), 6)),
+            (f"{name}_sum_of_squares", F.round(F.sum(d * d), 4)),
+            (f"{name}_variance", F.round(F.var_pop(d), 4)),
+            (f"{name}_std_deviation", F.round(F.stddev_pop(d), 4)),
+        ]
+    if fam == "percentiles":
+        percents = [float(p) for p in spec.get("percents", (25.0, 50.0, 75.0, 95.0, 99.0))]
+        out = []
+        for p in percents:
+            q = (
+                F.percentile(s, F.lit(p / 100.0))
+                if exact
+                else F.percentile_approx(s, F.lit(p / 100.0))
+            )
+            key = f"{p:g}".replace(".", "_")
+            out.append((f"{name}_p{key}", F.round(q, 6)))
+        return out
+    raise ValueError(f"unsupported metric aggregation: {fam!r}")
+
+
+def _metric_exprs(
+    name: str,
+    fam: str,
+    spec: dict,
+    *,
+    cond: Column | None = None,
+    exact: bool = False,
+) -> list[Column]:
+    return [
+        e.alias(n)
+        for n, e in _metric_pairs(name, fam, spec, cond=cond, exact=exact)
+    ]
+
+
+def _split_children(children: dict) -> tuple[list, list, list]:
+    """(metrics, pipelines, buckets) from a sub-``aggs`` dict, each as
+    (name, family, spec) in request order."""
+    metrics, pipelines, buckets = [], [], []
+    for cname, cnode in children.items():
+        fams = [k for k in cnode if k not in ("aggs", "aggregations", "meta")]
+        if len(fams) != 1:
+            raise ValueError(f"sub-aggregation {cname!r} must have one family")
+        fam = fams[0]
+        if fam in _METRIC_FAMILIES:
+            if cnode.get("aggs") or cnode.get("aggregations"):
+                raise ValueError(f"metric sub-agg {cname!r} cannot nest aggs")
+            metrics.append((cname, fam, cnode[fam]))
+        elif fam in _PIPELINE_FAMILIES:
+            pipelines.append((cname, fam, cnode[fam]))
+        elif fam == "terms":
+            buckets.append((cname, fam, cnode))
+        else:
+            raise ValueError(f"unsupported sub-aggregation family: {fam!r}")
+    return metrics, pipelines, buckets
+
+
+# ------------------------------------------------------------ bucket nodes
+
+
+def _leaf_cond(node: dict) -> Column:
+    """A ``filters`` bucket predicate: a leaf query over STORED meta columns
+    compiled to a Catalyst condition (keyword semantics — the text field
+    needs the postings engine and is rejected by name)."""
+    from es_indexer_spark.query.dsl import _one
+
+    kind, v = _one(node, "filters entry")
+    if kind == "term":
+        fname, fv = _one(v, "term")
+        val = fv["value"] if isinstance(fv, dict) else fv
+        return F.col(fname) == F.lit(val)
+    if kind == "range":
+        fname, bounds = _one(v, "range")
+        ops = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__", "lte": "__le__"}
+        cond = F.lit(True)
+        for k, b in bounds.items():
+            if k in ops:
+                cond = cond & getattr(F.col(fname), ops[k])(F.lit(b))
+        return cond
+    if kind == "exists":
+        return F.col(v["field"]).isNotNull()
+    raise ValueError(
+        f"filters buckets support term/range/exists leaves, got {kind!r} "
+        "(a match predicate needs the postings engine — put it in the query)"
+    )
+
+
+def _range_key(lo, hi) -> str:
+    return f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+
+
+def _conditional_buckets(
+    df: DataFrame,
+    conds: list[tuple[str, Column]],
+    metrics: list,
+    exact: bool,
+) -> DataFrame:
+    """range/filters core: ONE conditional-aggregate pass (a column set per
+    bucket), then a ``stack`` unpivot back to ES's bucket-list shape in
+    request order. Buckets may overlap, exactly like ES."""
+    aggs, per_bucket_cols, metric_names = [], [], []
+    for i, (key, cond) in enumerate(conds):
+        cols = [f"__c{i}"]
+        aggs.append(F.sum(cond.cast("long")).alias(f"__c{i}"))
+        for mname, mfam, mspec in metrics:
+            for base, e in _metric_pairs(mname, mfam, mspec, cond=cond, exact=exact):
+                cols.append(f"__m{i}__{base}")
+                aggs.append(e.alias(f"__m{i}__{base}"))
+                if i == 0:
+                    metric_names.append(base)
+        per_bucket_cols.append((key, cols))
+    row = df.agg(*aggs)
+    out_cols = ["key", "doc_count", *metric_names, "_ord"]
+    stack_rows = []
+    for i, (key, cols) in enumerate(per_bucket_cols):
+        vals = ", ".join([f"'{key}'", f"bigint(`{cols[0]}`)"]
+                         + [f"double(`{c}`)" for c in cols[1:]] + [str(i)])
+        stack_rows.append(vals)
+    stack_expr = (
+        f"stack({len(per_bucket_cols)}, {', '.join(stack_rows)}) as "
+        f"({', '.join(f'`{c}`' for c in out_cols)})"
+    )
+    return row.selectExpr(stack_expr).orderBy("_ord").drop("_ord")
+
+
+def _bucket_key(fam: str, spec: dict) -> Column:
+    if fam == "histogram":
+        interval = float(spec["interval"])
+        if not interval > 0:
+            raise ValueError("histogram interval must be > 0")
+        return (
+            F.floor(F.col(spec["field"]) / F.lit(interval)) * F.lit(interval)
+        ).alias("bucket")
+    interval = str(spec.get("calendar_interval", spec.get("interval", "month")))
+    if interval not in _INTERVALS:
+        raise ValueError(f"date_histogram interval must be one of {_INTERVALS}")
+    return F.date_trunc(interval, F.col(spec["field"])).alias("bucket")
+
+
+def _apply_pipelines(buckets: DataFrame, pipelines: list) -> DataFrame:
+    """Pipeline sub-aggs over the parent's bucket table, request order (ES
+    applies bucket_sort last; senders already list it last)."""
+    from es_indexer_spark.query import aggs as A
+
+    out = buckets
+    for name, fam, spec in pipelines:
+        path = spec.get("buckets_path")
+        metric = None
+        if isinstance(path, str):
+            metric = "doc_count" if path == "_count" else path
+        if fam == "derivative":
+            out = A.derivative(out, metric).withColumnRenamed(
+                f"{metric}_deriv", name)
+        elif fam == "cumulative_sum":
+            out = A.cumulative_sum(out, metric).withColumnRenamed(
+                f"{metric}_cumsum", name)
+        elif fam == "moving_fn":
+            script = str(spec.get("script", ""))
+            if "unweightedAvg" not in script:
+                raise ValueError(
+                    "moving_fn supports MovingFunctions.unweightedAvg"
+                )
+            out = A.moving_avg(
+                out, metric, window=int(spec.get("window", 5))
+            ).withColumnRenamed(f"{metric}_mavg", name)
+            out = out.withColumn(name, F.round(F.col(name), 6))
+        elif fam == "serial_diff":
+            lag = int(spec.get("lag", 1))
+            out = A.serial_diff(out, metric, lag=lag).withColumnRenamed(
+                f"{metric}_diff_{lag}", name)
+        elif fam == "bucket_script":
+            expr = str(spec["script"])
+            for pname, col in (path or {}).items():
+                ref = "doc_count" if col == "_count" else col
+                expr = re.sub(rf"\bparams\.{re.escape(pname)}\b", f"`{ref}`", expr)
+            out = A.bucket_script(out, expr, name=name)
+            out = out.withColumn(name, F.round(F.col(name), 6))
+        elif fam == "bucket_selector":
+            expr = str(spec["script"])
+            for pname, col in (path or {}).items():
+                ref = "doc_count" if col == "_count" else col
+                expr = re.sub(rf"\bparams\.{re.escape(pname)}\b", f"`{ref}`", expr)
+            out = A.bucket_selector(out, expr)
+        elif fam == "bucket_sort":
+            sort = []
+            for s in spec.get("sort", []):
+                if isinstance(s, str):
+                    sort.append((s, "asc"))
+                else:
+                    c, sspec = next(iter(s.items()))
+                    sort.append(
+                        (c, sspec.get("order", "asc") if isinstance(sspec, dict) else sspec)
+                    )
+            out = A.bucket_sort(
+                out, sort or [("bucket", "asc")],
+                size=spec.get("size"), from_=int(spec.get("from", 0)),
+            )
+        else:  # pragma: no cover — _split_children gates the families
+            raise ValueError(f"unsupported pipeline aggregation: {fam!r}")
+    return out
+
+
+def _compile_agg(df: DataFrame, name: str, node: dict, exact: bool) -> DataFrame:
+    fams = [k for k in node if k not in ("aggs", "aggregations", "meta")]
+    if len(fams) != 1:
+        raise ValueError(f"aggregation {name!r} must have exactly one family")
+    fam = fams[0]
+    spec = node[fam]
+    children = node.get("aggs") or node.get("aggregations") or {}
+
+    if fam in _METRIC_FAMILIES:
+        if children:
+            raise ValueError(f"metric aggregation {name!r} cannot nest aggs")
+        return df.agg(*_metric_exprs(name, fam, spec, exact=exact))
+    if fam in _PIPELINE_FAMILIES:
+        raise ValueError(
+            f"{fam} is a pipeline aggregation — nest it under a histogram/"
+            "date_histogram parent"
+        )
+    if fam not in _BUCKET_FAMILIES:
+        raise ValueError(f"unsupported aggregation family: {fam!r}")
+
+    metrics, pipelines, bucket_children = _split_children(children)
+
+    if fam in ("terms", "multi_terms"):
+        if pipelines:
+            raise ValueError(
+                "pipeline sub-aggs need a histogram/date_histogram parent"
+            )
+        if bucket_children:
+            raise ValueError("bucket nesting under terms is not supported — "
+                             "use a histogram parent with a terms child")
+        size = int(spec.get("size", 10))
+        mexprs = [e for m in metrics for e in _metric_exprs(m[0], m[1], m[2], exact=exact)]
+        if fam == "terms":
+            key = F.col(spec["field"])
+            if spec.get("missing") is not None:
+                key = F.coalesce(key, F.lit(spec["missing"]))
+            out = (
+                df.filter(key.isNotNull())
+                .groupBy(key.alias("key"))
+                .agg(F.count(F.lit(1)).alias("doc_count"), *mexprs)
+                .orderBy(F.desc("doc_count"), F.asc("key"))
+                .limit(size)
+            )
+            return out
+        terms = spec.get("terms")
+        if not isinstance(terms, list) or not terms:
+            raise ValueError("multi_terms needs a terms list of {field} entries")
+        cols = [t["field"] for t in terms]
+        cond = None
+        for c in cols:
+            n = F.col(c).isNotNull()
+            cond = n if cond is None else (cond & n)
+        return (
+            df.filter(cond)
+            .groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("doc_count"), *mexprs)
+            .orderBy(F.desc("doc_count"), *[F.asc(c) for c in cols])
+            .limit(size)
+        )
+
+    if fam in ("histogram", "date_histogram"):
+        key = _bucket_key(fam, spec)
+        if bucket_children:
+            if len(bucket_children) != 1 or metrics or pipelines:
+                raise ValueError(
+                    "a nested terms child must be the only sub-agg of its "
+                    "histogram parent"
+                )
+            cname, _cfam, cnode = bucket_children[0]
+            cspec = cnode["terms"]
+            csize = int(cspec.get("size", 10))
+            cmetrics, cpipes, cbuckets = _split_children(
+                cnode.get("aggs") or cnode.get("aggregations") or {})
+            if cpipes or cbuckets:
+                raise ValueError("nested terms children support metric sub-aggs")
+            cmex = [e for m in cmetrics
+                    for e in _metric_exprs(m[0], m[1], m[2], exact=exact)]
+            ckey = F.col(cspec["field"])
+            comp = (
+                df.filter(ckey.isNotNull())
+                .groupBy(key, ckey.alias("key"))
+                .agg(F.count(F.lit(1)).alias("doc_count"), *cmex)
+            )
+            w = Window.partitionBy("bucket").orderBy(
+                F.desc("doc_count"), F.asc("key"))
+            return (
+                comp.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= csize)
+                .drop("__rn")
+                .orderBy(F.asc("bucket"), F.desc("doc_count"), F.asc("key"))
+            )
+        mexprs = [e for m in metrics for e in _metric_exprs(m[0], m[1], m[2], exact=exact)]
+        out = (
+            df.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("doc_count"), *mexprs)
+            .orderBy("bucket")
+        )
+        mdc = int(spec.get("min_doc_count", 1))
+        if mdc > 1:
+            out = out.filter(F.col("doc_count") >= mdc)
+        return _apply_pipelines(out, pipelines)
+
+    if pipelines or bucket_children:
+        raise ValueError(f"{fam} supports metric sub-aggs only")
+    mexprs_by = lambda cond: [  # noqa: E731
+        e for m in metrics for e in _metric_exprs(m[0], m[1], m[2], cond=cond, exact=exact)
+    ]
+    if fam == "range":
+        ranges = spec.get("ranges")
+        if not ranges:
+            raise ValueError("range needs a ranges list")
+        conds = []
+        for r in ranges:
+            lo, hi = r.get("from"), r.get("to")
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col(spec["field"]) >= float(lo))
+            if hi is not None:
+                cond = cond & (F.col(spec["field"]) < float(hi))
+            conds.append((str(r.get("key", _range_key(lo, hi))), cond))
+        return _conditional_buckets(df, conds, metrics, exact)
+    if fam == "filters":
+        fspecs = spec.get("filters")
+        if not isinstance(fspecs, dict) or not fspecs:
+            raise ValueError("filters needs a named filters object")
+        conds = [(str(n), _leaf_cond(q)) for n, q in fspecs.items()]
+        return _conditional_buckets(df, conds, metrics, exact)
+    # missing
+    cond = F.col(spec["field"]).isNull()
+    mexprs = mexprs_by(None)
+    return df.filter(cond).agg(F.count(F.lit(1)).alias("doc_count"), *mexprs)
+
+
+# ------------------------------------------------------------------- entry
+
+
+def aggregations(
+    spark: SparkSession,
+    index_root: str,
+    body: dict,
+    *,
+    lang: str | None = None,
+    exact: bool = False,
+) -> dict[str, DataFrame]:
+    """Run the ``aggs`` section of an ES request body against the index:
+    one DataFrame per top-level aggregation name, each computed over the
+    full match set of ``body["query"]`` (the live docs store for
+    ``match_all``). ``exact=True`` switches cardinality/percentiles from
+    the mergeable sketches (the ES path and the 100 TB default) to exact
+    aggregation (what a SQL oracle replays)."""
+    from es_indexer_spark.query.aggs import index_docs
+
+    if not isinstance(body, dict):
+        raise ValueError("body must be a dict (the parsed JSON request)")
+    aggs_node = body.get("aggs") or body.get("aggregations")
+    if not isinstance(aggs_node, dict) or not aggs_node:
+        raise ValueError("body has no aggs section — use search() for hits")
+
+    base = index_docs(spark, index_root)
+    ms = match_docids(spark, index_root, body.get("query"), lang=lang)
+    if ms is not None:
+        base = base.join(ms, "docid", "left_semi")
+    return {
+        name: _compile_agg(base, name, node, exact)
+        for name, node in aggs_node.items()
+    }
