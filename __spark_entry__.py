@@ -868,6 +868,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bm25_search_after"] = _bm25_page2
+
+    # round 5: scroll over a point-in-time snapshot — three keyset pages
+    # concatenate exactly to the one-shot top-30 (no offset rescans)
+    def _scroll(spark: SparkSession, sf: str) -> DataFrame:
+        import functools
+
+        from es_indexer_spark.query.pit import Scroll
+
+        with Scroll(spark, _index_root(spark, sf), "spark join window",
+                    page_size=10) as sc:
+            pages = [sc.next_page() for _ in range(3)]
+        out = functools.reduce(lambda a, b: a.unionByName(b), pages)
+        return out.select(
+            F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+
+    q["scroll_pages"] = _scroll
     # Lucene _explain: per-term BM25 breakdown for one (query, doc) pair
     def _explain(spark: SparkSession, sf: str) -> DataFrame:
         from es_indexer_spark.query.engine import explain
@@ -2253,7 +2270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_grid_query", "agg_ip_range", "term_vectors",
         "agg_random_sampler", "agg_change_point", "highlight_phrase",
         "dsl_aggs_terms", "dsl_aggs_range", "dsl_aggs_pipeline",
-        "dsl_aggs_nested",
+        "dsl_aggs_nested", "scroll_pages",
     ]
     return {
         k: q[k]
@@ -3272,6 +3289,8 @@ SELECT d.doc_id, COALESCE(dl.dl, 0)::BIGINT AS doc_len, sha256(d.text) AS sha256
 FROM documents d LEFT JOIN dl USING (doc_id) WHERE d.doc_id IN (3, 7, 42, 99)
 """
     o["bm25_search_after"] = _bm25_sql(["join", "spark", "window"], offset=10)
+    # scroll: 3 pages of 10 == the one-shot top-30 of the same ranked query
+    o["scroll_pages"] = _bm25_sql(["join", "spark", "window"], k=30)
     o["explain_score"] = f"""
 {_BM25_PREAMBLE}
 SELECT tf.term, tf.tf::BIGINT AS tf, dfq.df::BIGINT AS df, dl.dl::BIGINT AS doc_len,

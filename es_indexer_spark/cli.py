@@ -79,8 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
                  "delete-query", "wildcard", "phrase-prefix", "mlt",
                  "simple-qs", "rescore", "range", "sortquery", "geo-bbox",
                  "span-near", "suggest-fuzzy", "geo-shape",
-                 "qs", "span-multi", "knn", "rrf", "percolate", "dsl"],
+                 "qs", "span-multi", "knn", "rrf", "percolate", "dsl",
+                 "scroll"],
     )
+    p.add_argument("--pages", type=int, default=None,
+                   help="scroll: max pages to emit (default: to exhaustion)")
     p.add_argument("--body", default=None,
                    help="dsl: an ES request body as a JSON string (or @file)")
     p.add_argument("--emb-input", default=None,
@@ -292,6 +295,24 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.index, args.query, k=args.k, fuzziness=args.fuzziness
             ).collect():
                 print(json.dumps(r.asDict(), default=str))
+        elif args.job == "scroll":
+            # ES scroll loop: ranked pages (--query) or docid-order export
+            # scan (no --query), each row tagged with its page number; the
+            # PIT snapshot pins the view for the whole export
+            from es_indexer_spark.query.pit import Scroll
+
+            with Scroll(
+                spark, args.index, args.query or None, page_size=args.k,
+                lang=args.lang,
+            ) as sc:
+                n = 0
+                while args.pages is None or n < args.pages:
+                    rows = sc.next_page().collect()
+                    if not rows:
+                        break
+                    for r in rows:
+                        print(json.dumps({"page": n, **r.asDict()}, default=str))
+                    n += 1
         elif args.job == "merge":
             from es_indexer_spark.index import catalog
             from es_indexer_spark.index.merge import merge_indexes
