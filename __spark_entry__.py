@@ -885,6 +885,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["scroll_pages"] = _scroll
+
+    # round 5: ES sparse_vector (text_expansion analog) — weighted impact
+    # dot product over the postings, linear in tf (not BM25-saturated)
+    def _sparse_vec(spark: SparkSession, sf: str) -> DataFrame:
+        from es_indexer_spark.query.sparsevec import sparse_vector_topk
+
+        return sparse_vector_topk(
+            spark, _index_root(spark, sf),
+            {"data": 1.5, "stream": 0.7, "batch": 1.1}, k=10,
+        ).select(
+            F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+
+    q["sparse_vector_query"] = _sparse_vec
     # Lucene _explain: per-term BM25 breakdown for one (query, doc) pair
     def _explain(spark: SparkSession, sf: str) -> DataFrame:
         from es_indexer_spark.query.engine import explain
@@ -2270,7 +2284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_grid_query", "agg_ip_range", "term_vectors",
         "agg_random_sampler", "agg_change_point", "highlight_phrase",
         "dsl_aggs_terms", "dsl_aggs_range", "dsl_aggs_pipeline",
-        "dsl_aggs_nested", "scroll_pages",
+        "dsl_aggs_nested", "scroll_pages", "sparse_vector_query",
     ]
     return {
         k: q[k]
@@ -3291,6 +3305,14 @@ FROM documents d LEFT JOIN dl USING (doc_id) WHERE d.doc_id IN (3, 7, 42, 99)
     o["bm25_search_after"] = _bm25_sql(["join", "spark", "window"], offset=10)
     # scroll: 3 pages of 10 == the one-shot top-30 of the same ranked query
     o["scroll_pages"] = _bm25_sql(["join", "spark", "window"], k=30)
+    # sparse_vector: linear weighted tf sum (impact scoring, no saturation)
+    o["sparse_vector_query"] = """
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks WHERE term <> '' GROUP BY 1, 2)
+SELECT doc_id, round(sum(tf * CASE term WHEN 'data' THEN 1.5 WHEN 'stream' THEN 0.7 WHEN 'batch' THEN 1.1 END), 4) AS score
+FROM tf WHERE term IN ('data', 'stream', 'batch')
+GROUP BY doc_id ORDER BY 2 DESC, doc_id ASC LIMIT 10
+"""
     o["explain_score"] = f"""
 {_BM25_PREAMBLE}
 SELECT tf.term, tf.tf::BIGINT AS tf, dfq.df::BIGINT AS df, dl.dl::BIGINT AS doc_len,

@@ -530,6 +530,30 @@ def search(
             spark, index_root, clauses, slop=int(v.get("slop", 0)),
             in_order=bool(v.get("in_order", True)), k=size + from_, lang=lang,
         )
+    elif kind == "sparse_vector":
+        from es_indexer_spark.query.sparsevec import sparse_vector_topk
+
+        qv = v.get("query_vector")
+        if not isinstance(qv, dict):
+            raise ValueError(
+                "sparse_vector needs an inline query_vector token->weight "
+                "map (inference_id token generation is an external ML "
+                "service — precompute the expansion and send the map)"
+            )
+        pcfg = v.get("pruning_config") or {}
+        out = sparse_vector_topk(
+            spark, index_root, {str(t): float(w) for t, w in qv.items()},
+            k=size + from_, prune=bool(v.get("prune", False)),
+            tokens_freq_ratio_threshold=float(
+                pcfg.get("tokens_freq_ratio_threshold", 5.0)),
+            tokens_weight_threshold=float(
+                pcfg.get("tokens_weight_threshold", 0.4)),
+        )
+    elif kind == "text_expansion":
+        raise ValueError(
+            "text_expansion runs a deployed ML model per query — precompute "
+            "the expansion and send it as sparse_vector.query_vector"
+        )
     elif kind == "intervals":
         from es_indexer_spark.query.intervals import intervals_query
 

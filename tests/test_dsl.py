@@ -223,3 +223,22 @@ def test_match_all_and_min_score(spark, dsl_index, documents):
 def test_unsupported_raise_by_name(spark, dsl_index, body):
     with pytest.raises(ValueError):
         search(spark, dsl_index, body)
+
+
+def test_sparse_vector_dispatch(spark, dsl_index):
+    from es_indexer_spark.query.sparsevec import sparse_vector_topk
+
+    body = {"query": {"sparse_vector": {
+        "field": "text",
+        "query_vector": {"data": 1.5, "stream": 0.7},
+    }}, "size": 8}
+    _same(
+        search(spark, dsl_index, body),
+        sparse_vector_topk(spark, dsl_index, {"data": 1.5, "stream": 0.7}, k=8),
+    )
+
+
+def test_text_expansion_raises_by_name(spark, dsl_index):
+    with pytest.raises(ValueError, match="sparse_vector.query_vector"):
+        search(spark, dsl_index, {"query": {"text_expansion": {
+            "text": {"model_id": "elser", "model_text": "q"}}}})
