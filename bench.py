@@ -314,6 +314,36 @@ def main() -> None:
         ).collect(),
     )
 
+    # ---- round-5e serving surfaces ------------------------------------------------
+    from es_indexer_spark.query.dsl_aggs import aggregations
+    from es_indexer_spark.query.pit import Scroll
+    from es_indexer_spark.query.sparsevec import sparse_vector_topk
+
+    timed(
+        "q_sparse_vector",
+        lambda: sparse_vector_topk(
+            spark, idx_root, {"index": 1.5, "query": 0.7, "score": 1.1}, k=10
+        ).collect(),
+    )
+
+    def _dsl_aggs_run():
+        body = {
+            "query": {"match": {"content": "index"}},
+            "aggs": {"langs": {
+                "terms": {"field": "lang", "size": 10},
+                "aggs": {"avg_len": {"avg": {"field": "doc_len"}}},
+            }},
+        }
+        return aggregations(spark, idx_root, body)["langs"].collect()
+
+    timed("q_dsl_aggs", _dsl_aggs_run)
+
+    def _scroll3():
+        with Scroll(spark, idx_root, "index query score", page_size=10) as sc:
+            return [sc.next_page().collect() for _ in range(3)]
+
+    timed("q_scroll3", _scroll3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

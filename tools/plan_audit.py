@@ -582,6 +582,71 @@ def main() -> int:
         ],
     ))
 
+    # 27. round 5e: DSL aggs — a terms bucket agg WITH its metric children
+    # compiles to ONE groupBy pass; the query's match set joins as LeftSemi;
+    # the size cap is a TakeOrdered, never a global sort
+    from es_indexer_spark.query.dsl_aggs import aggregations as _dsl_aggs
+
+    p = formatted(_dsl_aggs(spark, root, {
+        "query": {"match": {"text": "data"}},
+        "aggs": {"langs": {
+            "terms": {"field": "lang", "size": 10},
+            "aggs": {"avg_len": {"avg": {"field": "n_chars"}}},
+        }},
+    })["langs"])
+    sections.append((
+        "dsl_aggs terms+metrics: one groupBy pass over a LeftSemi-gated docs scan",
+        p,
+        [
+            ("match set joins LeftSemi", "LeftSemi" in p),
+            ("terms size cap is TakeOrdered", "TakeOrderedAndProject" in p),
+            ("no cartesian", "CartesianProduct" not in p),
+        ],
+    ))
+
+    # 28. round 5e: DSL range/filters aggs — ONE conditional-aggregate pass:
+    # the parquet scan count must NOT grow with the number of range buckets
+    def _range_plan(n_ranges: int) -> str:
+        ranges = [{"from": i * 50, "to": i * 50 + 60} for i in range(n_ranges)]
+        return formatted(_dsl_aggs(spark, root, {
+            "aggs": {"len": {
+                "range": {"field": "n_chars", "ranges": ranges},
+                "aggs": {"a": {"avg": {"field": "n_chars"}}},
+            }},
+        })["len"])
+
+    p2, p5 = _range_plan(2), _range_plan(5)
+    p = p5
+    sections.append((
+        "dsl_aggs range: conditional one-pass — scan count invariant in bucket count",
+        p,
+        [
+            ("stack unpivot present", "Generate" in p5),
+            ("scan count equal for 2 vs 5 ranges",
+             p2.count("Scan parquet") == p5.count("Scan parquet")),
+            ("no cartesian", "CartesianProduct" not in p5),
+        ],
+    ))
+
+    # 29. round 5e: sparse_vector — one term-pruned postings scan feeding the
+    # per-shard Arrow scorer, distributed top-k merge
+    from es_indexer_spark.query.sparsevec import sparse_vector_topk as _svq
+
+    p = formatted(_svq(spark, root, {"data": 1.5, "stream": 0.7}, k=10))
+    sections.append((
+        "sparse_vector: pruned postings scan + Arrow impact scorer + TakeOrdered",
+        p,
+        [
+            ("bucket partitions pruned", "PartitionFilters" in p and "bucket" in p),
+            ("term filter pushed", "PushedFilters" in p
+             and "term" in p.split("PushedFilters")[-1][:400]),
+            ("per-shard Arrow stage", "FlatMapGroupsInPandas" in p
+             or "FlatMapCoGroupsInPandas" in p),
+            ("distributed top-k (TakeOrdered)", "TakeOrderedAndProject" in p),
+            ("no cartesian", "CartesianProduct" not in p),
+        ],
+    ))
+
     failures = 0
     lines = [
         "# PLANS — physical-plan audit evidence",
