@@ -1412,6 +1412,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "aggs": {"langs": {"terms": {"field": "lang", "size": 2}}},
         }},
     })
+    # round 5: runtime_mappings — a query-time computed keyword field serves
+    # both the term query and stays available to the agg half
+    q["dsl_aggs_runtime"] = _dsl_aggs("langs", {
+        "runtime_mappings": {"len_class": {
+            "type": "keyword",
+            "script": {"source":
+                       "CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END"},
+        }},
+        "query": {"term": {"len_class": "long"}},
+        "aggs": {"langs": {"terms": {"field": "lang", "size": 10}}},
+    })
 
     # round 5: _termvectors for an artificial doc — request-side analysis +
     # dictionary field statistics (unseen terms report 0/0 like ES)
@@ -2285,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_random_sampler", "agg_change_point", "highlight_phrase",
         "dsl_aggs_terms", "dsl_aggs_range", "dsl_aggs_pipeline",
         "dsl_aggs_nested", "scroll_pages", "sparse_vector_query",
+        "dsl_aggs_runtime",
     ]
     return {
         k: q[k]
@@ -3305,6 +3317,12 @@ FROM documents d LEFT JOIN dl USING (doc_id) WHERE d.doc_id IN (3, 7, 42, 99)
     o["bm25_search_after"] = _bm25_sql(["join", "spark", "window"], offset=10)
     # scroll: 3 pages of 10 == the one-shot top-30 of the same ranked query
     o["scroll_pages"] = _bm25_sql(["join", "spark", "window"], k=30)
+    # runtime_mappings: the computed field's predicate replayed inline
+    o["dsl_aggs_runtime"] = """
+SELECT lang AS key, count(*)::BIGINT AS doc_count
+FROM documents WHERE n_chars >= 300 AND lang IS NOT NULL
+GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10
+"""
     # sparse_vector: linear weighted tf sum (impact scoring, no saturation)
     o["sparse_vector_query"] = """
 WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),

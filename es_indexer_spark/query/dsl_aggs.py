@@ -543,6 +543,62 @@ def _compile_agg(df: DataFrame, name: str, node: dict, exact: bool) -> DataFrame
     return df.filter(cond).agg(F.count(F.lit(1)).alias("doc_count"), *mexprs)
 
 
+# ---------------------------------------------------------- runtime fields
+
+# ES runtime-field type -> Spark cast target (ES docs list exactly these)
+_RUNTIME_TYPES = {
+    "keyword": "string", "long": "long", "double": "double",
+    "date": "timestamp", "boolean": "boolean", "ip": "string",
+    "geo_point": None, "composite": None,
+}
+
+
+def with_runtime_fields(df: DataFrame, runtime_mappings: dict) -> DataFrame:
+    """ES ``runtime_mappings``: query-time computed fields. The script
+    ``source`` is a Catalyst SQL expression over the stored columns (same
+    Painless-slot translation as ``bucket_script`` — compiled per row by
+    Catalyst, no shuffle, evaluated only where the plan needs it). The
+    declared ``type`` casts the result like ES's typed emit."""
+    out = df
+    for name, spec in runtime_mappings.items():
+        if not isinstance(spec, dict) or "type" not in spec:
+            raise ValueError(f"runtime field {name!r} needs a type")
+        rtype = str(spec["type"])
+        if rtype not in _RUNTIME_TYPES or _RUNTIME_TYPES[rtype] is None:
+            raise ValueError(
+                f"runtime field type {rtype!r} not supported (supported: "
+                f"{[t for t, c in _RUNTIME_TYPES.items() if c]})"
+            )
+        script = spec.get("script")
+        src = script.get("source") if isinstance(script, dict) else script
+        if not src:
+            raise ValueError(
+                f"runtime field {name!r} needs script.source (a SQL "
+                "expression over the stored columns in the Painless slot)"
+            )
+        out = out.withColumn(
+            name, F.expr(str(src)).cast(_RUNTIME_TYPES[rtype])
+        )
+    return out
+
+
+def _runtime_leaf(qnode: dict | None, runtime: dict) -> Column | None:
+    """A term/range/exists query targeting a RUNTIME field compiles to a
+    row predicate over the runtime column (it cannot go through the
+    stored-field lookup path, which never sees runtime columns)."""
+    if qnode is None or not runtime:
+        return None
+    from es_indexer_spark.query.dsl import _one
+
+    kind, v = _one(qnode, "query")
+    if kind not in ("term", "range", "exists"):
+        return None
+    field = v["field"] if kind == "exists" else _one(v, kind)[0]
+    if field not in runtime:
+        return None
+    return _leaf_cond(qnode)
+
+
 # ------------------------------------------------------------------- entry
 
 
@@ -569,9 +625,16 @@ def aggregations(
         raise ValueError("body has no aggs section — use search() for hits")
 
     base = index_docs(spark, index_root)
-    ms = match_docids(spark, index_root, body.get("query"), lang=lang)
-    if ms is not None:
-        base = base.join(ms, "docid", "left_semi")
+    runtime = body.get("runtime_mappings") or {}
+    if runtime:
+        base = with_runtime_fields(base, runtime)
+    rt_pred = _runtime_leaf(body.get("query"), runtime)
+    if rt_pred is not None:
+        base = base.filter(rt_pred)
+    else:
+        ms = match_docids(spark, index_root, body.get("query"), lang=lang)
+        if ms is not None:
+            base = base.join(ms, "docid", "left_semi")
     return {
         name: _compile_agg(base, name, node, exact)
         for name, node in aggs_node.items()

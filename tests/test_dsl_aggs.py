@@ -234,3 +234,60 @@ def test_unsupported_shapes_raise(spark, agg_index):
         aggregations(spark, agg_index, {"aggs": {"t": {
             "terms": {"field": "lang"},
             "aggs": {"d": {"derivative": {"buckets_path": "_count"}}}}}})
+
+
+def test_runtime_field_agg_and_query(spark, agg_index):
+    """ES runtime_mappings: a computed keyword field buckets a terms agg and
+    serves a term query — all query-time, no reindex."""
+    body = {
+        "runtime_mappings": {"len_class": {
+            "type": "keyword",
+            "script": {"source":
+                       "CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END"},
+        }},
+        "query": {"term": {"len_class": "long"}},
+        "aggs": {
+            "langs": {"terms": {"field": "lang", "size": 10}},
+            "st": {"stats": {"field": "n_chars"}},
+        },
+    }
+    res = aggregations(spark, agg_index, body)
+    pdf = _match_pdf(spark, agg_index, None)
+    pdf = pdf[pdf["n_chars"] >= 300]
+    out = res["langs"].toPandas()
+    want = (
+        pdf.groupby("lang").size().reset_index(name="n")
+        .sort_values(["n", "lang"], ascending=[False, True])
+    )
+    assert list(out["key"]) == list(want["lang"])
+    assert list(out["doc_count"]) == list(want["n"])
+    st = res["st"].collect()[0]
+    assert st["st_count"] == len(pdf) and st["st_min"] >= 300
+
+
+def test_runtime_numeric_histogram(spark, agg_index):
+    body = {
+        "runtime_mappings": {"mod": {
+            "type": "long", "script": "n_chars % 100"}},
+        "aggs": {"h": {"histogram": {"field": "mod", "interval": 25}}},
+    }
+    out = aggregations(spark, agg_index, body)["h"].toPandas()
+    pdf = _match_pdf(spark, agg_index, None)
+    grp = ((pdf["n_chars"] % 100) // 25 * 25).value_counts().sort_index()
+    assert list(out["bucket"]) == [float(k) for k in grp.index]
+    assert list(out["doc_count"]) == list(grp.values)
+
+
+def test_runtime_field_errors(spark, agg_index):
+    with pytest.raises(ValueError, match="needs a type"):
+        aggregations(spark, agg_index, {
+            "runtime_mappings": {"x": {"script": "1"}},
+            "aggs": {"m": {"missing": {"field": "lang"}}}})
+    with pytest.raises(ValueError, match="not supported"):
+        aggregations(spark, agg_index, {
+            "runtime_mappings": {"x": {"type": "geo_point", "script": "1"}},
+            "aggs": {"m": {"missing": {"field": "lang"}}}})
+    with pytest.raises(ValueError, match="script.source"):
+        aggregations(spark, agg_index, {
+            "runtime_mappings": {"x": {"type": "long"}},
+            "aggs": {"m": {"missing": {"field": "lang"}}}})
