@@ -899,6 +899,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["sparse_vector_query"] = _sparse_vec
+
+    # round 5: _count API (full-match-set size) and _field_caps (mapping
+    # capabilities surface — pure parquet-schema metadata, zero data jobs)
+    def _count_q(spark: SparkSession, sf: str) -> DataFrame:
+        from es_indexer_spark.query.dsl_aggs import count_query
+
+        return count_query(
+            spark, _index_root(spark, sf),
+            {"query": {"match": {"text": "data"}}},
+        )
+
+    q["count_query"] = _count_q
+
+    def _field_caps(spark: SparkSession, sf: str) -> DataFrame:
+        from es_indexer_spark.query.dsl_aggs import field_caps
+
+        return field_caps(spark, _index_root(spark, sf))
+
+    q["field_caps"] = _field_caps
     # Lucene _explain: per-term BM25 breakdown for one (query, doc) pair
     def _explain(spark: SparkSession, sf: str) -> DataFrame:
         from es_indexer_spark.query.engine import explain
@@ -2296,7 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_random_sampler", "agg_change_point", "highlight_phrase",
         "dsl_aggs_terms", "dsl_aggs_range", "dsl_aggs_pipeline",
         "dsl_aggs_nested", "scroll_pages", "sparse_vector_query",
-        "dsl_aggs_runtime",
+        "dsl_aggs_runtime", "count_query", "field_caps",
     ]
     return {
         k: q[k]
@@ -3322,6 +3341,21 @@ FROM documents d LEFT JOIN dl USING (doc_id) WHERE d.doc_id IN (3, 7, 42, 99)
 SELECT lang AS key, count(*)::BIGINT AS doc_count
 FROM documents WHERE n_chars >= 300 AND lang IS NOT NULL
 GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10
+"""
+    # _count: the match set is every doc containing the term
+    o["count_query"] = """
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents)
+SELECT count(DISTINCT doc_id)::BIGINT AS count FROM toks WHERE term = 'data'
+"""
+    # _field_caps: the contract index's mapping surface, pinned
+    o["field_caps"] = """
+SELECT * FROM (VALUES
+  ('content', 'text', true, false),
+  ('doc_len', 'long', true, true),
+  ('lang', 'keyword', true, true),
+  ('n_chars', 'long', true, true),
+  ('source', 'keyword', true, true)
+) AS t(field, type, searchable, aggregatable)
 """
     # sparse_vector: linear weighted tf sum (impact scoring, no saturation)
     o["sparse_vector_query"] = """

@@ -255,7 +255,20 @@ def search(
         ).offset(from_)
 
     kind, v = _one(qnode, "query")
+    while kind == "wrapper":
+        # ES wrapper query: a base64-encoded JSON query — decode and
+        # re-dispatch (clients use it to smuggle queries through systems
+        # that mangle JSON)
+        import base64
+        import json as _json
+
+        qnode = _json.loads(base64.b64decode(v["query"]))
+        kind, v = _one(qnode, "query")
     out: DataFrame
+    if kind == "match_none":
+        from es_indexer_spark.query.engine import _SCORE_SCHEMA
+
+        return spark.createDataFrame([], _SCORE_SCHEMA)
     if kind == "match_all":
         from es_indexer_spark.query.classic import query_string
 

@@ -639,3 +639,57 @@ def aggregations(
         name: _compile_agg(base, name, node, exact)
         for name, node in aggs_node.items()
     }
+
+
+def count_query(
+    spark: SparkSession,
+    index_root: str,
+    body: dict | None = None,
+    *,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``_count`` API: the size of the query's FULL match set as a
+    one-row ``(count)`` frame — a map-combined count over the same k=None
+    legs the aggs half uses, no top-k, no scoring materialization."""
+    from es_indexer_spark.query.aggs import index_docs
+
+    body = body or {}
+    base = index_docs(spark, index_root)
+    runtime = body.get("runtime_mappings") or {}
+    if runtime:
+        base = with_runtime_fields(base, runtime)
+    rt_pred = _runtime_leaf(body.get("query"), runtime)
+    if rt_pred is not None:
+        base = base.filter(rt_pred)
+    else:
+        ms = match_docids(spark, index_root, body.get("query"), lang=lang)
+        if ms is not None:
+            return ms.agg(F.count(F.lit(1)).alias("count"))
+    return base.agg(F.count(F.lit(1)).alias("count"))
+
+
+# Spark docs-store type -> ES field-caps type (the published mapping types)
+_ES_TYPES = {
+    "string": "keyword", "bigint": "long", "int": "integer",
+    "double": "double", "float": "float", "timestamp": "date",
+    "boolean": "boolean", "binary": "binary",
+}
+
+
+def field_caps(spark: SparkSession, index_root: str) -> DataFrame:
+    """ES ``_field_caps``: one row per queryable field with its ES type and
+    capabilities. The analyzed text lives in the postings (searchable, not
+    aggregatable — ES ``text`` semantics); every stored docs-store column is
+    a keyword/numeric ``searchable + aggregatable`` field. Pure metadata —
+    reads only the parquet schema, zero data jobs."""
+    from es_indexer_spark.query.aggs import index_docs
+
+    rows = [("content", "text", True, False)]
+    for f in index_docs(spark, index_root).schema.fields:
+        if f.name in ("docid", "sha256"):
+            continue
+        es_t = _ES_TYPES.get(f.dataType.simpleString(), "keyword")
+        rows.append((f.name, es_t, True, True))
+    return spark.createDataFrame(
+        sorted(rows), "field string, type string, searchable boolean, aggregatable boolean"
+    )

@@ -242,3 +242,15 @@ def test_text_expansion_raises_by_name(spark, dsl_index):
     with pytest.raises(ValueError, match="sparse_vector.query_vector"):
         search(spark, dsl_index, {"query": {"text_expansion": {
             "text": {"model_id": "elser", "model_text": "q"}}}})
+
+
+def test_wrapper_and_match_none(spark, dsl_index):
+    import base64
+    import json
+
+    inner = {"match": {"text": "data stream"}}  # the QUERY node, per ES docs
+    wrapped = {"query": {"wrapper": {
+        "query": base64.b64encode(json.dumps(inner).encode()).decode()}}}
+    _same(search(spark, dsl_index, wrapped),
+          search(spark, dsl_index, {"query": inner}))
+    assert search(spark, dsl_index, {"query": {"match_none": {}}}).count() == 0

@@ -291,3 +291,34 @@ def test_runtime_field_errors(spark, agg_index):
         aggregations(spark, agg_index, {
             "runtime_mappings": {"x": {"type": "long"}},
             "aggs": {"m": {"missing": {"field": "lang"}}}})
+
+
+def test_count_query_full_match_set(spark, agg_index):
+    from es_indexer_spark.query.dsl_aggs import count_query
+
+    got = count_query(
+        spark, agg_index, {"query": {"match": {"text": "data"}}}
+    ).collect()[0]["count"]
+    assert got == len(_match_pdf(spark, agg_index, {"match": {"text": "data"}}))
+    # match_all / no body
+    assert count_query(spark, agg_index).collect()[0]["count"] == len(
+        _match_pdf(spark, agg_index, None))
+    # runtime predicate path
+    body = {
+        "runtime_mappings": {"big": {
+            "type": "boolean", "script": "n_chars >= 300"}},
+        "query": {"term": {"big": True}},
+    }
+    pdf = _match_pdf(spark, agg_index, None)
+    assert count_query(spark, agg_index, body).collect()[0]["count"] == int(
+        (pdf["n_chars"] >= 300).sum())
+
+
+def test_field_caps_surface(spark, agg_index):
+    from es_indexer_spark.query.dsl_aggs import field_caps
+
+    rows = {r["field"]: r for r in field_caps(spark, agg_index).collect()}
+    assert rows["content"]["type"] == "text" and not rows["content"]["aggregatable"]
+    assert rows["lang"]["type"] == "keyword" and rows["lang"]["aggregatable"]
+    assert rows["n_chars"]["type"] == "long"
+    assert "docid" not in rows and "sha256" not in rows
