@@ -166,6 +166,83 @@ def _as_list(v) -> list:
     return v if isinstance(v, list) else [v]
 
 
+def _fetch_fields(
+    spark: SparkSession, index_root: str, body: dict, out: DataFrame
+) -> DataFrame:
+    """``_source`` / ``fields`` retrieval: join the ≤k hits back to the docs
+    store and keep the requested stored columns (ES semantics: a requested
+    field the mapping doesn't have is silently absent). ``_source: true`` or
+    ``"*"`` returns every stored column; default (no section) keeps the
+    hits frame as-is (ids + scores)."""
+    src_spec = body.get("_source")
+    fields = body.get("fields")
+    want: list[str] | None = None
+    if isinstance(src_spec, list):
+        want = [str(f) for f in src_spec]
+    elif src_spec is True:
+        want = ["*"]
+    if fields:
+        want = (want or []) + [
+            str(f["field"] if isinstance(f, dict) else f) for f in fields
+        ]
+    if not want:
+        return out
+    from es_indexer_spark.query.engine import fetch_docs
+
+    fetched = fetch_docs(spark, index_root, out)
+    if "*" in want:
+        return fetched
+    keep = list(out.columns) + [
+        c for c in fetched.columns if c in want and c not in out.columns
+    ]
+    return fetched.select(*keep)
+
+
+def _finish(
+    spark: SparkSession,
+    index_root: str,
+    body: dict,
+    out: DataFrame,
+    from_: int,
+    qnode: dict,
+    src_df: DataFrame | None,
+    src_id_col: str,
+    src_text_col: str,
+    lang: str | None,
+) -> DataFrame:
+    """Shared response sections: ``highlight`` (term highlighter over the
+    caller-provided source table — the index stores postings, not text),
+    then ``_source``/``fields`` retrieval, then ``from`` paging."""
+    hl = body.get("highlight")
+    if hl is not None:
+        if src_df is None:
+            raise ValueError(
+                "highlight needs src_df (the source-text table) — the index "
+                "stores postings, not source text"
+            )
+        kind, v = _one(qnode, "query")
+        if kind not in ("match", "match_phrase"):
+            raise ValueError("highlight supports match / match_phrase queries")
+        spec = _field_query(v)
+        if "query" not in spec:
+            _fn, fs = _one(spec, kind)
+            spec = _field_query(fs)
+        from es_indexer_spark.analysis.tokenizer import tokenize_one
+        from es_indexer_spark.index import catalog as _cat
+        from es_indexer_spark.query.highlight import highlight_hits
+
+        stats = _cat.read_stats(_cat.resolve(index_root))
+        terms = tokenize_one(str(spec["query"]), stats["tokenizer"], lang=lang)
+        out = highlight_hits(
+            out, src_df, src_id_col, src_text_col, terms,
+            fragment_size=int(hl.get("fragment_size", 160)),
+            pre_tag=(hl.get("pre_tags") or ["<em>"])[0],
+            post_tag=(hl.get("post_tags") or ["</em>"])[0],
+        )
+    out = _fetch_fields(spark, index_root, body, out)
+    return out.offset(from_) if from_ else out
+
+
 def search(
     spark: SparkSession,
     index_root: str,
@@ -175,6 +252,9 @@ def search(
     emb_id_col: str = "vec_id",
     emb_vec_col: str = "embedding",
     lang: str | None = None,
+    src_df: DataFrame | None = None,
+    src_id_col: str = "doc_id",
+    src_text_col: str = "text",
 ) -> DataFrame:
     """Run an ES request body against the index. Returns the hits frame the
     matching engine function produces (``docid`` + ``score`` [+ sort / tf
@@ -248,11 +328,13 @@ def search(
                 fname, sspec = _one(s, "sort entry")
                 order = sspec["order"] if isinstance(sspec, dict) else sspec
                 sort.append((fname, order))
-        return topk_sorted(
+        out = topk_sorted(
             spark, index_root, qtext, sort=sort, k=size + from_,
             after=tuple(body["search_after"]) if body.get("search_after") else None,
             lang=lang,
-        ).offset(from_)
+        )
+        return _finish(spark, index_root, body, out, from_, qnode,
+                       src_df, src_id_col, src_text_col, lang)
 
     kind, v = _one(qnode, "query")
     while kind == "wrapper":
@@ -584,7 +666,8 @@ def search(
             "rescore: call query/engine.py rescore_phrase directly (the body "
             "shape nests a full query; only the phrase window form is native)"
         )
-    return out.offset(from_) if from_ else out
+    return _finish(spark, index_root, body, out, from_, qnode,
+                   src_df, src_id_col, src_text_col, lang)
 
 
 def _knn_filter(f):

@@ -254,3 +254,37 @@ def test_wrapper_and_match_none(spark, dsl_index):
     _same(search(spark, dsl_index, wrapped),
           search(spark, dsl_index, {"query": inner}))
     assert search(spark, dsl_index, {"query": {"match_none": {}}}).count() == 0
+
+
+def test_source_fields_retrieval(spark, dsl_index):
+    body = {"query": {"match": {"text": "data stream"}}, "size": 5,
+            "_source": ["lang", "n_chars"]}
+    out = search(spark, dsl_index, body)
+    assert set(out.columns) == {"docid", "score", "lang", "n_chars"}
+    assert out.count() == 5
+    # _source: true -> every stored column
+    all_cols = search(spark, dsl_index, {**body, "_source": True}).columns
+    assert {"doc_len", "lang", "n_chars", "sha256"} <= set(all_cols)
+    # fields form; unknown fields silently absent (ES semantics)
+    out2 = search(spark, dsl_index, {
+        "query": {"match": {"text": "data"}}, "size": 3,
+        "fields": ["lang", {"field": "nope"}]})
+    assert set(out2.columns) == {"docid", "score", "lang"}
+
+
+def test_highlight_section(spark, dsl_index, documents):
+    body = {"query": {"match": {"text": "data stream"}}, "size": 5,
+            "highlight": {"fields": {"text": {}}, "fragment_size": 80,
+                          "pre_tags": ["<b>"], "post_tags": ["</b>"]}}
+    out = search(spark, dsl_index, body, src_df=documents)
+    rows = out.collect()
+    assert len(rows) == 5 and all("<b>" in r["fragment"] for r in rows)
+    # parity with the direct engine call
+    from es_indexer_spark.query.highlight import highlight
+
+    want = highlight(spark, dsl_index, documents, "doc_id", "text",
+                     "data stream", k=5, fragment_size=80,
+                     pre_tag="<b>", post_tag="</b>").collect()
+    assert [r.asDict() for r in rows] == [r.asDict() for r in want]
+    with pytest.raises(ValueError, match="needs src_df"):
+        search(spark, dsl_index, body)
