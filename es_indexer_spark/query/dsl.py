@@ -187,14 +187,25 @@ def _fetch_fields(
         ]
     if not want:
         return out
+    import os as _os
+
+    from es_indexer_spark.index import catalog as _cat
     from es_indexer_spark.query.engine import fetch_docs
 
-    fetched = fetch_docs(spark, index_root, out)
+    vdir = _cat.resolve(index_root)
+    doc_cols = spark.read.parquet(_os.path.join(vdir, "docs")).columns
     if "*" in want:
-        return fetched
-    keep = list(out.columns) + [
-        c for c in fetched.columns if c in want and c not in out.columns
-    ]
+        want = [c for c in doc_cols if c != "docid"]
+    want = [c for c in want if c in doc_cols]  # ES: unmapped names absent
+    # hits from the lookup queries (term/terms/range/exists) already carry
+    # the full docs row — keep only the non-doc columns (ids/score/fragment)
+    # and re-fetch the REQUESTED stored columns, so _source restricts the
+    # response the way ES does and the join is never ambiguous
+    pre = out.select(
+        *[c for c in out.columns if c == "docid" or c not in doc_cols]
+    )
+    fetched = fetch_docs(spark, index_root, pre)
+    keep = list(pre.columns) + [c for c in want if c not in pre.columns]
     return fetched.select(*keep)
 
 
@@ -401,6 +412,23 @@ def search(
         if kind == "term":
             val = fv["value"] if isinstance(fv, dict) else fv
             out = term_query(spark, index_root, fname, val, size=size + from_)
+        elif isinstance(fv, dict):
+            # ES terms LOOKUP: values come from a stored document's field —
+            # {"terms": {f: {"index": ..., "id": N, "path": "field"}}}. One
+            # docid point-read (row-group-pruned), then the plain terms
+            # query; the lookup doc lives in THIS index (cross-index lookup
+            # would need a second engine instance — pass values inline).
+            from es_indexer_spark.query.lookup import doc_lookup
+
+            rows = doc_lookup(spark, index_root, [int(fv["id"])]).collect()
+            if not rows:
+                raise ValueError(f"terms lookup doc {fv['id']!r} not found")
+            vals = rows[0][str(fv.get("path", fname))]
+            vals = vals if isinstance(vals, (list, tuple)) else [vals]
+            out = terms_query(
+                spark, index_root, fname, [x for x in vals if x is not None],
+                size=size + from_,
+            )
         else:
             out = terms_query(spark, index_root, fname, list(fv), size=size + from_)
     elif kind == "ids":

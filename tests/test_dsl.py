@@ -288,3 +288,18 @@ def test_highlight_section(spark, dsl_index, documents):
     assert [r.asDict() for r in rows] == [r.asDict() for r in want]
     with pytest.raises(ValueError, match="needs src_df"):
         search(spark, dsl_index, body)
+
+
+def test_terms_lookup(spark, dsl_index):
+    from es_indexer_spark.query.lookup import doc_lookup, terms_query
+
+    lang42 = doc_lookup(spark, dsl_index, [42]).collect()[0]["lang"]
+    _same(
+        search(spark, dsl_index, {
+            "query": {"terms": {"lang": {"id": 42, "path": "lang"}}},
+            "size": 500}),
+        terms_query(spark, dsl_index, "lang", [lang42], size=500),
+    )
+    with pytest.raises(ValueError, match="not found"):
+        search(spark, dsl_index, {
+            "query": {"terms": {"lang": {"id": 10**9}}}})
