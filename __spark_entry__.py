@@ -1329,6 +1329,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bool_msm"] = _bool_msm
     q["bool_msm_pct"] = _bool_msm_pct
 
+    # ---- round 5f: the remaining ES bool leaf kinds (query/boolean.py) ----------
+    def _bool_must_phrase(spark, sf):
+        # SCORED match_phrase in must context (Lucene PhraseQuery): required
+        # AND contributing boost x sum(idf) x saturated phrase_tf, next to an
+        # optional scored term
+        from es_indexer_spark.query.boolean import bool_query
+
+        return bool_query(
+            spark, _index_root(spark, sf),
+            must_phrase=["data stream"], should=["customer"], k=10,
+        ).select(F.col("docid").alias("doc_id"), F.round("score", 4).alias("score"))
+
+    def _bool_terms_const(spark, sf):
+        # ES `terms` leaf in should context: Lucene TermInSetQuery under the
+        # constant_score rewrite — +0.5 flat when the doc carries any value
+        from es_indexer_spark.query.boolean import bool_query
+
+        return bool_query(
+            spark, _index_root(spark, sf),
+            must=["customer"], should_terms=[(["spark", "flink"], 0.5)], k=10,
+        ).select(F.col("docid").alias("doc_id"), F.round("score", 4).alias("score"))
+
+    def _bool_wildcard_leaf(spark, sf):
+        # ES `wildcard` leaf in should context: dictionary expansion (top-50
+        # by df) into a constant-score group, Lucene's constant_score rewrite
+        from es_indexer_spark.query.boolean import bool_query
+
+        return bool_query(
+            spark, _index_root(spark, sf),
+            must=["window"], should_wildcard=[("spar*", 0.5)], k=10,
+        ).select(F.col("docid").alias("doc_id"), F.round("score", 4).alias("score"))
+
+    def _bool_term_leaf(spark, sf):
+        # ES `term` leaves (raw index terms, no analysis chain), scored like
+        # TermQuery: must singleton + boosted should
+        from es_indexer_spark.query.boolean import bool_query
+
+        return bool_query(
+            spark, _index_root(spark, sf),
+            must_raw=["spark"], should_raw=[("join", 0.5)], k=10,
+        ).select(F.col("docid").alias("doc_id"), F.round("score", 4).alias("score"))
+
+    def _bool_filter_terms(spark, sf):
+        # ES bool.filter(terms) on a stored keyword field: membership pushed
+        # into the docs-store scan (isin), required, non-scoring
+        from es_indexer_spark.query.boolean import bool_query
+
+        return bool_query(
+            spark, _index_root(spark, sf),
+            must=["data"], filter_fields=[("lang", ["en", "fr"])], k=10,
+        ).select(F.col("docid").alias("doc_id"), F.round("score", 4).alias("score"))
+
+    q["bool_must_phrase"] = _bool_must_phrase
+    q["bool_terms_const"] = _bool_terms_const
+    q["bool_wildcard_leaf"] = _bool_wildcard_leaf
+    q["bool_term_leaf"] = _bool_term_leaf
+    q["bool_filter_terms"] = _bool_filter_terms
+
     # round 5: Lucene classic query_string — the full syntax in ONE query
     # (AND/must, -must_not, ^boost, trailing-* prefix expansion
     # (rewrite=scoring_boolean), quoted-phrase filter, field/range/_exists_
@@ -2752,6 +2810,94 @@ FROM raw r JOIN documents d USING (doc_id)
 ORDER BY d.n_chars DESC, r.score_raw DESC, r.doc_id ASC LIMIT 15 OFFSET 15
 """
     o["bool_filter_term"] = _bool_sql(must=["data"], rng="lang = 'en'")
+    # round 5f: bool.filter(terms) = stored-field membership (same rng slot)
+    o["bool_filter_terms"] = _bool_sql(must=["data"], rng="lang IN ('en', 'fr')")
+    # round 5f: raw `term` leaves score exactly like their analyzed twins for
+    # plain lowercase tokens (TermQuery BM25 + clause boost)
+    o["bool_term_leaf"] = _bool_sql(
+        must=["spark"], should=["join"], weights={"join": 0.5}
+    )
+    # round 5f: scored must match_phrase ('data stream') + optional 'customer'
+    # term: score = (idf_data + idf_stream) * sat(phrase_tf) [required]
+    #             + idf_customer * sat(tf_customer) [when present]
+    o["bool_must_phrase"] = """
+WITH toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+               FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT sum(len(t)) FROM toksl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+dfs AS (SELECT (SELECT count(*) FROM toksl WHERE list_contains(t, 'data'))::DOUBLE AS df1,
+               (SELECT count(*) FROM toksl WHERE list_contains(t, 'stream'))::DOUBLE AS df2,
+               (SELECT count(*) FROM toksl WHERE list_contains(t, 'customer'))::DOUBLE AS df3),
+pf AS (SELECT doc_id, len(t)::DOUBLE AS dl,
+              len([i for i in range(1, len(t)) if t[i] = 'data' AND t[i+1] = 'stream']) AS ptf,
+              len(list_filter(t, x -> x = 'customer'))::DOUBLE AS tfc
+       FROM toksl)
+SELECT doc_id,
+       round((ln(1 + (st.n - dfs.df1 + 0.5) / (dfs.df1 + 0.5))
+            + ln(1 + (st.n - dfs.df2 + 0.5) / (dfs.df2 + 0.5)))
+             * ptf * 2.2 / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl))
+           + CASE WHEN tfc > 0 THEN
+               ln(1 + (st.n - dfs.df3 + 0.5) / (dfs.df3 + 0.5))
+               * tfc * 2.2 / (tfc + 1.2 * (0.25 + 0.75 * dl / st.avgdl))
+             ELSE 0 END, 4) AS score
+FROM pf CROSS JOIN st CROSS JOIN dfs WHERE ptf > 0
+ORDER BY (ln(1 + (st.n - dfs.df1 + 0.5) / (dfs.df1 + 0.5))
+            + ln(1 + (st.n - dfs.df2 + 0.5) / (dfs.df2 + 0.5)))
+             * ptf * 2.2 / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl))
+           + CASE WHEN tfc > 0 THEN
+               ln(1 + (st.n - dfs.df3 + 0.5) / (dfs.df3 + 0.5))
+               * tfc * 2.2 / (tfc + 1.2 * (0.25 + 0.75 * dl / st.avgdl))
+             ELSE 0 END DESC, doc_id ASC LIMIT 10
+"""
+    # round 5f: should_terms constant-score group: must BM25 + 0.5 flat when
+    # the doc carries 'spark' or 'flink' (TermInSetQuery constant_score)
+    o["bool_terms_const"] = """
+WITH toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+               FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT sum(len(t)) FROM toksl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+dfs AS (SELECT (SELECT count(*) FROM toksl WHERE list_contains(t, 'customer'))::DOUBLE AS dfc),
+pf AS (SELECT doc_id, len(t)::DOUBLE AS dl,
+              len(list_filter(t, x -> x = 'customer'))::DOUBLE AS tfc,
+              CASE WHEN list_contains(t, 'spark') OR list_contains(t, 'flink')
+                   THEN 0.5 ELSE 0 END AS const_add
+       FROM toksl)
+SELECT doc_id,
+       round(ln(1 + (st.n - dfs.dfc + 0.5) / (dfs.dfc + 0.5))
+             * tfc * 2.2 / (tfc + 1.2 * (0.25 + 0.75 * dl / st.avgdl))
+           + const_add, 4) AS score
+FROM pf CROSS JOIN st CROSS JOIN dfs WHERE tfc > 0
+ORDER BY ln(1 + (st.n - dfs.dfc + 0.5) / (dfs.dfc + 0.5))
+             * tfc * 2.2 / (tfc + 1.2 * (0.25 + 0.75 * dl / st.avgdl))
+           + const_add DESC, doc_id ASC LIMIT 10
+"""
+    # round 5f: should_wildcard 'spar*' constant-score group — expansion =
+    # top-50 dictionary terms by df matching the pattern (the standalone
+    # wildcard_query expansion), +0.5 flat when the doc carries any of them
+    o["bool_wildcard_leaf"] = """
+WITH toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+               FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT sum(len(t)) FROM toksl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+dfs AS (SELECT (SELECT count(*) FROM toksl WHERE list_contains(t, 'window'))::DOUBLE AS dfw),
+exp AS (SELECT term FROM (SELECT term, count(*) AS df
+                          FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toksl)
+                          WHERE term LIKE 'spar%' GROUP BY term)
+        ORDER BY df DESC, term ASC LIMIT 50),
+el AS (SELECT list(term) AS el FROM exp),
+pf AS (SELECT doc_id, len(t)::DOUBLE AS dl,
+              len(list_filter(t, x -> x = 'window'))::DOUBLE AS tfw,
+              CASE WHEN list_has_any(t, el.el) THEN 0.5 ELSE 0 END AS const_add
+       FROM toksl CROSS JOIN el)
+SELECT doc_id,
+       round(ln(1 + (st.n - dfs.dfw + 0.5) / (dfs.dfw + 0.5))
+             * tfw * 2.2 / (tfw + 1.2 * (0.25 + 0.75 * dl / st.avgdl))
+           + const_add, 4) AS score
+FROM pf CROSS JOIN st CROSS JOIN dfs WHERE tfw > 0
+ORDER BY ln(1 + (st.n - dfs.dfw + 0.5) / (dfs.dfw + 0.5))
+             * tfw * 2.2 / (tfw + 1.2 * (0.25 + 0.75 * dl / st.avgdl))
+           + const_add DESC, doc_id ASC LIMIT 10
+"""
     # the DSL layer is pure translation: the body in queries() lowers to the
     # same bool as this oracle
     o["dsl_search"] = _bool_sql(

@@ -75,6 +75,10 @@ def _bool_shard_scorer(
     tomb: np.ndarray | None,
     msm: int = 0,
     phrase_slop: int = 0,
+    must_phrases: Sequence[tuple[list[str], float, int]] = (),
+    should_phrases: Sequence[tuple[list[str], float, int]] = (),
+    must_const: Sequence[tuple[list[str], float]] = (),
+    should_const: Sequence[tuple[list[str], float]] = (),
 ):
     """applyInPandas per-shard bool evaluator: decode -> numpy set algebra.
 
@@ -84,12 +88,28 @@ def _bool_shard_scorer(
     of its terms; ``msm`` counts matched should GROUPS per doc (Lucene
     counts clauses, not terms). ``idfs`` carries each term's idf already
     multiplied by its clause boost (and, for fuzzy expansions, the
-    similarity boost) — the scorer itself stays boost-agnostic."""
+    similarity boost) — the scorer itself stays boost-agnostic.
+
+    ``must_phrases`` / ``should_phrases``: SCORED phrase clauses (ES
+    ``match_phrase`` in must/should context — Lucene PhraseQuery), each
+    ``(terms, w, slop)`` where ``w`` is the clause boost × Σ idf(term)
+    already folded by the caller; contribution per doc is
+    ``w * sat(phrase_tf)`` with the standard BM25 saturation over the count
+    of matching start positions (query/phrase.py semantics — a one-clause
+    must bool is rank-identical to ``phrase_match``, pytest-pinned).
+
+    ``must_const`` / ``should_const``: constant-score any-of groups
+    ``(terms, boost)`` — the ES ``terms`` leaf (Lucene TermInSetQuery) and
+    ``wildcard`` leaf (constant_score rewrite) in bool context: a doc in the
+    group's doc-union contributes ``boost`` flat, required when must,
+    msm-counted when should."""
 
     scoring = sorted(
         {t for g in must_groups for t in g} | {t for g in should_groups for t in g}
     )
-    phrase_set = set(phrase)
+    # positions are needed for the filter phrase AND every scored phrase
+    dl_need = {t for p, _w, _s in list(must_phrases) + list(should_phrases) for t in p}
+    phrase_set = set(phrase) | dl_need
 
     def score(
         pdf: pd.DataFrame,
@@ -110,10 +130,15 @@ def _bool_shard_scorer(
         term_docs: dict[str, np.ndarray] = {}
         term_contrib: dict[str, np.ndarray] = {}
         term_keys: dict[str, np.ndarray] = {}  # packed docid<<32|pos, phrase terms
+        # doc-length map for scored-phrase saturation (every doc matching a
+        # phrase carries all its terms, so their postings cover the map)
+        dl_docs_parts: list[np.ndarray] = []
+        dl_len_parts: list[np.ndarray] = []
         for term, gg in pdf.groupby("term", sort=False):
             d_parts, c_parts, key_parts = [], [], []
             want_score = term in idfs and term in scoring
             want_pos = term in phrase_set
+            want_dl = term in dl_need
             for row in gg.itertuples(index=False):
                 d, t, l = decode_block(row.gaps, row.tfs, row.dls, row.first_docid)
                 d64 = d.astype(np.int64)
@@ -127,6 +152,9 @@ def _bool_shard_scorer(
                     if d64.size == 0:
                         continue
                 d_parts.append(d64)
+                if want_dl:
+                    dl_docs_parts.append(d64)
+                    dl_len_parts.append(l.astype(np.float64))
                 if want_pos:
                     doc_of_pos = np.repeat(d64, t.astype(np.int64))
                     key_parts.append((doc_of_pos << 32) | flat.astype(np.int64))
@@ -167,12 +195,50 @@ def _bool_shard_scorer(
                 return None
             return parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
 
-        # required conjunction: must groups + filter terms (a required group
-        # with no present term kills the shard — doc postings are shard-local,
-        # so absence here IS absence for these docids)
-        required = [[t] for t in dict.fromkeys(filt)] + must_groups
-        if required or phrase:
-            if any(t not in term_keys for t in phrase_set):
+        # doc-length lookup arrays for scored phrases (unique-first: dl is
+        # identical for a doc across all its posting rows)
+        if dl_docs_parts:
+            _dd = np.concatenate(dl_docs_parts)
+            _dv = np.concatenate(dl_len_parts)
+            _o = np.argsort(_dd, kind="stable")
+            dl_docs, _ix = np.unique(_dd[_o], return_index=True)
+            dl_vals = _dv[_o][_ix]
+        else:
+            dl_docs = dl_vals = None
+
+        def phrase_hits(
+            p_terms: list[str], w: float, p_slop: int
+        ) -> tuple[np.ndarray, np.ndarray] | None:
+            """(matching docids, per-doc contribution) of one scored phrase
+            clause, or None when it matches nothing in this shard."""
+            if any(t not in term_keys for t in p_terms):
+                return None
+            pk = _chain_starts(term_keys, p_terms, p_slop)
+            if pk.size == 0:
+                return None
+            pdocs, ptf = np.unique(pk >> 32, return_counts=True)
+            dlv = dl_vals[np.searchsorted(dl_docs, pdocs)]
+            tf = ptf.astype(np.float64)
+            return pdocs, w * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * dlv / avgdl)
+            )
+
+        mp_hits = [phrase_hits(*p) for p in must_phrases]
+        if any(h is None for h in mp_hits):
+            return empty
+        sp_hits = [h for h in (phrase_hits(*p) for p in should_phrases) if h]
+
+        # required conjunction: must groups + filter terms + constant-score
+        # must groups (a required group with no present term kills the shard —
+        # doc postings are shard-local, so absence here IS absence for these
+        # docids)
+        required = (
+            [[t] for t in dict.fromkeys(filt)]
+            + must_groups
+            + [list(g) for g, _w in must_const]
+        )
+        if required or phrase or mp_hits:
+            if any(t not in term_keys for t in phrase):
                 return empty
             cand: np.ndarray | None = None
             for grp in required:
@@ -192,6 +258,11 @@ def _bool_shard_scorer(
                     return empty
                 pdocs = np.unique(pk >> 32)
                 cand = pdocs if cand is None else np.intersect1d(cand, pdocs)
+            for pdocs, _contrib in mp_hits:
+                # scored must phrases are required context too
+                cand = pdocs if cand is None else np.intersect1d(cand, pdocs)
+                if cand.size == 0:
+                    return empty
             if allowed is not None:
                 cand = np.intersect1d(cand, allowed)
         elif allowed is not None:
@@ -204,6 +275,12 @@ def _bool_shard_scorer(
             # enforced uniformly below
             parts = [
                 gd for gd in (group_docs(g) for g in should_groups) if gd is not None
+            ]
+            parts += [pdocs for pdocs, _c in sp_hits]
+            parts += [
+                gd
+                for gd in (group_docs(g) for g, _w in should_const)
+                if gd is not None
             ]
             if not parts:
                 return empty
@@ -218,10 +295,17 @@ def _bool_shard_scorer(
                 if cand.size == 0:
                     return empty
 
-        # minimum_should_match: count matched should GROUPS per candidate
+        # minimum_should_match: count matched should CLAUSES per candidate
+        # (term groups, scored phrases, and constant-score groups all count)
         if msm > 0:
             cnt = np.zeros(cand.size, dtype=np.int64)
             for grp in should_groups:
+                gd = group_docs(grp)
+                if gd is not None:
+                    cnt += _sorted_member(gd, cand)
+            for pdocs, _c in sp_hits:
+                cnt += _sorted_member(pdocs, cand)
+            for grp, _w in should_const:
                 gd = group_docs(grp)
                 if gd is not None:
                     cnt += _sorted_member(gd, cand)
@@ -238,6 +322,13 @@ def _bool_shard_scorer(
             hit = _sorted_member(docs, cand)
             idx = np.searchsorted(docs, cand[hit])
             scores[hit] += term_contrib[t][idx]
+        for pdocs, contrib in list(mp_hits) + sp_hits:
+            hit = _sorted_member(pdocs, cand)
+            scores[hit] += contrib[np.searchsorted(pdocs, cand[hit])]
+        for grp, boost in list(must_const) + list(should_const):
+            gd = group_docs(grp)
+            if gd is not None:
+                scores += boost * _sorted_member(gd, cand)
 
         if cand.size > k:
             order = np.lexsort((cand, -scores))[:k]
@@ -308,6 +399,15 @@ def bool_query(
     must_prefix: Sequence[str | tuple[str, float]] = (),
     should_prefix: Sequence[str | tuple[str, float]] = (),
     filter_exists: Sequence[str] = (),
+    must_raw: Sequence[str | tuple] = (),
+    should_raw: Sequence[str | tuple] = (),
+    must_terms: Sequence[Sequence[str] | tuple] = (),
+    should_terms: Sequence[Sequence[str] | tuple] = (),
+    must_wildcard: Sequence[str | tuple[str, float]] = (),
+    should_wildcard: Sequence[str | tuple[str, float]] = (),
+    must_phrase: Sequence[str | tuple] = (),
+    should_phrase: Sequence[str | tuple] = (),
+    must_not_raw: Sequence[str] = (),
 ) -> DataFrame:
     """Top-k (docid, score) under ES bool semantics. Each clause is a query
     string run through the document analysis chain (so a multi-word ``must``
@@ -353,7 +453,34 @@ def bool_query(
     (docid // shard_size) and COGROUP with the postings blocks — so the
     filter set flows shard-partitioned through the same single shuffle as
     the blocks, never through the driver or a broadcast, no matter how many
-    docs pass the range."""
+    docs pass the range.
+
+    Round-5 clause broadening (the remaining ES bool leaf kinds):
+
+    - ``must_raw`` / ``should_raw``: RAW index terms, skipping the analysis
+      chain — the ES ``term`` leaf in scoring context (Lucene TermQuery
+      scores BM25 on the exact indexed term). Entries: ``"term"`` |
+      ``("term", boost)`` | ``([t1, t2, ...], boost)`` (any-of group).
+    - ``must_terms`` / ``should_terms``: the ES ``terms`` leaf — Lucene
+      TermInSetQuery under its constant_score rewrite: a doc containing ANY
+      of the raw values contributes ``boost`` flat (required when must,
+      msm-counted when should). Entries: ``[values]`` | ``([values], boost)``.
+    - ``must_wildcard`` / ``should_wildcard``: ES ``wildcard`` leaves —
+      pattern expanded against the term-sorted dictionary (literal prefix
+      pushed as a startswith range, top ``max_expansions`` by df, exactly
+      the standalone ``wildcard_query`` expansion) into a constant-score
+      group, Lucene's default constant_score multi-term rewrite.
+    - ``must_phrase`` / ``should_phrase``: SCORED ``match_phrase`` clauses
+      (Lucene PhraseQuery): contribution = boost × Σ idf(term) ×
+      ``phrase_tf``-saturated BM25 tf factor, where phrase_tf counts the
+      matching start positions (ordered greedy-chain slop semantics, same as
+      ``phrase_match``; a one-clause must bool is rank-identical to it,
+      pytest-pinned). Entries: ``"a b"`` | ``("a b", boost)`` |
+      ``("a b", boost, slop)``.
+    - ``must_not_raw``: raw excluded terms (ES ``must_not: {term: ...}``).
+    - ``filter_fields`` values may be LISTS — the ES ``bool.filter(terms)``
+      shape on a stored keyword field: membership (isin) pushed into the
+      same docs-store scan as every other doc-level filter."""
     vdir = catalog.resolve(index_root)
     stats = catalog.read_stats(vdir)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
@@ -474,6 +601,98 @@ def bool_query(
         for t, b_ in w.items():
             weight[t] = weight.get(t, 0.0) + b_
 
+    def _values_boost(q, *, group: bool) -> tuple[list[str], float]:
+        """Normalize a raw (unanalyzed) clause entry. ``group=True`` reads
+        the ES ``terms``-leaf shapes ``[values]`` / ``([values], boost)``;
+        ``group=False`` the ``term``-leaf shapes ``"t"`` / ``("t", boost)``
+        / ``([t1, t2], boost)`` (any-of)."""
+        if group:
+            if (
+                isinstance(q, (tuple, list))
+                and len(q) == 2
+                and isinstance(q[0], (list, tuple))
+            ):
+                return [str(t) for t in q[0]], float(q[1])
+            return [str(t) for t in q], 1.0
+        if isinstance(q, (tuple, list)):
+            vals = q[0] if isinstance(q[0], (list, tuple)) else [q[0]]
+            return [str(t) for t in vals], float(q[1])
+        return [str(q)], 1.0
+
+    # ES `term` leaves in scoring context: raw index terms, scored (Lucene
+    # TermQuery) — same group machinery, just no analysis chain
+    for q in must_raw:
+        g, bq = _values_boost(q, group=False)
+        must_groups.append(g)
+        for t in g:
+            weight[t] = weight.get(t, 0.0) + bq
+    for q in should_raw:
+        g, bq = _values_boost(q, group=False)
+        should_groups.append(g)
+        for t in g:
+            weight[t] = weight.get(t, 0.0) + bq
+
+    # ES `terms` leaves: constant-score any-of value groups
+    m_const = [_values_boost(q, group=True) for q in must_terms]
+    s_const = [_values_boost(q, group=True) for q in should_terms]
+
+    def wildcard_groups(qs) -> list[tuple[list[str], float]]:
+        """Expand each wildcard pattern against the dictionary into a
+        constant-score group — the standalone ``wildcard_query`` expansion
+        (literal prefix pushed as a startswith range over the term-sorted
+        dict parquet, top ``max_expansions`` by df)."""
+        if not qs:
+            return []
+        import re as _re
+
+        from es_indexer_spark.query.engine import _dict_df
+        from es_indexer_spark.query.suggest import wildcard_pattern_to_regex
+
+        out: list[tuple[list[str], float]] = []
+        for q in qs:
+            pat, boost = clause(q)
+            p = pat.lower()
+            d = _dict_df(spark, vdir)
+            lit = _re.match(r"^[^*?]*", p).group(0)
+            if lit:
+                d = d.filter(F.col("term").startswith(lit))
+            rows = (
+                d.filter(F.col("term").rlike(wildcard_pattern_to_regex(p)))
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(int(max_expansions))
+                .collect()
+            )
+            out.append(([r["term"] for r in rows], boost))
+        return out
+
+    m_const += wildcard_groups(must_wildcard)
+    s_const += wildcard_groups(should_wildcard)
+
+    def phrase_clauses(qs) -> list[tuple[list[str], float, int]]:
+        """Analyze each scored match_phrase clause: ``"a b"`` |
+        ``("a b", boost)`` | ``("a b", boost, slop)`` → (terms, boost, slop);
+        the code chain's trailing lang marker becomes filter context."""
+        out: list[tuple[list[str], float, int]] = []
+        for q in qs:
+            if isinstance(q, (tuple, list)):
+                text = str(q[0])
+                pboost = float(q[1]) if len(q) > 1 else 1.0
+                pslop = int(q[2]) if len(q) > 2 else 0
+            else:
+                text, pboost, pslop = str(q), 1.0, 0
+            ts = tokenize_one(text, stats["tokenizer"], lang=lang)
+            ts, marker = split_lang_marker(ts)
+            if marker is not None:
+                filt_extra.append(marker)
+            out.append((ts, pboost, pslop))
+        return out
+
+    m_phr = phrase_clauses(must_phrase)
+    s_phr = [p for p in phrase_clauses(should_phrase) if p[0]]
+    if any(not p[0] for p in m_phr):
+        # a must phrase that analyzes to nothing rewrites to MatchNoDocs
+        return spark.createDataFrame([], _SCORE_SCHEMA)
+
     def toks(qs: Sequence[str]) -> list[str]:
         out: list[str] = []
         for q in qs:
@@ -482,7 +701,8 @@ def bool_query(
 
     must_t = sorted({t for g in must_groups for t in g})
     should_t = sorted({t for g in should_groups for t in g})
-    not_t, filt_t = toks(must_not), sorted(set(toks(filter_terms)) | set(filt_extra))
+    not_t = sorted(set(toks(must_not)) | {str(t) for t in must_not_raw})
+    filt_t = sorted(set(toks(filter_terms)) | set(filt_extra))
     # a REQUIRED fuzzy clause whose expansion came back empty can match
     # nothing (ES: the clause query rewrites to MatchNoDocs)
     if any(not g for g in must_groups):
@@ -499,10 +719,13 @@ def bool_query(
         phrase_t, _marker = split_lang_marker(phrase_t)
         if _marker and _marker not in filt_t:
             filt_t = sorted(set(filt_t) | {_marker})
-    if phrase_t and not stats.get("positions"):
+    if (phrase_t or m_phr or s_phr) and not stats.get("positions"):
         raise ValueError(
             f"index at {index_root} was built without store_positions=True"
         )
+    const_t = sorted({t for g, _w in m_const + s_const for t in g})
+    mphr_t = sorted({t for p, _w, _s in m_phr for t in p})
+    sphr_t = sorted({t for p, _w, _s in s_phr for t in p})
     rng_df = None
     doc_preds = []
     if filter_range is not None:
@@ -519,8 +742,12 @@ def bool_query(
     for fld, val in filter_fields:
         # ES bool.filter(term) on a stored keyword field — equality pushed
         # into the same docs-store scan as the range bounds (one scan, one
-        # cogroup set, no matter how many doc-level filters stack)
-        doc_preds.append(F.col(fld) == F.lit(val))
+        # cogroup set, no matter how many doc-level filters stack); a LIST
+        # value is the ES bool.filter(terms) shape — membership, same scan
+        if isinstance(val, (list, tuple, set, frozenset)):
+            doc_preds.append(F.col(fld).isin(list(val)))
+        else:
+            doc_preds.append(F.col(fld) == F.lit(val))
     if doc_preds:
         from es_indexer_spark.index.tombstones import filter_live
 
@@ -541,7 +768,8 @@ def bool_query(
             .cast("long")
             .alias("shard"),
         )
-    if not (must_t or should_t or filt_t or phrase_t or not_t):
+    extra_t = const_t or mphr_t or sphr_t
+    if not (must_t or should_t or filt_t or phrase_t or not_t or extra_t):
         if rng_df is None:
             return spark.createDataFrame([], _SCORE_SCHEMA)
         # filter(range) with NO term clause at all: constant-score match of
@@ -550,35 +778,62 @@ def bool_query(
         # applies — it must never be silently dropped.)
         out = rng_df.select("docid", F.lit(0.0).alias("score"))
         return out if k is None else out.orderBy(F.asc("docid")).limit(k)
-    if not (must_t or should_t or filt_t or phrase_t) and rng_df is None:
+    if not (must_t or should_t or filt_t or phrase_t or extra_t) and rng_df is None:
         # must_not alone: nothing to exclude from (documented empty result)
         return spark.createDataFrame([], _SCORE_SCHEMA)
 
-    all_terms = sorted(set(must_t) | set(should_t) | set(not_t) | set(filt_t) | set(phrase_t))
+    all_terms = sorted(
+        set(must_t) | set(should_t) | set(not_t) | set(filt_t) | set(phrase_t)
+        | set(const_t) | set(mphr_t) | set(sphr_t)
+    )
     from es_indexer_spark.query.engine import _dict_lookup, _load_blocks
 
     dict_rows = _dict_lookup(spark, vdir, all_terms)
     found = {r["term"]: r for r in dict_rows}
     # an absent required term / fully-absent required group -> no results
-    if any(t not in found for t in filt_t + phrase_t):
+    if any(t not in found for t in filt_t + phrase_t + mphr_t):
         return spark.createDataFrame([], _SCORE_SCHEMA)
     if any(all(t not in found for t in g) for g in must_groups):
+        return spark.createDataFrame([], _SCORE_SCHEMA)
+    if any(all(t not in found for t in g) for g, _w in m_const):
+        # a required constant-score group (terms / wildcard leaf) with no
+        # present expansion rewrites to MatchNoDocs
         return spark.createDataFrame([], _SCORE_SCHEMA)
     idfs = {
         t: weight.get(t, 1.0) * lucene_idf(n_docs, found[t]["df"])
         for t in set(must_t) | set(should_t)
         if t in found
     }
+
+    def fold_phrases(ps) -> list[tuple[list[str], float, int]]:
+        """Fold boost × Σ idf into each phrase clause's weight (Lucene
+        PhraseQuery: the summed idf of the phrase terms); a should clause
+        with an absent term can never match — dropped (its msm count slot
+        stays in the denominator, as in Lucene)."""
+        out = []
+        for terms, pboost, pslop in ps:
+            if not all(t in found for t in terms):
+                continue
+            w = pboost * sum(lucene_idf(n_docs, found[t]["df"]) for t in terms)
+            out.append((terms, w, pslop))
+        return out
+
+    m_phr_f = fold_phrases(m_phr)
+    s_phr_f = fold_phrases(s_phr)
     # resolve minimum_should_match: Lucene default is 1 for a pure-should
     # bool, 0 once any required context (must/filter/phrase/range) exists
-    has_required = bool(must_groups or filt_t or phrase_t or rng_df is not None)
+    has_required = bool(
+        must_groups or filt_t or phrase_t or rng_df is not None
+        or m_phr or m_const
+    )
+    n_should_clauses = len(should_groups) + len(s_phr) + len(s_const)
     if minimum_should_match is None:
-        msm = 0 if has_required or not should_groups else 1
+        msm = 0 if has_required or not n_should_clauses else 1
     else:
         msm = parse_minimum_should_match(
-            minimum_should_match, len(should_groups)
+            minimum_should_match, n_should_clauses
         )
-        if msm > len(should_groups):
+        if msm > n_should_clauses:
             return spark.createDataFrame([], _SCORE_SCHEMA)
     # load postings for every clause's present terms (must_not included — the
     # exclusion set is derived shard-locally from its postings)
@@ -595,6 +850,10 @@ def bool_query(
         phrase_t,
         idfs, k1, b, shard_k, avgdl, tomb, msm,
         phrase_slop=int(filter_phrase_slop),
+        must_phrases=m_phr_f,
+        should_phrases=s_phr_f,
+        must_const=[([t for t in g if t in found], w) for g, w in m_const],
+        should_const=[([t for t in g if t in found], w) for g, w in s_const],
     )
     if present:
         buckets = sorted({found[t]["bucket"] for t in present})

@@ -78,6 +78,11 @@ def _bool_kwargs(spec: dict) -> dict:
         "must": [], "should": [], "must_not": [],
         "must_fuzzy": [], "should_fuzzy": [],
         "must_prefix": [], "should_prefix": [],
+        "must_raw": [], "should_raw": [],
+        "must_terms": [], "should_terms": [],
+        "must_wildcard": [], "should_wildcard": [],
+        "must_phrase": [], "should_phrase": [],
+        "must_not_raw": [],
         "filter_terms": [], "filter_fields": [], "filter_exists": [],
         "filter_range": [], "filter_phrase": None, "filter_phrase_slop": 0,
     }
@@ -101,9 +106,61 @@ def _bool_kwargs(spec: dict) -> dict:
             out[f"{dest}_prefix"].append(
                 (str(spec["value"]), float(spec.get("boost", 1.0)))
             )
+        elif kind == "term":
+            # raw index term, scored (Lucene TermQuery — no analysis chain)
+            fname, fv = _one(v, "term")
+            if isinstance(fv, dict):
+                out[f"{dest}_raw"].append(
+                    (str(fv["value"]), float(fv.get("boost", 1.0)))
+                )
+            else:
+                out[f"{dest}_raw"].append((str(fv), 1.0))
+        elif kind == "terms":
+            # Lucene TermInSetQuery: constant-score any-of value group; the
+            # optional "boost" key rides next to the field in ES syntax
+            tv = dict(v)
+            boost = float(tv.pop("boost", 1.0))
+            fname, vals = _one(tv, "terms")
+            out[f"{dest}_terms"].append(([str(x) for x in vals], boost))
+        elif kind == "wildcard":
+            fname, fspec = _one(v, "wildcard")
+            wspec = _field_query(fspec, "value")
+            out[f"{dest}_wildcard"].append(
+                (str(wspec["value"]), float(wspec.get("boost", 1.0)))
+            )
+        elif kind == "match_phrase":
+            # SCORED phrase clause (Lucene PhraseQuery semantics)
+            _fn, ps = _one(v, "match_phrase")
+            ps = _field_query(ps)
+            out[f"{dest}_phrase"].append(
+                (str(ps["query"]), float(ps.get("boost", 1.0)),
+                 int(ps.get("slop", 0)))
+            )
+        elif kind == "range":
+            # documented divergence: range/exists in scoring context are
+            # treated as filter context (required for must, unsupported for
+            # should) — ES would add a constant boost per matching doc
+            if dest != "must":
+                raise ValueError(
+                    "range in bool.should is not supported — move it to "
+                    "bool.filter (required) or bool.must"
+                )
+            fname, bounds = _one(v, "range")
+            out["filter_range"].append(
+                (fname, {k: b for k, b in bounds.items()
+                         if k in ("gt", "gte", "lt", "lte")})
+            )
+        elif kind == "exists":
+            if dest != "must":
+                raise ValueError(
+                    "exists in bool.should is not supported — move it to "
+                    "bool.filter (required) or bool.must"
+                )
+            out["filter_exists"].append(v["field"])
         else:
             raise ValueError(
-                f"bool.{dest} supports match/prefix leaves, got {kind!r}"
+                f"bool.{dest} supports match/match_phrase/term/terms/prefix/"
+                f"wildcard/range/exists leaves, got {kind!r}"
             )
 
     for dest in ("must", "should"):
@@ -112,8 +169,18 @@ def _bool_kwargs(spec: dict) -> dict:
             leaf(kind, v, dest)
     for q in _as_list(spec.get("must_not")):
         kind, v = _one(q, "bool.must_not entry")
+        if kind == "term":
+            fname, fv = _one(v, "term")
+            out["must_not_raw"].append(
+                str(fv["value"] if isinstance(fv, dict) else fv)
+            )
+            continue
+        if kind == "terms":
+            fname, vals = _one(v, "terms")
+            out["must_not_raw"].extend(str(x) for x in vals)
+            continue
         if kind != "match":
-            raise ValueError("bool.must_not supports match leaves")
+            raise ValueError("bool.must_not supports match/term/terms leaves")
         mspec = _field_query(v)
         if "query" not in mspec:
             _fn, fspec = _one(mspec, "match")
@@ -126,7 +193,11 @@ def _bool_kwargs(spec: dict) -> dict:
             val = fv["value"] if isinstance(fv, dict) else fv
             out["filter_fields"].append((fname, val))
         elif kind == "terms":
-            raise ValueError("bool.filter(terms) not supported — use several term filters")
+            # ES bool.filter(terms) on a stored keyword field: membership,
+            # pushed into the same docs-store scan (isin); values keep their
+            # type (numeric stored fields filter numerically)
+            fname, vals = _one(v, "terms")
+            out["filter_fields"].append((fname, list(vals)))
         elif kind == "range":
             fname, bounds = _one(v, "range")
             out["filter_range"].append(
@@ -149,7 +220,7 @@ def _bool_kwargs(spec: dict) -> dict:
                 mspec = _field_query(fspec)
             out["filter_terms"].append(str(mspec["query"]))
         else:
-            raise ValueError(f"bool.filter supports term/range/exists/match/match_phrase, got {kind!r}")
+            raise ValueError(f"bool.filter supports term/terms/range/exists/match/match_phrase, got {kind!r}")
     if spec.get("minimum_should_match") is not None:
         out["minimum_should_match"] = spec["minimum_should_match"]
     if len(fuzz) > 1:
