@@ -237,6 +237,119 @@ def _as_list(v) -> list:
     return v if isinstance(v, list) else [v]
 
 
+def _span_leaf(node: dict) -> str:
+    """One span clause -> its chain slot: ``span_term`` -> the term,
+    ``span_multi`` wrapping a ``prefix`` -> the ``pre*`` wildcard slot
+    (span_multi_near's expansion syntax)."""
+    kind, v = _one(node, "span clause")
+    if kind == "span_term":
+        _fn, tv = _one(v, "span_term")
+        return str(tv["value"] if isinstance(tv, dict) else tv)
+    if kind == "span_multi":
+        mk, mv = _one(v["match"], "span_multi.match")
+        if mk != "prefix":
+            raise ValueError("span_multi supports a prefix match")
+        _fn, pv = _one(mv, "prefix")
+        return str(pv["value"] if isinstance(pv, dict) else pv) + "*"
+    raise ValueError(f"span clause supports span_term/span_multi, got {kind!r}")
+
+
+def _span_parts(node: dict) -> tuple[list[str], int, bool]:
+    """A span node -> (clause slots, slop, in_order): a bare span_term /
+    span_multi is a one-clause exact span; span_near carries its knobs."""
+    kind, v = _one(node, "span node")
+    if kind == "span_near":
+        return (
+            [_span_leaf(c) for c in v["clauses"]],
+            int(v.get("slop", 0)),
+            bool(v.get("in_order", True)),
+        )
+    return [_span_leaf(node)], 0, True
+
+
+def _parse_fields_boosts(fields) -> dict[str, float]:
+    """ES ``fields`` list with optional ``name^boost`` carets -> weight map."""
+    out: dict[str, float] = {}
+    for f in fields:
+        name, _, bs = str(f).partition("^")
+        out[name] = float(bs) if bs else 1.0
+    return out
+
+
+def _distance_km(spec) -> float:
+    """ES distance string (``"200km"``, ``"5000m"``, ``"10mi"``, ``"3nmi"``)
+    or bare number (meters, the ES default unit) -> kilometers."""
+    if isinstance(spec, (int, float)):
+        return float(spec) / 1000.0
+    s = str(spec).strip().lower()
+    for suf, mul in (("nmi", 1.852), ("km", 1.0), ("mi", 1.609344),
+                     ("m", 0.001), ("yd", 0.0009144), ("ft", 0.0003048)):
+        if s.endswith(suf):
+            return float(s[: -len(suf)]) * mul
+    return float(s) / 1000.0
+
+
+def _elem_pred(path: str, node: dict):
+    """Compile the ``nested.query`` subset (term / range / exists / bool of
+    those) into a lambda over the array element for ``nested_query`` —
+    field names may carry the ES ``path.`` prefix."""
+    from pyspark.sql import functions as F
+
+    def strip(fname: str) -> str:
+        return fname[len(path) + 1:] if fname.startswith(path + ".") else fname
+
+    kind, v = _one(node, "nested query")
+    if kind == "term":
+        fname, fv = _one(v, "nested term")
+        val = fv["value"] if isinstance(fv, dict) else fv
+        f = strip(fname)
+        return lambda e: e[f] == F.lit(val)
+    if kind == "range":
+        fname, bounds = _one(v, "nested range")
+        f = strip(fname)
+        ops = {k: b for k, b in bounds.items() if k in ("gt", "gte", "lt", "lte")}
+
+        def pred(e):
+            c = F.lit(True)
+            if "gt" in ops:
+                c = c & (e[f] > F.lit(ops["gt"]))
+            if "gte" in ops:
+                c = c & (e[f] >= F.lit(ops["gte"]))
+            if "lt" in ops:
+                c = c & (e[f] < F.lit(ops["lt"]))
+            if "lte" in ops:
+                c = c & (e[f] <= F.lit(ops["lte"]))
+            return c
+
+        return pred
+    if kind == "exists":
+        f = strip(str(v["field"]))
+        return lambda e: e[f].isNotNull()
+    if kind == "bool":
+        musts = [_elem_pred(path, q) for q in _as_list(v.get("must"))]
+        musts += [_elem_pred(path, q) for q in _as_list(v.get("filter"))]
+        shoulds = [_elem_pred(path, q) for q in _as_list(v.get("should"))]
+        nots = [_elem_pred(path, q) for q in _as_list(v.get("must_not"))]
+
+        def pred(e):
+            c = F.lit(True)
+            for m in musts:
+                c = c & m(e)
+            if shoulds and not musts:
+                s = shoulds[0](e)
+                for sp in shoulds[1:]:
+                    s = s | sp(e)
+                c = c & s
+            for np_ in nots:
+                c = c & ~np_(e)
+            return c
+
+        return pred
+    raise ValueError(
+        f"nested query supports term/range/exists/bool leaves, got {kind!r}"
+    )
+
+
 def _fetch_fields(
     spark: SparkSession, index_root: str, body: dict, out: DataFrame
 ) -> DataFrame:
@@ -337,11 +450,25 @@ def search(
     src_df: DataFrame | None = None,
     src_id_col: str = "doc_id",
     src_text_col: str = "text",
+    geo_root: str | None = None,
+    shape_df: DataFrame | None = None,
+    nested_df: DataFrame | None = None,
+    queries_df: DataFrame | None = None,
 ) -> DataFrame:
     """Run an ES request body against the index. Returns the hits frame the
     matching engine function produces (``docid`` + ``score`` [+ sort / tf
     columns]). ``emb_df`` backs the ``knn`` section; ``more_like_this``
-    takes its like as raw text (fetch stored source text for a like._id)."""
+    takes its like as raw text (fetch stored source text for a like._id).
+
+    Non-postings backings (each raises by name when its query kind appears
+    without it): ``geo_root`` = a ``write_geo_index`` path for
+    ``geo_bounding_box`` / ``geo_distance`` (cell frames, not scored hits);
+    ``shape_df`` = a ``write_shape_index`` / ``assemble_shapes`` frame for
+    ``geo_shape``; ``nested_df`` = the table carrying the array-of-struct
+    column for ``nested`` (returns the filtered parent rows, ES filter
+    context); ``queries_df`` = the stored-query table for ``percolate``.
+    ``multi_match`` / ``combined_fields`` expect ``index_root`` to be a
+    ``build_multi_index`` layout."""
     from es_indexer_spark.query.boolean import bool_query
 
     if not isinstance(body, dict):
@@ -711,18 +838,221 @@ def search(
             str(mspec["query"]), k=size + from_, lang=lang,
         )
     elif kind == "span_near":
-        from es_indexer_spark.query.phrase import span_near
+        from es_indexer_spark.query.phrase import span_multi_near, span_near
 
-        clauses = []
-        for c in v["clauses"]:
-            ck, cv = _one(c, "span_near clause")
-            if ck != "span_term":
-                raise ValueError("span_near clauses support span_term leaves")
-            _fn, tv = _one(cv, "span_term")
-            clauses.append(str(tv["value"] if isinstance(tv, dict) else tv))
-        out = span_near(
-            spark, index_root, clauses, slop=int(v.get("slop", 0)),
-            in_order=bool(v.get("in_order", True)), k=size + from_, lang=lang,
+        clauses, slop, order = _span_parts({"span_near": v})
+        if any("*" in c for c in clauses):
+            # a span_multi clause: route through the expansion-slot chain
+            # (equals span_near exactly when no slot is a wildcard)
+            out = span_multi_near(
+                spark, index_root, clauses, slop=slop, in_order=order,
+                k=size + from_, lang=lang,
+            )
+        else:
+            out = span_near(
+                spark, index_root, clauses, slop=slop, in_order=order,
+                k=size + from_, lang=lang,
+            )
+    elif kind == "span_or":
+        from es_indexer_spark.query.phrase import span_or
+
+        out = span_or(
+            spark, index_root, [_span_leaf(c) for c in v["clauses"]],
+            k=size + from_, lang=lang,
+        )
+    elif kind == "span_not":
+        from es_indexer_spark.query.phrase import span_not
+
+        out = span_not(
+            spark, index_root, _span_leaf(v["include"]), _span_leaf(v["exclude"]),
+            pre=int(v.get("pre", v.get("dist", 0))),
+            post=int(v.get("post", v.get("dist", 0))),
+            k=size + from_, lang=lang,
+        )
+    elif kind == "span_first":
+        from es_indexer_spark.query.phrase import span_first
+
+        clauses, slop, order = _span_parts(v["match"])
+        out = span_first(
+            spark, index_root, clauses, int(v["end"]),
+            slop=slop, in_order=order, k=size + from_, lang=lang,
+        )
+    elif kind == "span_containing":
+        from es_indexer_spark.query.intervals import span_containing
+
+        big, bslop, _order = _span_parts(v["big"])
+        out = span_containing(
+            spark, index_root, big, _span_leaf(v["little"]),
+            slop=bslop, k=size + from_, lang=lang,
+        )
+    elif kind == "span_within":
+        from es_indexer_spark.query.intervals import span_within
+
+        big, bslop, _order = _span_parts(v["big"])
+        out = span_within(
+            spark, index_root, _span_leaf(v["little"]), big,
+            slop=bslop, k=size + from_, lang=lang,
+        )
+    elif kind == "terms_set":
+        from es_indexer_spark.query.compound import terms_set
+
+        fname, ts = _one(v, "terms_set")
+        if "minimum_should_match_field" in ts:
+            expr = str(ts["minimum_should_match_field"])
+        elif "minimum_should_match_script" in ts:
+            # Catalyst SQL expression in the Painless slot (the repo-wide
+            # script convention — runtime_mappings/script_score do the same)
+            expr = str(ts["minimum_should_match_script"]["source"])
+        else:
+            raise ValueError(
+                "terms_set needs minimum_should_match_field or "
+                "minimum_should_match_script"
+            )
+        out = terms_set(
+            spark, index_root, [str(x) for x in ts["terms"]],
+            minimum_should_match_expr=expr, k=size + from_, lang=lang,
+        )
+    elif kind == "match_bool_prefix":
+        from es_indexer_spark.query.compound import match_bool_prefix
+
+        mspec = _field_query(v)
+        if "query" not in mspec:
+            _fn, fspec = _one(mspec, "match_bool_prefix")
+            mspec = _field_query(fspec)
+        out = match_bool_prefix(
+            spark, index_root, str(mspec["query"]), k=size + from_,
+            max_expansions=int(mspec.get("max_expansions", 50)), lang=lang,
+        )
+    elif kind == "multi_match":
+        from es_indexer_spark.query.multifield import multi_match
+
+        mt = str(v.get("type", "most_fields"))
+        if mt == "bool_prefix":
+            from es_indexer_spark.query.compound import match_bool_prefix
+
+            out = match_bool_prefix(
+                spark, index_root, str(v["query"]), k=size + from_,
+                max_expansions=int(v.get("max_expansions", 50)), lang=lang,
+            )
+        else:
+            out = multi_match(
+                spark, index_root, str(v["query"]),
+                boosts=_parse_fields_boosts(v.get("fields") or []),
+                k=size + from_, match_type=mt,
+                tie_breaker=float(v.get("tie_breaker", 0.0)), lang=lang,
+            )
+    elif kind == "combined_fields":
+        from es_indexer_spark.query.multifield import combined_fields
+
+        out = combined_fields(
+            spark, index_root, str(v["query"]),
+            weights=_parse_fields_boosts(v.get("fields") or []),
+            k=size + from_, lang=lang,
+        )
+    elif kind == "geo_bounding_box":
+        from es_indexer_spark.ops.geoindex import geo_bbox_query
+
+        if geo_root is None:
+            raise ValueError(
+                "geo_bounding_box needs geo_root (a write_geo_index path)"
+            )
+        fname, gb = _one(
+            {k2: v2 for k2, v2 in v.items()
+             if k2 not in ("type", "validation_method")},
+            "geo_bounding_box",
+        )
+        tl, br = gb["top_left"], gb["bottom_right"]
+        out = geo_bbox_query(
+            spark, geo_root,
+            (float(tl["lon"]), float(br["lat"]),
+             float(br["lon"]), float(tl["lat"])),
+        )
+        return (
+            out.orderBy("collection", "month", "lon", "lat")
+            .offset(from_).limit(size)
+        )
+    elif kind == "geo_distance":
+        from es_indexer_spark.ops.geoindex import geo_distance_query
+
+        if geo_root is None:
+            raise ValueError(
+                "geo_distance needs geo_root (a write_geo_index path)"
+            )
+        pt_spec = {k2: v2 for k2, v2 in v.items()
+                   if k2 not in ("distance", "distance_type",
+                                 "validation_method")}
+        fname, pt = _one(pt_spec, "geo_distance point")
+        out = geo_distance_query(
+            spark, geo_root, float(pt["lon"]), float(pt["lat"]),
+            _distance_km(v["distance"]),
+        )
+        return (
+            out.orderBy("collection", "month", "lon", "lat")
+            .offset(from_).limit(size)
+        )
+    elif kind == "geo_shape":
+        from es_indexer_spark.ops.geoshape import shape_relate_polygon
+
+        if shape_df is None:
+            raise ValueError(
+                "geo_shape needs shape_df (a write_shape_index / "
+                "assemble_shapes frame)"
+            )
+        fname, gs = _one(v, "geo_shape")
+        shp = gs["shape"]
+        stype = str(shp.get("type", "")).lower()
+        if stype == "envelope":
+            (w, n), (e, s) = shp["coordinates"]
+            rings = [[(float(w), float(s)), (float(e), float(s)),
+                      (float(e), float(n)), (float(w), float(n))]]
+        elif stype == "polygon":
+            rings = [
+                [(float(x), float(y)) for x, y in ring]
+                for ring in shp["coordinates"]
+            ]
+        else:
+            raise ValueError(
+                f"geo_shape supports envelope/polygon query shapes, got "
+                f"{stype!r}"
+            )
+        out = shape_relate_polygon(
+            shape_df, rings, relation=str(gs.get("relation", "intersects")),
+        )
+        return out.orderBy("doc_id", "geom_idx").offset(from_).limit(size)
+    elif kind == "nested":
+        from es_indexer_spark.query.nested import nested_query
+
+        if nested_df is None:
+            raise ValueError(
+                "nested needs nested_df (the table carrying the "
+                "array-of-struct column)"
+            )
+        path = str(v["path"])
+        # ES filter context over parent rows: the full match set is returned
+        # (no scoring rank to truncate deterministically)
+        return nested_query(nested_df, path, _elem_pred(path, v["query"]))
+    elif kind == "percolate":
+        from es_indexer_spark.query.percolate import percolate
+
+        if queries_df is None:
+            raise ValueError(
+                "percolate needs queries_df (the stored-query table: "
+                "query_id + analyzed must/should/must_not arrays)"
+            )
+        docs = v.get("documents") or _as_list(v.get("document"))
+        if not docs:
+            raise ValueError("percolate needs document or documents")
+        field = str(v.get("field", "text"))
+        rows = [
+            {"doc_id": i, "text": str(d[field])} for i, d in enumerate(docs)
+        ]
+        cand = spark.createDataFrame(rows, "doc_id long, text string")
+        return percolate(queries_df, cand)
+    elif kind in ("has_child", "has_parent", "parent_id"):
+        raise ValueError(
+            f"{kind} joins two tables — call es_indexer_spark.query.nested."
+            f"{kind if kind != 'parent_id' else 'parent_id_query'} with the "
+            "parent and child DataFrames directly"
         )
     elif kind == "sparse_vector":
         from es_indexer_spark.query.sparsevec import sparse_vector_topk
