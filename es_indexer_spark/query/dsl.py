@@ -516,19 +516,53 @@ def search(
         return out.offset(from_) if from_ else out
 
     if body.get("sort"):
+        from es_indexer_spark.query.boolean import bool_query
         from es_indexer_spark.query.engine import topk_sorted
 
         kind, v = _one(qnode, "query")
-        if kind not in ("match", "match_all"):
-            raise ValueError("sort supports match / match_all queries")
+        qtext, matches = "", None
         if kind == "match":
             mspec = _field_query(v)
             if "query" not in mspec:
                 _fn, fspec = _one(mspec, "match")
                 mspec = _field_query(fspec)
             qtext = str(mspec["query"])
-        else:
+        elif kind == "match_all":
             qtext = ""
+        elif kind == "bool":
+            # ES with an explicit sort selects BY THE SORT KEY over the FULL
+            # match set — any k=None-capable query feeds its matches in
+            matches = bool_query(spark, index_root, k=None, lang=lang,
+                                 **_bool_kwargs(v))
+        elif kind == "match_phrase":
+            from es_indexer_spark.query.phrase import phrase_match
+
+            _fn, ps = _one(v, "match_phrase")
+            ps = _field_query(ps)
+            matches = phrase_match(
+                spark, index_root, str(ps["query"]), k=None,
+                slop=int(ps.get("slop", 0)), lang=lang,
+            )
+        elif kind == "term":
+            fname, fv = _one(v, "term")
+            val = fv["value"] if isinstance(fv, dict) else fv
+            matches = bool_query(spark, index_root, must_raw=[str(val)],
+                                 k=None, lang=lang)
+        elif kind == "range":
+            fname, bounds = _one(v, "range")
+            matches = bool_query(
+                spark, index_root, k=None, lang=lang,
+                filter_range=(fname, {kk: b for kk, b in bounds.items()
+                                      if kk in ("gt", "gte", "lt", "lte")}),
+            )
+        elif kind == "exists":
+            matches = bool_query(spark, index_root, k=None, lang=lang,
+                                 filter_exists=[str(v["field"])])
+        else:
+            raise ValueError(
+                "sort supports match/match_all/bool/match_phrase/term/"
+                f"range/exists queries, got {kind!r}"
+            )
         sort = []
         for s in _as_list(body["sort"]):
             if isinstance(s, str):
@@ -540,7 +574,7 @@ def search(
         out = topk_sorted(
             spark, index_root, qtext, sort=sort, k=size + from_,
             after=tuple(body["search_after"]) if body.get("search_after") else None,
-            lang=lang,
+            lang=lang, matches=matches,
         )
         return _finish(spark, index_root, body, out, from_, qnode,
                        src_df, src_id_col, src_text_col, lang)

@@ -886,6 +886,7 @@ def topk_sorted(
     k: int = 10,
     after: tuple | None = None,
     lang: str | None = None,
+    matches: DataFrame | None = None,
 ) -> DataFrame:
     """ES sort-by-field ranked search: ``sort=[("field", "asc"|"desc"), ...,
     "_score"]`` — the reference's uuid-sorted scan shape
@@ -930,7 +931,13 @@ def topk_sorted(
             levels.append((name, desc_, True))
     orders.append(F.asc("docid"))
     levels.append(("docid", False, False))
-    matches = topk(spark, index_root, query, k=None, lang=lang)
+    if matches is None:
+        matches = topk(spark, index_root, query, k=None, lang=lang)
+    else:
+        # caller-provided FULL match set (any k=None-capable query — the DSL
+        # sort section feeds bool/phrase/term-filter matches through here);
+        # only (docid, score) ride into the sort join
+        matches = matches.select("docid", "score")
     vdir = catalog.resolve(index_root)
     docs = spark.read.parquet(os.path.join(vdir, "docs")).select(
         "docid", *dict.fromkeys(fields)

@@ -270,3 +270,49 @@ def test_geo_shape_dispatch_envelope(spark, d2_index):
 def test_has_child_raises_by_name(spark, d2_index):
     with pytest.raises(ValueError, match="has_child"):
         search(spark, d2_index, {"query": {"has_child": {"type": "x"}}})
+
+
+def test_sort_over_bool_query(spark, d2_index):
+    from es_indexer_spark.query.boolean import bool_query
+    from es_indexer_spark.query.engine import topk_sorted
+
+    body = {"query": {"bool": {"must": [{"match": {"text": "data"}}],
+                               "filter": [{"range": {"n_chars": {"gte": 200}}}]}},
+            "sort": [{"n_chars": {"order": "desc"}}], "size": 6}
+    got = search(spark, d2_index, body)
+    matches = bool_query(spark, d2_index, must=["data"],
+                         filter_range=("n_chars", {"gte": 200}), k=None)
+    ref = topk_sorted(spark, d2_index, "", sort=[("n_chars", "desc")], k=6,
+                      matches=matches)
+    assert [(r["docid"], r["n_chars"]) for r in got.collect()] == \
+        [(r["docid"], r["n_chars"]) for r in ref.collect()]
+    assert got.count() == 6
+    vals = [r["n_chars"] for r in got.collect()]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_sort_over_term_and_range(spark, d2_index, documents):
+    body = {"query": {"range": {"n_chars": {"lt": 400}}},
+            "sort": [{"n_chars": {"order": "asc"}}], "size": 5}
+    got = [(r["docid"], r["n_chars"]) for r in search(spark, d2_index, body).collect()]
+    exp = [
+        (r["doc_id"], r["n_chars"])
+        for r in documents.filter("n_chars < 400")
+        .orderBy("n_chars", "doc_id").limit(5).collect()
+    ]
+    assert got == exp
+
+    body2 = {"query": {"term": {"text": "spark"}},
+             "sort": [{"n_chars": {"order": "asc"}}], "size": 5}
+    got2 = [r["docid"] for r in search(spark, d2_index, body2).collect()]
+    assert len(got2) == 5
+
+
+def test_sort_over_phrase(spark, d2_index):
+    from es_indexer_spark.query.phrase import phrase_match
+
+    body = {"query": {"match_phrase": {"text": "data stream"}},
+            "sort": [{"n_chars": {"order": "asc"}}], "size": 100}
+    got = {r["docid"] for r in search(spark, d2_index, body).collect()}
+    exp = {r["docid"] for r in phrase_match(spark, d2_index, "data stream", k=None).collect()}
+    assert got == exp and got
