@@ -11,21 +11,35 @@ Supported surface (each maps to a documented engine call):
 
 - queries: ``match_all`` / ``match`` (+``operator``/``fuzziness``/``boost``)
   / ``match_phrase`` (+``slop``) / ``match_phrase_prefix`` / ``term`` /
-  ``terms`` / ``ids`` / ``range`` / ``exists`` / ``prefix`` / ``wildcard`` /
-  ``regexp`` / ``fuzzy`` / ``bool`` (one level: must / should / must_not /
-  filter over the leaf types above) / ``simple_query_string`` /
-  ``query_string`` / ``dis_max`` / ``constant_score`` / ``boosting`` /
-  ``function_score`` (field_value_factor) / ``script_score`` /
-  ``rank_feature`` / ``distance_feature`` / ``pinned`` / ``more_like_this``
-  / ``span_near`` / ``intervals`` / ``percolate`` is its own API;
+  ``terms`` (inline + lookup form) / ``ids`` / ``range`` / ``exists`` /
+  ``prefix`` / ``wildcard`` / ``regexp`` / ``fuzzy`` / ``bool`` (one level:
+  must / should / must_not / filter over match / match_phrase (SCORED,
+  Lucene PhraseQuery) / term / terms / prefix / wildcard / range / exists
+  leaves) / ``simple_query_string`` / ``query_string`` / ``dis_max`` /
+  ``constant_score`` / ``boosting`` / ``function_score``
+  (field_value_factor) / ``script_score`` / ``rank_feature`` /
+  ``distance_feature`` / ``pinned`` / ``more_like_this`` / ``terms_set`` /
+  ``match_bool_prefix`` / ``multi_match`` / ``combined_fields`` (multi-field
+  index root) / ``span_near`` (span_term + span_multi(prefix) clauses) /
+  ``span_or`` / ``span_not`` / ``span_first`` / ``span_containing`` /
+  ``span_within`` / ``intervals`` / ``sparse_vector`` / ``wrapper`` /
+  ``match_none``;
+- DataFrame-backed kinds through named parameters: ``geo_bounding_box`` /
+  ``geo_distance`` (``geo_root``), ``geo_shape`` (``shape_df``), ``nested``
+  (``nested_df``, compiled element predicates), ``percolate``
+  (``queries_df`` + inline document);
 - the top-level ``knn`` section (needs ``emb_df``) — alone or next to
   ``query`` (ES hybrid: contributions summed);
-- ``size`` / ``from`` / ``sort`` (field dirs + ``_score``) /
-  ``search_after`` / ``min_score``. A ``rescore`` body raises and points at
-  ``rescore_phrase``; ``highlight`` lives in the highlight API; the
-  ``rank_feature``/``distance_feature`` dispatch takes the engine's combined
-  shape (a ``query`` string next to the feature spec — in ES these sit
-  inside a surrounding bool, which is the one-level-nesting case).
+- ``size`` / ``from`` / ``sort`` (field dirs + ``_score``; over match /
+  match_all / bool / match_phrase / term / range / exists matches) /
+  ``search_after`` / ``min_score`` / ``_source`` / ``fields`` /
+  ``highlight`` (match / match_phrase / term / bool). A ``rescore`` body
+  raises and points at ``rescore_phrase``; the ``rank_feature`` /
+  ``distance_feature`` dispatch takes the engine's combined shape (a
+  ``query`` string next to the feature spec — in ES these sit inside a
+  surrounding bool, which is the one-level-nesting case).
+  :func:`validate_query` is the ``_validate/query`` shape over the same
+  dispatch.
 
 Unsupported shapes raise ``ValueError`` naming the construct (nested bools
 beyond one level, per-field analyzers, scripted sorts) — never a silent
@@ -416,18 +430,44 @@ def _finish(
                 "stores postings, not source text"
             )
         kind, v = _one(qnode, "query")
-        if kind not in ("match", "match_phrase"):
-            raise ValueError("highlight supports match / match_phrase queries")
-        spec = _field_query(v)
-        if "query" not in spec:
-            _fn, fs = _one(spec, kind)
-            spec = _field_query(fs)
         from es_indexer_spark.analysis.tokenizer import tokenize_one
         from es_indexer_spark.index import catalog as _cat
         from es_indexer_spark.query.highlight import highlight_hits
 
         stats = _cat.read_stats(_cat.resolve(index_root))
-        terms = tokenize_one(str(spec["query"]), stats["tokenizer"], lang=lang)
+
+        def _texts(node) -> list[str]:
+            """Collect the highlightable clause texts of a query node: the
+            match / match_phrase / term texts (bool walks its scoring and
+            filter clauses — ES highlights every matched term)."""
+            nk, nv = _one(node, "highlight query")
+            if nk in ("match", "match_phrase"):
+                sp = _field_query(nv)
+                if "query" not in sp:
+                    _f, fs2 = _one(sp, nk)
+                    sp = _field_query(fs2)
+                return [str(sp["query"])]
+            if nk == "term":
+                _f, tv = _one(nv, "term")
+                return [str(tv["value"] if isinstance(tv, dict) else tv)]
+            if nk == "bool":
+                out2: list[str] = []
+                for sect in ("must", "should", "filter"):
+                    for c in _as_list(nv.get(sect)):
+                        ck, _cv = _one(c, f"bool.{sect}")
+                        if ck in ("match", "match_phrase", "term"):
+                            out2.extend(_texts(c))
+                return out2
+            raise ValueError(
+                "highlight supports match / match_phrase / term / bool "
+                f"queries, got {nk!r}"
+            )
+
+        terms = sorted({
+            t
+            for txt in _texts(qnode)
+            for t in tokenize_one(txt, stats["tokenizer"], lang=lang)
+        })
         out = highlight_hits(
             out, src_df, src_id_col, src_text_col, terms,
             fragment_size=int(hl.get("fragment_size", 160)),
@@ -1152,3 +1192,19 @@ def _knn_filter(f):
         ]
         return " AND ".join(preds)
     raise ValueError(f"knn.filter supports term/range, got {kind!r}")
+
+
+def validate_query(
+    spark: SparkSession, index_root: str, body: dict, **kwargs
+) -> dict:
+    """ES ``_validate/query``: check that the request body parses and
+    lowers onto the engine without executing it. Builds the (lazy) plan —
+    dictionary point-reads may run, the scoring job never does — and maps
+    any lowering failure to ``{"valid": False, "error": "<name>: <msg>"}``,
+    the ES ``explanations[].error`` shape. ``kwargs`` forward to
+    :func:`search` (emb_df / geo_root / nested_df / ... backings)."""
+    try:
+        search(spark, index_root, body, **kwargs)
+        return {"valid": True, "error": None}
+    except (ValueError, KeyError, TypeError) as e:
+        return {"valid": False, "error": f"{type(e).__name__}: {e}"}

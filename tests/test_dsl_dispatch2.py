@@ -316,3 +316,27 @@ def test_sort_over_phrase(spark, d2_index):
     got = {r["docid"] for r in search(spark, d2_index, body).collect()}
     exp = {r["docid"] for r in phrase_match(spark, d2_index, "data stream", k=None).collect()}
     assert got == exp and got
+
+
+def test_highlight_over_bool(spark, d2_index, documents):
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "data"}}],
+        "should": [{"term": {"text": "stream"}}],
+    }}, "size": 5, "highlight": {"fields": {"text": {}}}}
+    got = search(spark, d2_index, body, src_df=documents).collect()
+    assert got and all("<em>" in r["fragment"] for r in got)
+    # both the must term and the should term get tagged when present
+    assert any("<em>stream</em>" in r["fragment"] or "<em>data</em>" in r["fragment"]
+               for r in got)
+
+
+def test_validate_query_api(spark, d2_index):
+    from es_indexer_spark.query.dsl import validate_query
+
+    ok = validate_query(spark, d2_index, {"query": {"match": {"text": "data"}}})
+    assert ok == {"valid": True, "error": None}
+    bad = validate_query(spark, d2_index, {"query": {"frankenquery": {}}})
+    assert bad["valid"] is False and "frankenquery" in bad["error"]
+    missing = validate_query(spark, d2_index, {"query": {"nested": {
+        "path": "evs", "query": {"term": {"evs.k": "x"}}}}})
+    assert missing["valid"] is False and "nested_df" in missing["error"]
