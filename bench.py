@@ -198,6 +198,16 @@ def main() -> None:
             must=["def"], filter_phrase="return self", k=10,
         ).collect(),
     )
+    # round-5f leaves stacked: SCORED must phrase + raw term + constant-score
+    # wildcard group — same one-scan/one-Arrow-stage shape (PLANS.md §30)
+    timed(
+        "q_bool_leaves",
+        lambda: bool_query(
+            spark, os.path.join(work, "warm"),
+            must_phrase=["return self"], must_raw=["def"],
+            should_wildcard=[("sel*", 0.5)], k=10,
+        ).collect(),
+    )
     # multi_match over a two-field (path^3 + content) index; the field builds
     # are index-build work (untimed, same rule as build_ivf_index below)
     multi_root = os.path.join(work, "midx")

@@ -647,6 +647,38 @@ def main() -> int:
         ],
     ))
 
+    # 30. round 5f: bool with the broadened leaf kinds stacked — a SCORED
+    # must phrase + raw term + constant-score wildcard group + filter(terms)
+    # membership must keep the ONE-postings-scan / ONE-Arrow-stage shape:
+    # the new clause kinds ride the same dictionary lookup, the same pruned
+    # block scan, and the same per-shard evaluator (the filter(terms) doc
+    # set cogroups in like any doc-level filter — exactly 2 Exchanges:
+    # blocks + filter set, never one per clause kind)
+    p = formatted(bool_query(
+        spark, root,
+        must_phrase=["data stream"], must_raw=["customer"],
+        should_wildcard=[("wind*", 0.5)],
+        should_terms=[(["spark", "flink"], 0.5)],
+        filter_fields=[("lang", ["en", "fr"])], k=10,
+    ))
+    sections.append((
+        "bool round-5f leaves: scored phrase + raw/const groups + filter(terms), one Arrow stage",
+        p,
+        [
+            ("postings bucket dirs pruned", "PartitionFilters" in p and "bucket" in p),
+            ("term filter pushed to parquet", "PushedFilters" in p and "term" in p),
+            ("filter(terms) membership pushed (In / isin on lang)",
+             "lang" in p and ("In(lang" in p or "lang IN" in p or "In (lang" in p)),
+            ("single cogrouped Arrow stage",
+             len(re.findall(r"^\(\d+\) FlatMapCoGroupsInPandas", p, re.M)) == 1
+             and "FlatMapGroupsInPandas " not in p),
+            ("exactly 2 shuffles (blocks + doc-filter set)",
+             len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 2),
+            ("top-k merge, no global sort", "TakeOrderedAndProject" in p),
+            ("no cartesian", "CartesianProduct" not in p),
+        ],
+    ))
+
     failures = 0
     lines = [
         "# PLANS — physical-plan audit evidence",
