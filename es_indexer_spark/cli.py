@@ -80,7 +80,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "simple-qs", "rescore", "range", "sortquery", "geo-bbox",
                  "span-near", "suggest-fuzzy", "geo-shape",
                  "qs", "span-multi", "knn", "rrf", "percolate", "dsl",
-                 "scroll"],
+                 "scroll", "validate"],
     )
     p.add_argument("--pages", type=int, default=None,
                    help="scroll: max pages to emit (default: to exhaustion)")
@@ -579,6 +579,25 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 for r in hits.collect():
                     print(json.dumps(r.asDict(), default=str))
+        elif args.job == "validate":
+            # ES _validate/query over the same dispatch as the dsl job
+            from es_indexer_spark.query.dsl import validate_query
+
+            if not args.body:
+                print("--body required (JSON request body or @file)", file=sys.stderr)
+                return 2
+            raw = args.body
+            if raw.startswith("@"):
+                with open(raw[1:]) as fh:
+                    raw = fh.read()
+            emb = (
+                spark.read.parquet(args.emb_input) if args.emb_input else None
+            )
+            print(json.dumps(validate_query(
+                spark, args.index, json.loads(raw), emb_df=emb,
+                emb_id_col=args.vec_id_col, emb_vec_col=args.vec_col,
+                lang=args.lang,
+            )))
         elif args.job == "percolate":
             from es_indexer_spark.query.percolate import percolate
 

@@ -344,6 +344,7 @@ def knn_hybrid_topk(
     knn_boost: float = 1.0,
     filter_expr=None,
     lang: str | None = None,
+    matches: DataFrame | None = None,
 ) -> DataFrame:
     """ES hybrid retrieval: a ``query`` section and a ``knn`` section in ONE
     search request. Each side retrieves independently — the text side scores
@@ -353,13 +354,19 @@ def knn_hybrid_topk(
     one side contributes 0 for the other). knn ``_score`` is
     ``(1 + cosine)/2`` as in :func:`knn_search`.
 
+    ``matches``: a caller-provided FULL text match set (docid, score) from
+    any k=None-capable query — the DSL layer feeds bool bodies through here;
+    ``query`` is ignored then.
+
     Execution: unionByName of the two sparse contribution sets then ONE
     docid hash agg (map-side combined) — no full-outer join, so the text
     side's match set never shuffles against more than k vector rows.
     """
     from es_indexer_spark.query.boolean import bool_query
 
-    bm = bool_query(spark, index_root, should=[query], k=None, lang=lang).select(
+    if matches is None:
+        matches = bool_query(spark, index_root, should=[query], k=None, lang=lang)
+    bm = matches.select(
         "docid", (F.col("score") * F.lit(float(query_boost))).alias("s")
     )
     kn = knn_search(

@@ -542,16 +542,37 @@ def search(
             )
         else:
             kind, v = _one(qnode, "query")
-            if kind != "match":
-                raise ValueError("hybrid knn supports a match query section")
-            mspec = _field_query(v)
-            if "query" not in mspec:
-                _fn, fspec = _one(mspec, "match")
-                mspec = _field_query(fspec)
+            qtext, matches = "", None
+            if kind == "match":
+                mspec = _field_query(v)
+                if "query" not in mspec:
+                    _fn, fspec = _one(mspec, "match")
+                    mspec = _field_query(fspec)
+                qtext = str(mspec["query"])
+            elif kind == "bool":
+                # any k=None-capable query feeds its full match set in as
+                # the hybrid text side
+                matches = bool_query(spark, index_root, k=None, lang=lang,
+                                     **_bool_kwargs(v))
+            elif kind == "match_phrase":
+                from es_indexer_spark.query.phrase import phrase_match
+
+                _fn, ps = _one(v, "match_phrase")
+                ps = _field_query(ps)
+                matches = phrase_match(
+                    spark, index_root, str(ps["query"]), k=None,
+                    slop=int(ps.get("slop", 0)), lang=lang,
+                ).select("docid", "score")
+            else:
+                raise ValueError(
+                    "hybrid knn supports a match / bool / match_phrase "
+                    f"query section, got {kind!r}"
+                )
             out = knn_hybrid_topk(
-                spark, index_root, str(mspec["query"]), emb_df, emb_id_col,
+                spark, index_root, qtext, emb_df, emb_id_col,
                 emb_vec_col, qvec, k=size, knn_k=k,
                 knn_boost=float(knn_spec.get("boost", 1.0)), lang=lang,
+                matches=matches,
             )
         return out.offset(from_) if from_ else out
 

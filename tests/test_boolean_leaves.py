@@ -233,3 +233,23 @@ def test_pure_should_phrase_needs_one_match(spark, leaf_index):
     got = _run(spark, root, should_phrase=["data stream"], k=2000)
     exp = sorted(d for d, t in toks.items() if _phrase_tf(t, ["data", "stream"]))
     assert sorted(d for d, _s in got) == exp
+
+
+def test_single_token_phrase_equals_term_match(spark, leaf_index):
+    root, toks, _ = leaf_index
+    # phrase_tf of a one-term phrase IS the term tf — scores must be identical
+    assert _run(spark, root, must_phrase=["spark"], k=10) == _run(
+        spark, root, must=["spark"], k=10
+    )
+
+
+def test_empty_terms_group_matches_nothing(spark, leaf_index):
+    root, toks, _ = leaf_index
+    assert _run(spark, root, must_terms=[([], 1.0)], k=5) == []
+
+
+def test_partial_terms_group_matches_present_value(spark, leaf_index):
+    root, toks, _ = leaf_index
+    got = _run(spark, root, must_terms=[(["spark", "zzqqnope"], 1.0)], k=3000)
+    exp = sorted(d for d, t in toks.items() if "spark" in t)
+    assert sorted(d for d, _s in got) == exp

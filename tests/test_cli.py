@@ -320,3 +320,23 @@ def test_cli_round5_jobs(spark, tmp_path, capsys):
                "data,stream,batch,key", "--min-should-match", "3", "-k", "5"])
     assert rc == 0
     assert capsys.readouterr().out.strip() == pct and pct
+
+
+def test_cli_validate_job(spark, tmp_path, capsys):
+    root = str(tmp_path / "idx_val")
+    src = os.path.join(SF_DIR, "documents.parquet")
+    assert main(
+        ["--job", "build", "--input", src, "--index", root, "--content-col",
+         "text", "--id-col", "doc_id", "--tokenizer", "standard",
+         "--n-buckets", "4", "--ckpt-batches", "2"]
+    ) == 0
+    capsys.readouterr()
+    ok_body = json.dumps({"query": {"match": {"text": "data"}}})
+    assert main(["--job", "validate", "--index", root, "--body", ok_body]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out == {"valid": True, "error": None}
+    bad_body = json.dumps({"query": {"frankenquery": {}}})
+    assert main(["--job", "validate", "--index", root, "--body", bad_body]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["valid"] is False and "frankenquery" in out["error"]
+    assert main(["--job", "validate", "--index", root]) == 2

@@ -186,3 +186,46 @@ def test_rrf_fusion_brute(spark, emb, emb_np, ss_index):
         ((d, round(s, 8)) for d, s in comb.items()), key=lambda kv: (-kv[1], kv[0])
     )[:15]
     assert [(r["docid"], r["score"]) for r in got] == exp
+
+
+def test_knn_hybrid_over_bool_body(spark, emb, emb_np, ss_index):
+    """Round 5f: the DSL knn section next to a BOOL query — the text side is
+    the bool's FULL match set, combination unchanged (sum of boosted
+    contributions)."""
+    from es_indexer_spark.query.boolean import bool_query
+    from es_indexer_spark.query.dsl import search
+
+    q = emb_np[0][0].tolist()
+    body = {
+        "query": {"bool": {"must": [{"match": {"text": "data"}}],
+                           "should": [{"match": {"text": "stream"}}]}},
+        "knn": {"field": "embedding", "query_vector": q, "k": 5, "boost": 2.0},
+        "size": 8,
+    }
+    got = [
+        (r["docid"], round(r["score"], 6))
+        for r in search(spark, ss_index, body, emb_df=emb).collect()
+    ]
+    matches = bool_query(spark, ss_index, must=["data"], should=["stream"], k=None)
+    ref = [
+        (r["docid"], round(r["score"], 6))
+        for r in knn_hybrid_topk(
+            spark, ss_index, "", emb, "vec_id", "embedding", q,
+            k=8, knn_k=5, knn_boost=2.0, matches=matches,
+        ).collect()
+    ]
+    assert got == ref and got
+    # bm-only docs and knn-only docs both present (sparse union semantics)
+    bm_only = {d for d, _ in got}
+    assert bm_only
+
+
+def test_knn_hybrid_unsupported_section_raises(spark, emb, ss_index):
+    from es_indexer_spark.query.dsl import search
+
+    q = [0.0] * len(emb.select("embedding").first()["embedding"])
+    with pytest.raises(ValueError, match="hybrid knn"):
+        search(spark, ss_index, {
+            "query": {"wildcard": {"text": {"value": "spa*"}}},
+            "knn": {"field": "embedding", "query_vector": q, "k": 3},
+        }, emb_df=emb)
