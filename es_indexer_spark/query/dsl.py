@@ -34,7 +34,8 @@ Supported surface (each maps to a documented engine call):
   match_all / bool / match_phrase / term / range / exists matches) /
   ``search_after`` / ``min_score`` / ``_source`` / ``fields`` /
   ``highlight`` (match / match_phrase / term / bool). A ``rescore`` body
-  raises and points at ``rescore_phrase``; the ``rank_feature`` /
+  with a match main query + match_phrase rescore_query lowers onto
+  ``rescore_phrase`` (other shapes raise by name); the ``rank_feature`` /
   ``distance_feature`` dispatch takes the engine's combined shape (a
   ``query`` string next to the feature spec — in ES these sit inside a
   surrounding bool, which is the one-level-nesting case).
@@ -1186,9 +1187,37 @@ def search(
 
         out = out.filter(F.col("score") >= float(body["min_score"]))
     if body.get("rescore") is not None:
-        raise ValueError(
-            "rescore: call query/engine.py rescore_phrase directly (the body "
-            "shape nests a full query; only the phrase window form is native)"
+        # the native rescorer is the phrase-window form: a match main query
+        # re-ranked by a match_phrase rescore_query (ES score_mode=total)
+        rs = body["rescore"]
+        rq = (rs.get("query") or {})
+        rnode = rq.get("rescore_query")
+        if kind != "match" or rnode is None:
+            raise ValueError(
+                "rescore supports a match main query with a match_phrase "
+                "rescore_query (the native phrase-window rescorer) — other "
+                "shapes: call query/engine.py rescore_phrase directly"
+            )
+        rkind, rv = _one(rnode, "rescore_query")
+        if rkind != "match_phrase":
+            raise ValueError(
+                f"rescore_query supports match_phrase, got {rkind!r}"
+            )
+        mspec = _field_query(v)
+        if "query" not in mspec:
+            _fn, fspec = _one(mspec, "match")
+            mspec = _field_query(fspec)
+        _fn, ps = _one(rv, "match_phrase")
+        ps = _field_query(ps)
+        from es_indexer_spark.query.engine import rescore_phrase
+
+        out = rescore_phrase(
+            spark, index_root, str(mspec["query"]), str(ps["query"]),
+            k=size + from_,
+            window_size=int(rs.get("window_size", 10)),
+            query_weight=float(rq.get("query_weight", 1.0)),
+            rescore_query_weight=float(rq.get("rescore_query_weight", 1.0)),
+            slop=int(ps.get("slop", 0)), lang=lang,
         )
     return _finish(spark, index_root, body, out, from_, qnode,
                    src_df, src_id_col, src_text_col, lang)

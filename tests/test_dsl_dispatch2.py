@@ -340,3 +340,27 @@ def test_validate_query_api(spark, d2_index):
     missing = validate_query(spark, d2_index, {"query": {"nested": {
         "path": "evs", "query": {"term": {"evs.k": "x"}}}}})
     assert missing["valid"] is False and "nested_df" in missing["error"]
+
+
+def test_rescore_body_lowers_to_rescore_phrase(spark, d2_index):
+    from es_indexer_spark.query.engine import rescore_phrase
+
+    body = {"query": {"match": {"text": "data stream"}},
+            "rescore": {"window_size": 30, "query": {
+                "rescore_query": {"match_phrase": {"text": {"query": "data stream", "slop": 1}}},
+                "query_weight": 0.7, "rescore_query_weight": 1.2}},
+            "size": 8}
+    got = [(r["docid"], round(r["score"], 6))
+           for r in search(spark, d2_index, body).collect()]
+    ref = [(r["docid"], round(r["score"], 6))
+           for r in rescore_phrase(spark, d2_index, "data stream", "data stream",
+                                   k=8, window_size=30, query_weight=0.7,
+                                   rescore_query_weight=1.2, slop=1).collect()]
+    assert got == ref and got
+
+
+def test_rescore_body_unsupported_shape_raises(spark, d2_index):
+    with pytest.raises(ValueError, match="rescore"):
+        search(spark, d2_index, {"query": {"term": {"lang": "en"}},
+                                 "rescore": {"query": {"rescore_query": {
+                                     "match_phrase": {"text": "x y"}}}}})
