@@ -1258,3 +1258,60 @@ def validate_query(
         return {"valid": True, "error": None}
     except (ValueError, KeyError, TypeError) as e:
         return {"valid": False, "error": f"{type(e).__name__}: {e}"}
+
+
+def msearch(
+    spark: SparkSession,
+    index_root: str,
+    bodies: list[dict],
+    *,
+    lang: str | None = None,
+    **kwargs,
+) -> list[DataFrame]:
+    """ES ``_msearch``: run several request bodies in one call.
+
+    Scale path: when EVERY body is a plain relevance ``match`` query (no
+    sort / knn / rescore / fuzziness / response sections), the whole batch
+    routes through :func:`~es_indexer_spark.query.engine.topk_many` — ONE
+    dictionary lookup + ONE postings scan for all queries (the engine's
+    msearch amortization, rank-identical to per-query topk, pytest-pinned)
+    — and the per-body frames are split back out of the batch result.
+    Any other mix falls back to one :func:`search` dispatch per body (each
+    stays lazy; heterogeneous batches keep full DSL coverage).
+    """
+    from pyspark.sql import functions as F
+
+    def _plain_match(b: dict) -> str | None:
+        if not isinstance(b, dict) or set(b) - {"query", "size", "from"}:
+            return None
+        if int(b.get("from", 0)):
+            return None
+        q = b.get("query")
+        if not isinstance(q, dict) or len(q) != 1 or "match" not in q:
+            return None
+        spec = _field_query(q["match"])
+        if "query" not in spec:
+            _fn, fs = _one(spec, "match")
+            spec = _field_query(fs)
+        if set(spec) - {"query"}:
+            return None  # operator/fuzziness/boost change scoring — fall back
+        return str(spec["query"])
+
+    texts = [_plain_match(b) for b in bodies]
+    if bodies and all(t is not None for t in texts):
+        from es_indexer_spark.query.engine import topk_many
+
+        k = max(int(b.get("size", 10)) for b in bodies)
+        batch = topk_many(
+            spark, index_root,
+            {f"q{i}": t for i, t in enumerate(texts)}, k=k, lang=lang,
+        ).cache()
+        outs = []
+        for i, b in enumerate(bodies):
+            outs.append(
+                batch.filter(F.col("qid") == f"q{i}")
+                .select("docid", "score")
+                .limit(int(b.get("size", 10)))
+            )
+        return outs
+    return [search(spark, index_root, b, lang=lang, **kwargs) for b in bodies]

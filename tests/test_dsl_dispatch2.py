@@ -364,3 +364,35 @@ def test_rescore_body_unsupported_shape_raises(spark, d2_index):
         search(spark, d2_index, {"query": {"term": {"lang": "en"}},
                                  "rescore": {"query": {"rescore_query": {
                                      "match_phrase": {"text": "x y"}}}}})
+
+
+def test_msearch_batch_path_rank_identical(spark, d2_index):
+    from es_indexer_spark.query.dsl import msearch
+    from es_indexer_spark.query.engine import topk
+
+    bodies = [
+        {"query": {"match": {"text": "data stream"}}, "size": 5},
+        {"query": {"match": {"text": "spark window"}}, "size": 3},
+    ]
+    outs = msearch(spark, d2_index, bodies)
+    assert len(outs) == 2
+    for body, out in zip(bodies, outs):
+        qtext = body["query"]["match"]["text"]
+        ref = topk(spark, d2_index, qtext, k=body["size"], use_blockmax=False)
+        assert [(r["docid"], round(r["score"], 6)) for r in out.collect()] == \
+            [(r["docid"], round(r["score"], 6)) for r in ref.collect()]
+
+
+def test_msearch_heterogeneous_fallback(spark, d2_index):
+    from es_indexer_spark.query.dsl import msearch
+
+    bodies = [
+        {"query": {"match": {"text": "data"}}, "size": 4},
+        {"query": {"match_phrase": {"text": "data stream"}}, "size": 4},
+    ]
+    outs = msearch(spark, d2_index, bodies)
+    assert len(outs) == 2
+    a = search(spark, d2_index, bodies[0]).collect()
+    b = search(spark, d2_index, bodies[1]).collect()
+    assert [r["docid"] for r in outs[0].collect()] == [r["docid"] for r in a]
+    assert [r["docid"] for r in outs[1].collect()] == [r["docid"] for r in b]
