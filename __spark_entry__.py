@@ -1387,6 +1387,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bool_term_leaf"] = _bool_term_leaf
     q["bool_filter_terms"] = _bool_filter_terms
 
+    def _sorted_bool(spark, sf):
+        # round 5f: explicit sort over a BOOL body — selection by the sort
+        # key over the FULL match set (caller-provided matches seam in
+        # topk_sorted); score column dropped (the sort key is the contract)
+        from es_indexer_spark.query.dsl import search
+
+        body = {
+            "query": {"bool": {"must": [{"match": {"text": "data"}}],
+                               "filter": [{"range": {"n_chars": {"gte": 200}}}]}},
+            "sort": [{"n_chars": {"order": "desc"}}], "size": 10,
+        }
+        return search(spark, _index_root(spark, sf), body).select(
+            F.col("docid").alias("doc_id"), "n_chars"
+        )
+
+    q["sorted_bool"] = _sorted_bool
+
     # round 5: Lucene classic query_string — the full syntax in ONE query
     # (AND/must, -must_not, ^boost, trailing-* prefix expansion
     # (rewrite=scoring_boolean), quoted-phrase filter, field/range/_exists_
@@ -2810,6 +2827,17 @@ FROM raw r JOIN documents d USING (doc_id)
 ORDER BY d.n_chars DESC, r.score_raw DESC, r.doc_id ASC LIMIT 15 OFFSET 15
 """
     o["bool_filter_term"] = _bool_sql(must=["data"], rng="lang = 'en'")
+    # round 5f: sort over a bool body — selection BY THE SORT KEY over the
+    # full match set ('data' docs with n_chars >= 200), nulls last
+    o["sorted_bool"] = """
+WITH toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+               FROM documents),
+m AS (SELECT doc_id FROM toksl WHERE list_contains(t, 'data'))
+SELECT d.doc_id, d.n_chars
+FROM documents d JOIN m USING (doc_id)
+WHERE d.n_chars >= 200
+ORDER BY d.n_chars DESC NULLS LAST, d.doc_id ASC LIMIT 10
+"""
     # round 5f: bool.filter(terms) = stored-field membership (same rng slot)
     o["bool_filter_terms"] = _bool_sql(must=["data"], rng="lang IN ('en', 'fr')")
     # round 5f: raw `term` leaves score exactly like their analyzed twins for

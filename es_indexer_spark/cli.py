@@ -80,7 +80,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "simple-qs", "rescore", "range", "sortquery", "geo-bbox",
                  "span-near", "suggest-fuzzy", "geo-shape",
                  "qs", "span-multi", "knn", "rrf", "percolate", "dsl",
-                 "scroll", "validate"],
+                 "scroll", "validate", "msearch"],
     )
     p.add_argument("--pages", type=int, default=None,
                    help="scroll: max pages to emit (default: to exhaustion)")
@@ -579,6 +579,27 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 for r in hits.collect():
                     print(json.dumps(r.asDict(), default=str))
+        elif args.job == "msearch":
+            # ES _msearch: a JSON ARRAY of request bodies; all-plain-match
+            # batches share one dictionary lookup + one postings scan
+            from es_indexer_spark.query.dsl import msearch
+
+            if not args.body:
+                print("--body required (JSON array of bodies or @file)",
+                      file=sys.stderr)
+                return 2
+            raw = args.body
+            if raw.startswith("@"):
+                with open(raw[1:]) as fh:
+                    raw = fh.read()
+            bodies = json.loads(raw)
+            if not isinstance(bodies, list):
+                print("--body must be a JSON array for msearch", file=sys.stderr)
+                return 2
+            for i, frame in enumerate(msearch(spark, args.index, bodies,
+                                              lang=args.lang)):
+                for r in frame.collect():
+                    print(json.dumps({"q": i, **r.asDict()}, default=str))
         elif args.job == "validate":
             # ES _validate/query over the same dispatch as the dsl job
             from es_indexer_spark.query.dsl import validate_query

@@ -340,3 +340,24 @@ def test_cli_validate_job(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip())
     assert out["valid"] is False and "frankenquery" in out["error"]
     assert main(["--job", "validate", "--index", root]) == 2
+
+
+def test_cli_msearch_job(spark, tmp_path, capsys):
+    root = str(tmp_path / "idx_ms")
+    src = os.path.join(SF_DIR, "documents.parquet")
+    assert main(
+        ["--job", "build", "--input", src, "--index", root, "--content-col",
+         "text", "--id-col", "doc_id", "--tokenizer", "standard",
+         "--n-buckets", "4", "--ckpt-batches", "2"]
+    ) == 0
+    capsys.readouterr()
+    bodies = json.dumps([
+        {"query": {"match": {"text": "data stream"}}, "size": 2},
+        {"query": {"match": {"text": "spark window"}}, "size": 3},
+    ])
+    assert main(["--job", "msearch", "--index", root, "--body", bodies]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert {x["q"] for x in lines} == {0, 1}
+    assert sum(1 for x in lines if x["q"] == 0) == 2
+    assert sum(1 for x in lines if x["q"] == 1) == 3
+    assert main(["--job", "msearch", "--index", root]) == 2
