@@ -557,3 +557,47 @@ def test_dsl_empty_and_unknown_fields(spark, abnormal_index):
     assert search(
         spark, abnormal_index, {"query": {"match": {"text": "zzzqqq"}}}
     ).count() == 0
+
+
+def test_bool_leaves_degenerate_inputs(spark, abnormal_index):
+    """Round 5f leaves under degenerate input: empty phrase text, empty
+    filter(terms) value list, null stored values — empty results or named
+    errors, never garbage."""
+    from es_indexer_spark.query.boolean import bool_query
+
+    # a must phrase that analyzes to nothing = MatchNoDocs
+    assert bool_query(spark, abnormal_index, must_phrase=["  ..  "], k=5).count() == 0
+    # empty filter(terms) value list: no doc can match the membership
+    assert bool_query(
+        spark, abnormal_index, must=["data"], filter_fields=[("lang", [])], k=5
+    ).count() == 0
+    # null stored lang never matches a membership list (SQL isin semantics)
+    got = {r["docid"] for r in bool_query(
+        spark, abnormal_index, must=["data"],
+        filter_fields=[("lang", ["en", "fr"])], k=5,
+    ).collect()}
+    assert got == {1, 4}
+    # a should phrase over an index without positions raises by name
+    # (abnormal_index stores positions, so build the check on the spec level:
+    # empty should phrase clauses are dropped, query still runs)
+    assert bool_query(
+        spark, abnormal_index, must=["data"], should_phrase=["   "], k=5
+    ).count() == 3
+
+
+def test_dsl_bool_leaf_error_shapes(spark, abnormal_index):
+    from es_indexer_spark.query.dsl import search, validate_query
+
+    # span_multi wrapping a non-prefix match raises naming the constraint
+    out = validate_query(spark, abnormal_index, {"query": {"span_near": {
+        "clauses": [{"span_term": {"text": "data"}},
+                    {"span_multi": {"match": {"regexp": {"text": "d.*"}}}}]}}})
+    assert out["valid"] is False and "prefix" in out["error"]
+    # range in should raises with the move-it guidance
+    out = validate_query(spark, abnormal_index, {"query": {"bool": {
+        "should": [{"range": {"n_chars": {"gte": 1}}}]}}})
+    assert out["valid"] is False and "bool.filter" in out["error"]
+    # nested bool still raises by name (one-level contract)
+    out = validate_query(spark, abnormal_index, {"query": {"bool": {
+        "must": [{"bool": {"must": []}}]}}})
+    assert out["valid"] is False
