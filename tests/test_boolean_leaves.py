@@ -253,3 +253,48 @@ def test_partial_terms_group_matches_present_value(spark, leaf_index):
     got = _run(spark, root, must_terms=[(["spark", "zzqqnope"], 1.0)], k=3000)
     exp = sorted(d for d, t in toks.items() if "spark" in t)
     assert sorted(d for d, _s in got) == exp
+
+
+def test_must_phrase_under_deletes_live_docs_semantics(spark, documents, tmp_path_factory):
+    """Logical deletes hide docs from the scored-phrase path immediately while
+    survivors' scores stay bit-identical (stats keep counting deleted docs
+    until compaction — Lucene live-docs semantics, same rule as every other
+    query path)."""
+    from es_indexer_spark.index.tombstones import delete_docs
+
+    root = str(tmp_path_factory.mktemp("idx_leafdel"))
+    build_index(
+        spark, documents, root,
+        content_col="text", id_col="doc_id", meta_cols=("lang",),
+        tokenizer="standard", n_buckets=4, shard_size=100,
+        n_ckpt_batches=2, store_positions=True,
+    )
+    before = _run(spark, root, must_phrase=["data stream"], should=["customer"], k=50)
+    assert before
+    dead = {d for i, (d, _s) in enumerate(before) if i % 3 == 0}
+    delete_docs(spark, root, sorted(dead))
+    after = _run(spark, root, must_phrase=["data stream"], should=["customer"], k=50)
+    assert [x for x in before if x[0] not in dead][: len(after)] == after
+    assert not ({d for d, _s in after} & dead)
+
+
+def test_must_phrase_distributed_tombstones(spark, documents, tmp_path_factory, monkeypatch):
+    """Same deletes delivered through the shard-keyed cogroup (threshold
+    forced to 0): scored-phrase results identical to driver-array mode."""
+    from es_indexer_spark.index import tombstones as tmod
+    from es_indexer_spark.index.tombstones import delete_docs
+
+    root = str(tmp_path_factory.mktemp("idx_leafdel2"))
+    build_index(
+        spark, documents, root,
+        content_col="text", id_col="doc_id", meta_cols=("lang",),
+        tokenizer="standard", n_buckets=4, shard_size=100,
+        n_ckpt_batches=2, store_positions=True,
+    )
+    base = _run(spark, root, must_phrase=["data stream"], should=["customer"], k=30)
+    dead = sorted({d for i, (d, _s) in enumerate(base) if i % 4 == 1})
+    delete_docs(spark, root, dead)
+    arr_mode = _run(spark, root, must_phrase=["data stream"], should=["customer"], k=30)
+    monkeypatch.setattr(tmod, "DISTRIBUTED_TOMB_THRESHOLD", 0)
+    dist_mode = _run(spark, root, must_phrase=["data stream"], should=["customer"], k=30)
+    assert arr_mode == dist_mode and arr_mode
