@@ -1404,6 +1404,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sorted_bool"] = _sorted_bool
 
+    def _bool_should_range(spark, sf):
+        # round 5f: SCORED range in should context (ES ConstantScore): +0.5
+        # flat for docs with n_chars >= 500, optional next to the must term
+        from es_indexer_spark.query.boolean import bool_query
+
+        return bool_query(
+            spark, _index_root(spark, sf),
+            must=["data"], should_ranges=[("n_chars", {"gte": 500}, 0.5)], k=10,
+        ).select(F.col("docid").alias("doc_id"), F.round("score", 4).alias("score"))
+
+    q["bool_should_range"] = _bool_should_range
+
     # round 5: Lucene classic query_string — the full syntax in ONE query
     # (AND/must, -must_not, ^boost, trailing-* prefix expansion
     # (rewrite=scoring_boolean), quoted-phrase filter, field/range/_exists_
@@ -2837,6 +2849,27 @@ SELECT d.doc_id, d.n_chars
 FROM documents d JOIN m USING (doc_id)
 WHERE d.n_chars >= 200
 ORDER BY d.n_chars DESC NULLS LAST, d.doc_id ASC LIMIT 10
+"""
+    # round 5f: scored range in should — must BM25('data') + 0.5 flat when
+    # n_chars >= 500 (ConstantScore semantics)
+    o["bool_should_range"] = """
+WITH toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+               FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT sum(len(t)) FROM toksl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+dfs AS (SELECT (SELECT count(*) FROM toksl WHERE list_contains(t, 'data'))::DOUBLE AS dfd),
+pf AS (SELECT d.doc_id, len(x.t)::DOUBLE AS dl,
+              len(list_filter(x.t, y -> y = 'data'))::DOUBLE AS tfd,
+              CASE WHEN d.n_chars >= 500 THEN 0.5 ELSE 0 END AS const_add
+       FROM documents d JOIN toksl x USING (doc_id))
+SELECT doc_id,
+       round(ln(1 + (st.n - dfs.dfd + 0.5) / (dfs.dfd + 0.5))
+             * tfd * 2.2 / (tfd + 1.2 * (0.25 + 0.75 * dl / st.avgdl))
+           + const_add, 4) AS score
+FROM pf CROSS JOIN st CROSS JOIN dfs WHERE tfd > 0
+ORDER BY ln(1 + (st.n - dfs.dfd + 0.5) / (dfs.dfd + 0.5))
+             * tfd * 2.2 / (tfd + 1.2 * (0.25 + 0.75 * dl / st.avgdl))
+           + const_add DESC, doc_id ASC LIMIT 10
 """
     # round 5f: bool.filter(terms) = stored-field membership (same rng slot)
     o["bool_filter_terms"] = _bool_sql(must=["data"], rng="lang IN ('en', 'fr')")

@@ -79,6 +79,7 @@ def _bool_shard_scorer(
     should_phrases: Sequence[tuple[list[str], float, int]] = (),
     must_const: Sequence[tuple[list[str], float]] = (),
     should_const: Sequence[tuple[list[str], float]] = (),
+    doc_clauses: Sequence[tuple[bool, float]] = (),
 ):
     """applyInPandas per-shard bool evaluator: decode -> numpy set algebra.
 
@@ -102,7 +103,15 @@ def _bool_shard_scorer(
     ``(terms, boost)`` — the ES ``terms`` leaf (Lucene TermInSetQuery) and
     ``wildcard`` leaf (constant_score rewrite) in bool context: a doc in the
     group's doc-union contributes ``boost`` flat, required when must,
-    msm-counted when should."""
+    msm-counted when should.
+
+    ``doc_clauses``: SCORED doc-level clauses (ES ``range``/``exists`` in
+    must/should context — ConstantScore semantics: a matching doc
+    contributes ``boost`` flat). Each entry is ``(required, boost)``; the
+    per-shard matching docid array for clause ``i`` arrives through the
+    cogroup right side tagged ``kind = 2 + i`` (one scan + the SAME single
+    cogroup as the non-scoring filter set and the distributed tombstones)
+    and reaches ``score`` as ``clause_arrs[i]``."""
 
     scoring = sorted(
         {t for g in must_groups for t in g} | {t for g in should_groups for t in g}
@@ -115,6 +124,7 @@ def _bool_shard_scorer(
         pdf: pd.DataFrame,
         allowed: np.ndarray | None = None,
         tomb_local: np.ndarray | None = None,
+        clause_arrs: dict[int, np.ndarray] | None = None,
     ) -> pd.DataFrame:
         """``allowed``: sorted docids passing the non-scoring range filter for
         this shard (cogrouped in from the docs store). Like any ES filter
@@ -125,7 +135,7 @@ def _bool_shard_scorer(
         ``tomb`` is None then)."""
         tomb = tomb_local if tomb_local is not None else score.tomb_default
         empty = pd.DataFrame({"docid": [], "score": []})
-        if len(pdf) == 0 and allowed is None:
+        if len(pdf) == 0 and allowed is None and not clause_arrs:
             return empty
         term_docs: dict[str, np.ndarray] = {}
         term_contrib: dict[str, np.ndarray] = {}
@@ -228,6 +238,18 @@ def _bool_shard_scorer(
             return empty
         sp_hits = [h for h in (phrase_hits(*p) for p in should_phrases) if h]
 
+        # scored doc-level clauses (range/exists in must/should): this
+        # shard's matching docids per clause, cogrouped in (empty = no match)
+        clause_arrs = clause_arrs or {}
+        dc_must = [
+            clause_arrs.get(i, np.empty(0, dtype=np.int64))
+            for i, (req, _w) in enumerate(doc_clauses) if req
+        ]
+        dc_should = [
+            clause_arrs.get(i, np.empty(0, dtype=np.int64))
+            for i, (req, _w) in enumerate(doc_clauses) if not req
+        ]
+
         # required conjunction: must groups + filter terms + constant-score
         # must groups (a required group with no present term kills the shard —
         # doc postings are shard-local, so absence here IS absence for these
@@ -237,7 +259,7 @@ def _bool_shard_scorer(
             + must_groups
             + [list(g) for g, _w in must_const]
         )
-        if required or phrase or mp_hits:
+        if required or phrase or mp_hits or dc_must:
             if any(t not in term_keys for t in phrase):
                 return empty
             cand: np.ndarray | None = None
@@ -263,6 +285,13 @@ def _bool_shard_scorer(
                 cand = pdocs if cand is None else np.intersect1d(cand, pdocs)
                 if cand.size == 0:
                     return empty
+            for arr in dc_must:
+                # a required scored doc clause (must range/exists)
+                if arr.size == 0:
+                    return empty
+                cand = arr if cand is None else np.intersect1d(cand, arr)
+                if cand.size == 0:
+                    return empty
             if allowed is not None:
                 cand = np.intersect1d(cand, allowed)
         elif allowed is not None:
@@ -282,6 +311,7 @@ def _bool_shard_scorer(
                 for gd in (group_docs(g) for g, _w in should_const)
                 if gd is not None
             ]
+            parts += [arr for arr in dc_should if arr.size]
             if not parts:
                 return empty
             cand = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
@@ -309,6 +339,9 @@ def _bool_shard_scorer(
                 gd = group_docs(grp)
                 if gd is not None:
                     cnt += _sorted_member(gd, cand)
+            for arr in dc_should:
+                if arr.size:
+                    cnt += _sorted_member(arr, cand)
             cand = cand[cnt >= msm]
             if cand.size == 0:
                 return empty
@@ -329,6 +362,10 @@ def _bool_shard_scorer(
             gd = group_docs(grp)
             if gd is not None:
                 scores += boost * _sorted_member(gd, cand)
+        for i, (_req, boost) in enumerate(doc_clauses):
+            arr = clause_arrs.get(i)
+            if arr is not None and arr.size:
+                scores += boost * _sorted_member(arr, cand)
 
         if cand.size > k:
             order = np.lexsort((cand, -scores))[:k]
@@ -408,6 +445,10 @@ def bool_query(
     must_phrase: Sequence[str | tuple] = (),
     should_phrase: Sequence[str | tuple] = (),
     must_not_raw: Sequence[str] = (),
+    must_ranges: Sequence[tuple] = (),
+    should_ranges: Sequence[tuple] = (),
+    must_exists: Sequence[str | tuple[str, float]] = (),
+    should_exists: Sequence[str | tuple[str, float]] = (),
 ) -> DataFrame:
     """Top-k (docid, score) under ES bool semantics. Each clause is a query
     string run through the document analysis chain (so a multi-word ``must``
@@ -480,7 +521,17 @@ def bool_query(
     - ``must_not_raw``: raw excluded terms (ES ``must_not: {term: ...}``).
     - ``filter_fields`` values may be LISTS — the ES ``bool.filter(terms)``
       shape on a stored keyword field: membership (isin) pushed into the
-      same docs-store scan as every other doc-level filter."""
+      same docs-store scan as every other doc-level filter.
+    - ``must_ranges`` / ``should_ranges`` (``(field, bounds[, boost])``) and
+      ``must_exists`` / ``should_exists`` (``field`` | ``(field, boost)``):
+      SCORED doc-level clauses — ES ``range``/``exists`` in scoring context
+      (Lucene ConstantScore: a matching doc contributes ``boost`` flat;
+      required when must, msm-counted when should — unlike ``filter_range``
+      / ``filter_exists``, which are filter context and never score).
+      Execution: ONE column-pruned docs-store scan evaluates every scored
+      clause (each a pushed predicate), emitting kind-tagged (shard, docid)
+      rows that ride the SAME single cogroup as the non-scoring filter set
+      and the distributed tombstone set — clause count never adds a shuffle."""
     vdir = catalog.resolve(index_root)
     stats = catalog.read_stats(vdir)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
@@ -768,7 +819,52 @@ def bool_query(
             .cast("long")
             .alias("shard"),
         )
-    extra_t = const_t or mphr_t or sphr_t
+    # SCORED doc-level clauses (range/exists in must/should): each clause is
+    # (required, boost, predicate); ONE column-pruned docs-store scan
+    # evaluates all predicates and emits kind-tagged (shard, docid) rows
+    sdc: list[tuple[bool, float, object]] = []
+
+    def _rng_entry(entry, required: bool):
+        from es_indexer_spark.query.lookup import range_pred
+
+        field, bounds = entry[0], entry[1]
+        boost = float(entry[2]) if len(entry) > 2 else 1.0
+        sdc.append((required, boost, range_pred(field, bounds)))
+
+    for entry in must_ranges:
+        _rng_entry(entry, True)
+    for entry in should_ranges:
+        _rng_entry(entry, False)
+    for entry in must_exists:
+        fld, bst = (entry, 1.0) if isinstance(entry, str) else (entry[0], float(entry[1]))
+        sdc.append((True, bst, F.col(fld).isNotNull()))
+    for entry in should_exists:
+        fld, bst = (entry, 1.0) if isinstance(entry, str) else (entry[0], float(entry[1]))
+        sdc.append((False, bst, F.col(fld).isNotNull()))
+    clause_df = None
+    if sdc:
+        import os as _os
+
+        from es_indexer_spark.index.tombstones import filter_live
+
+        flags = F.array_compact(F.array(*[
+            F.when(pred, F.lit(2 + i)).otherwise(F.lit(None).cast("int"))
+            for i, (_r, _b, pred) in enumerate(sdc)
+        ]))
+        clause_df = filter_live(
+            spark,
+            vdir,
+            spark.read.parquet(_os.path.join(vdir, "docs"))
+            .select("docid", F.explode(flags).alias("kind")),
+        ).select(
+            "docid",
+            F.col("kind").cast("int").alias("kind"),
+            F.floor(F.col("docid") / F.lit(int(stats["shard_size"])))
+            .cast("long")
+            .alias("shard"),
+        )
+
+    extra_t = const_t or mphr_t or sphr_t or sdc
     if not (must_t or should_t or filt_t or phrase_t or not_t or extra_t):
         if rng_df is None:
             return spark.createDataFrame([], _SCORE_SCHEMA)
@@ -824,9 +920,12 @@ def bool_query(
     # bool, 0 once any required context (must/filter/phrase/range) exists
     has_required = bool(
         must_groups or filt_t or phrase_t or rng_df is not None
-        or m_phr or m_const
+        or m_phr or m_const or any(r for r, _b, _p in sdc)
     )
-    n_should_clauses = len(should_groups) + len(s_phr) + len(s_const)
+    n_should_clauses = (
+        len(should_groups) + len(s_phr) + len(s_const)
+        + sum(1 for r, _b, _p in sdc if not r)
+    )
     if minimum_should_match is None:
         msm = 0 if has_required or not n_should_clauses else 1
     else:
@@ -838,7 +937,7 @@ def bool_query(
     # load postings for every clause's present terms (must_not included — the
     # exclusion set is derived shard-locally from its postings)
     present = sorted(t for t in all_terms if t in found)
-    if not present and rng_df is None:
+    if not present and rng_df is None and clause_df is None:
         return spark.createDataFrame([], _SCORE_SCHEMA)
 
     shard_k = (1 << 62) if k is None else k
@@ -854,6 +953,7 @@ def bool_query(
         should_phrases=s_phr_f,
         must_const=[([t for t in g if t in found], w) for g, w in m_const],
         should_const=[([t for t in g if t in found], w) for g, w in s_const],
+        doc_clauses=[(r, b_) for r, b_, _p in sdc],
     )
     if present:
         buckets = sorted({found[t]["bucket"] for t in present})
@@ -873,6 +973,10 @@ def bool_query(
     if tomb_shards is not None:
         tagged = tomb_shards.select("shard", "docid", F.lit(1).alias("kind"))
         right = tagged if right is None else right.unionByName(tagged)
+    if clause_df is not None:
+        # scored doc clauses ride the same kind-tagged right side (kind 2+i)
+        tagged = clause_df.select("shard", "docid", "kind")
+        right = tagged if right is None else right.unionByName(tagged)
     if right is None:
         # single-arg wrapper: applyInPandas dispatches on arity, and the
         # scorer's optional parameters would read as (key, pdf)
@@ -881,6 +985,7 @@ def bool_query(
         )
     else:
         distributed = tomb_shards is not None
+        n_sdc = len(sdc)
 
         def cg_scorer(left: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
             kinds = r["kind"].to_numpy()
@@ -892,7 +997,12 @@ def bool_query(
             # local set must NOT override the closure array
             allowed = np.unique(docs[kinds == 0]) if has_rng else None
             tomb_local = np.unique(docs[kinds == 1]) if distributed else None
-            return scorer(left, allowed, tomb_local)
+            cl = (
+                {i: np.unique(docs[kinds == 2 + i]) for i in range(n_sdc)}
+                if n_sdc
+                else None
+            )
+            return scorer(left, allowed, tomb_local, cl)
 
         scored = (
             blocks.groupBy("shard")

@@ -98,6 +98,8 @@ def _bool_kwargs(spec: dict) -> dict:
         "must_wildcard": [], "should_wildcard": [],
         "must_phrase": [], "should_phrase": [],
         "must_not_raw": [],
+        "must_ranges": [], "should_ranges": [],
+        "must_exists": [], "should_exists": [],
         "filter_terms": [], "filter_fields": [], "filter_exists": [],
         "filter_range": [], "filter_phrase": None, "filter_phrase_slop": 0,
     }
@@ -152,26 +154,19 @@ def _bool_kwargs(spec: dict) -> dict:
                  int(ps.get("slop", 0)))
             )
         elif kind == "range":
-            # documented divergence: range/exists in scoring context are
-            # treated as filter context (required for must, unsupported for
-            # should) — ES would add a constant boost per matching doc
-            if dest != "must":
-                raise ValueError(
-                    "range in bool.should is not supported — move it to "
-                    "bool.filter (required) or bool.must"
-                )
+            # SCORED range clause (ES ConstantScore: matching docs get boost
+            # flat; required in must, msm-counted in should) — unlike the
+            # filter-context range, which never scores
             fname, bounds = _one(v, "range")
-            out["filter_range"].append(
+            boost = float(bounds.get("boost", 1.0))
+            out[f"{dest}_ranges"].append(
                 (fname, {k: b for k, b in bounds.items()
-                         if k in ("gt", "gte", "lt", "lte")})
+                         if k in ("gt", "gte", "lt", "lte")}, boost)
             )
         elif kind == "exists":
-            if dest != "must":
-                raise ValueError(
-                    "exists in bool.should is not supported — move it to "
-                    "bool.filter (required) or bool.must"
-                )
-            out["filter_exists"].append(v["field"])
+            out[f"{dest}_exists"].append(
+                (str(v["field"]), float(v.get("boost", 1.0)))
+            )
         else:
             raise ValueError(
                 f"bool.{dest} supports match/match_phrase/term/terms/prefix/"

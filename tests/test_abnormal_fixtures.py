@@ -593,10 +593,10 @@ def test_dsl_bool_leaf_error_shapes(spark, abnormal_index):
         "clauses": [{"span_term": {"text": "data"}},
                     {"span_multi": {"match": {"regexp": {"text": "d.*"}}}}]}}})
     assert out["valid"] is False and "prefix" in out["error"]
-    # range in should raises with the move-it guidance
+    # range in should is a SCORED clause since round 5f — validates clean
     out = validate_query(spark, abnormal_index, {"query": {"bool": {
         "should": [{"range": {"n_chars": {"gte": 1}}}]}}})
-    assert out["valid"] is False and "bool.filter" in out["error"]
+    assert out == {"valid": True, "error": None}
     # nested bool still raises by name (one-level contract)
     out = validate_query(spark, abnormal_index, {"query": {"bool": {
         "must": [{"bool": {"must": []}}]}}})

@@ -298,3 +298,60 @@ def test_must_phrase_distributed_tombstones(spark, documents, tmp_path_factory, 
     monkeypatch.setattr(tmod, "DISTRIBUTED_TOMB_THRESHOLD", 0)
     dist_mode = _run(spark, root, must_phrase=["data stream"], should=["customer"], k=30)
     assert arr_mode == dist_mode and arr_mode
+
+
+def test_must_range_scored_constant(spark, leaf_index, documents):
+    root, toks, _ = leaf_index
+    nch = {r["doc_id"]: r["n_chars"] for r in documents.select("doc_id", "n_chars").collect()}
+    got = _run(spark, root, must=["data"], must_ranges=[("n_chars", {"gte": 400})], k=2000)
+    flt = _run(spark, root, must=["data"], filter_range=("n_chars", {"gte": 400}), k=2000)
+    # same doc set as the filter variant, every score shifted by exactly +1.0
+    assert sorted(d for d, _s in got) == sorted(d for d, _s in flt)
+    dg, df_ = dict(got), dict(flt)
+    assert all(abs(dg[d] - df_[d] - 1.0) < 1e-6 for d in dg)
+
+
+def test_should_range_optional_boost_and_msm(spark, leaf_index, documents):
+    root, toks, _ = leaf_index
+    nch = {r["doc_id"]: r["n_chars"] for r in documents.select("doc_id", "n_chars").collect()}
+    base = dict(_run(spark, root, must=["data"], k=2000))
+    got = _run(spark, root, must=["data"], should_ranges=[("n_chars", {"gte": 400}, 0.5)], k=2000)
+    assert sorted(d for d, _s in got) == sorted(base)
+    for d, s in got:
+        want = 0.5 if (nch[d] or 0) >= 400 else 0.0
+        assert abs(s - base[d] - want) < 1e-6
+    # msm counts the range as one should clause
+    msm2 = _run(spark, root, should=["data"],
+                should_ranges=[("n_chars", {"gte": 400}, 0.5)],
+                minimum_should_match=2, k=2000)
+    exp = sorted(d for d, t in toks.items() if "data" in t and (nch[d] or 0) >= 400)
+    assert sorted(d for d, _s in msm2) == exp
+
+
+def test_range_only_scored_query(spark, leaf_index, documents):
+    root, toks, _ = leaf_index
+    nch = {r["doc_id"]: r["n_chars"] for r in documents.select("doc_id", "n_chars").collect()}
+    got = _run(spark, root, should_ranges=[("n_chars", {"gte": 400}, 2.0)], k=3000)
+    exp = sorted(d for d, n in nch.items() if n is not None and n >= 400)
+    assert sorted(d for d, _s in got) == exp
+    assert all(s == 2.0 for _d, s in got)
+
+
+def test_must_exists_scored(spark, leaf_index):
+    root, toks, _ = leaf_index
+    got = _run(spark, root, must=["data"], must_exists=["lang"], k=2000)
+    base = dict(_run(spark, root, must=["data"], k=2000))
+    # every doc has a lang in this corpus: same set, +1.0 everywhere
+    assert sorted(d for d, _s in got) == sorted(base)
+    assert all(abs(s - base[d] - 1.0) < 1e-6 for d, s in got)
+
+
+def test_dsl_range_in_should_scored(spark, leaf_index):
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "data"}}],
+        "should": [{"range": {"n_chars": {"gte": 400, "boost": 0.5}}}],
+    }}, "size": 2000}
+    got = [(r["docid"], round(r["score"], 6)) for r in search(spark, leaf_index[0], body).collect()]
+    ref = _run(spark, leaf_index[0], must=["data"],
+               should_ranges=[("n_chars", {"gte": 400}, 0.5)], k=2000)
+    assert got == ref and got

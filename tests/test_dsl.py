@@ -216,7 +216,7 @@ def test_match_all_and_min_score(spark, dsl_index, documents):
     [
         {"query": {"frankenquery": {}}},
         {"query": {"bool": {"must": [{"bool": {}}]}}},
-        {"query": {"bool": {"should": [{"range": {"n_chars": {"gte": 1}}}]}}},
+        {"query": {"bool": {"must": [{"ids": {"values": [1]}}]}}},
         {"query": {"more_like_this": {"like": [{"_id": 3}]}}},
     ],
 )

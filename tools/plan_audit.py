@@ -679,6 +679,33 @@ def main() -> int:
         ],
     ))
 
+    # 31. round 5f: SCORED range/exists clauses next to a non-scoring filter
+    # range — the scored clause adds ONE more column-pruned docs scan whose
+    # kind-tagged rows UNION into the existing cogroup right side: total
+    # shuffles stay at 2 (blocks + unioned doc sets) for any clause count
+    p = formatted(bool_query(
+        spark, root,
+        must=["data"],
+        should_ranges=[("n_chars", {"gte": 400}, 0.5)],
+        must_exists=["lang"],
+        filter_range=("n_chars", {"lt": 100000}), k=10,
+    ))
+    sections.append((
+        "bool scored range/exists: kind-tagged union rides the same cogroup",
+        p,
+        [
+            ("scored-clause predicate pushed (n_chars)",
+             "PushedFilters" in p and "n_chars" in p),
+            ("single cogrouped Arrow stage",
+             len(re.findall(r"^\(\d+\) FlatMapCoGroupsInPandas", p, re.M)) == 1),
+            ("exactly 2 shuffles for blocks + ALL doc sets",
+             len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 2),
+            ("union of kind-tagged doc sets", "Union" in p),
+            ("top-k merge, no global sort", "TakeOrderedAndProject" in p),
+            ("no cartesian", "CartesianProduct" not in p),
+        ],
+    ))
+
     failures = 0
     lines = [
         "# PLANS — physical-plan audit evidence",
