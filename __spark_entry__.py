@@ -2361,6 +2361,109 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.round("global_value", 6).alias("global_value"), "global_count",
     )
 
+    # ---- round 5g: _mget / search templates / inner_hits / reindex / UBQ ---------
+    def _mget_stored(spark, sf):
+        from es_indexer_spark.query.lookup import mget
+
+        # out-of-order + missing ids: one row per request, found flags
+        return mget(spark, _index_root(spark, sf), [7, 999999, 3, 42]).select(
+            "req_idx", "docid", "found", "lang", "source"
+        )
+
+    q["mget_stored"] = _mget_stored
+
+    def _search_template_term(spark, sf):
+        from es_indexer_spark.query.templates import search_template
+
+        return search_template(
+            spark, _index_root(spark, sf),
+            source=(
+                '{"query": {"term": {"lang": {"value": "{{lang}}"}}}, '
+                '"size": {{size}}{{^size}}10{{/size}}}'
+            ),
+            params={"lang": "fr", "size": 12},
+        ).select("docid", "lang", "source")
+
+    q["search_template_term"] = _search_template_term
+
+    def _inner_hits_clicks(spark, sf):
+        from es_indexer_spark.query.nested import inner_hits
+
+        users = _events(spark, sf).groupBy("user_id").agg(
+            F.array_sort(
+                F.collect_list(F.struct("event_type", "value"))
+            ).alias("evs")
+        )
+        out = inner_hits(
+            users, "evs",
+            lambda e: (e.event_type == "click") & (e.value > 150),
+            size=2,
+        )
+        # scalars, not arrays: the first two matching values (array_sort makes
+        # slice order deterministic — equal event_type, ascending value)
+        return out.select(
+            "user_id",
+            "inner_hit_count",
+            F.get(F.col("inner_hits"), 0).value.alias("hit_val_1"),
+            F.get(F.col("inner_hits"), 1).value.alias("hit_val_2"),
+        )
+
+    q["inner_hits_clicks"] = _inner_hits_clicks
+
+    def _reindex_filtered(spark, sf):
+        from es_indexer_spark.index.reindex import reindex
+
+        key = sf.strip("/").replace("/", "_")
+        dst = os.path.join(tempfile.gettempdir(), "spark_graft_reix", key)
+        if dst not in _BUILT:
+            reindex(
+                spark, _docs(spark, sf), _index_root(spark, sf), dst,
+                query={"term": {"lang": {"value": "en"}}},
+                content_col="text", id_col="doc_id",
+                meta_cols=("lang", "source", "n_chars"),
+            )
+            _BUILT.add(dst)
+        vdir = catalog.resolve(dst)
+        return (
+            spark.read.parquet(os.path.join(vdir, "docs"))
+            .select("docid", "lang", "source", "n_chars")
+        )
+
+    q["reindex_filtered"] = _reindex_filtered
+
+    def _update_by_query_live(spark, sf):
+        from es_indexer_spark.index.reindex import update_by_query
+        from es_indexer_spark.index.tombstones import filter_live
+
+        key = sf.strip("/").replace("/", "_")
+        root = os.path.join(tempfile.gettempdir(), "spark_graft_ubq", key)
+        if root not in _BUILT:
+            build_index(
+                spark, _docs(spark, sf), root,
+                content_col="text", id_col="doc_id",
+                meta_cols=("doc_id", "lang", "source"),
+                tokenizer="standard", n_buckets=8, shard_size=256,
+                n_ckpt_batches=2, resume=False, store_positions=True,
+            )
+            update_by_query(
+                spark, _docs(spark, sf), root,
+                query={"term": {"lang": {"value": "fr"}}},
+                script={"lang": "'fra'", "text": "concat(text, ' actualise')"},
+                content_col="text", id_col="doc_id",
+                meta_cols=("doc_id", "lang", "source"),
+            )
+            _BUILT.add(root)
+        vdir = catalog.resolve(root)
+        live = filter_live(
+            spark, vdir, spark.read.parquet(os.path.join(vdir, "docs"))
+        )
+        return live.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("doc_len").alias("sum_dl"),
+        )
+
+    q["update_by_query_live"] = _update_by_query_live
+
     # ---- driver-gate rotation ----------------------------------------------------
     # The driver's correctness gate records only the first ~50 entries by
     # insertion order, so entries that have never had a driver row rotate to
@@ -2371,6 +2474,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 5 front: the new round-5 surfaces (the round-4 front is
     # driver-verified green in CORRECTNESS_r04.json, all 50/50).
     never_driver_verified = [
+        # round 5g (this session): _mget / search templates / inner_hits /
+        # _reindex / _update_by_query
+        "mget_stored", "search_template_term", "inner_hits_clicks",
+        "reindex_filtered", "update_by_query_live",
         "intervals_gaps", "intervals_any_of", "intervals_containing",
         "span_within_query", "combined_fields",
         "nested_same_object", "nested_terms_agg", "reverse_nested",
@@ -4847,5 +4954,46 @@ SELECT (SELECT round(avg(d.n_chars)::DOUBLE, 6) FROM raw JOIN documents d USING 
        (SELECT count(*) FROM raw)::BIGINT AS query_count,
        (SELECT round(avg(n_chars)::DOUBLE, 6) FROM documents) AS global_value,
        (SELECT count(*) FROM documents)::BIGINT AS global_count
+"""
+    # ---- round 5g ------------------------------------------------------------
+    # _mget: one row per REQUESTED id in request order, found flags for misses
+    o["mget_stored"] = """
+WITH req(req_idx, docid) AS (VALUES (0::BIGINT, 7::BIGINT), (1, 999999), (2, 3), (3, 42))
+SELECT r.req_idx, r.docid, d.doc_id IS NOT NULL AS found, d.lang, d.source
+FROM req r LEFT JOIN documents d ON d.doc_id = r.docid
+ORDER BY r.req_idx
+"""
+    # search template rendered to a term query (size from a default-idiom var)
+    o["search_template_term"] = """
+SELECT CAST(doc_id AS BIGINT) AS docid, lang, source
+FROM documents WHERE lang = 'fr' ORDER BY doc_id LIMIT 12
+"""
+    # nested inner_hits: per-parent matching elements, size-capped; array_sort
+    # on (event_type, value) makes the slice the two SMALLEST matching values
+    o["inner_hits_clicks"] = """
+WITH m AS (SELECT user_id, value FROM events
+           WHERE event_type = 'click' AND value > 150)
+SELECT user_id, count(*)::INT AS inner_hit_count,
+       (list(value ORDER BY value))[1] AS hit_val_1,
+       (list(value ORDER BY value))[2] AS hit_val_2
+FROM m GROUP BY user_id
+"""
+    # _reindex with a term query: dst docs table == the filtered corpus
+    # (docid == doc_id for id_col-built indexes; liveness trivially full here)
+    o["reindex_filtered"] = """
+SELECT CAST(doc_id AS BIGINT) AS docid, lang, source, n_chars
+FROM documents WHERE lang = 'en'
+"""
+    # _update_by_query fr->fra with a content transform: live docs per lang,
+    # doc_len of updated docs includes the appended token (standard analyzer)
+    o["update_by_query_live"] = """
+WITH t AS (
+  SELECT CASE WHEN lang = 'fr' THEN 'fra' ELSE lang END AS lang,
+         len(list_filter(string_split_regex(
+             lower(CASE WHEN lang = 'fr' THEN concat(text, ' actualise') ELSE text END),
+             '[^a-z0-9]+'), x -> x <> '')) AS dl
+  FROM documents)
+SELECT lang, count(*)::BIGINT AS doc_count, sum(dl)::BIGINT AS sum_dl
+FROM t GROUP BY lang
 """
     return o

@@ -42,6 +42,54 @@ def doc_lookup(
     return filter_live(spark, vdir, df)
 
 
+def mget(
+    spark: SparkSession,
+    index_root: str,
+    ids: Sequence[int],
+    id_field: str = "docid",
+) -> DataFrame:
+    """ES ``_mget``: one row PER REQUESTED id, in request order, with a
+    ``found`` flag — unlike :func:`doc_lookup` (the ``ids`` query), a missing
+    or logically-deleted doc still yields its ``(req_idx, id, found=false)``
+    row, exactly like the ES response's per-id entries
+    (the reference issues per-UUID GETs in a loop —
+    IndexerController.java:116-142; ``_mget`` is the batched form every
+    ES client substitutes for that loop).
+
+    Physical plan: the request list is a driver-local literal (requests are
+    O(k)) broadcast-left-joined against the docs scan, which keeps the
+    ``isin`` pushdown — docid-sorted files make the scan a row-group point
+    read, and the big side is never shuffled. ``id_field`` defaults to
+    ``docid`` (== the external id for ``id_col``-built indexes); pass a meta
+    column name for indexes that carry the external id as metadata."""
+    from es_indexer_spark.index.tombstones import filter_live
+
+    vdir = catalog.resolve(index_root)
+    vals = [int(d) for d in ids]
+    req = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "req_idx long, __req_id long"
+    )
+    docs = spark.read.parquet(os.path.join(vdir, "docs")).filter(
+        F.col(id_field).isin(vals)
+    )
+    # deleted docs are "not found" on every read surface immediately
+    docs = filter_live(spark, vdir, docs)
+    keep = [c for c in docs.columns if c != id_field]
+    out = (
+        req.join(
+            F.broadcast(docs), req["__req_id"] == docs[id_field], "left"
+        )
+        .select(
+            "req_idx",
+            F.col("__req_id").alias(id_field),
+            docs[id_field].isNotNull().alias("found"),
+            *keep,
+        )
+        .orderBy("req_idx")
+    )
+    return out
+
+
 def scan_after(
     spark: SparkSession,
     index_root: str,

@@ -64,6 +64,31 @@ def nested_count(
     )
 
 
+def inner_hits(
+    df: DataFrame,
+    nested_col: str,
+    pred: Callable[[Column], Column],
+    *,
+    size: int = 3,
+) -> DataFrame:
+    """ES ``nested`` query with ``inner_hits``: parents that match, PLUS the
+    matching elements themselves (array order = ES's index order; ES ranks
+    inner hits by score, but filter-context nested hits are all score-tied so
+    index order is its stable tiebreak). ``size`` caps the returned elements
+    per parent (ES default 3). Still pure codegen column algebra — the filter
+    + slice run inside the row's projection, no explode, no shuffle, and the
+    parent-level match reuses the same predicate (a parent matches iff its
+    ``inner_hits`` array is non-empty)."""
+    if size < 0:
+        raise ValueError(f"inner_hits size must be >= 0, got {size}")
+    hits = F.filter(F.col(nested_col), pred)
+    return (
+        df.withColumn("inner_hits", F.slice(hits, 1, size))
+        .withColumn("inner_hit_count", F.size(hits))
+        .filter(F.col("inner_hit_count") > 0)
+    )
+
+
 def nested_agg(
     df: DataFrame, nested_col: str, field: str, *, metric_field: str | None = None
 ) -> DataFrame:
