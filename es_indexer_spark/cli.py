@@ -55,7 +55,18 @@ Jobs:
 - ``explain`` — per-term BM25 breakdown for ``--query`` + ``--docid``;
 - ``delete-query`` — tombstone every live doc matching ``--field/--value``,
   ``--must``/``--filter-phrase``, or ``--match-all``;
-- ``delete`` / ``compact`` — id-list tombstones / physical purge.
+- ``delete`` / ``compact`` — id-list tombstones / physical purge;
+- ``mget``    — one row per requested ``--ids`` entry, in request order, with
+  found flags (round 5g);
+- ``search-template`` / ``render-template`` / ``put-template`` — the ES
+  ``_search/template`` surface: mustache-subset bodies, stored under
+  ``<index>/templates/`` (``--template-id`` or ``--template-source`` +
+  ``--params`` JSON; round 5g);
+- ``reindex`` — copy the ``--body``-matching docs of ``--index`` into
+  ``--dest``, reading content from the ``--input`` corpus, optionally
+  transformed by ``--script`` (a JSON ``{column: SQL expr}`` map; round 5g);
+- ``update-by-query`` — apply ``--script`` to every live doc matching
+  ``--body``, in place (delete+add via upsert; round 5g).
 """
 
 from __future__ import annotations
@@ -80,7 +91,9 @@ def build_parser() -> argparse.ArgumentParser:
                  "simple-qs", "rescore", "range", "sortquery", "geo-bbox",
                  "span-near", "suggest-fuzzy", "geo-shape",
                  "qs", "span-multi", "knn", "rrf", "percolate", "dsl",
-                 "scroll", "validate", "msearch"],
+                 "scroll", "validate", "msearch", "mget", "search-template",
+                 "render-template", "put-template", "reindex",
+                 "update-by-query"],
     )
     p.add_argument("--pages", type=int, default=None,
                    help="scroll: max pages to emit (default: to exhaustion)")
@@ -162,6 +175,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--delta", help="delta index root (merge job)")
     p.add_argument("--store-positions", action="store_true",
                    help="store term positions (enables phrase queries)")
+    p.add_argument("--dest", default=None, help="reindex: destination index root")
+    p.add_argument("--script", default=None,
+                   help="reindex/update-by-query: JSON {column: SQL expr} map")
+    p.add_argument("--params", default=None,
+                   help="search/render-template: JSON params object")
+    p.add_argument("--template-id", default=None,
+                   help="template jobs: stored template id")
+    p.add_argument("--template-source", default=None,
+                   help="template jobs: inline mustache source")
     p.add_argument("--input", help="parquet path (or Iceberg table via --format iceberg)")
     p.add_argument("--format", default="parquet", help="spark read format")
     p.add_argument("--index", required=True, help="index root dir")
@@ -677,6 +699,76 @@ def main(argv: list[str] | None = None) -> int:
             for r in range_query(spark, args.index, args.field, bounds,
                                  size=args.k).collect():
                 print(json.dumps(r.asDict(), default=str))
+        elif args.job == "mget":
+            from es_indexer_spark.query.lookup import mget
+
+            if not args.ids:
+                print("--ids required for mget", file=sys.stderr)
+                return 2
+            rows = mget(spark, args.index, [int(i) for i in args.ids]).collect()
+            for r in rows:
+                print(json.dumps(r.asDict(), default=str))
+        elif args.job in ("search-template", "render-template"):
+            from es_indexer_spark.query.templates import (
+                render_search_template,
+                search_template,
+            )
+
+            params = json.loads(args.params) if args.params else {}
+            if args.job == "render-template":
+                body = render_search_template(
+                    args.index, source=args.template_source,
+                    template_id=args.template_id, params=params,
+                )
+                print(json.dumps(body))
+            else:
+                hits = search_template(
+                    spark, args.index, source=args.template_source,
+                    template_id=args.template_id, params=params,
+                )
+                for r in hits.collect():
+                    print(json.dumps(r.asDict(), default=str))
+        elif args.job == "put-template":
+            from es_indexer_spark.query.templates import put_template
+
+            if not (args.template_id and args.template_source):
+                print("--template-id and --template-source required",
+                      file=sys.stderr)
+                return 2
+            put_template(args.index, args.template_id, args.template_source)
+            print(json.dumps({"job": "put-template", "id": args.template_id}))
+        elif args.job == "reindex":
+            from es_indexer_spark.index.reindex import reindex
+
+            if not (args.input and args.dest):
+                print("--input and --dest required for reindex", file=sys.stderr)
+                return 2
+            res = reindex(
+                spark, spark.read.format(args.format).load(args.input),
+                args.index, args.dest,
+                query=json.loads(args.body) if args.body else None,
+                script=json.loads(args.script) if args.script else None,
+                content_col=args.content_col, id_col=args.id_col,
+                order_cols=args.order_cols, meta_cols=tuple(args.meta_cols),
+                lang=args.lang,
+            )
+            print(json.dumps({"job": "reindex", **res}))
+        elif args.job == "update-by-query":
+            from es_indexer_spark.index.reindex import update_by_query
+
+            if not (args.input and args.script):
+                print("--input and --script required for update-by-query",
+                      file=sys.stderr)
+                return 2
+            res = update_by_query(
+                spark, spark.read.format(args.format).load(args.input),
+                args.index,
+                query=json.loads(args.body) if args.body else None,
+                script=json.loads(args.script),
+                content_col=args.content_col, id_col=args.id_col,
+                meta_cols=tuple(args.meta_cols), lang=args.lang,
+            )
+            print(json.dumps({"job": "update-by-query", **res}))
         elif args.job == "delete-query":
             from es_indexer_spark.index.tombstones import delete_by_query
 

@@ -361,3 +361,62 @@ def test_cli_msearch_job(spark, tmp_path, capsys):
     assert sum(1 for x in lines if x["q"] == 0) == 2
     assert sum(1 for x in lines if x["q"] == 1) == 3
     assert main(["--job", "msearch", "--index", root]) == 2
+
+
+def test_cli_round5g_jobs(spark, tmp_path, capsys):
+    root = str(tmp_path / "idx_5g")
+    src = os.path.join(SF_DIR, "documents.parquet")
+    rc = main(
+        ["--job", "build", "--input", src, "--index", root, "--content-col",
+         "text", "--id-col", "doc_id", "--meta-cols", "doc_id,lang,source",
+         "--tokenizer", "standard", "--n-buckets", "4", "--ckpt-batches", "2"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    # mget: request order preserved, miss rows flagged
+    rc = main(["--job", "mget", "--index", root, "--ids", "7,999999,3"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [(r["docid"], r["found"]) for r in rows] == [
+        (7, True), (999999, False), (3, True)
+    ]
+
+    # stored template: put -> render -> search
+    tsrc = ('{"query": {"term": {"lang": {"value": "{{lang}}"}}}, '
+            '"size": {{size}}{{^size}}10{{/size}}}')
+    rc = main(["--job", "put-template", "--index", root,
+               "--template-id", "by-lang", "--template-source", tsrc])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["--job", "render-template", "--index", root,
+               "--template-id", "by-lang", "--params", '{"lang": "fr"}'])
+    assert rc == 0
+    body = json.loads(capsys.readouterr().out.strip())
+    assert body == {"query": {"term": {"lang": {"value": "fr"}}}, "size": 10}
+    rc = main(["--job", "search-template", "--index", root,
+               "--template-id", "by-lang",
+               "--params", '{"lang": "fr", "size": 4}'])
+    assert rc == 0
+    hits = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(hits) == 4 and all(h["lang"] == "fr" for h in hits)
+
+    # reindex the en slice into a new root
+    dst = str(tmp_path / "idx_5g_dst")
+    rc = main(["--job", "reindex", "--index", root, "--dest", dst,
+               "--input", src, "--content-col", "text", "--id-col", "doc_id",
+               "--meta-cols", "lang,source",
+               "--body", '{"term": {"lang": {"value": "en"}}}'])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["created"] == 193
+
+    # update-by-query: fr -> fra in place
+    rc = main(["--job", "update-by-query", "--index", root, "--input", src,
+               "--content-col", "text", "--id-col", "doc_id",
+               "--meta-cols", "doc_id,lang,source",
+               "--body", '{"term": {"lang": {"value": "fr"}}}',
+               "--script", '{"lang": "\'fra\'"}'])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["updated"] == 82

@@ -706,6 +706,45 @@ def main() -> int:
         ],
     ))
 
+    # 32. round 5g: _mget — the request list joins BROADCAST against a
+    # point-read docs scan (isin pushed => row-group pruning); the big side
+    # never shuffles, and the request-order sort is over O(k) rows
+    from es_indexer_spark.query.lookup import mget
+
+    p = formatted(mget(spark, root, [7, 999999, 3, 42]))
+    sections.append((
+        "mget: broadcast left join over a pushed-In point read",
+        p,
+        [
+            ("id In-filter pushed to the docs scan",
+             "PushedFilters" in p and "In(docid" in p.replace(" ", "")),
+            ("broadcast join (no shuffled join)",
+             "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+            ("no exchange on the docs side",
+             "ShuffledHashJoin" not in p),
+            ("no cartesian", "CartesianProduct" not in p),
+        ],
+    ))
+
+    # 33. round 5g: reindex corpus restriction — the match set semi-joins the
+    # corpus on the external id (LeftSemi, equi-join), never a collect or a
+    # cartesian; the docs-side scan reads only docid (+ the key column)
+    from es_indexer_spark.index.reindex import match_docids, _restrict_corpus
+
+    corpus = entry._docs(spark, sf_dir)
+    matched = match_docids(spark, root, {"term": {"lang": {"value": "en"}}})
+    p = formatted(_restrict_corpus(spark, vdir, corpus, matched, "doc_id"))
+    sections.append((
+        "reindex: corpus restriction is one LeftSemi equi-join",
+        p,
+        [
+            ("left-semi join", "LeftSemi" in p),
+            ("term filter pushed on the docs scan",
+             "PushedFilters" in p and "lang" in p),
+            ("no cartesian", "CartesianProduct" not in p),
+        ],
+    ))
+
     failures = 0
     lines = [
         "# PLANS — physical-plan audit evidence",
