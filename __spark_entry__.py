@@ -2464,6 +2464,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["update_by_query_live"] = _update_by_query_live
 
+    # round 5g: nested bool flattening — the ubiquitous client wrapper
+    # filter/must_not inside a filter-context bool, score-identical rewrite
+    def _bool_nested_flat(spark, sf):
+        from es_indexer_spark.query.dsl import search
+
+        return search(spark, _index_root(spark, sf), {
+            "query": {"bool": {
+                "must": [
+                    {"match": {"content": "data"}},
+                    {"bool": {"filter": [{"term": {"lang": "en"}}],
+                              "must_not": [{"match": {"content": "key"}}]}},
+                ],
+            }},
+            "size": 10,
+        }).select(
+            F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+
+    q["bool_nested_flat"] = _bool_nested_flat
+
+    # round 5g: pure-negative percolators (absence matching) next to a
+    # positive one in the same call
+    def _percolate_negative(spark, sf):
+        from es_indexer_spark.query.percolate import percolate
+
+        queries = spark.createDataFrame(
+            [
+                ("q_neg", None, None, ["data"], None),
+                ("q_neg2", None, None, ["stream", "window"], None),
+                ("q_pos", ["data"], None, None, None),
+            ],
+            "query_id string, must array<string>, should array<string>, "
+            "must_not array<string>, minimum_should_match int",
+        )
+        return percolate(queries, _docs(spark, sf))
+
+    q["percolate_negative"] = _percolate_negative
+
     # ---- driver-gate rotation ----------------------------------------------------
     # The driver's correctness gate records only the first ~50 entries by
     # insertion order, so entries that have never had a driver row rotate to
@@ -2477,7 +2515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5g (this session): _mget / search templates / inner_hits /
         # _reindex / _update_by_query
         "mget_stored", "search_template_term", "inner_hits_clicks",
-        "reindex_filtered", "update_by_query_live",
+        "reindex_filtered", "update_by_query_live", "bool_nested_flat",
+        "percolate_negative",
         "intervals_gaps", "intervals_any_of", "intervals_containing",
         "span_within_query", "combined_fields",
         "nested_same_object", "nested_terms_agg", "reverse_nested",
@@ -4995,5 +5034,20 @@ WITH t AS (
   FROM documents)
 SELECT lang, count(*)::BIGINT AS doc_count, sum(dl)::BIGINT AS sum_dl
 FROM t GROUP BY lang
+"""
+    # nested filter-context bool flattens to must + filter + must_not
+    o["bool_nested_flat"] = _bool_sql(
+        must=["data"], must_not=["key"], rng="lang = 'en'"
+    )
+    # pure-negative percolators: absence matching over the candidate set
+    o["percolate_negative"] = """
+WITH toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+               FROM documents)
+SELECT doc_id, 'q_neg' AS query_id FROM toksl WHERE NOT list_contains(t, 'data')
+UNION ALL
+SELECT doc_id, 'q_neg2' FROM toksl
+WHERE NOT list_contains(t, 'stream') AND NOT list_contains(t, 'window')
+UNION ALL
+SELECT doc_id, 'q_pos' FROM toksl WHERE list_contains(t, 'data')
 """
     return o

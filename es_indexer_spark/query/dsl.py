@@ -167,37 +167,110 @@ def _bool_kwargs(spec: dict) -> dict:
             out[f"{dest}_exists"].append(
                 (str(v["field"]), float(v.get("boost", 1.0)))
             )
+        elif kind == "bool":
+            # One level of nesting, flattened where Boolean algebra makes it
+            # score-identical (Lucene bool scores SUM, so these rewrites are
+            # exact — README divergences):
+            # - a NON-SCORING inner bool (only filter/must_not children) in
+            #   must context contributes score 0 and acts as a required
+            #   filter -> its children flatten into parent filter/must_not;
+            # - {bool: {must: [X]}} with nothing else is a no-op wrapper
+            #   (query-builder noise) -> X directly, in must or should.
+            scoring = _as_list(v.get("must")) + _as_list(v.get("should"))
+            plain = (
+                v.get("minimum_should_match") is None
+                and float(v.get("boost", 1.0)) == 1.0
+            )
+            if dest == "must" and not scoring and plain:
+                flatten_required(v)
+            elif (
+                plain
+                and len(_as_list(v.get("must"))) == 1
+                and not v.get("should")
+                and not v.get("filter")
+                and not v.get("must_not")
+            ):
+                ik, iv = _one(_as_list(v["must"])[0], "bool.must entry")
+                leaf(ik, iv, dest)
+            else:
+                raise ValueError(
+                    f"nested bool in {dest}: only a NON-SCORING bool "
+                    "(filter/must_not children, no boost/msm) in must, or a "
+                    "bare {bool: {must: [X]}} wrapper, flattens exactly — "
+                    "restructure deeper scoring bools into one level"
+                )
         else:
             raise ValueError(
                 f"bool.{dest} supports match/match_phrase/term/terms/prefix/"
-                f"wildcard/range/exists leaves, got {kind!r}"
+                f"wildcard/range/exists/bool leaves, got {kind!r}"
             )
 
-    for dest in ("must", "should"):
-        for q in _as_list(spec.get(dest)):
-            kind, v = _one(q, f"bool.{dest} entry")
-            leaf(kind, v, dest)
-    for q in _as_list(spec.get("must_not")):
+    def add_must_not(q):
         kind, v = _one(q, "bool.must_not entry")
+        if kind == "bool":
+            # NOT over a single required clause unwraps; NOT over a
+            # conjunction (De Morgan -> disjunction) or over must_not
+            # (double negation -> disjunction) does not flatten to
+            # conjunctive must_not
+            req = _as_list(v.get("must")) + _as_list(v.get("filter"))
+            if (
+                len(req) == 1
+                and not v.get("should")
+                and not v.get("must_not")
+                and v.get("minimum_should_match") is None
+            ):
+                add_must_not(req[0])
+                return
+            raise ValueError(
+                "nested bool in must_not flattens only the single-required-"
+                "clause wrapper {bool: {must|filter: [X]}} (De Morgan turns "
+                "conjunctions/negations into disjunctions)"
+            )
         if kind == "term":
             fname, fv = _one(v, "term")
             out["must_not_raw"].append(
                 str(fv["value"] if isinstance(fv, dict) else fv)
             )
-            continue
+            return
         if kind == "terms":
             fname, vals = _one(v, "terms")
             out["must_not_raw"].extend(str(x) for x in vals)
-            continue
+            return
         if kind != "match":
-            raise ValueError("bool.must_not supports match/term/terms leaves")
+            raise ValueError(
+                "bool.must_not supports match/term/terms/bool leaves"
+            )
         mspec = _field_query(v)
         if "query" not in mspec:
             _fn, fspec = _one(mspec, "match")
             mspec = _field_query(fspec)
         out["must_not"].append(str(mspec["query"]))
-    for q in _as_list(spec.get("filter")):
+
+    def flatten_required(v):
+        """Inner bool whose children are ALL non-scoring in this position:
+        filter+must conjuncts -> parent filter, must_not -> parent must_not
+        (filter context ignores scores, so inner must == inner filter)."""
+        if v.get("should") or v.get("minimum_should_match") is not None:
+            raise ValueError(
+                "nested bool flattening covers filter/must/must_not children "
+                "(a should group is a disjunction — restructure, or move it "
+                "to the top-level bool)"
+            )
+        for qq in _as_list(v.get("filter")) + _as_list(v.get("must")):
+            add_filter(qq)
+        for qq in _as_list(v.get("must_not")):
+            add_must_not(qq)
+
+    def add_filter(q):
         kind, v = _one(q, "bool.filter entry")
+        if kind == "bool":
+            # filter context is entirely non-scoring: the nested bool's
+            # required children conjoin with the parent's
+            plain_boost = float(v.get("boost", 1.0)) == 1.0
+            if not plain_boost:
+                raise ValueError("boost on a filter-context bool is a no-op in ES; remove it")
+            flatten_required(v)
+            return
         if kind == "term":
             fname, fv = _one(v, "term")
             val = fv["value"] if isinstance(fv, dict) else fv
@@ -230,7 +303,16 @@ def _bool_kwargs(spec: dict) -> dict:
                 mspec = _field_query(fspec)
             out["filter_terms"].append(str(mspec["query"]))
         else:
-            raise ValueError(f"bool.filter supports term/terms/range/exists/match/match_phrase, got {kind!r}")
+            raise ValueError(f"bool.filter supports term/terms/range/exists/match/match_phrase/bool, got {kind!r}")
+
+    for dest in ("must", "should"):
+        for q in _as_list(spec.get(dest)):
+            kind, v = _one(q, f"bool.{dest} entry")
+            leaf(kind, v, dest)
+    for q in _as_list(spec.get("must_not")):
+        add_must_not(q)
+    for q in _as_list(spec.get("filter")):
+        add_filter(q)
     if spec.get("minimum_should_match") is not None:
         out["minimum_should_match"] = spec["minimum_should_match"]
     if len(fuzz) > 1:

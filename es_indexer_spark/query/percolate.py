@@ -29,10 +29,16 @@ build; keep stored-query terms analyzed and stop-filtered, or salt the join
 on the doc side if a term's overlap volume dominates a partition).
 
 Lucene's default `minimum_should_match` rule is reproduced: a query with no
-must terms needs >= 1 should match; a percolator with NO positive terms at
-all (only must_not) would match every doc not containing the terms — that
-requires an anti-join against the full candidate set, a different (and
-rarely intended) shape, so it raises by name.
+must terms needs >= 1 should match. A percolator with NO positive terms at
+all (only must_not) matches BY ABSENCE — it is a candidate for every doc, so
+no equi-join can discover it. Those queries take a separate broadcast
+absence pass (round 5g): the candidate batch's token sets broadcast against
+the pure-negative query subset and ``array_intersect == empty`` decides the
+match — work is |negative queries| x |candidate batch|, which is the honest
+cost of absence matching (ES pays the same: every pure-negative percolator
+must be evaluated against every percolated doc). The candidate batch is the
+per-call document list (O(1)-small by API shape); the stored-query side
+stays distributed.
 """
 
 from __future__ import annotations
@@ -75,13 +81,7 @@ def percolate(
         msm_col.cast("int").alias("msm"),
         F.size(should).alias("n_should"),
     )
-    bad = qmeta.filter((F.col("n_must") == 0) & (F.col("n_should") == 0))
-    if bad.limit(1).count() > 0:
-        raise ValueError(
-            "percolator queries with no positive (must/should) terms would "
-            "match by absence alone — not supported (requires an anti-join "
-            "over the full candidate set)"
-        )
+    pure_negative = (F.size(must) == 0) & (F.size(should) == 0)
 
     def kind_terms(arr, kind: str):
         return queries_df.select(
@@ -110,9 +110,29 @@ def percolate(
             if tokenizer == "code" and lang_col is not None
             else udf(F.col(text_col))
         )
-    doc_terms = docs_df.select(
+    doc_toks = docs_df.select(
         F.col(doc_id_col).alias("doc_id"),
-        F.explode(F.array_distinct(toks)).alias("term"),
+        # null text tokenizes to null: treat as the empty token set so the
+        # absence pass still sees the doc (a token-less doc matches every
+        # pure-negative percolator)
+        F.coalesce(F.array_distinct(toks), F.array()).alias("__dtoks"),
+    )
+    doc_terms = doc_toks.select(
+        "doc_id", F.explode(F.col("__dtoks")).alias("term")
+    )
+
+    # absence pass for pure-negative percolators: a BroadcastNestedLoopJoin
+    # of the O(1)-sized candidate batch against the (distributed) negative
+    # query subset — deliberate: absence matching has no join key
+    neg_hits = (
+        queries_df.filter(pure_negative)
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            F.array_distinct(must_not).alias("__mn"),
+        )
+        .crossJoin(F.broadcast(doc_toks))
+        .filter(F.size(F.array_intersect(F.col("__mn"), F.col("__dtoks"))) == 0)
+        .select("doc_id", "query_id")
     )
 
     hits = (
@@ -138,4 +158,5 @@ def percolate(
             & (F.col("n_cnt") == 0)
         )
         .select("doc_id", "query_id")
+        .unionByName(neg_hits)
     )

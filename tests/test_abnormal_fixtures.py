@@ -597,7 +597,13 @@ def test_dsl_bool_leaf_error_shapes(spark, abnormal_index):
     out = validate_query(spark, abnormal_index, {"query": {"bool": {
         "should": [{"range": {"n_chars": {"gte": 1}}}]}}})
     assert out == {"valid": True, "error": None}
-    # nested bool still raises by name (one-level contract)
+    # non-scoring/wrapper nested bools flatten since round 5g; a SCORING
+    # nested bool still raises by name
     out = validate_query(spark, abnormal_index, {"query": {"bool": {
         "must": [{"bool": {"must": []}}]}}})
-    assert out["valid"] is False
+    assert out == {"valid": True, "error": None}
+    out = validate_query(spark, abnormal_index, {"query": {"bool": {
+        "must": [{"bool": {"should": [{"match": {"text": "a"}},
+                                      {"match": {"text": "b"}}],
+                           "minimum_should_match": 2}}]}}})
+    assert out["valid"] is False and "nested bool" in out["error"]

@@ -215,7 +215,13 @@ def test_match_all_and_min_score(spark, dsl_index, documents):
     "body",
     [
         {"query": {"frankenquery": {}}},
-        {"query": {"bool": {"must": [{"bool": {}}]}}},
+        # a SCORING nested bool (should group + msm) never flattens exactly
+        # (round 5g flattens the non-scoring / wrapper shapes)
+        {"query": {"bool": {"must": [{"bool": {
+            "should": [{"match": {"content": "a"}},
+                       {"match": {"content": "b"}}],
+            "minimum_should_match": 2,
+        }}]}}},
         {"query": {"bool": {"must": [{"ids": {"values": [1]}}]}}},
         {"query": {"more_like_this": {"like": [{"_id": 3}]}}},
     ],

@@ -396,3 +396,91 @@ def test_msearch_heterogeneous_fallback(spark, d2_index):
     b = search(spark, d2_index, bodies[1]).collect()
     assert [r["docid"] for r in outs[0].collect()] == [r["docid"] for r in a]
     assert [r["docid"] for r in outs[1].collect()] == [r["docid"] for r in b]
+
+
+# ---------------------------------------------------------------- round 5g
+def _scored(df):
+    return [(r["docid"], round(r["score"], 6)) for r in df.collect()]
+
+
+def test_nested_bool_filter_flattens(spark, d2_index):
+    """filter: [{bool: {filter/must/must_not}}] — the ubiquitous client
+    wrapper — must be score- and rank-identical to the flat form."""
+    nested = search(spark, d2_index, {"query": {"bool": {
+        "must": [{"match": {"content": "data stream"}}],
+        "filter": [{"bool": {
+            "filter": [{"term": {"lang": "en"}}],
+            "must": [{"range": {"n_chars": {"gte": 200}}}],
+            "must_not": [{"match": {"content": "error"}}],
+        }}],
+    }}, "size": 10})
+    flat = search(spark, d2_index, {"query": {"bool": {
+        "must": [{"match": {"content": "data stream"}}],
+        "filter": [{"term": {"lang": "en"}},
+                   {"range": {"n_chars": {"gte": 200}}}],
+        "must_not": [{"match": {"content": "error"}}],
+    }}, "size": 10})
+    assert _scored(nested) == _scored(flat) and nested.count()
+
+
+def test_nested_nonscoring_bool_in_must(spark, d2_index):
+    """must: [{bool: {filter: [...]}}] scores 0 in ES — identical to the
+    parent-filter form."""
+    nested = search(spark, d2_index, {"query": {"bool": {
+        "must": [{"match": {"content": "data stream"}},
+                 {"bool": {"filter": [{"term": {"lang": "en"}}]}}],
+    }}, "size": 10})
+    flat = search(spark, d2_index, {"query": {"bool": {
+        "must": [{"match": {"content": "data stream"}}],
+        "filter": [{"term": {"lang": "en"}}],
+    }}, "size": 10})
+    assert _scored(nested) == _scored(flat) and nested.count()
+
+
+def test_nested_wrapper_bool_unwraps(spark, d2_index):
+    """{bool: {must: [X]}} with nothing else is query-builder noise: X."""
+    nested = search(spark, d2_index, {"query": {"bool": {
+        "should": [{"bool": {"must": [{"match": {"content": "stream"}}]}},
+                   {"match": {"content": "vector"}}],
+    }}, "size": 10})
+    flat = search(spark, d2_index, {"query": {"bool": {
+        "should": [{"match": {"content": "stream"}},
+                   {"match": {"content": "vector"}}],
+    }}, "size": 10})
+    assert _scored(nested) == _scored(flat) and nested.count()
+
+
+def test_nested_must_not_single_clause_unwraps(spark, d2_index):
+    nested = search(spark, d2_index, {"query": {"bool": {
+        "must": [{"match": {"content": "data"}}],
+        "must_not": [{"bool": {"filter": [{"match": {"content": "error"}}]}}],
+    }}, "size": 10})
+    flat = search(spark, d2_index, {"query": {"bool": {
+        "must": [{"match": {"content": "data"}}],
+        "must_not": [{"match": {"content": "error"}}],
+    }}, "size": 10})
+    assert _scored(nested) == _scored(flat) and nested.count()
+
+
+def test_nested_bool_unflattenable_shapes_raise(spark, d2_index):
+    # a should GROUP inside filter context is a disjunction
+    with pytest.raises(ValueError, match="should group is a disjunction"):
+        search(spark, d2_index, {"query": {"bool": {
+            "filter": [{"bool": {"should": [{"term": {"lang": "en"}},
+                                            {"term": {"lang": "fr"}}]}}],
+        }}, "size": 5})
+    # De Morgan: NOT(a AND b) is a disjunction of negations
+    with pytest.raises(ValueError, match="De Morgan"):
+        search(spark, d2_index, {"query": {"bool": {
+            "must": [{"match": {"content": "data"}}],
+            "must_not": [{"bool": {"filter": [
+                {"match": {"content": "error"}},
+                {"term": {"lang": "en"}},
+            ]}}],
+        }}, "size": 5})
+    # a SCORING nested bool in should does not flatten
+    with pytest.raises(ValueError, match="nested bool in should"):
+        search(spark, d2_index, {"query": {"bool": {
+            "should": [{"bool": {"must": [{"match": {"content": "a"}}],
+                                 "filter": [{"term": {"lang": "en"}}]}}],
+        }}, "size": 5})

@@ -84,12 +84,28 @@ def test_duplicate_terms_count_once(spark, tiny):
     assert got == [(1, "dup"), (2, "dup"), (4, "dup")]
 
 
-def test_pure_negative_raises(spark, tiny):
+def test_pure_negative_matches_by_absence(spark, tiny):
+    """Round 5g: only-must_not percolators match every doc NOT containing
+    the terms (ES semantics — the broadcast absence pass), next to a
+    positive query in the same call; the empty doc matches by absence."""
     queries = spark.createDataFrame(
-        [("neg", None, None, ["alpha"], None)], QSCHEMA
+        [
+            ("neg", None, None, ["alpha"], None),
+            ("neg2", None, None, ["alpha", "delta"], None),
+            ("pos", ["beta"], None, None, None),
+        ],
+        QSCHEMA,
     )
-    with pytest.raises(ValueError, match="no positive"):
-        percolate(queries, tiny)
+    got = _pairs(percolate(queries, tiny))
+    assert got == [
+        (1, "pos"), (2, "pos"),
+        (3, "neg"), (3, "pos"),  # no alpha; beta present
+        (4, "pos"),
+        (5, "neg"), (5, "neg2"),  # empty doc contains nothing
+    ]
+    # an empty percolator (no clauses at all) is match_all
+    q_all = spark.createDataFrame([("all", None, None, None, None)], QSCHEMA)
+    assert _pairs(percolate(q_all, tiny)) == [(d, "all") for d in (1, 2, 3, 4, 5)]
 
 
 def test_empty_doc_never_matches(spark, tiny):
@@ -98,3 +114,13 @@ def test_empty_doc_never_matches(spark, tiny):
         QSCHEMA,
     )
     assert all(d != 5 for d, _ in _pairs(percolate(queries, tiny)))
+
+
+def test_pure_negative_null_text_matches_by_absence(spark):
+    """A token-less (null-text) doc contains nothing, so it matches every
+    pure-negative percolator."""
+    docs = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [("neg", None, None, ["alpha"], None)], QSCHEMA
+    )
+    assert _pairs(percolate(queries, docs)) == [(9, "neg")]
