@@ -66,7 +66,14 @@ Jobs:
   ``--dest``, reading content from the ``--input`` corpus, optionally
   transformed by ``--script`` (a JSON ``{column: SQL expr}`` map; round 5g);
 - ``update-by-query`` — apply ``--script`` to every live doc matching
-  ``--body``, in place (delete+add via upsert; round 5g).
+  ``--body``, in place (delete+add via upsert; round 5g);
+- ``aliases`` — ES ``_aliases``: print the alias table of ``--cluster-dir``,
+  or apply a ``--body`` action list atomically (round 5g);
+- ``snapshot`` / ``snapshots`` / ``restore`` — ES ``_snapshot``: hardlink
+  snapshot of the published version into ``--repo``, list complete
+  snapshots, restore one as a new published version of ``--dest`` (round 5g);
+- ``mtermvectors`` — batched artificial-doc term vectors (``--body``
+  ``{doc_key: text}``; ONE dictionary lookup for the whole batch; round 5g).
 """
 
 from __future__ import annotations
@@ -93,7 +100,8 @@ def build_parser() -> argparse.ArgumentParser:
                  "qs", "span-multi", "knn", "rrf", "percolate", "dsl",
                  "scroll", "validate", "msearch", "mget", "search-template",
                  "render-template", "put-template", "reindex",
-                 "update-by-query"],
+                 "update-by-query", "aliases", "snapshot", "restore",
+                 "snapshots", "mtermvectors"],
     )
     p.add_argument("--pages", type=int, default=None,
                    help="scroll: max pages to emit (default: to exhaustion)")
@@ -175,7 +183,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--delta", help="delta index root (merge job)")
     p.add_argument("--store-positions", action="store_true",
                    help="store term positions (enables phrase queries)")
-    p.add_argument("--dest", default=None, help="reindex: destination index root")
+    p.add_argument("--dest", default=None,
+                   help="reindex/restore: destination index root")
+    p.add_argument("--cluster-dir", default=None,
+                   help="aliases job: directory holding the _aliases.json registry")
+    p.add_argument("--repo", default=None,
+                   help="snapshot/restore jobs: snapshot repository dir")
+    p.add_argument("--snapshot-id", default=None,
+                   help="snapshot/restore jobs: snapshot name")
     p.add_argument("--script", default=None,
                    help="reindex/update-by-query: JSON {column: SQL expr} map")
     p.add_argument("--params", default=None,
@@ -186,7 +201,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="template jobs: inline mustache source")
     p.add_argument("--input", help="parquet path (or Iceberg table via --format iceberg)")
     p.add_argument("--format", default="parquet", help="spark read format")
-    p.add_argument("--index", required=True, help="index root dir")
+    p.add_argument("--index", default=None,
+                   help="index root dir (required for every job except "
+                        "aliases/snapshots/restore)")
     p.add_argument("--content-col", default="content")
     p.add_argument("--id-col", default=None, help="use an existing long id column")
     p.add_argument("--order-cols", type=_csv, default=["repo", "path", "commit"])
@@ -208,6 +225,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.index is None and args.job not in (
+        "aliases", "snapshots", "restore"
+    ):
+        print(f"--index required for job {args.job}", file=sys.stderr)
+        return 2
 
     from pyspark.sql import SparkSession
 
@@ -698,6 +720,48 @@ def main(argv: list[str] | None = None) -> int:
                 bounds["lt"] = _num(args.lt)
             for r in range_query(spark, args.index, args.field, bounds,
                                  size=args.k).collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.job == "aliases":
+            from es_indexer_spark.index.aliases import get_aliases, update_aliases
+
+            if not args.cluster_dir:
+                print("--cluster-dir required for aliases", file=sys.stderr)
+                return 2
+            if args.body:
+                table = update_aliases(args.cluster_dir, json.loads(args.body))
+            else:
+                table = get_aliases(args.cluster_dir)
+            print(json.dumps(table, sort_keys=True))
+        elif args.job in ("snapshot", "restore", "snapshots"):
+            from es_indexer_spark.index import snapshot as snap
+
+            if not args.repo:
+                print("--repo required", file=sys.stderr)
+                return 2
+            if args.job == "snapshots":
+                print(json.dumps(snap.list_snapshots(args.repo)))
+            elif args.job == "snapshot":
+                if not args.snapshot_id:
+                    print("--snapshot-id required", file=sys.stderr)
+                    return 2
+                man = snap.create_snapshot(args.index, args.repo, args.snapshot_id)
+                print(json.dumps({"job": "snapshot", **man}))
+            else:
+                if not (args.snapshot_id and args.dest):
+                    print("--snapshot-id and --dest required", file=sys.stderr)
+                    return 2
+                vdir = snap.restore_snapshot(args.repo, args.snapshot_id, args.dest)
+                print(json.dumps({"job": "restore", "version_dir": vdir}))
+        elif args.job == "mtermvectors":
+            from es_indexer_spark.query.lookup import mterm_vectors
+
+            if not args.body:
+                print("--body required ({doc_key: text} JSON)", file=sys.stderr)
+                return 2
+            rows = mterm_vectors(
+                spark, args.index, json.loads(args.body), lang=args.lang
+            ).collect()
+            for r in rows:
                 print(json.dumps(r.asDict(), default=str))
         elif args.job == "mget":
             from es_indexer_spark.query.lookup import mget

@@ -302,3 +302,54 @@ def term_vectors(
         "term string, term_freq int, positions array<int>, "
         "doc_freq long, ttf long",
     )
+
+
+def mterm_vectors(
+    spark: SparkSession,
+    index_root: str,
+    docs: dict,
+    *,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``_mtermvectors`` for a batch of artificial docs (``{doc_key:
+    text}``): the batched form of :func:`term_vectors`, amortized the way
+    the batch API exists to be — the UNION of all docs' terms goes through
+    ONE pruned dictionary lookup instead of one per doc. Output adds a
+    ``doc_key`` column; per-doc rows match ``term_vectors`` exactly."""
+    from es_indexer_spark.analysis.tokenizer import split_lang_marker, tokenize_one
+    from es_indexer_spark.index import catalog as _catalog
+    from es_indexer_spark.query.engine import _dict_lookup
+
+    vdir = _catalog.resolve(index_root)
+    stats = _catalog.read_stats(vdir)
+    per_doc: dict = {}
+    all_terms: set[str] = set()
+    for key, text in docs.items():
+        toks, _marker = split_lang_marker(
+            tokenize_one(text, stats["tokenizer"], lang=lang)
+        )
+        tv: dict[str, list[int]] = {}
+        for pos, t in enumerate(toks):
+            tv.setdefault(t, []).append(pos)
+        per_doc[key] = tv
+        all_terms.update(tv)
+    found = {
+        r["term"]: r for r in _dict_lookup(spark, vdir, sorted(all_terms))
+    }
+    rows = [
+        (
+            str(key),
+            t,
+            len(ps),
+            ps,
+            int(found[t]["df"]) if t in found else 0,
+            int(found[t]["cf"]) if t in found else 0,
+        )
+        for key, tv in per_doc.items()
+        for t, ps in sorted(tv.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_key string, term string, term_freq int, positions array<int>, "
+        "doc_freq long, ttf long",
+    )

@@ -420,3 +420,54 @@ def test_cli_round5g_jobs(spark, tmp_path, capsys):
     assert rc == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["updated"] == 82
+
+
+def test_cli_aliases_snapshot_mtermvectors(spark, tmp_path, capsys):
+    root = str(tmp_path / "idx_ops")
+    src = os.path.join(SF_DIR, "documents.parquet")
+    rc = main(
+        ["--job", "build", "--input", src, "--index", root, "--content-col",
+         "text", "--id-col", "doc_id", "--tokenizer", "standard",
+         "--n-buckets", "4", "--ckpt-batches", "2"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    # aliases: action list applies atomically, no --index needed
+    cd = str(tmp_path / "cluster")
+    rc = main(["--job", "aliases", "--cluster-dir", cd, "--body",
+               '[{"add": {"alias": "live", "index": "' + root + '"}}]'])
+    assert rc == 0
+    table = json.loads(capsys.readouterr().out.strip())
+    assert table["live"][0]["index"] == root
+    rc = main(["--job", "aliases", "--cluster-dir", cd])
+    assert rc == 0 and "live" in json.loads(capsys.readouterr().out.strip())
+
+    # snapshot -> list -> restore
+    repo = str(tmp_path / "repo")
+    rc = main(["--job", "snapshot", "--index", root, "--repo", repo,
+               "--snapshot-id", "s1"])
+    assert rc == 0
+    man = json.loads(capsys.readouterr().out.strip())
+    assert man["stats"]["n_docs"] == 500
+    rc = main(["--job", "snapshots", "--repo", repo])
+    assert rc == 0
+    assert [m["snapshot_id"] for m in
+            json.loads(capsys.readouterr().out.strip())] == ["s1"]
+    dest = str(tmp_path / "idx_ops_back")
+    rc = main(["--job", "restore", "--repo", repo, "--snapshot-id", "s1",
+               "--dest", dest])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["version_dir"].startswith(dest)
+
+    # mtermvectors over artificial docs
+    rc = main(["--job", "mtermvectors", "--index", root,
+               "--body", '{"a": "spark spark data"}'])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    tf = {r["term"]: r["term_freq"] for r in rows}
+    assert tf == {"spark": 2, "data": 1}
+
+    # missing --index for an index job is a clean rc=2
+    assert main(["--job", "query", "--query", "x"]) == 2
