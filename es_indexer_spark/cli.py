@@ -603,6 +603,15 @@ def main(argv: list[str] | None = None) -> int:
                 spark.read.parquet(args.emb_input) if args.emb_input else None
             )
             body = json.loads(raw)
+            if body.get("suggest") and "query" not in body:
+                from es_indexer_spark.query.dsl import suggest as dsl_suggest
+
+                for name, tbl in dsl_suggest(spark, args.index, body).items():
+                    for r in tbl.collect():
+                        print(json.dumps(
+                            {"suggest": name, **r.asDict()}, default=str
+                        ))
+                return 0
             aggs_node = body.get("aggs") or body.get("aggregations")
             if aggs_node:
                 from es_indexer_spark.query.dsl_aggs import aggregations

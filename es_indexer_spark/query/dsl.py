@@ -40,7 +40,11 @@ Supported surface (each maps to a documented engine call):
   ``query`` string next to the feature spec — in ES these sit inside a
   surrounding bool, which is the one-level-nesting case).
   :func:`validate_query` is the ``_validate/query`` shape over the same
-  dispatch.
+  dispatch. A ``collapse`` section on a match body lowers onto
+  ``collapse_topk`` (one best hit per stored-field value); the body-level
+  ``suggest`` section (:func:`suggest`) lowers term/completion suggesters
+  onto the suggest module (phrase suggester raises by name — it needs the
+  source corpus).
 
 Unsupported shapes raise ``ValueError`` naming the construct (nested bools
 beyond one level, per-field analyzers, scripted sorts) — never a silent
@@ -1263,6 +1267,26 @@ def search(
         from pyspark.sql import functions as F
 
         out = out.filter(F.col("score") >= float(body["min_score"]))
+    if body.get("collapse") is not None:
+        # one best hit per distinct value of a stored field; lowered onto
+        # the rank-window collapse (per-group top-1, no global ranking
+        # materialization) — the match-query shape ES clients send
+        cfield = str(body["collapse"]["field"])
+        if kind != "match":
+            raise ValueError(
+                "collapse supports a match main query — other shapes: call "
+                "query/engine.py collapse_topk (or window the hits yourself)"
+            )
+        mspec = _field_query(v)
+        if "query" not in mspec:
+            _fn, fspec = _one(mspec, "match")
+            mspec = _field_query(fspec)
+        from es_indexer_spark.query.engine import collapse_topk
+
+        out = collapse_topk(
+            spark, index_root, str(mspec["query"]), cfield,
+            k=size + from_, lang=lang,
+        )
     if body.get("rescore") is not None:
         # the native rescorer is the phrase-window form: a match main query
         # re-ranked by a match_phrase rescore_query (ES score_mode=total)
@@ -1335,6 +1359,69 @@ def validate_query(
         return {"valid": True, "error": None}
     except (ValueError, KeyError, TypeError) as e:
         return {"valid": False, "error": f"{type(e).__name__}: {e}"}
+
+
+def suggest(
+    spark: SparkSession, index_root: str, body: dict
+) -> dict[str, DataFrame]:
+    """The request-body ``suggest`` section: ``{name: spec}`` where spec is
+    the ES ``term`` suggester (did-you-mean over the dictionary —
+    ``{"text": ..., "term": {...}}``) or the ``completion`` suggester
+    (``{"prefix": ..., "completion": {...}}``; a ``fuzzy`` sub-object routes
+    to the typo-tolerant expansion). Returns one DataFrame per named
+    suggester — the engine functions the section lowers onto are the
+    oracle-checked ``suggest_terms`` / ``suggest_prefix`` /
+    ``suggest_fuzzy``. The ``phrase`` suggester needs the source corpus (it
+    ranks SHINGLES, which the index does not store) — it raises by name
+    pointing at ``phrase_suggestions(df, ...)``."""
+    section = body.get("suggest", body)
+    if not isinstance(section, dict) or not section:
+        raise ValueError("suggest needs a non-empty {name: spec} object")
+    out: dict[str, DataFrame] = {}
+    for name, spec in section.items():
+        if not isinstance(spec, dict):
+            raise ValueError(f"suggester {name!r} spec must be an object")
+        if "term" in spec:
+            from es_indexer_spark.query.suggest import suggest_terms
+
+            t = spec["term"]
+            out[name] = suggest_terms(
+                spark, index_root, str(spec["text"]),
+                max_edits=int(t.get("max_edits", 2)),
+                prefix_length=int(t.get("prefix_length", 1)),
+                size=int(t.get("size", 5)),
+                suggest_mode=str(t.get("suggest_mode", "missing")),
+                min_word_length=int(t.get("min_word_length", 4)),
+            )
+        elif "completion" in spec:
+            c = spec["completion"]
+            size = int(c.get("size", 5))
+            if c.get("fuzzy"):
+                from es_indexer_spark.query.suggest import suggest_fuzzy
+
+                fz = c["fuzzy"] if isinstance(c["fuzzy"], dict) else {}
+                out[name] = suggest_fuzzy(
+                    spark, index_root, str(spec["prefix"]),
+                    fuzziness=int(fz.get("fuzziness", 1)), k=size,
+                )
+            else:
+                from es_indexer_spark.query.suggest import suggest_prefix
+
+                out[name] = suggest_prefix(
+                    spark, index_root, str(spec["prefix"]), k=size
+                )
+        elif "phrase" in spec:
+            raise ValueError(
+                "the phrase suggester ranks corpus SHINGLES, which the "
+                "index does not store — call "
+                "suggest.phrase_suggestions(corpus_df, ...) directly"
+            )
+        else:
+            raise ValueError(
+                f"suggester {name!r} must be term/completion (phrase raises "
+                "by name)"
+            )
+    return out
 
 
 def msearch(

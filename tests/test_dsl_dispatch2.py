@@ -484,3 +484,49 @@ def test_nested_bool_unflattenable_shapes_raise(spark, d2_index):
             "should": [{"bool": {"must": [{"match": {"content": "a"}}],
                                  "filter": [{"term": {"lang": "en"}}]}}],
         }}, "size": 5})
+
+
+def test_collapse_section_dispatch(spark, d2_index):
+    from es_indexer_spark.query.engine import collapse_topk
+
+    body = {"query": {"match": {"content": "data stream"}},
+            "collapse": {"field": "lang"}, "size": 5}
+    got = search(spark, d2_index, body)
+    want = collapse_topk(spark, d2_index, "data stream", "lang", k=5)
+    assert [(r["docid"], r["lang"], round(r["score"], 6)) for r in got.collect()] == \
+           [(r["docid"], r["lang"], round(r["score"], 6)) for r in want.collect()]
+    # one hit per lang
+    langs = [r["lang"] for r in got.collect()]
+    assert len(langs) == len(set(langs)) and langs
+    with pytest.raises(ValueError, match="collapse supports a match"):
+        search(spark, d2_index, {"query": {"term": {"lang": "en"}},
+                                 "collapse": {"field": "lang"}})
+
+
+def test_suggest_section_dispatch(spark, d2_index):
+    from es_indexer_spark.query.dsl import suggest
+    from es_indexer_spark.query.suggest import (
+        suggest_fuzzy,
+        suggest_prefix,
+        suggest_terms,
+    )
+
+    body = {"suggest": {
+        "typo": {"text": "strem", "term": {"field": "content", "size": 3}},
+        "comp": {"prefix": "da", "completion": {"size": 4}},
+        "comp_fz": {"prefix": "dta", "completion": {
+            "size": 3, "fuzzy": {"fuzziness": 1}}},
+    }}
+    got = suggest(spark, d2_index, body)
+    assert set(got) == {"typo", "comp", "comp_fz"}
+    assert [r.asDict() for r in got["typo"].collect()] == \
+           [r.asDict() for r in suggest_terms(
+               spark, d2_index, "strem", size=3).collect()]
+    assert [r.asDict() for r in got["comp"].collect()] == \
+           [r.asDict() for r in suggest_prefix(spark, d2_index, "da", k=4).collect()]
+    assert [r.asDict() for r in got["comp_fz"].collect()] == \
+           [r.asDict() for r in suggest_fuzzy(
+               spark, d2_index, "dta", fuzziness=1, k=3).collect()]
+    assert got["comp"].count() > 0
+    with pytest.raises(ValueError, match="phrase suggester"):
+        suggest(spark, d2_index, {"suggest": {"p": {"text": "x", "phrase": {}}}})
