@@ -2502,6 +2502,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["percolate_negative"] = _percolate_negative
 
+    # round 5g: _rank_eval — precision@5 over two rated match requests,
+    # batched through ONE topk_many scan
+    def _rank_eval_precision(spark, sf):
+        from es_indexer_spark.query.rankeval import rank_eval
+
+        requests = [
+            {"id": "q1",
+             "request": {"query": {"match": {"content": "spark join window"}}},
+             "ratings": [{"_id": 206, "rating": 3}, {"_id": 125, "rating": 1},
+                         {"_id": 7, "rating": 0}]},
+            {"id": "q2",
+             "request": {"query": {"match": {"content": "data stream"}}},
+             "ratings": [{"_id": 42, "rating": 2}]},
+        ]
+        return rank_eval(
+            spark, _index_root(spark, sf), requests, {"precision": {"k": 5}}
+        )
+
+    q["rank_eval_precision"] = _rank_eval_precision
+
     # ---- driver-gate rotation ----------------------------------------------------
     # The driver's correctness gate records only the first ~50 entries by
     # insertion order, so entries that have never had a driver row rotate to
@@ -2516,7 +2536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # _reindex / _update_by_query
         "mget_stored", "search_template_term", "inner_hits_clicks",
         "reindex_filtered", "update_by_query_live", "bool_nested_flat",
-        "percolate_negative",
+        "percolate_negative", "rank_eval_precision",
         "intervals_gaps", "intervals_any_of", "intervals_containing",
         "span_within_query", "combined_fields",
         "nested_same_object", "nested_terms_agg", "reverse_nested",
@@ -5039,6 +5059,41 @@ FROM t GROUP BY lang
     o["bool_nested_flat"] = _bool_sql(
         must=["data"], must_not=["key"], rng="lang = 'en'"
     )
+    # _rank_eval precision@5: per-qid brute BM25 top-5, rated>=1 / retrieved
+    o["rank_eval_precision"] = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM t2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM t2 GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              ((SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents))::DOUBLE AS avgdl),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+raw1 AS (
+  SELECT tf.doc_id, sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+         tf.tf * {K1 + 1} / (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('join', 'spark', 'window') GROUP BY tf.doc_id),
+raw2 AS (
+  SELECT tf.doc_id, sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+         tf.tf * {K1 + 1} / (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('data', 'stream') GROUP BY tf.doc_id),
+u AS (SELECT 'q1' AS qid, doc_id, s FROM raw1
+      UNION ALL SELECT 'q2', doc_id, s FROM raw2),
+rk AS (SELECT qid, doc_id,
+              row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id ASC) AS rnk
+       FROM u),
+top AS (SELECT qid, doc_id FROM rk WHERE rnk <= 5),
+ratings(qid, doc_id, rating) AS (
+  VALUES ('q1', 206, 3), ('q1', 125, 1), ('q1', 7, 0), ('q2', 42, 2))
+SELECT t.qid,
+       round(sum(CASE WHEN coalesce(r.rating, 0) >= 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS metric_score,
+       count(r.rating)::BIGINT AS rated_in_topk,
+       (count(*) - count(r.rating))::BIGINT AS unrated_in_topk
+FROM top t LEFT JOIN ratings r ON t.qid = r.qid AND t.doc_id = r.doc_id
+GROUP BY t.qid ORDER BY t.qid
+"""
     # pure-negative percolators: absence matching over the candidate set
     o["percolate_negative"] = """
 WITH toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t

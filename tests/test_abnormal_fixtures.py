@@ -607,3 +607,63 @@ def test_dsl_bool_leaf_error_shapes(spark, abnormal_index):
                                       {"match": {"text": "b"}}],
                            "minimum_should_match": 2}}]}}})
     assert out["valid"] is False and "nested bool" in out["error"]
+
+
+def test_round5g_abnormal_shapes(spark, tmp_path):
+    """Round-5g degenerate inputs: empty mget batch, empty reindex match
+    set, snapshot of an unpublished root, bad alias actions, empty
+    mtermvectors batch."""
+    import os
+
+    from es_indexer_spark.index.aliases import update_aliases
+    from es_indexer_spark.index.builder import build_index
+    from es_indexer_spark.index.reindex import reindex
+    from es_indexer_spark.index.snapshot import create_snapshot
+    from es_indexer_spark.query.lookup import mget, mterm_vectors
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i}", "en") for i in range(30)],
+        "doc_id long, text string, lang string",
+    )
+    root = str(tmp_path / "idx")
+    build_index(
+        spark, docs, root, content_col="text", id_col="doc_id",
+        meta_cols=("lang",), tokenizer="standard", n_buckets=2,
+        shard_size=16, n_ckpt_batches=1, resume=False,
+    )
+
+    # empty mget batch: empty frame, stable schema
+    out = mget(spark, root, [])
+    assert out.count() == 0 and "found" in out.columns
+
+    # empty mtermvectors batch: empty frame, stable schema
+    out = mterm_vectors(spark, root, {})
+    assert out.count() == 0 and "doc_key" in out.columns
+
+    # reindex whose query matches nothing: created == 0, dst still publishes
+    dst = str(tmp_path / "idx_dst")
+    res = reindex(
+        spark, docs, root, dst,
+        query={"term": {"lang": {"value": "zz"}}},
+        content_col="text", id_col="doc_id", meta_cols=("lang",),
+    )
+    assert res["created"] == 0
+    from es_indexer_spark.index import catalog
+
+    assert catalog.index_exists(dst)
+
+    # snapshot of a root with no published version raises cleanly
+    with pytest.raises(FileNotFoundError):
+        create_snapshot(str(tmp_path / "nope"), str(tmp_path / "repo"), "s")
+    # bad snapshot ids rejected before any IO
+    with pytest.raises(ValueError, match="bad snapshot id"):
+        create_snapshot(root, str(tmp_path / "repo"), "a/b")
+
+    # alias actions: malformed shapes raise naming the constraint
+    cd = str(tmp_path / "cluster")
+    with pytest.raises(ValueError, match="single-key"):
+        update_aliases(cd, [{"add": {}, "remove": {}}])
+    with pytest.raises(ValueError, match="add/remove/remove_index"):
+        update_aliases(cd, [{"frob": {"alias": "a", "index": "i"}}])
+    # registry untouched after failed batches
+    assert not os.path.exists(os.path.join(cd, "_aliases.json"))
