@@ -73,7 +73,10 @@ Jobs:
   snapshot of the published version into ``--repo``, list complete
   snapshots, restore one as a new published version of ``--dest`` (round 5g);
 - ``mtermvectors`` — batched artificial-doc term vectors (``--body``
-  ``{doc_key: text}``; ONE dictionary lookup for the whole batch; round 5g).
+  ``{doc_key: text}``; ONE dictionary lookup for the whole batch; round 5g);
+- ``rank-eval`` — ES ``_rank_eval``: rated requests + a metric object
+  (``--body '{"requests": [...], "metric": {"precision": {"k": 10}}}'``),
+  prints the overall score and per-request details (round 5g).
 """
 
 from __future__ import annotations
@@ -101,7 +104,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "scroll", "validate", "msearch", "mget", "search-template",
                  "render-template", "put-template", "reindex",
                  "update-by-query", "aliases", "snapshot", "restore",
-                 "snapshots", "mtermvectors"],
+                 "snapshots", "mtermvectors", "rank-eval"],
     )
     p.add_argument("--pages", type=int, default=None,
                    help="scroll: max pages to emit (default: to exhaustion)")
@@ -761,6 +764,30 @@ def main(argv: list[str] | None = None) -> int:
                     return 2
                 vdir = snap.restore_snapshot(args.repo, args.snapshot_id, args.dest)
                 print(json.dumps({"job": "restore", "version_dir": vdir}))
+        elif args.job == "rank-eval":
+            from es_indexer_spark.query.rankeval import rank_eval
+
+            if not args.body:
+                print("--body required ({requests, metric} JSON or @file)",
+                      file=sys.stderr)
+                return 2
+            raw = args.body
+            if raw.startswith("@"):
+                with open(raw[1:]) as fh:
+                    raw = fh.read()
+            spec = json.loads(raw)
+            per = rank_eval(
+                spark, args.index, spec["requests"], spec["metric"],
+                lang=args.lang,
+            )
+            rows = per.collect()
+            overall = (
+                sum(r["metric_score"] for r in rows) / len(rows) if rows else 0.0
+            )
+            print(json.dumps({
+                "metric_score": round(overall, 6),
+                "details": {r["qid"]: r.asDict() for r in rows},
+            }, default=str))
         elif args.job == "mtermvectors":
             from es_indexer_spark.query.lookup import mterm_vectors
 

@@ -471,3 +471,28 @@ def test_cli_aliases_snapshot_mtermvectors(spark, tmp_path, capsys):
 
     # missing --index for an index job is a clean rc=2
     assert main(["--job", "query", "--query", "x"]) == 2
+
+
+def test_cli_rank_eval_job(spark, tmp_path, capsys):
+    root = str(tmp_path / "idx_re_cli")
+    src = os.path.join(SF_DIR, "documents.parquet")
+    rc = main(["--job", "build", "--input", src, "--index", root,
+               "--content-col", "text", "--id-col", "doc_id",
+               "--tokenizer", "standard", "--n-buckets", "4",
+               "--ckpt-batches", "2"])
+    assert rc == 0
+    capsys.readouterr()
+    body = json.dumps({
+        "requests": [
+            {"id": "q1",
+             "request": {"query": {"match": {"content": "spark join window"}}},
+             "ratings": [{"_id": 206, "rating": 2}]},
+        ],
+        "metric": {"precision": {"k": 5}},
+    })
+    rc = main(["--job", "rank-eval", "--index", root, "--body", body])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["metric_score"] == 0.2  # docid 206 is the top hit on sf0.001
+    assert out["details"]["q1"]["rated_in_topk"] == 1
+    assert main(["--job", "rank-eval", "--index", root]) == 2

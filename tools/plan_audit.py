@@ -745,6 +745,35 @@ def main() -> int:
         ],
     ))
 
+    # 34. round 5g: rank_eval — the whole rated-request set through ONE
+    # batched postings scan (topk_many's single Arrow stage) + per-qid
+    # window; ratings broadcast; no per-request re-scan
+    from es_indexer_spark.query.rankeval import rank_eval
+
+    p = formatted(rank_eval(
+        spark, root,
+        [
+            {"id": "q1",
+             "request": {"query": {"match": {"content": "spark join window"}}},
+             "ratings": [{"_id": 206, "rating": 2}]},
+            {"id": "q2",
+             "request": {"query": {"match": {"content": "data stream"}}},
+             "ratings": [{"_id": 42, "rating": 1}]},
+        ],
+        {"precision": {"k": 5}},
+    ))
+    sections.append((
+        "rank_eval: one batched scan + per-qid window, broadcast ratings",
+        p,
+        [
+            ("single batched Arrow scoring stage",
+             len(re.findall(r"^\(\d+\) (?:FlatMap|Map)(?:CoGroups|Groups)?InPandas", p, re.M)) == 1
+             or p.count("InPandas") == 1),
+            ("ratings joined broadcast", "BroadcastHashJoin" in p),
+            ("no cartesian", "CartesianProduct" not in p),
+        ],
+    ))
+
     failures = 0
     lines = [
         "# PLANS — physical-plan audit evidence",
