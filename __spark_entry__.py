@@ -2522,6 +2522,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rank_eval_precision"] = _rank_eval_precision
 
+    # round 5g: ES script query — filter-context Catalyst predicate over
+    # stored fields (the Painless-slot translation)
+    def _script_query_docs(spark, sf):
+        from es_indexer_spark.query.lookup import script_query
+
+        return script_query(
+            spark, _index_root(spark, sf), "n_chars % 7 = 0 AND lang = 'en'"
+        ).select("docid", "lang", "n_chars")
+
+    q["script_query_docs"] = _script_query_docs
+
     # ---- driver-gate rotation ----------------------------------------------------
     # The driver's correctness gate records only the first ~50 entries by
     # insertion order, so entries that have never had a driver row rotate to
@@ -2536,7 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # _reindex / _update_by_query
         "mget_stored", "search_template_term", "inner_hits_clicks",
         "reindex_filtered", "update_by_query_live", "bool_nested_flat",
-        "percolate_negative", "rank_eval_precision",
+        "percolate_negative", "rank_eval_precision", "script_query_docs",
         "intervals_gaps", "intervals_any_of", "intervals_containing",
         "span_within_query", "combined_fields",
         "nested_same_object", "nested_terms_agg", "reverse_nested",
@@ -5093,6 +5104,11 @@ SELECT t.qid,
        (count(*) - count(r.rating))::BIGINT AS unrated_in_topk
 FROM top t LEFT JOIN ratings r ON t.qid = r.qid AND t.doc_id = r.doc_id
 GROUP BY t.qid ORDER BY t.qid
+"""
+    # script query: filter-context predicate over stored fields
+    o["script_query_docs"] = """
+SELECT CAST(doc_id AS BIGINT) AS docid, lang, n_chars
+FROM documents WHERE n_chars % 7 = 0 AND lang = 'en'
 """
     # pure-negative percolators: absence matching over the candidate set
     o["percolate_negative"] = """

@@ -141,6 +141,68 @@ def resolve_write(cluster_dir: str, name: str) -> str:
     )
 
 
+def cat_aliases(cluster_dir: str) -> list[dict]:
+    """``_cat/aliases`` analog: one flat row per (alias, index) pair."""
+    return [
+        {"alias": a, "index": e["index"],
+         "is_write_index": e["is_write_index"]}
+        for a, entries in sorted(_load(cluster_dir).items())
+        for e in entries
+    ]
+
+
+def rollover(
+    cluster_dir: str,
+    alias: str,
+    new_index: str,
+    *,
+    max_docs: int | None = None,
+    max_age_sec: float | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """ES ``_rollover``: when the alias's current WRITE index meets any
+    condition, atomically repoint the write alias at ``new_index`` (the old
+    index stays aliased for reads — ES's rollover keeps it searchable).
+
+    Conditions read the write index's published stats manifest (doc count)
+    and the version dir's mtime (age) — metadata only, no data job. Unlike
+    ES this does not CREATE the new index (an index here is born from a
+    corpus build, not an empty mapping): rollover hands the next ingest its
+    target path. ``dry_run`` evaluates conditions without swapping."""
+    import time as _time
+
+    from es_indexer_spark.index import catalog
+
+    if max_docs is None and max_age_sec is None:
+        raise ValueError("rollover needs at least one condition")
+    old = resolve_write(cluster_dir, alias)
+    if old == alias:
+        raise ValueError(f"alias {alias!r} does not exist")
+    vdir = catalog.resolve(old)
+    st = catalog.read_stats(vdir)
+    age = _time.time() - os.stat(vdir).st_mtime
+    conditions = {}
+    if max_docs is not None:
+        conditions["max_docs"] = st["n_docs"] >= max_docs
+    if max_age_sec is not None:
+        conditions["max_age_sec"] = age >= max_age_sec
+    rolled = any(conditions.values())
+    if rolled and not dry_run:
+        # old index keeps the alias for READS; the new one takes writes
+        update_aliases(cluster_dir, [
+            {"add": {"alias": alias, "index": old, "is_write_index": False}},
+            {"add": {"alias": alias, "index": new_index,
+                     "is_write_index": True}},
+        ])
+    return {
+        "rolled_over": bool(rolled and not dry_run),
+        "dry_run": dry_run,
+        "conditions": conditions,
+        "old_index": old,
+        "new_index": new_index if rolled else None,
+    }
+
+
 def swap_alias(cluster_dir: str, alias: str, old: str | None, new: str) -> dict:
     """The blue/green one-liner: atomically repoint ``alias`` from ``old``
     (None = wherever it currently points) to ``new`` — the reference's

@@ -142,6 +142,75 @@ def cat_indices(root: str) -> list[dict]:
     return out
 
 
+def get_settings(root: str) -> dict:
+    """``GET <index>/_settings`` analog: the published version's layout and
+    similarity constants from the stats manifest, keyed the way ES nests
+    them — operational surface, zero data jobs."""
+    vdir = resolve(root)
+    st = read_stats(vdir)
+    return {
+        "index": {
+            "version": os.path.basename(vdir),
+            "similarity": {
+                "default": {"type": "BM25", "k1": st["k1"], "b": st["b"]}
+            },
+            "number_of_buckets": st.get("n_buckets"),
+            "shard_size": st.get("shard_size"),
+            "block_size": st.get("block_size"),
+            "store_positions": bool(st.get("positions")),
+            "analysis": {"tokenizer": st.get("tokenizer")},
+        }
+    }
+
+
+_ES_TYPES = {
+    "string": "keyword",
+    "long": "long",
+    "bigint": "long",
+    "int": "integer",
+    "integer": "integer",
+    "smallint": "short",
+    "tinyint": "byte",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "timestamp": "date",
+    "date": "date",
+    "binary": "binary",
+}
+
+
+def get_mapping(root: str, spark=None) -> dict:
+    """``GET <index>/_mapping`` analog: the analyzed text field plus every
+    stored meta column with its ES type, inferred from the docs-store
+    parquet schema (schema read only — no data job). The analyzed field is
+    reported as ``content`` (``type: text``) since the index stores postings
+    for exactly one text field; stored columns are keyword/long/... like the
+    engine's filter semantics treat them."""
+    from pyspark.sql import SparkSession
+
+    vdir = resolve(root)
+    st = read_stats(vdir)
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError("get_mapping needs a SparkSession (pass spark=)")
+    props: dict = {
+        "content": {
+            "type": "text",
+            "analyzer": st.get("tokenizer", "standard"),
+            "similarity": "default",
+        }
+    }
+    docs = spark.read.parquet(os.path.join(vdir, "docs"))
+    for name, dtype in docs.dtypes:
+        if name in ("doc_len", "sha256"):
+            continue
+        props[name] = {"type": _ES_TYPES.get(dtype, "keyword")}
+    props["doc_len"] = {"type": "long"}
+    props["sha256"] = {"type": "keyword"}
+    return {"mappings": {"properties": props}}
+
+
 def read_stats(vdir: str) -> dict:
     with open(os.path.join(vdir, "stats.json")) as f:
         return json.load(f)

@@ -810,6 +810,18 @@ def search(
         from es_indexer_spark.query.lookup import doc_lookup
 
         out = doc_lookup(spark, index_root, [int(i) for i in v["values"]])
+    elif kind == "script":
+        # ES script query: filter-context predicate over stored fields; the
+        # Painless slot takes a Catalyst SQL expression (README divergences)
+        # evaluated inside the docs-store scan — same translation stance as
+        # runtime_mappings / script_score
+        from es_indexer_spark.query.lookup import script_query
+
+        sspec = v.get("script")
+        src = sspec.get("source") if isinstance(sspec, dict) else sspec
+        if not src:
+            raise ValueError("script query needs script.source")
+        out = script_query(spark, index_root, str(src), size=size + from_)
     elif kind == "range":
         from es_indexer_spark.query.lookup import range_query
 

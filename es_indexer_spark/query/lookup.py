@@ -181,6 +181,21 @@ def terms_query(
     return _docs_where(spark, index_root, F.col(field).isin(list(values)), size)
 
 
+def script_query(
+    spark: SparkSession,
+    index_root: str,
+    expr: str,
+    size: int | None = None,
+) -> DataFrame:
+    """ES ``script`` query: a filter-context boolean predicate over stored
+    fields. The Painless slot takes a Catalyst SQL expression (the engine's
+    standing translation — README divergences), so Catalyst can still fold
+    constants and prune columns; a predicate over plain columns even pushes
+    to parquet like any other filter. ``script_query(spark, root,
+    "n_chars % 7 = 0 AND lang IN ('en','fr')")``."""
+    return _docs_where(spark, index_root, F.expr(expr), size)
+
+
 def exists_query(
     spark: SparkSession,
     index_root: str,

@@ -159,3 +159,72 @@ def test_mterm_vectors_matches_per_doc(spark, documents, tmp_path):
         (F.col("doc_key") == "b") & (F.col("term") == "zzzqqq")
     ).collect()[0]
     assert (row["doc_freq"], row["ttf"]) == (0, 0)
+
+
+def test_cat_aliases_and_rollover(spark, documents, tmp_path):
+    from es_indexer_spark.index.aliases import cat_aliases, rollover
+
+    cd = str(tmp_path / "cluster")
+    root_a = str(tmp_path / "roll_a")
+    _build(spark, documents, root_a)
+    update_aliases(cd, [
+        {"add": {"alias": "w", "index": root_a, "is_write_index": True}},
+    ])
+    rows = cat_aliases(cd)
+    assert rows == [{"alias": "w", "index": root_a, "is_write_index": True}]
+
+    # condition not met: no swap
+    res = rollover(cd, "w", str(tmp_path / "roll_b"), max_docs=10**9)
+    assert res["rolled_over"] is False and res["conditions"] == {"max_docs": False}
+    assert resolve_write(cd, "w") == root_a
+
+    # dry_run: condition met but no swap
+    res = rollover(cd, "w", str(tmp_path / "roll_b"), max_docs=100,
+                   dry_run=True)
+    assert res["rolled_over"] is False and res["conditions"]["max_docs"] is True
+    assert resolve_write(cd, "w") == root_a
+
+    # real rollover: writes move, old index stays aliased for reads
+    root_b = str(tmp_path / "roll_b")
+    res = rollover(cd, "w", root_b, max_docs=100)
+    assert res["rolled_over"] is True and res["old_index"] == root_a
+    assert resolve_write(cd, "w") == root_b
+    assert sorted(resolve_read(cd, "w")) == sorted([root_a, root_b])
+    with pytest.raises(ValueError, match="at least one condition"):
+        rollover(cd, "w", root_b)
+    with pytest.raises(ValueError, match="does not exist"):
+        rollover(cd, "nope", root_b, max_docs=1)
+
+
+def test_get_mapping_and_settings(spark, documents, tmp_path):
+    from es_indexer_spark.index.catalog import get_mapping, get_settings
+
+    root = str(tmp_path / "idx_map")
+    _build(spark, documents, root)
+    st = get_settings(root)
+    assert st["index"]["similarity"]["default"] == {
+        "type": "BM25", "k1": 1.2, "b": 0.75}
+    assert st["index"]["analysis"]["tokenizer"] == "standard"
+    props = get_mapping(root, spark)["mappings"]["properties"]
+    assert props["content"]["type"] == "text"
+    assert props["lang"] == {"type": "keyword"}
+    assert props["docid"] == {"type": "long"}
+    assert props["sha256"] == {"type": "keyword"}
+
+
+def test_script_query_and_dsl_dispatch(spark, documents, tmp_path):
+    from es_indexer_spark.query.dsl import search
+    from es_indexer_spark.query.lookup import script_query
+
+    root = str(tmp_path / "idx_script")
+    _build(spark, documents, root)
+    direct = script_query(spark, root, "docid % 7 = 0 AND lang = 'en'")
+    want = sorted(r["docid"] for r in direct.collect())
+    assert want and all(d % 7 == 0 for d in want)
+    via = search(spark, root, {"query": {"script": {"script": {
+        "source": "docid % 7 = 0 AND lang = 'en'"}}}, "size": 10000})
+    assert sorted(r["docid"] for r in via.collect()) == want
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="script.source"):
+        search(spark, root, {"query": {"script": {"script": {}}}})
