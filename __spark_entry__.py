@@ -2533,6 +2533,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["script_query_docs"] = _script_query_docs
 
+    # round 5g: _bulk — the reference's own write path (5 MiB NDJSON
+    # batches, idempotent _id keys) over delta-build + upsert + tombstones
+    def _bulk_live(spark, sf):
+        from es_indexer_spark.index.bulk import bulk
+        from es_indexer_spark.index.tombstones import filter_live
+
+        key = sf.strip("/").replace("/", "_")
+        root = os.path.join(tempfile.gettempdir(), "spark_graft_bulk", key)
+        if root not in _BUILT:
+            build_index(
+                spark, _docs(spark, sf), root,
+                content_col="text", id_col="doc_id",
+                meta_cols=("doc_id", "lang", "source"),
+                tokenizer="standard", n_buckets=8, shard_size=256,
+                n_ckpt_batches=2, resume=False, store_positions=True,
+            )
+            bulk(spark, root, [
+                {"op": "index", "_id": 3,
+                 "doc": {"text": "actualise bulk gamma", "lang": "xx",
+                         "source": "bulk"}},
+                {"op": "create", "_id": 9999,
+                 "doc": {"text": "fresh bulk entry", "lang": "xx",
+                         "source": "bulk"}},
+                {"op": "delete", "_id": 5},
+                {"op": "delete", "_id": 7},
+            ], content_col="text", id_col="doc_id",
+               meta_cols=("doc_id", "lang", "source"))
+            _BUILT.add(root)
+        vdir = catalog.resolve(root)
+        live = filter_live(
+            spark, vdir, spark.read.parquet(os.path.join(vdir, "docs"))
+        )
+        return live.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("doc_len").alias("sum_dl"),
+        )
+
+    q["bulk_live"] = _bulk_live
+
     # ---- driver-gate rotation ----------------------------------------------------
     # The driver's correctness gate records only the first ~50 entries by
     # insertion order, so entries that have never had a driver row rotate to
@@ -2548,6 +2587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mget_stored", "search_template_term", "inner_hits_clicks",
         "reindex_filtered", "update_by_query_live", "bool_nested_flat",
         "percolate_negative", "rank_eval_precision", "script_query_docs",
+        "bulk_live",
         "intervals_gaps", "intervals_any_of", "intervals_containing",
         "span_within_query", "combined_fields",
         "nested_same_object", "nested_terms_agg", "reverse_nested",
@@ -5104,6 +5144,22 @@ SELECT t.qid,
        (count(*) - count(r.rating))::BIGINT AS unrated_in_topk
 FROM top t LEFT JOIN ratings r ON t.qid = r.qid AND t.doc_id = r.doc_id
 GROUP BY t.qid ORDER BY t.qid
+"""
+    # _bulk applied to the corpus: overwrite doc 3, create 9999, delete 5+7;
+    # live docs per lang with analyzed doc_len of the post-bulk corpus
+    o["bulk_live"] = """
+WITH c AS (
+  SELECT CASE WHEN doc_id = 3 THEN 'xx' ELSE lang END AS lang,
+         CASE WHEN doc_id = 3 THEN 'actualise bulk gamma' ELSE text END AS text
+  FROM documents WHERE doc_id NOT IN (5, 7)
+  UNION ALL SELECT 'xx', 'fresh bulk entry'
+),
+t AS (SELECT lang,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '')) AS dl
+      FROM c)
+SELECT lang, count(*)::BIGINT AS doc_count, sum(dl)::BIGINT AS sum_dl
+FROM t GROUP BY lang
 """
     # script query: filter-context predicate over stored fields
     o["script_query_docs"] = """

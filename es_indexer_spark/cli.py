@@ -104,7 +104,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "scroll", "validate", "msearch", "mget", "search-template",
                  "render-template", "put-template", "reindex",
                  "update-by-query", "aliases", "snapshot", "restore",
-                 "snapshots", "mtermvectors", "rank-eval"],
+                 "snapshots", "mtermvectors", "rank-eval", "bulk"],
     )
     p.add_argument("--pages", type=int, default=None,
                    help="scroll: max pages to emit (default: to exhaustion)")
@@ -764,6 +764,24 @@ def main(argv: list[str] | None = None) -> int:
                     return 2
                 vdir = snap.restore_snapshot(args.repo, args.snapshot_id, args.dest)
                 print(json.dumps({"job": "restore", "version_dir": vdir}))
+        elif args.job == "bulk":
+            from es_indexer_spark.index.bulk import bulk
+
+            if not args.body:
+                print("--body required (NDJSON actions or @file)",
+                      file=sys.stderr)
+                return 2
+            raw = args.body
+            if raw.startswith("@"):
+                with open(raw[1:]) as fh:
+                    raw = fh.read()
+            res = bulk(
+                spark, args.index, raw.splitlines(),
+                content_col=args.content_col,
+                id_col=args.id_col or "docid",
+                meta_cols=tuple(args.meta_cols),
+            )
+            print(json.dumps({"job": "bulk", **res}))
         elif args.job == "rank-eval":
             from es_indexer_spark.query.rankeval import rank_eval
 

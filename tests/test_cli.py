@@ -496,3 +496,31 @@ def test_cli_rank_eval_job(spark, tmp_path, capsys):
     assert out["metric_score"] == 0.2  # docid 206 is the top hit on sf0.001
     assert out["details"]["q1"]["rated_in_topk"] == 1
     assert main(["--job", "rank-eval", "--index", root]) == 2
+
+
+def test_cli_bulk_job(spark, tmp_path, capsys):
+    root = str(tmp_path / "idx_bulk_cli")
+    src = os.path.join(SF_DIR, "documents.parquet")
+    rc = main(["--job", "build", "--input", src, "--index", root,
+               "--content-col", "text", "--id-col", "doc_id",
+               "--meta-cols", "doc_id,lang",
+               "--tokenizer", "standard", "--n-buckets", "4",
+               "--ckpt-batches", "2"])
+    assert rc == 0
+    capsys.readouterr()
+    nd = "\n".join([
+        json.dumps({"index": {"_id": 3}}),
+        json.dumps({"text": "bulk cli fresh", "lang": "xx"}),
+        json.dumps({"delete": {"_id": 5}}),
+    ])
+    rc = main(["--job", "bulk", "--index", root, "--content-col", "text",
+               "--id-col", "doc_id", "--meta-cols", "doc_id,lang",
+               "--body", nd])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["errors"] is False and len(out["items"]) == 2
+    rc = main(["--job", "query", "--index", root, "--query", "bulk cli fresh",
+               "-k", "1", "--fetch-meta"])
+    assert rc == 0
+    hit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hit["lang"] == "xx"
