@@ -187,6 +187,33 @@ def search_template(
     return search(spark, index_root, body, **search_kwargs)
 
 
+def msearch_template(
+    spark: SparkSession,
+    index_root: str,
+    searches: list[dict],
+    **search_kwargs,
+) -> list[DataFrame]:
+    """``POST _msearch/template``: each entry is ``{"source": ...}`` or
+    ``{"id": ...}`` plus ``{"params": ...}``. Bodies render first, then the
+    WHOLE batch goes through :func:`es_indexer_spark.query.dsl.msearch` —
+    so a batch of plain-match templates (the common saved-search shape)
+    shares ONE dictionary lookup + ONE postings scan, exactly like
+    ``_msearch``."""
+    from es_indexer_spark.query.dsl import msearch
+
+    bodies = []
+    for s in searches:
+        src = s.get("source")
+        if (src is None) == (s.get("id") is None):
+            raise ValueError(
+                "each msearch_template entry needs exactly one of source/id"
+            )
+        if src is None:
+            src = get_template(index_root, str(s["id"]))
+        bodies.append(render_template(src, s.get("params")))
+    return msearch(spark, index_root, bodies, **search_kwargs)
+
+
 def render_search_template(
     index_root: str,
     *,

@@ -289,3 +289,24 @@ def test_update_by_query_requires_id_col(spark, documents, src_index):
             spark, documents, src_index, script={"lang": "'x'"},
             content_col="text",
         )
+
+
+def test_msearch_template_batches(spark, src_index):
+    from es_indexer_spark.query.dsl import search
+    from es_indexer_spark.query.templates import msearch_template, put_template
+
+    put_template(src_index, "m1", '{"query": {"match": {"content": "{{q}}"}}, "size": 3}')
+    frames = msearch_template(spark, src_index, [
+        {"id": "m1", "params": {"q": QUERY}},
+        {"source": '{"query": {"match": {"content": "{{q}}"}}, "size": 2}',
+         "params": {"q": "data stream"}},
+    ])
+    assert len(frames) == 2
+    d1 = search(spark, src_index,
+                {"query": {"match": {"content": QUERY}}, "size": 3}).collect()
+    got1 = frames[0].collect()
+    assert [(r["docid"], r["score"]) for r in got1] == \
+           [(r["docid"], r["score"]) for r in d1]
+    assert frames[1].count() == 2
+    with pytest.raises(ValueError, match="exactly one of source/id"):
+        msearch_template(spark, src_index, [{"params": {}}])
