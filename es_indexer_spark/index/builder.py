@@ -560,6 +560,45 @@ def _build_index_inner(
     n_docs = docs_meta["n_docs"]
     avgdl = (docs_meta["sum_doc_len"] / n_docs) if n_docs else 1.0
 
+    if n_docs == 0:
+        # Empty corpus -> a valid EMPTY index (ES creates empty indices; a
+        # reindex whose query matches nothing publishes one). The normal
+        # postings write is partitionBy("bucket"), which emits NO files for
+        # zero rows (partition dirs derive from data) and leaves an
+        # unreadable dir — so the empty case writes unpartitioned
+        # empty-but-typed parquet for postings + dict and publishes the
+        # usual manifests. Every read path then behaves: dictionary lookups
+        # find nothing, point reads return empty, stats are n_docs=0.
+        spark.createDataFrame([], BLOCK_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(vdir, "postings"))
+        spark.createDataFrame(
+            [], "term string, df long, cf long, bucket int"
+        ).write.mode("overwrite").parquet(os.path.join(vdir, "dict"))
+        catalog.ckpt_write(
+            vdir, "dict", {"stage": "dict", "n_terms": 0, "elapsed_sec": 0.0}
+        )
+        catalog.write_stats(
+            vdir,
+            {
+                "n_docs": 0, "avgdl": avgdl, "k1": k1, "b": b,
+                "tokenizer": tokenizer, "n_buckets": n_buckets,
+                "shard_size": shard_size, "block_size": block_size,
+                "positions": store_positions,
+            },
+        )
+        catalog.ckpt_write(
+            vdir,
+            "_PUBLISHED",
+            {
+                "version": version, "n_docs": 0, "src_count": 0,
+                "postings_emitted": 0, **(publish_meta or {}),
+            },
+        )
+        catalog.publish(out_root, version)
+        base.unpersist()
+        return vdir
+
     # ---- raw posting relation (term, docid, tf, doc_len) bucketed by term hash ---
     def make_raw() -> DataFrame:
         if store_positions:

@@ -667,3 +667,28 @@ def test_round5g_abnormal_shapes(spark, tmp_path):
         update_aliases(cd, [{"frob": {"alias": "a", "index": "i"}}])
     # registry untouched after failed batches
     assert not os.path.exists(os.path.join(cd, "_aliases.json"))
+
+
+def test_empty_index_is_valid_and_queryable(spark, tmp_path):
+    """An empty corpus builds a VALID empty index (ES semantics): every read
+    path returns empty instead of failing on schema-less parquet dirs."""
+    from es_indexer_spark.index import catalog
+    from es_indexer_spark.index.builder import build_index
+    from es_indexer_spark.query.engine import topk
+    from es_indexer_spark.query.lookup import mget, scan_after
+
+    root = str(tmp_path / "idx_empty")
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string"
+    )
+    vdir = build_index(
+        spark, empty, root, content_col="text", id_col="doc_id",
+        meta_cols=("lang",), tokenizer="standard", n_buckets=2,
+        shard_size=16, n_ckpt_batches=1, resume=False,
+    )
+    assert catalog.resolve(root) == vdir
+    assert catalog.read_stats(vdir)["n_docs"] == 0
+    assert topk(spark, root, "anything at all", k=5).count() == 0
+    assert scan_after(spark, root).count() == 0
+    rows = mget(spark, root, [1, 2]).collect()
+    assert [r["found"] for r in rows] == [False, False]
