@@ -1366,10 +1366,15 @@ def validate_query(
     any lowering failure to ``{"valid": False, "error": "<name>: <msg>"}``,
     the ES ``explanations[].error`` shape. ``kwargs`` forward to
     :func:`search` (emb_df / geo_root / nested_df / ... backings)."""
+    from pyspark.errors import AnalysisException
+
     try:
         search(spark, index_root, body, **kwargs)
         return {"valid": True, "error": None}
-    except (ValueError, KeyError, TypeError) as e:
+    except (ValueError, KeyError, TypeError, AnalysisException) as e:
+        # AnalysisException: Catalyst rejected the lowered plan — e.g. a
+        # script/runtime expression naming a missing stored field; ES
+        # reports that as valid=false too (unknown fields fail validation)
         return {"valid": False, "error": f"{type(e).__name__}: {e}"}
 
 

@@ -530,3 +530,14 @@ def test_suggest_section_dispatch(spark, d2_index):
     assert got["comp"].count() > 0
     with pytest.raises(ValueError, match="phrase suggester"):
         suggest(spark, d2_index, {"suggest": {"p": {"text": "x", "phrase": {}}}})
+
+
+def test_validate_query_catches_analysis_errors(spark, d2_index):
+    from es_indexer_spark.query.dsl import validate_query
+
+    out = validate_query(spark, d2_index, {"query": {"script": {"script": {
+        "source": "no_such_column > 3"}}}})
+    assert out["valid"] is False and "no_such_column" in out["error"]
+    out = validate_query(spark, d2_index, {"query": {"script": {"script": {
+        "source": "n_chars > 3"}}}})
+    assert out == {"valid": True, "error": None}
