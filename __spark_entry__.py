@@ -2484,6 +2484,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bool_nested_flat"] = _bool_nested_flat
 
+    # round 5h: genuinely SCORING nested bool — composed by
+    # query/composebool.py (boosted should-group with msm inside must, De
+    # Morgan must_not over a conjunction), Lucene BooleanQuery-tree sums
+    def _bool_compose(spark, sf):
+        from es_indexer_spark.query.dsl import search
+
+        return search(spark, _index_root(spark, sf), {
+            "query": {"bool": {
+                "must": [
+                    {"bool": {"should": [{"match": {"content": "stream"}},
+                                         {"match": {"content": "batch"}}],
+                              "minimum_should_match": 1, "boost": 2.0}},
+                    {"match": {"content": "data"}},
+                ],
+                "must_not": [{"bool": {"filter": [
+                    {"match": {"content": "error"}},
+                    {"term": {"lang": "en"}},
+                ]}}],
+            }},
+            "size": 10,
+        }).select(
+            F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+
+    q["bool_compose"] = _bool_compose
+
     # round 5g: pure-negative percolators (absence matching) next to a
     # positive one in the same call
     def _percolate_negative(spark, sf):
@@ -2582,6 +2608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 5 front: the new round-5 surfaces (the round-4 front is
     # driver-verified green in CORRECTNESS_r04.json, all 50/50).
     never_driver_verified = [
+        # round 5h: composed scoring nested bool
+        "bool_compose",
         # round 5g (this session): _mget / search templates / inner_hits /
         # _reindex / _update_by_query
         "mget_stored", "search_template_term", "inner_hits_clicks",
@@ -5110,6 +5138,37 @@ FROM t GROUP BY lang
     o["bool_nested_flat"] = _bool_sql(
         must=["data"], must_not=["key"], rng="lang = 'en'"
     )
+    # round 5h composed scoring nested bool: score = 2.0 × (bm25(stream) +
+    # bm25(batch), present terms) + bm25(data); survivors need data AND
+    # (stream OR batch); De Morgan exclusion = docs with 'error' AND lang=en
+    o["bool_compose"] = f"""
+WITH toksl AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+               FROM documents),
+t2 AS (SELECT doc_id, unnest(t) AS term FROM toksl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM t2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toksl),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              ((SELECT COALESCE(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents))::DOUBLE AS avgdl),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+flags AS (SELECT doc_id,
+                 count(DISTINCT CASE WHEN term = 'data' THEN term END) AS n_must,
+                 count(DISTINCT CASE WHEN term IN ('stream', 'batch') THEN term END) AS n_inner
+          FROM tf GROUP BY doc_id),
+excl AS (SELECT doc_id FROM toksl WHERE list_contains(t, 'error') AND lang = 'en'),
+raw AS (
+  SELECT tf.doc_id,
+         sum((CASE WHEN tf.term IN ('stream', 'batch') THEN 2.0 ELSE 1.0 END) *
+             ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+             tf.tf * {K1 + 1} / (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / st.avgdl))) AS score_raw
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('data', 'stream', 'batch')
+  GROUP BY tf.doc_id)
+SELECT f.doc_id, round(r.score_raw::DOUBLE, 4) AS score
+FROM flags f JOIN raw r USING (doc_id)
+WHERE f.n_must = 1 AND f.n_inner >= 1
+  AND f.doc_id NOT IN (SELECT doc_id FROM excl)
+ORDER BY r.score_raw DESC, f.doc_id ASC LIMIT 10
+"""
     # _rank_eval precision@5: per-qid brute BM25 top-5, rated>=1 / retrieved
     o["rank_eval_precision"] = f"""
 WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),

@@ -778,8 +778,23 @@ def search(
             max_expansions=int(ps.get("max_expansions", 50)), lang=lang,
         )
     elif kind == "bool":
-        out = bool_query(spark, index_root, k=size + from_, lang=lang,
-                         **_bool_kwargs(v))
+        try:
+            out = bool_query(spark, index_root, k=size + from_, lang=lang,
+                             **_bool_kwargs(v))
+        except ValueError as e:
+            # genuinely SCORING nested bools (should groups, msm, boost, De
+            # Morgan must_not) don't flatten exactly — evaluate them
+            # compositionally (Lucene BooleanQuery-tree sum semantics, each
+            # leaf still the one-scan path)
+            from es_indexer_spark.query.composebool import (
+                _is_flatten_error,
+                compose_bool,
+            )
+
+            if not _is_flatten_error(e):
+                raise
+            out = compose_bool(spark, index_root, v, k=size + from_,
+                               lang=lang)
     elif kind in ("term", "terms"):
         from es_indexer_spark.query.lookup import term_query, terms_query
 

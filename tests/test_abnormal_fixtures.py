@@ -597,8 +597,8 @@ def test_dsl_bool_leaf_error_shapes(spark, abnormal_index):
     out = validate_query(spark, abnormal_index, {"query": {"bool": {
         "should": [{"range": {"n_chars": {"gte": 1}}}]}}})
     assert out == {"valid": True, "error": None}
-    # non-scoring/wrapper nested bools flatten since round 5g; a SCORING
-    # nested bool still raises by name
+    # non-scoring/wrapper nested bools flatten since round 5g; SCORING
+    # nested bools compose since round 5h — both validate clean
     out = validate_query(spark, abnormal_index, {"query": {"bool": {
         "must": [{"bool": {"must": []}}]}}})
     assert out == {"valid": True, "error": None}
@@ -606,7 +606,12 @@ def test_dsl_bool_leaf_error_shapes(spark, abnormal_index):
         "must": [{"bool": {"should": [{"match": {"text": "a"}},
                                       {"match": {"text": "b"}}],
                            "minimum_should_match": 2}}]}}})
-    assert out["valid"] is False and "nested bool" in out["error"]
+    assert out == {"valid": True, "error": None}
+    # an unsupported leaf inside the composed tree still surfaces by name
+    out = validate_query(spark, abnormal_index, {"query": {"bool": {
+        "must": [{"bool": {"should": [{"ids": {"values": [1]}}],
+                           "minimum_should_match": 1}}]}}})
+    assert out["valid"] is False and "supports" in out["error"]
 
 
 def test_round5g_abnormal_shapes(spark, tmp_path):

@@ -215,11 +215,11 @@ def test_match_all_and_min_score(spark, dsl_index, documents):
     "body",
     [
         {"query": {"frankenquery": {}}},
-        # a SCORING nested bool (should group + msm) never flattens exactly
-        # (round 5g flattens the non-scoring / wrapper shapes)
+        # SCORING nested bools compose since round 5h — but an unsupported
+        # leaf inside the composed tree still raises by name
         {"query": {"bool": {"must": [{"bool": {
             "should": [{"match": {"content": "a"}},
-                       {"match": {"content": "b"}}],
+                       {"more_like_this": {"like": "b"}}],
             "minimum_should_match": 2,
         }}]}}},
         {"query": {"bool": {"must": [{"ids": {"values": [1]}}]}}},

@@ -462,27 +462,101 @@ def test_nested_must_not_single_clause_unwraps(spark, d2_index):
     assert _scored(nested) == _scored(flat) and nested.count()
 
 
-def test_nested_bool_unflattenable_shapes_raise(spark, d2_index):
-    # a should GROUP inside filter context is a disjunction
-    with pytest.raises(ValueError, match="should group is a disjunction"):
+def test_nested_scoring_bool_composes_msm(spark, d2_index):
+    """Shapes that can't flatten exactly now run through the compositional
+    evaluator (query/composebool.py). A should group with msm=2 inside a
+    must is score- and rank-identical to requiring both clauses flat."""
+    nested = search(spark, d2_index, {"query": {"bool": {
+        "must": [{"bool": {
+            "should": [{"match": {"content": "data"}},
+                       {"match": {"content": "stream"}}],
+            "minimum_should_match": 2,
+        }}],
+    }}, "size": 10})
+    flat = search(spark, d2_index, {"query": {"bool": {
+        "must": [{"match": {"content": "data"}},
+                 {"match": {"content": "stream"}}],
+    }}, "size": 10})
+    assert _scored(nested) == _scored(flat) and nested.count()
+
+
+def test_nested_bool_de_morgan_must_not(spark, d2_index):
+    """must_not over a CONJUNCTION (De Morgan shape): the child bool's
+    match set is the exclusion set — base matches minus docs matching both
+    conjuncts, scores untouched for survivors."""
+    nested = search(spark, d2_index, {"query": {"bool": {
+        "must": [{"match": {"content": "data"}}],
+        "must_not": [{"bool": {"filter": [
+            {"match": {"content": "error"}},
+            {"term": {"lang": "en"}},
+        ]}}],
+    }}, "size": 1000})
+    base = search(spark, d2_index, {"query": {"bool": {
+        "must": [{"match": {"content": "data"}}]}}, "size": 1000})
+    both = search(spark, d2_index, {"query": {"bool": {
+        "must": [{"match": {"content": "data"}}],
+        "filter": [{"match": {"content": "error"}},
+                   {"term": {"lang": "en"}}]}}, "size": 1000})
+    got = dict(_scored(nested))
+    want = {d: s for d, s in _scored(base)}
+    for d, _s in _scored(both):
+        want.pop(d, None)
+    assert got == want and got
+
+
+def test_nested_boosted_bool_in_should(spark, d2_index):
+    """A BOOSTED nested bool in should: boost multiplies the subtree sum
+    (Lucene BoostQuery). With one inner must clause, the composed result
+    equals the flat form with the boost on the clause itself."""
+    nested = search(spark, d2_index, {"query": {"bool": {
+        "should": [
+            {"bool": {"must": [{"match": {"content": "data"}}],
+                      "boost": 2.0}},
+            {"match": {"content": "batch"}},
+        ],
+    }}, "size": 10})
+    flat = search(spark, d2_index, {"query": {"bool": {
+        "should": [{"match": {"content": {"query": "data", "boost": 2.0}}},
+                   {"match": {"content": "batch"}}],
+    }}, "size": 10})
+    assert [(d, round(s, 4)) for d, s in _scored(nested)] == \
+           [(d, round(s, 4)) for d, s in _scored(flat)] and nested.count()
+
+
+def test_nested_should_group_in_filter_composes(spark, d2_index):
+    """A should group inside FILTER context is a non-scoring disjunction:
+    survivors = docs matching either term, scores = the must clause only."""
+    nested = search(spark, d2_index, {"query": {"bool": {
+        "must": [{"match": {"content": "data"}}],
+        "filter": [{"bool": {"should": [{"term": {"lang": "en"}},
+                                        {"term": {"lang": "fr"}}]}}],
+    }}, "size": 1000})
+    en = search(spark, d2_index, {"query": {"bool": {
+        "must": [{"match": {"content": "data"}}],
+        "filter": [{"term": {"lang": "en"}}]}}, "size": 1000})
+    fr = search(spark, d2_index, {"query": {"bool": {
+        "must": [{"match": {"content": "data"}}],
+        "filter": [{"term": {"lang": "fr"}}]}}, "size": 1000})
+    want = dict(_scored(en)); want.update(dict(_scored(fr)))
+    assert dict(_scored(nested)) == want and nested.count()
+
+
+def test_composed_bool_still_raises_on_unsupported(spark, d2_index):
+    # a genuinely unsupported leaf inside the composed tree raises by name
+    with pytest.raises(ValueError, match="ids|supports"):
         search(spark, d2_index, {"query": {"bool": {
-            "filter": [{"bool": {"should": [{"term": {"lang": "en"}},
-                                            {"term": {"lang": "fr"}}]}}],
+            "must": [{"bool": {"should": [{"match": {"content": "a"}},
+                                          {"ids": {"values": [1]}}],
+                               "minimum_should_match": 2}}],
         }}, "size": 5})
-    # De Morgan: NOT(a AND b) is a disjunction of negations
-    with pytest.raises(ValueError, match="De Morgan"):
+    # a composed level with ONLY must_not children (pure-negative) raises
+    # by name instead of materializing a corpus-sized complement
+    with pytest.raises(ValueError, match="positive"):
         search(spark, d2_index, {"query": {"bool": {
-            "must": [{"match": {"content": "data"}}],
             "must_not": [{"bool": {"filter": [
                 {"match": {"content": "error"}},
                 {"term": {"lang": "en"}},
             ]}}],
-        }}, "size": 5})
-    # a SCORING nested bool in should does not flatten
-    with pytest.raises(ValueError, match="nested bool in should"):
-        search(spark, d2_index, {"query": {"bool": {
-            "should": [{"bool": {"must": [{"match": {"content": "a"}}],
-                                 "filter": [{"term": {"lang": "en"}}]}}],
         }}, "size": 5})
 
 
