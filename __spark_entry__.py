@@ -1434,6 +1434,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["query_string_docs"] = _query_string
 
+    # round 5h: grouping parens — the group is its own BooleanQuery (pure-
+    # should ⇒ >=1 of data/stream required), composed next to the must
+    def _qs_grouped(spark, sf):
+        from es_indexer_spark.query.classic import query_string
+
+        return query_string(
+            spark, _index_root(spark, sf),
+            "(data OR stream) AND customer", k=10,
+        ).select(
+            F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+
+    q["qs_grouped"] = _qs_grouped
+
+    # round 5h: /regex/ — dictionary expansion (top-50 by df, constant-score
+    # multi-term rewrite) as a required constant-score group next to BM25
+    def _qs_regexp(spark, sf):
+        from es_indexer_spark.query.classic import query_string
+
+        return query_string(
+            spark, _index_root(spark, sf), "/st.eam/ AND data", k=10,
+        ).select(
+            F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+
+    q["qs_regexp"] = _qs_regexp
+
     # round 5: span_multi inside span_near — the 's*' slot matches any
     # dictionary expansion of the prefix at that chain position
     def _span_multi(spark, sf):
@@ -2608,8 +2635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 5 front: the new round-5 surfaces (the round-4 front is
     # driver-verified green in CORRECTNESS_r04.json, all 50/50).
     never_driver_verified = [
-        # round 5h: composed scoring nested bool
-        "bool_compose",
+        # round 5h: composed scoring nested bool; grouped/regex query_string
+        "bool_compose", "qs_grouped", "qs_regexp",
         # round 5g (this session): _mget / search templates / inner_hits /
         # _reindex / _update_by_query
         "mget_stored", "search_template_term", "inner_hits_clicks",
@@ -3292,6 +3319,63 @@ SELECT f.doc_id, round(COALESCE(r.score_raw, 0)::DOUBLE, 4) AS score
 FROM flags f LEFT JOIN raw r USING (doc_id) JOIN ph USING (doc_id) JOIN rngd USING (doc_id)
 WHERE f.n_must = 1
 ORDER BY COALESCE(r.score_raw, 0) DESC, f.doc_id ASC LIMIT 10
+"""
+    # round 5h grouped query_string: customer required AND >=1 of
+    # data/stream (the group's own Lucene msm default); score = sum of the
+    # present terms' BM25
+    o["qs_grouped"] = f"""
+WITH toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+               FROM documents),
+t2 AS (SELECT doc_id, unnest(t) AS term FROM toksl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM t2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toksl),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              ((SELECT COALESCE(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents))::DOUBLE AS avgdl),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+flags AS (SELECT doc_id,
+                 count(DISTINCT CASE WHEN term = 'customer' THEN term END) AS n_must,
+                 count(DISTINCT CASE WHEN term IN ('data', 'stream') THEN term END) AS n_inner
+          FROM tf GROUP BY doc_id),
+raw AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+             tf.tf * {K1 + 1} / (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / st.avgdl))) AS score_raw
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('customer', 'data', 'stream')
+  GROUP BY tf.doc_id)
+SELECT f.doc_id, round(r.score_raw::DOUBLE, 4) AS score
+FROM flags f JOIN raw r USING (doc_id)
+WHERE f.n_must = 1 AND f.n_inner >= 1
+ORDER BY r.score_raw DESC, f.doc_id ASC LIMIT 10
+"""
+    # round 5h /regex/ in query_string: required constant-score group over
+    # the dictionary expansion of ^st.eam$ (top-50 by df) + BM25(data)
+    o["qs_regexp"] = f"""
+WITH toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+               FROM documents),
+t2 AS (SELECT doc_id, unnest(t) AS term FROM toksl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM t2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toksl),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              ((SELECT COALESCE(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents))::DOUBLE AS avgdl),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+exp AS (SELECT term FROM dfq WHERE regexp_matches(term, '^st.eam$')
+        ORDER BY df DESC, term ASC LIMIT 50),
+flags AS (SELECT doc_id,
+                 count(DISTINCT CASE WHEN term = 'data' THEN term END) AS n_must,
+                 count(DISTINCT CASE WHEN term IN (SELECT term FROM exp) THEN term END) AS n_exp
+          FROM tf GROUP BY doc_id),
+raw AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+             tf.tf * {K1 + 1} / (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / st.avgdl))) AS score_raw
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term = 'data'
+  GROUP BY tf.doc_id)
+SELECT f.doc_id, round((r.score_raw + 1.0)::DOUBLE, 4) AS score
+FROM flags f JOIN raw r USING (doc_id)
+WHERE f.n_must = 1 AND f.n_exp >= 1
+ORDER BY (r.score_raw + 1.0) DESC, f.doc_id ASC LIMIT 10
 """
     o["bool_boost"] = _bool_sql(
         must=["data"], should=["stream", "batch"],

@@ -294,11 +294,19 @@ def regexp_query(
     parquet (contiguous row-group scan); a pattern with no literal prefix is
     a full dict scan — exactly Lucene's automaton behavior, where only a
     common literal prefix prunes the terms enumeration."""
+    vdir = catalog.resolve(index_root)
+    exp = _regexp_expansion_rows(spark, vdir, pattern, max_expansions)
+    return _expansion_docids(spark, vdir, exp, k)
+
+
+def _regexp_expansion_rows(spark, vdir, pattern: str, max_expansions: int):
+    """Dictionary rows matching a Lucene regexp — the literal prefix before
+    the first operator pushed as a startswith range over the term-sorted
+    dict, top-``max_expansions`` by df (the top-terms rewrite)."""
     from es_indexer_spark.query.engine import _dict_df
 
     p = pattern.lower()
     rx = lucene_regexp_to_java(p)
-    vdir = catalog.resolve(index_root)
     d = _dict_df(spark, vdir)
     lit = ""
     for ch in p:
@@ -307,13 +315,27 @@ def regexp_query(
         lit += ch
     if lit:
         d = d.filter(F.col("term").startswith(lit))
-    exp = (
+    return (
         d.filter(F.col("term").rlike(rx))
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(max_expansions)
         .collect()
     )
-    return _expansion_docids(spark, vdir, exp, k)
+
+
+def regexp_expansions(
+    spark: SparkSession,
+    index_root: str,
+    pattern: str,
+    max_expansions: int = 50,
+) -> list[str]:
+    """The regexp query's dictionary expansion as a plain term list — the
+    ``/regex/`` construct in classic ``query_string`` lowers onto the bool
+    engine's constant-score terms groups through this (Lucene's
+    constant-score multi-term rewrite, same as the wildcard leaf)."""
+    vdir = catalog.resolve(index_root)
+    rows = _regexp_expansion_rows(spark, vdir, pattern, int(max_expansions))
+    return sorted(r["term"] for r in rows)
 
 
 def phrase_suggestions(

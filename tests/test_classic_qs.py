@@ -91,8 +91,6 @@ def test_parse_match_all():
 @pytest.mark.parametrize(
     "bad",
     [
-        "(a OR b) AND c",          # grouping
-        "/da.a/",                  # regex
         '-"a phrase"',             # negated phrase
         '"a" "b"',                 # two phrases
         "a~1 b~2",                 # disagreeing fuzziness
@@ -220,3 +218,135 @@ def test_must_prefix_scoring_boolean_brute(spark, qs_index):
 def test_must_prefix_no_expansions_empty(spark, qs_index):
     root, _ = qs_index
     assert query_string(spark, root, "zzzqqqxx* AND data", k=10).count() == 0
+
+
+# ------------------------------------------------- round 5h: groups + regex
+
+def _sc(df):
+    return [(r["docid"], round(r["score"], 6)) for r in df.collect()]
+
+
+def test_grouped_required_filter_disjunction(spark, qs_index):
+    """`+(lang:en OR lang:fr) data` — a REQUIRED group of OR'd field
+    filters is a true non-scoring disjunction (parens-only upgrade over
+    the flat form, where field filters always conjoin)."""
+    root, _ = qs_index
+    got = query_string(spark, root, "+(lang:en OR lang:fr) data", k=None)
+    en = bool_query(spark, root, should=["data"],
+                    filter_fields=[("lang", "en")], k=None)
+    fr = bool_query(spark, root, should=["data"],
+                    filter_fields=[("lang", "fr")], k=None)
+    want = dict(_sc(en))
+    want.update(dict(_sc(fr)))
+    assert dict(_sc(got)) == want and got.count()
+
+
+def test_grouped_or_group_is_optional(spark, qs_index):
+    """Without +, an OR-adjacent group is itself a should (Lucene
+    adjacency): `(a OR b) AND c` requires c AND (a or b), scores sum."""
+    root, _ = qs_index
+    got = query_string(spark, root, "(data OR stream) AND customer", k=None)
+    # reference: the group is its OWN BooleanQuery — pure-should, so it
+    # requires >=1 of data/stream (Lucene msm default), unlike a flat
+    # should next to a must
+    data = dict(_sc(bool_query(spark, root, should=["data", "stream"],
+                               must=["customer"], k=None)))
+    ds = {d for d, _ in _sc(bool_query(spark, root,
+                                       should=["data", "stream"], k=None))}
+    want = {d: s for d, s in data.items() if d in ds}
+    assert dict(_sc(got)) == want and got.count()
+
+
+def test_grouped_boost_multiplies_subtree(spark, qs_index):
+    """`(data stream)^2 OR batch` — the group boost multiplies the whole
+    subtree sum (Lucene BoostQuery), equal to boosting each clause."""
+    root, _ = qs_index
+    got = query_string(spark, root, "(data stream)^2 OR batch", k=None)
+    want = bool_query(
+        spark, root, should=[("data", 2.0), ("stream", 2.0), "batch"], k=None
+    )
+    assert dict(_sc(got)) == dict(_sc(want)) and got.count()
+
+
+def test_grouped_de_morgan_negated_group(spark, qs_index):
+    """`customer -(error AND lang:en)` — NOT over a conjunction excludes
+    exactly the docs matching both conjuncts."""
+    root, _ = qs_index
+    got = query_string(spark, root, "customer -(error AND lang:en)", k=None)
+    base = bool_query(spark, root, should=["customer"], k=None)
+    both = bool_query(spark, root, must=["error"],
+                      filter_fields=[("lang", "en")], k=None)
+    want = dict(_sc(base))
+    for d, _s in _sc(both):
+        want.pop(d, None)
+    assert dict(_sc(got)) == want and got.count()
+
+
+def test_grouped_nested_two_levels(spark, qs_index):
+    """Nesting: `((data OR stream) AND customer) OR batch`."""
+    root, _ = qs_index
+    got = query_string(
+        spark, root, "((data OR stream) AND customer) OR batch", k=None
+    )
+    inner = dict(_sc(bool_query(spark, root, should=["data", "stream"],
+                                must=["customer"], k=None)))
+    ds = {d for d, _ in _sc(bool_query(spark, root,
+                                       should=["data", "stream"], k=None))}
+    inner = {d: s for d, s in inner.items() if d in ds}
+    batch = dict(_sc(bool_query(spark, root, should=["batch"], k=None)))
+    want = {}
+    for d in set(inner) | set(batch):
+        want[d] = round(inner.get(d, 0.0) + batch.get(d, 0.0), 6)
+    got_d = {d: round(s, 4) for d, s in _sc(got)}
+    assert got_d == {d: round(s, 4) for d, s in want.items()} and got.count()
+
+
+def test_grouped_phrase_per_level(spark, qs_index):
+    root, _ = qs_index
+    got = query_string(spark, root, '("data stream") AND customer', k=None)
+    want = bool_query(spark, root, must=["customer"],
+                      filter_phrase="data stream", k=None)
+    assert dict(_sc(got)) == dict(_sc(want)) and got.count()
+
+
+def test_grouped_raises_by_name(spark, qs_index):
+    root, _ = qs_index
+    with pytest.raises(ValueError, match="unbalanced"):
+        query_string(spark, root, "(data OR stream", k=5)
+    with pytest.raises(ValueError, match="empty"):
+        query_string(spark, root, "() AND data", k=5)
+    with pytest.raises(ValueError, match="regex"):
+        query_string(spark, root, "(/da.a/ OR stream)", k=5)
+    with pytest.raises(ValueError, match="match_all"):
+        query_string(spark, root, "(* OR data)", k=5)
+
+
+def test_regexp_flat_expansion_parity(spark, qs_index):
+    """`/st.eam/ AND data` — the regexp expands against the dictionary and
+    scores as a required constant-score group next to BM25(data)."""
+    root, toks = qs_index
+    got = query_string(spark, root, "/st.eam/ AND data", k=None)
+    import re as _re
+
+    vocab = sorted({t for ts in toks.values() for t in ts})
+    exps = [v for v in vocab if _re.fullmatch("st.eam", v)]
+    assert exps  # the corpus carries 'stream'
+    want = bool_query(spark, root, must=["data"],
+                      must_terms=[(exps, 1.0)], k=None)
+    assert dict(_sc(got)) == dict(_sc(want)) and got.count()
+
+
+def test_regexp_negated_excludes_expansions(spark, qs_index):
+    root, _ = qs_index
+    got = query_string(spark, root, "data -/st.eam/", k=None)
+    base = bool_query(spark, root, should=["data"], k=None)
+    excl = bool_query(spark, root, should=["stream"], k=None)
+    want = dict(_sc(base))
+    for d, _s in _sc(excl):
+        want.pop(d, None)
+    assert dict(_sc(got)) == want and got.count()
+
+
+def test_regexp_required_empty_expansion(spark, qs_index):
+    root, _ = qs_index
+    assert query_string(spark, root, "+/zzzqq.*/ data", k=10).count() == 0
