@@ -1403,9 +1403,9 @@ def suggest(
     to the typo-tolerant expansion). Returns one DataFrame per named
     suggester — the engine functions the section lowers onto are the
     oracle-checked ``suggest_terms`` / ``suggest_prefix`` /
-    ``suggest_fuzzy``. The ``phrase`` suggester needs the source corpus (it
-    ranks SHINGLES, which the index does not store) — it raises by name
-    pointing at ``phrase_suggestions(df, ...)``."""
+    ``suggest_fuzzy`` / ``suggest_phrase`` (the phrase suggester measures
+    its bigram language model from the positional index — round 5h; a
+    positions-less index raises by name)."""
     section = body.get("suggest", body)
     if not isinstance(section, dict) or not section:
         raise ValueError("suggest needs a non-empty {name: spec} object")
@@ -1443,15 +1443,25 @@ def suggest(
                     spark, index_root, str(spec["prefix"]), k=size
                 )
         elif "phrase" in spec:
-            raise ValueError(
-                "the phrase suggester ranks corpus SHINGLES, which the "
-                "index does not store — call "
-                "suggest.phrase_suggestions(corpus_df, ...) directly"
+            from es_indexer_spark.query.suggest import suggest_phrase
+
+            p = spec["phrase"]
+            # ES nests generator knobs under direct_generator[0]
+            gen = (p.get("direct_generator") or [{}])[0]
+            out[name] = suggest_phrase(
+                spark, index_root, str(spec["text"]),
+                size=int(p.get("size", 5)),
+                max_edits=int(gen.get("max_edits", 2)),
+                prefix_length=int(gen.get("prefix_length", 1)),
+                candidates_per_term=int(gen.get("num_candidates", 5)),
+                real_word_error_likelihood=float(
+                    p.get("real_word_error_likelihood", 0.95)
+                ),
+                confidence=float(p.get("confidence", 1.0)),
             )
         else:
             raise ValueError(
-                f"suggester {name!r} must be term/completion (phrase raises "
-                "by name)"
+                f"suggester {name!r} must be term/completion/phrase"
             )
     return out
 

@@ -427,3 +427,222 @@ def suggest_terms(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --------------------------------------------------------- phrase suggester
+
+def _bigram_count_scorer(pairs: list[tuple[str, str]]):
+    """Per-shard adjacency counter: for each candidate bigram ``(a, b)``,
+    the number of positions where an occurrence of ``a`` is immediately
+    followed by ``b`` in the same doc — the same packed ``docid<<32|pos``
+    key chain as the phrase scorer, one searchsorted membership per pair.
+    Shards partition docids, so per-shard counts sum exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from es_indexer_spark.index.codec import decode_block, decode_positions
+    from es_indexer_spark.query.phrase import _sorted_member
+
+    def count(pdf: pd.DataFrame) -> pd.DataFrame:
+        term_keys: dict[str, object] = {}
+        for term, gg in pdf.groupby("term", sort=False):
+            parts = []
+            for row in gg.itertuples(index=False):
+                d, t, _l = decode_block(
+                    row.gaps, row.tfs, row.dls, row.first_docid
+                )
+                flat = decode_positions(row.poss, t)
+                d64 = d.astype(np.int64)
+                parts.append(
+                    (np.repeat(d64, t.astype(np.int64)) << 32)
+                    | flat.astype(np.int64)
+                )
+            if parts:
+                keys = np.concatenate(parts)
+                keys.sort()
+                term_keys[term] = keys
+        out_i: list[int] = []
+        out_c: list[int] = []
+        for i, (a, b) in enumerate(pairs):
+            if a in term_keys and b in term_keys:
+                c = int(_sorted_member(term_keys[b], term_keys[a] + 1).sum())
+                if c:
+                    out_i.append(i)
+                    out_c.append(c)
+        return pd.DataFrame({"pair": out_i, "cnt": out_c})
+
+    return count
+
+
+def suggest_phrase(
+    spark: SparkSession,
+    index_root: str,
+    text: str,
+    *,
+    size: int = 5,
+    max_edits: int = 2,
+    prefix_length: int = 1,
+    candidates_per_term: int = 5,
+    real_word_error_likelihood: float = 0.95,
+    confidence: float = 1.0,
+    alpha: float = 0.5,
+    max_combinations: int = 2000,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``phrase`` suggester (whole-phrase did-you-mean), index-backed.
+
+    ES/Lucene rank candidate phrases with a shingle-field language model ×
+    a noisy-channel prior (NoisyChannelSpellChecker + LaplaceScorer, public
+    behavior). This engine stores postings + positions instead of shingles,
+    so the SAME statistics come straight off the index — deterministic and
+    SQL-replayable, no shingle field needed:
+
+    - per input token, candidates = the token itself (when indexed) + the
+      top ``candidates_per_term`` dictionary terms within ``max_edits``
+      (``prefix_length`` anchored, ranked edits asc / df desc / term asc —
+      the term suggester's exact rules);
+    - language model = Laplace-smoothed bigram LM over REAL corpus counts:
+      ``P(w1) = (cf(w1)+α) / (N+α·V)``,
+      ``P(wi|wi-1) = (bigram(wi-1,wi)+α) / (cf(wi-1)+α·V)`` with ``N`` =
+      total tokens, ``V`` = vocabulary size; every candidate bigram's
+      adjacency count is measured in ONE postings scan (an Arrow stage
+      chains packed position keys per shard — work ∝ the candidate terms'
+      postings, never the corpus);
+    - channel prior per token: ``real_word_error_likelihood`` when the
+      candidate IS the input token, else ``1 - edits/max(|tok|,|cand|)``
+      (a deterministic stand-in for Lucene's distance-weighted prior —
+      documented divergence);
+    - a suggestion survives when ``score > confidence × score(input
+      phrase)`` (the ES confidence gate; an un-scorable input — any token
+      absent from the dictionary — gates nothing).
+
+    Corpus statistics include logically-deleted docs until ``compact_index``
+    (Lucene live-docs semantics, same as idf/avgdl). Combination count is
+    capped at ``max_combinations`` (request-sized math; lower
+    ``candidates_per_term`` for long texts). Returns ``(suggestion,
+    score)``, score desc / suggestion asc, top ``size``.
+
+    Reference anchor: the portal's suggestion surface
+    (portal_records_index_schema.json:112-132 search_as_you_type +
+    shingle_analyser chain :15-32); the phrase suggester itself is the ES
+    API those fields exist to serve."""
+    from itertools import product
+
+    from es_indexer_spark.analysis.tokenizer import split_lang_marker, tokenize_one
+    from es_indexer_spark.query.engine import _dict_lookup, _postings_df
+
+    vdir = catalog.resolve(index_root)
+    stats = catalog.read_stats(vdir)
+    if not stats.get("positions"):
+        raise ValueError(
+            f"index at {index_root} was built without store_positions=True "
+            "(the phrase suggester measures bigram counts from positions)"
+        )
+    tokens, _marker = split_lang_marker(
+        tokenize_one(text, stats["tokenizer"], lang=lang)
+    )
+    schema = "suggestion string, score double"
+    if not tokens:
+        return spark.createDataFrame([], schema)
+
+    d = spark.read.parquet(os.path.join(vdir, "dict"))
+    own = {r["term"]: r for r in _dict_lookup(spark, vdir, sorted(set(tokens)))}
+    # candidates per position: (term, cf, prior)
+    cands: list[list[tuple[str, int, float]]] = []
+    for tok in tokens:
+        cl: list[tuple[str, int, float]] = []
+        if tok in own:
+            cl.append((tok, int(own[tok]["cf"]), float(real_word_error_likelihood)))
+        head = tok[: int(prefix_length)]
+        cand = d.filter(F.col("term").startswith(head)) if head else d
+        cand = cand.filter(
+            (F.length("term") >= len(tok) - int(max_edits))
+            & (F.length("term") <= len(tok) + int(max_edits))
+            & (F.col("term") != tok)
+        ).withColumn("edits", F.levenshtein(F.col("term"), F.lit(tok)))
+        rows = (
+            cand.filter(F.col("edits") <= int(max_edits))
+            .orderBy(F.asc("edits"), F.desc("df"), F.asc("term"))
+            .limit(int(candidates_per_term))
+            .collect()
+        )
+        for r in rows:
+            prior = 1.0 - r["edits"] / max(len(tok), len(r["term"]))
+            cl.append((r["term"], int(r["cf"]), prior))
+        if not cl:
+            return spark.createDataFrame([], schema)  # a position with no candidates
+        cands.append(cl)
+
+    n_combos = 1
+    for cl in cands:
+        n_combos *= len(cl)
+    if n_combos > int(max_combinations):
+        raise ValueError(
+            f"{n_combos} candidate phrases exceed max_combinations="
+            f"{max_combinations} — lower candidates_per_term or shorten the text"
+        )
+
+    # corpus LM constants off the dictionary (small aggregations)
+    vn = d.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("cf").alias("n")
+    ).collect()[0]
+    V, N = float(vn["v"]), float(vn["n"])
+
+    # every candidate bigram's adjacency count in ONE postings scan
+    pairs = sorted(
+        {
+            (a[0], b[0])
+            for i in range(len(cands) - 1)
+            for a in cands[i]
+            for b in cands[i + 1]
+        }
+    )
+    big: dict[tuple[str, str], int] = {}
+    if pairs:
+        uniq_terms = sorted({t for p in pairs for t in p})
+        dict_rows = _dict_lookup(spark, vdir, uniq_terms)
+        buckets = sorted({r["bucket"] for r in dict_rows})
+        present = sorted({r["term"] for r in dict_rows})
+        blocks = _postings_df(spark, vdir).filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(present)
+        )
+        counted = (
+            blocks.groupBy("shard")
+            .applyInPandas(
+                lambda pdf: _bigram_count_scorer(pairs)(pdf),
+                "pair int, cnt long",
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        for r in counted:
+            big[pairs[r["pair"]]] = int(r["cnt"])
+
+    a = float(alpha)
+
+    def combo_score(combo: tuple[tuple[str, int, float], ...]) -> float:
+        # fixed left-to-right multiplication order — the oracle replays the
+        # identical expression, so the doubles match bit-for-bit
+        t0, cf0, pr0 = combo[0]
+        s = (cf0 + a) / (N + a * V) * pr0
+        for i in range(1, len(combo)):
+            ti, _cfi, pri = combo[i]
+            prev_t, prev_cf, _ = combo[i - 1]
+            s = s * ((big.get((prev_t, ti), 0) + a) / (prev_cf + a * V)) * pri
+        return s
+
+    input_score = None
+    if all(t in own for t in tokens):
+        input_score = combo_score(
+            tuple((t, int(own[t]["cf"]), float(real_word_error_likelihood))
+                  for t in tokens)
+        )
+    out_rows = []
+    for combo in product(*cands):
+        s = combo_score(combo)
+        if input_score is not None and not s > float(confidence) * input_score:
+            continue
+        out_rows.append((" ".join(c[0] for c in combo), float(s)))
+    out_rows.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(out_rows[: int(size)], schema)

@@ -797,3 +797,131 @@ def test_highlight_phrase_whole_unit(spark, documents, tmp_path_factory):
             r"<em>data[^a-zA-Z0-9]+stream</em>", r["fragment"], re.I
         ), r["fragment"]
         assert "<em>data</em>" not in r["fragment"].lower()
+
+
+# ------------------------------------------- round 5h: ES phrase suggester
+
+def _phrase_sugg_brute(toks, text, *, size=5, max_edits=2, prefix_length=1,
+                       candidates_per_term=5, rwel=0.95, confidence=1.0,
+                       alpha=0.5):
+    """Independent replay of suggest_phrase over the tokenized corpus:
+    candidate generation (term-suggester rules), REAL bigram counts, the
+    Laplace bigram LM × channel prior, the confidence gate."""
+    import itertools
+    from collections import Counter
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    cf = Counter(t for ts in toks.values() for t in ts)
+    df = Counter()
+    for ts in toks.values():
+        df.update(set(ts))
+    big = Counter()
+    for ts in toks.values():
+        for x, y in zip(ts, ts[1:]):
+            big[(x, y)] += 1
+    V, N = float(len(cf)), float(sum(cf.values()))
+    tokens = text.split()
+    cands = []
+    for tok in tokens:
+        cl = []
+        if tok in cf:
+            cl.append((tok, cf[tok], rwel))
+        pool = [
+            v for v in cf
+            if v != tok and v.startswith(tok[:prefix_length])
+            and len(tok) - max_edits <= len(v) <= len(tok) + max_edits
+            and lev(v, tok) <= max_edits
+        ]
+        pool.sort(key=lambda v: (lev(v, tok), -df[v], v))
+        for v in pool[:candidates_per_term]:
+            cl.append((v, cf[v], 1.0 - lev(v, tok) / max(len(tok), len(v))))
+        if not cl:
+            return []
+        cands.append(cl)
+
+    def score(combo):
+        t0, c0, p0 = combo[0]
+        s = (c0 + alpha) / (N + alpha * V) * p0
+        for i in range(1, len(combo)):
+            ti, _ci, pi = combo[i]
+            tp, cp, _ = combo[i - 1]
+            s = s * ((big.get((tp, ti), 0) + alpha) / (cp + alpha * V)) * pi
+        return s
+
+    inp = None
+    if all(t in cf for t in tokens):
+        inp = score(tuple((t, cf[t], rwel) for t in tokens))
+    rows = []
+    for combo in itertools.product(*cands):
+        s = score(combo)
+        if inp is not None and not s > confidence * inp:
+            continue
+        rows.append((" ".join(c[0] for c in combo), s))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:size]
+
+
+def test_suggest_phrase_brute_parity(spark, documents, pos_index):
+    from es_indexer_spark.query.suggest import suggest_phrase
+
+    rows = documents.select("doc_id", "text").collect()
+    toks = {r["doc_id"]: tokenize_one(r["text"], "standard") for r in rows}
+    for text in ("dat stream", "custmer data", "strea procesing"):
+        got = [
+            (r["suggestion"], r["score"])
+            for r in suggest_phrase(spark, pos_index, text, size=5).collect()
+        ]
+        want = _phrase_sugg_brute(toks, text, size=5)
+        assert [g[0] for g in got] == [w[0] for w in want], text
+        for (gs, ws) in zip((g[1] for g in got), (w[1] for w in want)):
+            assert gs == pytest.approx(ws, rel=1e-12), text
+    # at least one typo actually corrects
+    got = suggest_phrase(spark, pos_index, "dat stream", size=5).collect()
+    assert got and got[0]["suggestion"] == "data stream"
+
+
+def test_suggest_phrase_confidence_gate(spark, pos_index):
+    from es_indexer_spark.query.suggest import suggest_phrase
+
+    # a well-spelled frequent phrase: nothing beats it at confidence 1.0
+    assert suggest_phrase(spark, pos_index, "data stream").count() == 0
+    # confidence 0 returns alternatives (including lower-scoring ones)
+    assert suggest_phrase(
+        spark, pos_index, "data stream", confidence=0.0, size=10
+    ).count() > 0
+
+
+def test_suggest_phrase_requires_positions(spark, documents, tmp_path):
+    from es_indexer_spark.query.suggest import suggest_phrase
+
+    root = str(tmp_path / "nopos")
+    build_index(
+        spark, documents.limit(50), root, content_col="text",
+        id_col="doc_id", tokenizer="standard", n_buckets=2, shard_size=100,
+        n_ckpt_batches=1, store_positions=False,
+    )
+    with pytest.raises(ValueError, match="store_positions"):
+        suggest_phrase(spark, root, "dat stream")
+
+
+def test_suggest_phrase_dsl_dispatch(spark, pos_index):
+    from es_indexer_spark.query.dsl import suggest as dsl_suggest
+    from es_indexer_spark.query.suggest import suggest_phrase
+
+    out = dsl_suggest(spark, pos_index, {"suggest": {"dym": {
+        "text": "dat stream",
+        "phrase": {"size": 3, "confidence": 1.0,
+                   "direct_generator": [{"max_edits": 2, "prefix_length": 1}]},
+    }}})
+    want = suggest_phrase(spark, pos_index, "dat stream", size=3)
+    assert [tuple(r) for r in out["dym"].collect()] == \
+           [tuple(r) for r in want.collect()]
