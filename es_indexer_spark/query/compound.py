@@ -54,7 +54,7 @@ _SCORE_SCHEMA = "docid long, score double"
 def dis_max(
     spark: SparkSession,
     index_root: str,
-    queries: Sequence[str],
+    queries: Sequence[str | DataFrame],
     *,
     tie_breaker: float = 0.0,
     k: int | None = 10,
@@ -64,11 +64,15 @@ def dis_max(
     ``queries`` is analyzed like an ES ``match`` query (OR semantics: a doc
     matches the clause when it carries >=1 of the clause's terms; the clause
     score is the sum of its present terms' BM25 contributions — the same
-    one-clause pure-should bool the engine already scores). Returns top-k
-    (docid, score) with ``score = best + tie_breaker * (sum - best)``."""
+    one-clause pure-should bool the engine already scores). A clause may
+    also be a pre-scored ``(docid, score)`` DataFrame — the DSL passes any
+    non-match sub-query through the compositional evaluator this way (round
+    5h). Returns top-k (docid, score) with
+    ``score = best + tie_breaker * (sum - best)``."""
     tie = float(tie_breaker)
     parts = [
-        bool_query(spark, index_root, should=[q], k=None, lang=lang)
+        q.select("docid", "score") if isinstance(q, DataFrame)
+        else bool_query(spark, index_root, should=[q], k=None, lang=lang)
         for q in queries
     ]
     if not parts:
@@ -99,19 +103,23 @@ def constant_score(
     boost: float = 1.0,
     k: int | None = 10,
     lang: str | None = None,
+    matches: DataFrame | None = None,
 ) -> DataFrame:
     """ES ``constant_score``: the wrapped filter (term and/or range, Lucene
     filter context — required, never BM25-scored) selects the docs; every
     match scores exactly ``boost``. Results are docid-ordered (all scores
-    tie, and docid is ES's stable tiebreak)."""
-    matches = bool_query(
-        spark,
-        index_root,
-        filter_terms=list(filter_terms),
-        filter_range=filter_range,
-        k=None,
-        lang=lang,
-    )
+    tie, and docid is ES's stable tiebreak). ``matches`` (a docid frame)
+    replaces the built-in term/range filter for any other wrapped shape —
+    the DSL passes composed filters through this seam (round 5h)."""
+    if matches is None:
+        matches = bool_query(
+            spark,
+            index_root,
+            filter_terms=list(filter_terms),
+            filter_range=filter_range,
+            k=None,
+            lang=lang,
+        )
     out = matches.select("docid", F.lit(float(boost)).alias("score"))
     if k is None:
         return out
@@ -122,8 +130,8 @@ def boosting(
     spark: SparkSession,
     index_root: str,
     *,
-    positive: str,
-    negative: str,
+    positive: str | DataFrame,
+    negative: str | DataFrame,
     negative_boost: float = 0.5,
     k: int | None = 10,
     lang: str | None = None,
@@ -131,11 +139,18 @@ def boosting(
     """ES ``boosting`` query: ``positive`` is an ES ``match`` (OR) query that
     selects and scores; docs that ALSO match ``negative`` (any of its
     analyzed terms) are demoted — score multiplied by ``negative_boost`` —
-    but never dropped. Top-k by the demoted score."""
+    but never dropped. Top-k by the demoted score. Either side may be a
+    pre-scored ``(docid, score)`` DataFrame (the DSL's composed-sub-query
+    seam, round 5h)."""
     nb = float(negative_boost)
-    pos = bool_query(spark, index_root, should=[positive], k=None, lang=lang)
+    pos = (
+        positive.select("docid", "score") if isinstance(positive, DataFrame)
+        else bool_query(spark, index_root, should=[positive], k=None, lang=lang)
+    )
     neg = (
-        bool_query(spark, index_root, should=[negative], k=None, lang=lang)
+        (negative.select("docid") if isinstance(negative, DataFrame)
+         else bool_query(spark, index_root, should=[negative], k=None,
+                         lang=lang).select("docid"))
         .select("docid", F.lit(True).alias("_neg"))
         .distinct()
     )

@@ -42,9 +42,9 @@ Supported surface (each maps to a documented engine call):
   :func:`validate_query` is the ``_validate/query`` shape over the same
   dispatch. A ``collapse`` section on a match body lowers onto
   ``collapse_topk`` (one best hit per stored-field value); the body-level
-  ``suggest`` section (:func:`suggest`) lowers term/completion suggesters
-  onto the suggest module (phrase suggester raises by name — it needs the
-  source corpus).
+  ``suggest`` section (:func:`suggest`) lowers term/completion/phrase
+  suggesters onto the suggest module (the phrase suggester measures its
+  bigram LM from the positional index — round 5h).
 
 Unsupported shapes raise ``ValueError`` naming the construct (nested bools
 beyond one level, per-field analyzers, scripted sorts) — never a silent
@@ -69,6 +69,23 @@ def _one(d: dict, what: str) -> tuple[str, object]:
     if not isinstance(d, dict) or len(d) != 1:
         raise ValueError(f"{what} must be a single-key object, got {d!r}")
     return next(iter(d.items()))
+
+
+def _subquery_scores(
+    spark: SparkSession,
+    index_root: str,
+    node: dict,
+    lang: str | None,
+    scored: bool = True,
+) -> DataFrame:
+    """Any supported query node as its full (k=None) ``(docid, score)``
+    frame — the compositional evaluator's child seam (round 5h). Wrapper
+    queries (dis_max / constant_score / boosting / function_score /
+    script_score / pinned) pass non-match sub-queries through this, so every
+    bool-expressible kind (incl. nested bools) works inside them."""
+    from es_indexer_spark.query.composebool import _child_scores
+
+    return _child_scores(spark, index_root, node, lang, scored)
 
 
 def _field_query(v, key: str = "query") -> dict:
@@ -900,7 +917,12 @@ def search(
         for q in v["queries"]:
             qk, qv = _one(q, "dis_max clause")
             if qk != "match":
-                raise ValueError("dis_max clauses support match leaves")
+                # any other supported kind: full (docid, score) frame via
+                # the compositional seam (round 5h)
+                clauses.append(
+                    _subquery_scores(spark, index_root, q, lang)
+                )
+                continue
             mspec = _field_query(qv)
             if "query" not in mspec:
                 _fn, fspec = _one(mspec, "match")
@@ -946,7 +968,11 @@ def search(
                 {k2: b for k2, b in bounds.items() if k2 in ("gt", "gte", "lt", "lte")},
             )
         else:
-            raise ValueError("constant_score.filter supports match/range")
+            # any other supported filter shape composes in filter context
+            # (stored-field resolution, non-scoring) — round 5h
+            kw2["matches"] = _subquery_scores(
+                spark, index_root, v["filter"], lang, scored=False
+            )
         out = constant_score(spark, index_root, **kw2)
     elif kind == "boosting":
         from es_indexer_spark.query.compound import boosting
@@ -954,7 +980,8 @@ def search(
         def _text(node, what):
             nk, nv = _one(node, what)
             if nk != "match":
-                raise ValueError(f"{what} supports a match leaf")
+                # composed frame for any other supported kind (round 5h)
+                return _subquery_scores(spark, index_root, node, lang)
             mspec = _field_query(nv)
             if "query" not in mspec:
                 _fn, fspec = _one(mspec, "match")
@@ -973,16 +1000,20 @@ def search(
 
         qk, qv = _one(v["query"], "function_score.query")
         if qk != "match":
-            raise ValueError("function_score.query supports a match leaf")
-        mspec = _field_query(qv)
-        if "query" not in mspec:
-            _fn, fspec = _one(mspec, "match")
-            mspec = _field_query(fspec)
+            mspec = {"query": _subquery_scores(spark, index_root,
+                                               v["query"], lang)}
+        else:
+            mspec = _field_query(qv)
+            if "query" not in mspec:
+                _fn, fspec = _one(mspec, "match")
+                mspec = _field_query(fspec)
         fvf = v.get("field_value_factor")
         if fvf is None:
             raise ValueError("function_score supports field_value_factor")
+        fsq = mspec["query"]
         out = function_score_topk(
-            spark, index_root, str(mspec["query"]), fvf["field"],
+            spark, index_root,
+            fsq if not isinstance(fsq, str) else str(fsq), fvf["field"],
             k=size + from_, factor=float(fvf.get("factor", 1.0)),
             modifier=str(fvf.get("modifier", "ln1p")),
             boost_mode=str(v.get("boost_mode", "multiply")),
@@ -993,14 +1024,16 @@ def search(
 
         qk, qv = _one(v["query"], "script_score.query")
         if qk != "match":
-            raise ValueError("script_score.query supports a match leaf")
-        mspec = _field_query(qv)
-        if "query" not in mspec:
-            _fn, fspec = _one(mspec, "match")
-            mspec = _field_query(fspec)
+            ssq = _subquery_scores(spark, index_root, v["query"], lang)
+        else:
+            mspec = _field_query(qv)
+            if "query" not in mspec:
+                _fn, fspec = _one(mspec, "match")
+                mspec = _field_query(fspec)
+            ssq = str(mspec["query"])
         script = v["script"]["source"] if isinstance(v.get("script"), dict) else v["script"]
         out = script_score_topk(
-            spark, index_root, str(mspec["query"]), str(script),
+            spark, index_root, ssq, str(script),
             k=size + from_,
             fields=tuple(v.get("fields", ())),
             min_score=body.get("min_score"), lang=lang,
@@ -1032,14 +1065,16 @@ def search(
         org = v["organic"]
         ok_, ov = _one(org, "pinned.organic")
         if ok_ != "match":
-            raise ValueError("pinned.organic supports a match leaf")
-        mspec = _field_query(ov)
-        if "query" not in mspec:
-            _fn, fspec = _one(mspec, "match")
-            mspec = _field_query(fspec)
+            porg = _subquery_scores(spark, index_root, org, lang)
+        else:
+            mspec = _field_query(ov)
+            if "query" not in mspec:
+                _fn, fspec = _one(mspec, "match")
+                mspec = _field_query(fspec)
+            porg = str(mspec["query"])
         out = pinned_topk(
             spark, index_root, [int(i) for i in v["ids"]],
-            str(mspec["query"]), k=size + from_, lang=lang,
+            porg, k=size + from_, lang=lang,
         )
     elif kind == "span_near":
         from es_indexer_spark.query.phrase import span_multi_near, span_near

@@ -1115,7 +1115,7 @@ _FVF_MODIFIERS = ("none", "ln1p", "log1p", "sqrt", "square")
 def function_score_topk(
     spark: SparkSession,
     index_root: str,
-    query: str,
+    query: str | DataFrame,
     field: str,
     k: int = 10,
     *,
@@ -1143,7 +1143,12 @@ def function_score_topk(
     if boost_mode not in ("multiply", "sum"):
         raise ValueError("boost_mode must be 'multiply' or 'sum'")
     vdir = catalog.resolve(index_root)
-    hits = bool_query(spark, index_root, should=[query], k=None, lang=lang)
+    # a DataFrame query is a pre-scored (docid, score) match frame — the
+    # DSL's composed-sub-query seam (round 5h)
+    hits = (
+        query.select("docid", "score") if isinstance(query, DataFrame)
+        else bool_query(spark, index_root, should=[query], k=None, lang=lang)
+    )
     docs = spark.read.parquet(os.path.join(vdir, "docs")).select("docid", field)
     x = F.coalesce(F.col(field).cast("double"), F.lit(float(missing))) * F.lit(
         float(factor)
@@ -1169,7 +1174,7 @@ def function_score_topk(
 def script_score_topk(
     spark: SparkSession,
     index_root: str,
-    query: str,
+    query: str | DataFrame,
     script: str,
     k: int = 10,
     *,
@@ -1192,7 +1197,10 @@ def script_score_topk(
     from es_indexer_spark.query.boolean import bool_query
 
     vdir = catalog.resolve(index_root)
-    hits = bool_query(spark, index_root, should=[query], k=None, lang=lang)
+    hits = (
+        query.select("docid", "score") if isinstance(query, DataFrame)
+        else bool_query(spark, index_root, should=[query], k=None, lang=lang)
+    )
     sel = hits.withColumnRenamed("score", "_score")
     if fields:
         docs = spark.read.parquet(os.path.join(vdir, "docs")).select(
@@ -1302,7 +1310,7 @@ def pinned_topk(
     spark: SparkSession,
     index_root: str,
     ids: Sequence[int],
-    organic: str,
+    organic: str | DataFrame,
     k: int = 10,
     *,
     lang: str | None = None,
@@ -1327,8 +1335,12 @@ def pinned_topk(
     pins = live_pins.select(
         "docid", (F.lit(1e9) - rank + 1).alias("score")
     )
+    org_hits = (
+        organic.select("docid", "score") if isinstance(organic, DataFrame)
+        else bool_query(spark, index_root, should=[organic], k=None, lang=lang)
+    )
     org = (
-        bool_query(spark, index_root, should=[organic], k=None, lang=lang)
+        org_hits
         .filter(~F.col("docid").isin(ids))
         .select("docid", F.round("score", 6).alias("score"))
     )

@@ -615,3 +615,80 @@ def test_validate_query_catches_analysis_errors(spark, d2_index):
     out = validate_query(spark, d2_index, {"query": {"script": {"script": {
         "source": "n_chars > 3"}}}})
     assert out == {"valid": True, "error": None}
+
+
+# ------------------------------- round 5h: composed sub-queries in wrappers
+
+def test_wrappers_accept_composed_subqueries(spark, d2_index):
+    """dis_max / constant_score / boosting / function_score / script_score /
+    pinned take any bool-expressible sub-query through the compositional
+    frame seam. A `{bool: {must: [match x]}}` sub-query must equal the
+    plain-match text path exactly (same frame, same scores)."""
+    wrap = {"bool": {"must": [{"match": {"content": "data"}}]}}
+    flat = {"match": {"content": "data"}}
+
+    pairs = [
+        ({"dis_max": {"queries": [wrap, {"match": {"content": "batch"}}],
+                      "tie_breaker": 0.3}},
+         {"dis_max": {"queries": [flat, {"match": {"content": "batch"}}],
+                      "tie_breaker": 0.3}}),
+        ({"boosting": {"positive": wrap, "negative": flat,
+                       "negative_boost": 0.2}},
+         {"boosting": {"positive": flat, "negative": flat,
+                       "negative_boost": 0.2}}),
+        ({"function_score": {"query": wrap,
+                             "field_value_factor": {"field": "n_chars"}}},
+         {"function_score": {"query": flat,
+                             "field_value_factor": {"field": "n_chars"}}}),
+        ({"script_score": {"query": wrap,
+                           "script": {"source": "_score * 2"}}},
+         {"script_score": {"query": flat,
+                           "script": {"source": "_score * 2"}}}),
+        ({"pinned": {"ids": [7, 3], "organic": wrap}},
+         {"pinned": {"ids": [7, 3], "organic": flat}}),
+    ]
+    for composed, plain in pairs:
+        got = _scored(search(spark, d2_index, {"query": composed, "size": 10}))
+        want = _scored(search(spark, d2_index, {"query": plain, "size": 10}))
+        assert got == want and got, next(iter(composed))
+
+
+def test_constant_score_bool_filter(spark, d2_index):
+    """constant_score over a bool filter: the match set equals the bool's
+    own filter-context match set, every score exactly boost."""
+    inner = {"bool": {"filter": [{"term": {"lang": "en"}},
+                                 {"range": {"n_chars": {"gte": 200}}}]}}
+    got = search(spark, d2_index, {"query": {"constant_score": {
+        "filter": inner, "boost": 3.0}}, "size": 10000})
+    want = search(spark, d2_index, {"query": inner, "size": 10000})
+    assert {r["docid"] for r in got.collect()} == \
+           {r["docid"] for r in want.collect()}
+    assert {round(r["score"], 6) for r in got.collect()} == {3.0}
+    assert got.count()
+
+
+def test_dis_max_phrase_leg_vs_table(spark, d2_index):
+    """dis_max with a match_phrase leg: best + tie*(sum-best) over the
+    phrase frame and the match frame, replayed in pandas."""
+    from es_indexer_spark.query.boolean import bool_query
+    from es_indexer_spark.query.phrase import phrase_match
+
+    tie = 0.3
+    m = dict(_scored(bool_query(spark, d2_index, should=["customer"], k=None)))
+    p = {r["docid"]: round(r["score"], 6)
+         for r in phrase_match(spark, d2_index, "data stream", k=None).collect()}
+    want = {}
+    for d in set(m) | set(p):
+        s1, s2 = m.get(d, 0.0), p.get(d, 0.0)
+        present = [s for s in (s1, s2) if d in (set(m) if s is s1 else set(p))]
+        best = max(m.get(d, float("-inf")), p.get(d, float("-inf")))
+        tot = m.get(d, 0.0) + p.get(d, 0.0)
+        want[d] = best + tie * (tot - best)
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = _scored(search(spark, d2_index, {"query": {"dis_max": {
+        "queries": [{"match": {"content": "customer"}},
+                    {"match_phrase": {"content": "data stream"}}],
+        "tie_breaker": tie}}, "size": 10}))
+    assert [d for d, _ in got] == [d for d, _ in top]
+    for (gd, gs), (wd, ws) in zip(got, top):
+        assert gs == pytest.approx(ws, abs=2e-6)
