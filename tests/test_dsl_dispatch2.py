@@ -602,8 +602,10 @@ def test_suggest_section_dispatch(spark, d2_index):
            [r.asDict() for r in suggest_fuzzy(
                spark, d2_index, "dta", fuzziness=1, k=3).collect()]
     assert got["comp"].count() > 0
-    with pytest.raises(ValueError, match="phrase suggester"):
-        suggest(spark, d2_index, {"suggest": {"p": {"text": "x", "phrase": {}}}})
+    # the phrase suggester dispatches since round 5h (see
+    # test_suggest_phrase_dsl_dispatch); an unknown suggester kind raises
+    with pytest.raises(ValueError, match="term/completion/phrase"):
+        suggest(spark, d2_index, {"suggest": {"p": {"text": "x", "frob": {}}}})
 
 
 def test_validate_query_catches_analysis_errors(spark, d2_index):
