@@ -208,6 +208,21 @@ def main() -> None:
             should_wildcard=[("sel*", 0.5)], k=10,
         ).collect(),
     )
+    # round-5h composed nested bool (the flattener rejects msm-inside-must,
+    # so this exercises the per-level union+agg combination path)
+    def _bool_compose_bench():
+        from es_indexer_spark.query.composebool import compose_bool
+
+        return compose_bool(spark, os.path.join(work, "warm"), {
+            "must": [
+                {"bool": {"should": [{"match": {"content": "def"}},
+                                     {"match": {"content": "return"}}],
+                          "minimum_should_match": 2}},
+                {"match": {"content": "self"}},
+            ],
+        }, k=10).collect()
+
+    timed("q_bool_compose", _bool_compose_bench)
     # multi_match over a two-field (path^3 + content) index; the field builds
     # are index-build work (untimed, same rule as build_ivf_index below)
     multi_root = os.path.join(work, "midx")

@@ -50,6 +50,8 @@ Jobs:
   intersects|within|contains|disjoint``; round 5);
 - ``suggest-fuzzy`` — completion with typo tolerance (``--query dat
   --fuzziness 1``; round 5);
+- ``suggest-phrase`` — whole-phrase did-you-mean off the positional
+  index's bigram LM (``--query "dat stream" -k 5``; round 5h);
 - ``fuzzy``   — Levenshtein-expanded term query (``--fuzziness``);
 - ``prefix``  — constant-score prefix query;
 - ``explain`` — per-term BM25 breakdown for ``--query`` + ``--docid``;
@@ -99,7 +101,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "delete", "compact", "bool", "fuzzy", "prefix", "explain",
                  "delete-query", "wildcard", "phrase-prefix", "mlt",
                  "simple-qs", "rescore", "range", "sortquery", "geo-bbox",
-                 "span-near", "suggest-fuzzy", "geo-shape",
+                 "span-near", "suggest-fuzzy", "suggest-phrase", "geo-shape",
                  "qs", "span-multi", "knn", "rrf", "percolate", "dsl",
                  "scroll", "validate", "msearch", "mget", "search-template",
                  "render-template", "put-template", "reindex",
@@ -340,6 +342,21 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             for r in suggest_fuzzy(
                 spark, args.index, args.query, k=args.k, fuzziness=args.fuzziness
+            ).collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.job == "suggest-phrase":
+            # ES phrase suggester (round 5h): whole-phrase did-you-mean off
+            # the positional index's bigram statistics
+            from es_indexer_spark.query.suggest import suggest_phrase
+
+            if not args.query:
+                print("--query required", file=sys.stderr)
+                return 2
+            # the shared --fuzziness flag sets max_edits (flag default 1;
+            # the library default is 2 — pass --fuzziness 2 for parity)
+            for r in suggest_phrase(
+                spark, args.index, args.query, size=args.k,
+                max_edits=args.fuzziness,
             ).collect():
                 print(json.dumps(r.asDict(), default=str))
         elif args.job == "scroll":

@@ -311,6 +311,14 @@ def test_cli_round5_jobs(spark, tmp_path, capsys):
     rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert rows and all("edits" in r for r in rows)
 
+    # phrase suggester (round 5h): whole-phrase did-you-mean
+    rc = main(["--job", "suggest-phrase", "--index", root, "--query",
+               "dat stream", "--fuzziness", "2", "-k", "3"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows and rows[0]["suggestion"] == "data stream"
+    assert main(["--job", "suggest-phrase", "--index", root]) == 2
+
     # msm percentage spec
     rc = main(["--job", "bool", "--index", root, "--should",
                "data,stream,batch,key", "--min-should-match", "75%", "-k", "5"])

@@ -774,6 +774,34 @@ def main() -> int:
         ],
     ))
 
+    # 35. round 5h: composed nested bool — leaves stay term-pruned one-scan
+    # bool plans; each level adds ONE hash agg (reqc/shc/score) and must_not
+    # ONE anti-join; no cartesian anywhere
+    from es_indexer_spark.query.composebool import compose_bool
+
+    p = formatted(compose_bool(spark, root, {
+        "must": [
+            {"bool": {"should": [{"match": {"content": "data"}},
+                                 {"match": {"content": "stream"}}],
+                      "minimum_should_match": 2}},
+            {"match": {"content": "customer"}},
+        ],
+        "must_not": [{"bool": {"filter": [{"match": {"content": "error"}},
+                                          {"term": {"lang": "en"}}]}}],
+    }, k=10))
+    sections.append((
+        "composed nested bool: per-level hash agg + anti-join, pruned leaves",
+        p,
+        [
+            ("two hash agg pairs: combine-over-union + the must_not leg's own",
+             len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 4),
+            ("must_not excluded via exactly one anti-join node",
+             len(re.findall(r"LeftAnti \(\d+\)", p)) == 1),
+            ("leaf postings scans keep term pushdown", "term" in p and "PushedFilters" in p),
+            ("no cartesian", "CartesianProduct" not in p),
+        ],
+    ))
+
     failures = 0
     lines = [
         "# PLANS — physical-plan audit evidence",
