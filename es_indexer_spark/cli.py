@@ -176,6 +176,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--match-all", action="store_true",
                    help="delete-query: tombstone every live doc")
     p.add_argument("--fuzziness", type=int, default=1, help="fuzzy job max edits")
+    p.add_argument("--transpositions", action="store_true",
+                   help="fuzzy/suggest-fuzzy/bool: count an adjacent swap as "
+                        "ONE edit (Damerau-Levenshtein — ES's default fuzzy "
+                        "semantics; off = classic Levenshtein)")
     p.add_argument(
         "--ids", type=_csv, default=None,
         help="delete job: comma-separated docids to tombstone "
@@ -341,7 +345,8 @@ def main(argv: list[str] | None = None) -> int:
                 print("--query required", file=sys.stderr)
                 return 2
             for r in suggest_fuzzy(
-                spark, args.index, args.query, k=args.k, fuzziness=args.fuzziness
+                spark, args.index, args.query, k=args.k,
+                fuzziness=args.fuzziness, transpositions=args.transpositions,
             ).collect():
                 print(json.dumps(r.asDict(), default=str))
         elif args.job == "suggest-phrase":
@@ -416,6 +421,7 @@ def main(argv: list[str] | None = None) -> int:
                 must_fuzzy=[clause(s) for s in args.must_fuzzy],
                 should_fuzzy=[clause(s) for s in args.should_fuzzy],
                 fuzziness=args.fuzziness,
+                transpositions=args.transpositions,
             )
             for r in hits.collect():
                 print(json.dumps(r.asDict(), default=str))
@@ -491,6 +497,7 @@ def main(argv: list[str] | None = None) -> int:
             hits = fuzzy_topk(
                 spark, args.index, args.query, k=args.k,
                 fuzziness=args.fuzziness, lang=args.lang,
+                transpositions=args.transpositions,
             )
             for r in hits.collect():
                 print(json.dumps(r.asDict(), default=str))

@@ -433,6 +433,7 @@ def bool_query(
     fuzziness: int = 1,
     prefix_length: int = 1,
     max_expansions: int = 50,
+    transpositions: bool = False,
     must_prefix: Sequence[str | tuple[str, float]] = (),
     should_prefix: Sequence[str | tuple[str, float]] = (),
     filter_exists: Sequence[str] = (),
@@ -592,7 +593,7 @@ def bool_query(
             exp = fuzzy_expansions(
                 spark, vdir, ts[0],
                 fuzziness=fuzziness, prefix_length=prefix_length,
-                max_expansions=max_expansions,
+                max_expansions=max_expansions, transpositions=transpositions,
             )
             out.append(
                 ([e[0] for e in exp], {e[0]: boost * e[3] for e in exp})

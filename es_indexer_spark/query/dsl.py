@@ -125,6 +125,7 @@ def _bool_kwargs(spec: dict) -> dict:
         "filter_range": [], "filter_phrase": None, "filter_phrase_slop": 0,
     }
     fuzz: set[int] = set()
+    tsp: set[bool] = set()
 
     def leaf(kind: str, v, dest: str):
         if kind == "match":
@@ -135,6 +136,7 @@ def _bool_kwargs(spec: dict) -> dict:
             text, boost, fz = _match_clause(spec)
             if fz is not None:
                 fuzz.add(fz)
+                tsp.add(bool(spec.get("fuzzy_transpositions", False)))
                 out[f"{dest}_fuzzy"].append((text, boost))
             else:
                 out[dest].append((text, boost))
@@ -340,6 +342,10 @@ def _bool_kwargs(spec: dict) -> dict:
         raise ValueError(f"all match fuzziness values must agree, got {sorted(fuzz)}")
     if fuzz:
         out["fuzziness"] = fuzz.pop()
+    if len(tsp) > 1:
+        raise ValueError("all fuzzy_transpositions values must agree")
+    if True in tsp:
+        out["transpositions"] = True
     out["filter_range"] = out["filter_range"] or None
     return out
 
@@ -768,6 +774,8 @@ def search(
         kw: dict = {"k": size + from_, "lang": lang}
         if fz is not None:
             kw["fuzziness"] = fz
+            if mspec.get("fuzzy_transpositions"):
+                kw["transpositions"] = True
             kw["must_fuzzy" if operator == "and" else "should_fuzzy"] = [(text, boost)]
         elif operator == "and":
             kw["must"] = [(text, boost)]
@@ -894,6 +902,9 @@ def search(
         out = fuzzy_topk(
             spark, index_root, str(spec["value"]), k=size + from_,
             fuzziness=1 if fz in ("AUTO", None) else int(fz),
+            prefix_length=int(spec.get("prefix_length", 1)),
+            max_expansions=int(spec.get("max_expansions", 50)),
+            transpositions=bool(spec.get("transpositions", False)),
         )
     elif kind == "simple_query_string":
         from es_indexer_spark.query.querystring import simple_query_string
@@ -1470,6 +1481,7 @@ def suggest(
                 out[name] = suggest_fuzzy(
                     spark, index_root, str(spec["prefix"]),
                     fuzziness=int(fz.get("fuzziness", 1)), k=size,
+                    transpositions=bool(fz.get("transpositions", False)),
                 )
             else:
                 from es_indexer_spark.query.suggest import suggest_prefix

@@ -613,6 +613,7 @@ def fuzzy_expansions(
     fuzziness: int = 1,
     prefix_length: int = 1,
     max_expansions: int = 50,
+    transpositions: bool = False,
 ) -> list[tuple[str, int, int, float]]:
     """Expand analyzed term ``t`` against the dictionary within ``fuzziness``
     edits: the shared JVM-side pruned expansion (prefix startswith range +
@@ -620,27 +621,51 @@ def fuzzy_expansions(
     ``max_expansions`` by df like every Lucene multi-term rewrite). Returns
     ``(term, df, bucket, boost)`` rows where boost is the Lucene-style
     similarity damp ``1 - distance / max(len)``. Used by the standalone fuzzy
-    query and by fuzzy clauses inside bool (ES ``match`` + ``fuzziness``)."""
+    query and by fuzzy clauses inside bool (ES ``match`` + ``fuzziness``).
+
+    ``transpositions=True`` switches the distance to Damerau-Levenshtein (an
+    adjacent swap counts as ONE edit — ES's default ``fuzzy_transpositions``;
+    this engine defaults to classic Levenshtein, a documented divergence;
+    unrestricted variant, matching DuckDB's ``damerau_levenshtein`` so the
+    oracle replays it exactly). Spark has no built-in for it, so the exact
+    distance runs in one Arrow stage over a candidate set pre-pruned JVM-side
+    by ``levenshtein <= 2*fuzziness`` (sound: every Damerau edit is at most
+    two Levenshtein edits, so ``lev <= 2*damerau``; the length window holds
+    for both metrics)."""
     prefix = t[:prefix_length]
     cand = _dict_df(spark, vdir)
     if prefix:
         cand = cand.filter(F.col("term").startswith(prefix))
-    rows = (
-        cand.filter(
-            (F.length("term") >= len(t) - fuzziness)
-            & (F.length("term") <= len(t) + fuzziness)
-            & (F.levenshtein(F.col("term"), F.lit(t)) <= fuzziness)
+    cand = cand.filter(
+        (F.length("term") >= len(t) - fuzziness)
+        & (F.length("term") <= len(t) + fuzziness)
+    )
+    if transpositions:
+
+        @F.pandas_udf("integer")
+        def _dl_udf(s):
+            return s.map(lambda x: _damerau(x, t))
+
+        cand = (
+            cand.filter(
+                F.levenshtein(F.col("term"), F.lit(t)) <= 2 * fuzziness
+            )
+            .withColumn("_d", _dl_udf(F.col("term")))
+            .filter(F.col("_d") <= fuzziness)
         )
-        .orderBy(F.desc("df"), F.asc("term"))
-        .limit(max_expansions)
-        .collect()
+        dist = _damerau
+    else:
+        cand = cand.filter(F.levenshtein(F.col("term"), F.lit(t)) <= fuzziness)
+        dist = _levenshtein
+    rows = (
+        cand.orderBy(F.desc("df"), F.asc("term")).limit(max_expansions).collect()
     )
     return [
         (
             r["term"],
             int(r["df"]),
             int(r["bucket"]),
-            1.0 - _levenshtein(t, r["term"]) / max(len(t), len(r["term"])),
+            1.0 - dist(t, r["term"]) / max(len(t), len(r["term"])),
         )
         for r in rows
     ]
@@ -655,12 +680,15 @@ def fuzzy_topk(
     fuzziness: int = 1,
     prefix_length: int = 1,
     max_expansions: int = 50,
+    transpositions: bool = False,
     lang: str | None = None,
 ) -> DataFrame:
     """ES ``fuzzy`` query: expand ``term`` against the dictionary within
     ``fuzziness`` edits, then rank the disjunction with each expansion's BM25
     contribution damped by the Lucene-style similarity boost
     ``1 - distance / max(len(term), len(expansion))`` (exact matches boost 1).
+    ``transpositions=True`` uses Damerau-Levenshtein (ES's default semantics;
+    this engine's default is classic Levenshtein — documented divergence).
 
     Expansion stays JVM-side and pruned: ``prefix_length`` (Lucene's default
     guard) becomes a ``startswith`` range over the term-sorted dict parquet
@@ -693,13 +721,14 @@ def fuzzy_topk(
             spark, index_root,
             must_fuzzy=[term], minimum_should_match=0,
             fuzziness=fuzziness, prefix_length=prefix_length,
-            max_expansions=max_expansions, k=k, lang=lang,
+            max_expansions=max_expansions, transpositions=transpositions,
+            k=k, lang=lang,
         )
     t = toks[0]
     exp = fuzzy_expansions(
         spark, vdir, t,
         fuzziness=fuzziness, prefix_length=prefix_length,
-        max_expansions=max_expansions,
+        max_expansions=max_expansions, transpositions=transpositions,
     )
     if not exp:
         return spark.createDataFrame([], _SCORE_SCHEMA)
@@ -729,6 +758,45 @@ def _levenshtein(a: str, b: str) -> int:
             )
         prev = cur
     return prev[-1]
+
+
+def _damerau(a: str, b: str) -> int:
+    """Unrestricted Damerau-Levenshtein distance (adjacent transposition is
+    ONE edit and the transposed pair may be edited again) — exactly DuckDB's
+    ``damerau_levenshtein``, pytest-pinned against it, so every
+    ``transpositions=True`` query stays oracle-replayable. Distinguishing
+    case vs the restricted/OSA variant: ``ca -> abc`` is 2 here
+    (ca -> ac -> abc), 3 under OSA."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    maxd = la + lb
+    # d has a -1 guard row/col (the classic "distance with adjacent
+    # transpositions" formulation); index shift of +1 throughout
+    d = [[maxd] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    da: dict[str, int] = {}
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
 
 
 _EXPLAIN_SCHEMA = (

@@ -58,6 +58,7 @@ def suggest_fuzzy(
     fuzziness: int = 1,
     prefix_length: int = 1,
     min_fuzzy_length: int = 3,
+    transpositions: bool = False,
 ) -> DataFrame:
     """ES ``completion`` suggester with ``fuzzy`` options: top-k dictionary
     terms whose PREFIX is within ``fuzziness`` edits of the typed prefix —
@@ -77,7 +78,14 @@ def suggest_fuzzy(
     Execution: the candidate prefix-edit test is a constant-size OR over the
     ``2*fuzziness+1`` possible prefix lengths, each a whole-stage-codegen
     ``levenshtein(substring(term, 1, L), prefix)`` — one pruned dict scan,
-    no UDF, no expansion join. Returns ``(term, df, cf, edits)``."""
+    no UDF, no expansion join. Returns ``(term, df, cf, edits)``.
+
+    ``transpositions=True`` measures the prefix edits with Damerau-Levenshtein
+    (an adjacent swap = ONE edit, ES's default completion-fuzzy semantics;
+    this engine defaults to classic Levenshtein — documented divergence).
+    The distance has no Spark built-in, so the exact window minimum runs in
+    one Arrow stage over candidates pre-pruned JVM-side by
+    ``levenshtein <= 2*fuzziness`` (sound: ``lev <= 2*damerau``)."""
     vdir = catalog.resolve(index_root)
     d = spark.read.parquet(os.path.join(vdir, "dict"))
     p = prefix.lower()
@@ -91,15 +99,27 @@ def suggest_fuzzy(
         )
     head = p[: int(prefix_length)]
     cand = d.filter(F.col("term").startswith(head)) if head else d
+    cand = cand.filter(F.length("term") >= len(p) - f)
+    windows = list(range(max(1, len(p) - f), len(p) + f + 1))
     dists = [
-        F.levenshtein(F.substring("term", 1, L), F.lit(p))
-        for L in range(max(1, len(p) - f), len(p) + f + 1)
+        F.levenshtein(F.substring("term", 1, L), F.lit(p)) for L in windows
     ]
-    edits = F.least(*dists) if len(dists) > 1 else dists[0]
+    lev_edits = F.least(*dists) if len(dists) > 1 else dists[0]
+    if transpositions:
+        from es_indexer_spark.query.engine import _damerau
+
+        @F.pandas_udf("integer")
+        def _dl_edits(s):
+            return s.map(lambda t: min(_damerau(t[:L], p) for L in windows))
+
+        edits = (
+            cand.filter(lev_edits <= 2 * f)
+            .withColumn("edits", _dl_edits(F.col("term")))
+        )
+    else:
+        edits = cand.withColumn("edits", lev_edits)
     return (
-        cand.filter(F.length("term") >= len(p) - f)
-        .withColumn("edits", edits)
-        .filter(F.col("edits") <= f)
+        edits.filter(F.col("edits") <= f)
         .select("term", "df", "cf", "edits")
         .orderBy(F.asc("edits"), F.desc("cf"), F.asc("term"))
         .limit(k)

@@ -144,6 +144,13 @@ def test_cli_round3_query_jobs(spark, tmp_path, capsys):
     assert rc == 0
     assert len(capsys.readouterr().out.strip().splitlines()) == 3
 
+    # Damerau fuzzy (round 5h): the flag routes transpositions=True; on a
+    # swap-free input the result matches the classic run
+    rc = main(["--job", "fuzzy", "--index", root, "--query", "strea",
+               "--transpositions", "-k", "3"])
+    assert rc == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 3
+
     rc = main(["--job", "prefix", "--index", root, "--query", "dup", "-k", "5"])
     assert rc == 0
     pref = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]

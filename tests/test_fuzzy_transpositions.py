@@ -1,0 +1,252 @@
+"""ES ``transpositions`` (Damerau-Levenshtein) for the fuzzy family.
+
+ES's default fuzzy semantics count an adjacent swap as ONE edit
+(``fuzzy_transpositions``, default true); this engine defaults to classic
+Levenshtein (documented divergence) and exposes ``transpositions=True`` on
+fuzzy_topk / fuzzy_expansions / bool_query fuzzy clauses / suggest_fuzzy and
+through the DSL. The distance is the UNRESTRICTED Damerau variant — exactly
+DuckDB's ``damerau_levenshtein`` (pinned below), so every transpositions
+query stays oracle-replayable.
+
+Reference anchor: the reference's search surface inherits ES match/fuzzy
+semantics (geonetwork4-api/.../GeoNetworkServiceImpl.java bool queries);
+fuzziness options are public ES API.
+"""
+from __future__ import annotations
+
+import pytest
+
+from es_indexer_spark.index.builder import build_index
+from es_indexer_spark.query.engine import (
+    _damerau,
+    _levenshtein,
+    fuzzy_expansions,
+    fuzzy_topk,
+    topk,
+)
+
+
+@pytest.fixture(scope="module")
+def tr_index(spark, tmp_path_factory):
+    """Tiny corpus whose vocabulary makes transposition semantics visible:
+    'stream' is reachable from 'tsream' only when a swap is one edit."""
+    root = str(tmp_path_factory.mktemp("idx_transpositions"))
+    rows = [
+        (1, "stream processing stream engine"),
+        (2, "data stream pipeline"),
+        (3, "saturn orbit probe"),
+        (4, "stamp collection stack"),
+        (5, "random filler words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    build_index(
+        spark, docs, root, content_col="text", id_col="doc_id",
+        tokenizer="standard", n_buckets=4, shard_size=100, n_ckpt_batches=1,
+    )
+    return root
+
+
+# ---------------------------------------------------------------- distance
+def test_damerau_table():
+    """Hand-checked table incl. the unrestricted-vs-OSA distinguishing case."""
+    table = [
+        ("abc", "abc", 0),
+        ("ab", "ba", 1),       # lev 2
+        ("stream", "tsream", 1),
+        ("abc", "acb", 1),
+        ("abcd", "badc", 2),
+        ("ca", "abc", 2),      # unrestricted: ca -> ac -> abc (OSA gives 3)
+        ("", "ab", 2),
+        ("xy", "yx", 1),
+        ("kitten", "sitting", 3),
+    ]
+    for a, b, want in table:
+        assert _damerau(a, b) == want, (a, b)
+        assert _damerau(b, a) == want, (b, a)
+
+
+def test_damerau_matches_duckdb_exactly():
+    """The oracle contract: _damerau == DuckDB damerau_levenshtein on a
+    deterministic cross-product of short strings (covers empty, repeats,
+    swaps, long-range transpositions)."""
+    import duckdb
+
+    words = ["", "a", "ab", "ba", "abc", "acb", "ca", "aab", "stream",
+             "tsream", "stmea", "satrun", "saturn", "abcd", "badc"]
+    pairs = [(a, b) for a in words for b in words]
+    got = [_damerau(a, b) for a, b in pairs]
+    want = [
+        duckdb.sql(
+            f"SELECT damerau_levenshtein('{a}', '{b}')"
+        ).fetchone()[0]
+        for a, b in pairs
+    ]
+    assert got == want
+
+
+def test_damerau_never_exceeds_levenshtein():
+    words = ["stream", "tsream", "saturn", "satrun", "stack", "stamp", "ab",
+             "ba", "abcd", "dcba"]
+    for a in words:
+        for b in words:
+            d, l = _damerau(a, b), _levenshtein(a, b)
+            assert d <= l
+            assert l <= 2 * d or d == l == 0
+
+
+# ---------------------------------------------------------------- fuzzy query
+def test_fuzzy_transposed_term_matches_only_with_transpositions(spark, tr_index):
+    """'tsream' is 1 Damerau edit / 2 Levenshtein edits from 'stream':
+    transpositions=True ranks like topk('stream') damped by 1 - 1/6;
+    the classic default finds nothing at fuzziness=1 (prefix_length=0 —
+    the transposed head means the first char differs)."""
+    got = [
+        (r["docid"], r["score"])
+        for r in fuzzy_topk(
+            spark, tr_index, "tsream", k=10,
+            fuzziness=1, prefix_length=0, transpositions=True,
+        ).collect()
+    ]
+    exact = [
+        (r["docid"], r["score"])
+        for r in topk(spark, tr_index, "stream", k=10).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in exact] and got
+    boost = 1.0 - 1.0 / 6.0
+    assert [s for _, s in got] == pytest.approx([boost * s for _, s in exact])
+
+    assert (
+        fuzzy_topk(
+            spark, tr_index, "tsream", k=10, fuzziness=1, prefix_length=0,
+        ).collect()
+        == []
+    )
+
+
+def test_fuzzy_expansions_superset_and_boost_uses_damerau(spark, tr_index):
+    """The transpositions expansion set contains the classic one (damerau <=
+    lev), and the boost divides by the DAMERAU distance: 'satrun' is 1 swap
+    from 'saturn' => boost 1 - 1/6 even though lev = 2."""
+    from es_indexer_spark.index import catalog
+
+    vdir = catalog.resolve(tr_index)
+    classic = {t for t, *_ in fuzzy_expansions(
+        spark, vdir, "saturn", fuzziness=1, prefix_length=0)}
+    with_tr = {t: boost for t, _df, _bkt, boost in fuzzy_expansions(
+        spark, vdir, "satrun", fuzziness=1, prefix_length=0,
+        transpositions=True)}
+    assert "saturn" in with_tr
+    assert with_tr["saturn"] == pytest.approx(1.0 - 1.0 / 6.0)
+    # same-term sanity: expanding 'saturn' classically finds itself too
+    assert "saturn" in classic
+    lev_only = {t for t, *_ in fuzzy_expansions(
+        spark, vdir, "satrun", fuzziness=1, prefix_length=0)}
+    assert lev_only <= set(with_tr)
+    assert "saturn" not in lev_only  # lev('satrun','saturn') = 2 > 1
+
+
+def test_bool_fuzzy_clause_transpositions_parity(spark, tr_index):
+    """A one-clause bool fuzzy with transpositions == the standalone fuzzy
+    query (same expansion, same similarity boosts)."""
+    from es_indexer_spark.query.boolean import bool_query
+
+    got = [
+        (r["docid"], round(r["score"], 9))
+        for r in bool_query(
+            spark, tr_index, must_fuzzy=["tsream"], minimum_should_match=0,
+            fuzziness=1, prefix_length=0, transpositions=True, k=10,
+        ).collect()
+    ]
+    want = [
+        (r["docid"], round(r["score"], 9))
+        for r in fuzzy_topk(
+            spark, tr_index, "tsream", k=10,
+            fuzziness=1, prefix_length=0, transpositions=True,
+        ).collect()
+    ]
+    assert got == want and got
+
+
+# ---------------------------------------------------------------- suggester
+def test_suggest_fuzzy_transpositions(spark, tr_index):
+    """Completion with a transposed head: 'tsre' is 1 Damerau edit from the
+    'stre' prefix of 'stream' but >= 2 Levenshtein edits from every prefix
+    window, so only transpositions=True completes it (prefix_length=0 —
+    the swap sits in position 1)."""
+    from es_indexer_spark.query.suggest import suggest_fuzzy
+
+    got = suggest_fuzzy(
+        spark, tr_index, "tsre", k=10, fuzziness=1, prefix_length=0,
+        transpositions=True,
+    ).collect()
+    assert [r["term"] for r in got] == ["stream"]
+    assert got[0]["edits"] == 1
+
+    assert (
+        suggest_fuzzy(
+            spark, tr_index, "tsre", k=10, fuzziness=1, prefix_length=0,
+        ).collect()
+        == []
+    )
+
+
+def test_suggest_fuzzy_transpositions_matches_classic_when_no_swaps(spark, tr_index):
+    """On an input whose candidates involve no transposition, both distances
+    agree: same terms, same edits, same order."""
+    from es_indexer_spark.query.suggest import suggest_fuzzy
+
+    a = [
+        (r["term"], r["edits"])
+        for r in suggest_fuzzy(spark, tr_index, "sta", k=10, fuzziness=1).collect()
+    ]
+    b = [
+        (r["term"], r["edits"])
+        for r in suggest_fuzzy(
+            spark, tr_index, "sta", k=10, fuzziness=1, transpositions=True
+        ).collect()
+    ]
+    assert a == b and a
+
+
+# ---------------------------------------------------------------- DSL
+def test_dsl_fuzzy_transpositions_dispatch(spark, tr_index):
+    """{"fuzzy": {field: {..., transpositions: true}}} ≡ the direct call, and
+    match + fuzzy_transpositions routes the bool fuzzy clause."""
+    from es_indexer_spark.query.dsl import search
+
+    via_dsl = [
+        (r["docid"], round(r["score"], 9))
+        for r in search(spark, tr_index, {
+            "query": {"fuzzy": {"content": {
+                "value": "tsream", "fuzziness": 1, "prefix_length": 0,
+                "transpositions": True,
+            }}},
+            "size": 10,
+        }).collect()
+    ]
+    direct = [
+        (r["docid"], round(r["score"], 9))
+        for r in fuzzy_topk(
+            spark, tr_index, "tsream", k=10,
+            fuzziness=1, prefix_length=0, transpositions=True,
+        ).collect()
+    ]
+    assert via_dsl == direct and via_dsl
+
+    # match + fuzzy_transpositions: the transposed term reaches the bool
+    # engine's fuzzy clause (prefix_length defaults to 1 there, so use an
+    # in-place swap past the first char: 'straem' -> 'stream')
+    via_match = search(spark, tr_index, {
+        "query": {"match": {"content": {
+            "query": "straem", "fuzziness": 1, "fuzzy_transpositions": True,
+        }}},
+        "size": 10,
+    }).collect()
+    assert [r["docid"] for r in via_match] == [
+        r["docid"] for r in topk(spark, tr_index, "stream", k=10).collect()
+    ]
+    without = search(spark, tr_index, {
+        "query": {"match": {"content": {"query": "straem", "fuzziness": 1}}},
+        "size": 10,
+    }).collect()
+    assert without == []
