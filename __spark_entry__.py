@@ -709,9 +709,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _index_root(spark, sf), "data strem", max_edits=2
         )
 
+    # round 5h: ES string_distance=damerau_levenshtein/internal — an
+    # adjacent swap counts as one edit (strem -> sterm-style candidates)
+    def _suggest_term_damerau(spark, sf):
+        from es_indexer_spark.query.suggest import suggest_terms
+
+        return suggest_terms(
+            spark, _index_root(spark, sf), "data strem", max_edits=2,
+            string_distance="damerau_levenshtein",
+        )
+
     q["span_or_query"] = _span_or
     q["span_not_query"] = _span_not
     q["suggest_term_typo"] = _suggest_term_typo
+    q["suggest_term_damerau"] = _suggest_term_damerau
 
     # round 5c: ES intervals query (query/intervals.py) — minimal-interval
     # algebra with the filter rules; phrase_tf = minimal-interval count
@@ -2669,7 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5h: composed scoring nested bool; grouped/regex query_string;
         # Damerau fuzzy
         "bool_compose", "qs_grouped", "qs_regexp", "suggest_phrase_dym",
-        "fuzzy_transpositions",
+        "fuzzy_transpositions", "suggest_term_damerau",
         # round 5g (this session): _mget / search templates / inner_hits /
         # _reindex / _update_by_query
         "mget_stored", "search_template_term", "inner_hits_clicks",
@@ -3085,6 +3096,18 @@ SELECT 'strem' AS input, term, levenshtein(term, 'strem')::INT AS edits,
 FROM dfq
 WHERE substr(term, 1, 1) = 's' AND length(term) BETWEEN 3 AND 7
   AND term <> 'strem' AND levenshtein(term, 'strem') <= 2
+ORDER BY edits ASC, df DESC, term ASC LIMIT 5
+"""
+    # same request measured with Damerau-Levenshtein (string_distance
+    # 'damerau_levenshtein'/'internal'): swaps cost 1, so edit counts — and
+    # with them the (edits, df) ranking — can differ from the classic run
+    o["suggest_term_damerau"] = f"""
+{_BM25_PREAMBLE}
+SELECT 'strem' AS input, term, damerau_levenshtein(term, 'strem')::INT AS edits,
+       df::BIGINT AS df
+FROM dfq
+WHERE substr(term, 1, 1) = 's' AND length(term) BETWEEN 3 AND 7
+  AND term <> 'strem' AND damerau_levenshtein(term, 'strem') <= 2
 ORDER BY edits ASC, df DESC, term ASC LIMIT 5
 """
     # live-docs phrase: stats over the FULL corpus, dead docs filtered from

@@ -1470,6 +1470,7 @@ def suggest(
                 size=int(t.get("size", 5)),
                 suggest_mode=str(t.get("suggest_mode", "missing")),
                 min_word_length=int(t.get("min_word_length", 4)),
+                string_distance=str(t.get("string_distance", "levenshtein")),
             )
         elif "completion" in spec:
             c = spec["completion"]

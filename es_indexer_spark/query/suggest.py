@@ -389,6 +389,7 @@ def suggest_terms(
     size: int = 5,
     suggest_mode: str = "missing",
     min_word_length: int = 4,
+    string_distance: str = "levenshtein",
 ) -> DataFrame:
     """ES ``term`` suggester (did-you-mean): for each analyzed token of
     ``text``, dictionary terms within ``max_edits`` Levenshtein edits,
@@ -401,9 +402,18 @@ def suggest_terms(
     ``'always'`` suggests for every token (the exact token itself is never
     returned as its own suggestion).
 
+    ``string_distance``: ``'levenshtein'`` (this engine's default) or
+    ``'damerau_levenshtein'`` / ``'internal'`` — an adjacent swap counts as
+    ONE edit (ES defaults to ``internal``, its length-discounted Damerau;
+    here ``internal`` maps to exact unrestricted Damerau-Levenshtein — the
+    DuckDB-replayable distance — a documented stand-in divergence).
+    ``jaro_winkler`` / ``ngram`` raise by name.
+
     Execution: one pruned dict scan per input token (|tokens| is
     request-sized), each a whole-stage-codegen length-window +
-    ``levenshtein(term, token)`` filter — no UDF, no expansion join.
+    ``levenshtein(term, token)`` filter — no UDF, no expansion join. The
+    Damerau distances have no Spark built-in, so they add one Arrow stage
+    over candidates pre-pruned by ``levenshtein <= 2*max_edits``.
     Returns ``(input, term, edits, df)``."""
     from es_indexer_spark.index import catalog as _catalog
     from es_indexer_spark.analysis.tokenizer import tokenize_one
@@ -411,6 +421,14 @@ def suggest_terms(
 
     if suggest_mode not in ("missing", "always"):
         raise ValueError("suggest_mode must be 'missing' or 'always'")
+    if string_distance in ("jaro_winkler", "ngram"):
+        raise NotImplementedError(
+            f"string_distance={string_distance!r} is not supported — use "
+            "'levenshtein' or 'damerau_levenshtein'/'internal'"
+        )
+    if string_distance not in ("levenshtein", "damerau_levenshtein", "internal"):
+        raise ValueError(f"unknown string_distance {string_distance!r}")
+    damerau = string_distance != "levenshtein"
     vdir = _catalog.resolve(index_root)
     stats = _catalog.read_stats(vdir)
     tokens = [
@@ -434,9 +452,21 @@ def suggest_terms(
             & (F.length("term") <= len(tok) + int(max_edits))
             & (F.col("term") != tok)
         )
-        cand = cand.withColumn(
-            "edits", F.levenshtein(F.col("term"), F.lit(tok))
-        ).filter(F.col("edits") <= int(max_edits))
+        if damerau:
+            from es_indexer_spark.query.engine import _damerau
+
+            @F.pandas_udf("integer")
+            def _dl(s, _t=tok):
+                return s.map(lambda x: _damerau(x, _t))
+
+            cand = cand.filter(
+                F.levenshtein(F.col("term"), F.lit(tok)) <= 2 * int(max_edits)
+            ).withColumn("edits", _dl(F.col("term")))
+        else:
+            cand = cand.withColumn(
+                "edits", F.levenshtein(F.col("term"), F.lit(tok))
+            )
+        cand = cand.filter(F.col("edits") <= int(max_edits))
         w = (
             cand.select(F.lit(tok).alias("input"), "term", "edits", "df")
             .orderBy(F.asc("edits"), F.desc("df"), F.asc("term"))

@@ -208,6 +208,50 @@ def test_suggest_fuzzy_transpositions_matches_classic_when_no_swaps(spark, tr_in
     assert a == b and a
 
 
+# ----------------------------------------------------- term suggester distance
+def test_suggest_terms_string_distance(spark, tr_index):
+    """ES term-suggester string_distance: 'damerau_levenshtein' (and its
+    'internal' alias) count the satrun->saturn swap as 1 edit; the default
+    'levenshtein' sees 2; jaro_winkler/ngram raise by name."""
+    from es_indexer_spark.query.suggest import suggest_terms
+
+    kw = dict(max_edits=1, prefix_length=1, min_word_length=4)
+    classic = suggest_terms(spark, tr_index, "satrun", **kw).collect()
+    assert classic == []
+    for dist in ("damerau_levenshtein", "internal"):
+        got = suggest_terms(
+            spark, tr_index, "satrun", string_distance=dist, **kw
+        ).collect()
+        assert [(r["term"], r["edits"]) for r in got] == [("saturn", 1)]
+
+    # at max_edits=2 both admit saturn, damerau ranks it closer (edits 1 vs 2)
+    lev2 = suggest_terms(spark, tr_index, "satrun", max_edits=2).collect()
+    dam2 = suggest_terms(
+        spark, tr_index, "satrun", max_edits=2,
+        string_distance="damerau_levenshtein",
+    ).collect()
+    assert ("saturn", 2) in [(r["term"], r["edits"]) for r in lev2]
+    assert ("saturn", 1) in [(r["term"], r["edits"]) for r in dam2]
+
+    with pytest.raises(NotImplementedError, match="jaro_winkler"):
+        suggest_terms(spark, tr_index, "satrun", string_distance="jaro_winkler")
+    with pytest.raises(ValueError, match="unknown string_distance"):
+        suggest_terms(spark, tr_index, "satrun", string_distance="cosine")
+
+
+def test_dsl_suggest_terms_string_distance(spark, tr_index):
+    """The suggest section passes string_distance through to suggest_terms."""
+    from es_indexer_spark.query.dsl import suggest
+
+    out = suggest(spark, tr_index, {
+        "fix": {"text": "satrun", "term": {
+            "max_edits": 1, "string_distance": "internal",
+        }},
+    })
+    rows = out["fix"].collect()
+    assert [(r["term"], r["edits"]) for r in rows] == [("saturn", 1)]
+
+
 # ---------------------------------------------------------------- DSL
 def test_dsl_fuzzy_transpositions_dispatch(spark, tr_index):
     """{"fuzzy": {field: {..., transpositions: true}}} ≡ the direct call, and
