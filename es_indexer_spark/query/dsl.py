@@ -1471,6 +1471,7 @@ def suggest(
                 suggest_mode=str(t.get("suggest_mode", "missing")),
                 min_word_length=int(t.get("min_word_length", 4)),
                 string_distance=str(t.get("string_distance", "levenshtein")),
+                sort=str(t.get("sort", "score")),
             )
         elif "completion" in spec:
             c = spec["completion"]

@@ -390,6 +390,7 @@ def suggest_terms(
     suggest_mode: str = "missing",
     min_word_length: int = 4,
     string_distance: str = "levenshtein",
+    sort: str = "score",
 ) -> DataFrame:
     """ES ``term`` suggester (did-you-mean): for each analyzed token of
     ``text``, dictionary terms within ``max_edits`` Levenshtein edits,
@@ -408,6 +409,10 @@ def suggest_terms(
     here ``internal`` maps to exact unrestricted Damerau-Levenshtein — the
     DuckDB-replayable distance — a documented stand-in divergence).
     ``jaro_winkler`` / ``ngram`` raise by name.
+
+    ``sort``: ``'score'`` (ES default — closer first, then df desc) or
+    ``'frequency'`` (df desc first, then closer — ES's high-traffic
+    did-you-mean mode).
 
     Execution: one pruned dict scan per input token (|tokens| is
     request-sized), each a whole-stage-codegen length-window +
@@ -428,6 +433,8 @@ def suggest_terms(
         )
     if string_distance not in ("levenshtein", "damerau_levenshtein", "internal"):
         raise ValueError(f"unknown string_distance {string_distance!r}")
+    if sort not in ("score", "frequency"):
+        raise ValueError(f"sort must be 'score' or 'frequency', got {sort!r}")
     damerau = string_distance != "levenshtein"
     vdir = _catalog.resolve(index_root)
     stats = _catalog.read_stats(vdir)
@@ -467,9 +474,14 @@ def suggest_terms(
                 "edits", F.levenshtein(F.col("term"), F.lit(tok))
             )
         cand = cand.filter(F.col("edits") <= int(max_edits))
+        order = (
+            [F.asc("edits"), F.desc("df"), F.asc("term")]
+            if sort == "score"
+            else [F.desc("df"), F.asc("edits"), F.asc("term")]
+        )
         w = (
             cand.select(F.lit(tok).alias("input"), "term", "edits", "df")
-            .orderBy(F.asc("edits"), F.desc("df"), F.asc("term"))
+            .orderBy(*order)
             .limit(int(size))
         )
         parts.append(w)

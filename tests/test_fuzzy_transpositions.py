@@ -239,6 +239,36 @@ def test_suggest_terms_string_distance(spark, tr_index):
         suggest_terms(spark, tr_index, "satrun", string_distance="cosine")
 
 
+def test_suggest_terms_sort_frequency(spark, tr_index):
+    """sort='frequency' puts df ahead of closeness: 'stream' (df 2) outranks
+    a closer lower-df candidate; sort='score' keeps edits first; bad sort
+    values raise."""
+    from es_indexer_spark.query.suggest import suggest_terms
+
+    # 'stramp' -> stream (2 edits, df 2) vs stamp (1 edit? st(r)amp drop r =
+    # 1 edit, df 1): score-sort puts stamp first, frequency-sort stream first
+    score = [
+        (r["term"], r["edits"], r["df"])
+        for r in suggest_terms(
+            spark, tr_index, "stramp", max_edits=2, suggest_mode="always"
+        ).collect()
+    ]
+    freq = [
+        (r["term"], r["edits"], r["df"])
+        for r in suggest_terms(
+            spark, tr_index, "stramp", max_edits=2, suggest_mode="always",
+            sort="frequency",
+        ).collect()
+    ]
+    assert set(score) == set(freq) and score
+    assert score == sorted(score, key=lambda t: (t[1], -t[2], t[0]))
+    assert freq == sorted(freq, key=lambda t: (-t[2], t[1], t[0]))
+    assert score != freq  # the fixture makes the orders genuinely differ
+
+    with pytest.raises(ValueError, match="sort must be"):
+        suggest_terms(spark, tr_index, "stramp", sort="recency")
+
+
 def test_dsl_suggest_terms_string_distance(spark, tr_index):
     """The suggest section passes string_distance through to suggest_terms."""
     from es_indexer_spark.query.dsl import suggest
