@@ -400,8 +400,11 @@ def suggest_terms(
     the dict scan a contiguous startswith range), tokens shorter than
     ``min_word_length`` are skipped, and ``suggest_mode='missing'`` (the ES
     default) only suggests for tokens absent from the index;
-    ``'always'`` suggests for every token (the exact token itself is never
-    returned as its own suggestion).
+    ``'popular'`` suggests for every token but keeps only candidates with a
+    HIGHER doc frequency than the input term itself (ES's
+    more-common-spelling mode; an absent input has df 0, so it behaves like
+    ``always``); ``'always'`` suggests for every token (the exact token
+    itself is never returned as its own suggestion).
 
     ``string_distance``: ``'levenshtein'`` (this engine's default) or
     ``'damerau_levenshtein'`` / ``'internal'`` — an adjacent swap counts as
@@ -424,8 +427,10 @@ def suggest_terms(
     from es_indexer_spark.analysis.tokenizer import tokenize_one
     from es_indexer_spark.query.engine import _dict_lookup
 
-    if suggest_mode not in ("missing", "always"):
-        raise ValueError("suggest_mode must be 'missing' or 'always'")
+    if suggest_mode not in ("missing", "always", "popular"):
+        raise ValueError(
+            "suggest_mode must be 'missing', 'popular' or 'always'"
+        )
     if string_distance in ("jaro_winkler", "ngram"):
         raise NotImplementedError(
             f"string_distance={string_distance!r} is not supported — use "
@@ -443,9 +448,17 @@ def suggest_terms(
         for t in dict.fromkeys(tokenize_one(text, stats["tokenizer"]))
         if len(t) >= int(min_word_length)
     ]
+    input_df: dict[str, int] = {}
     if suggest_mode == "missing":
         present = {r["term"] for r in _dict_lookup(spark, vdir, tokens)}
         tokens = [t for t in tokens if t not in present]
+    elif suggest_mode == "popular":
+        # one point lookup for the inputs' own df (absent -> 0); candidates
+        # must beat it — the df bound pushes into the dict scan below
+        input_df = {
+            r["term"]: int(r["df"])
+            for r in _dict_lookup(spark, vdir, tokens)
+        }
     schema = "input string, term string, edits int, df long"
     if not tokens:
         return spark.createDataFrame([], schema)
@@ -459,6 +472,8 @@ def suggest_terms(
             & (F.length("term") <= len(tok) + int(max_edits))
             & (F.col("term") != tok)
         )
+        if suggest_mode == "popular" and input_df.get(tok, 0) > 0:
+            cand = cand.filter(F.col("df") > input_df[tok])
         if damerau:
             from es_indexer_spark.query.engine import _damerau
 

@@ -269,6 +269,55 @@ def test_suggest_terms_sort_frequency(spark, tr_index):
         suggest_terms(spark, tr_index, "stramp", sort="recency")
 
 
+def test_suggest_terms_popular_mode(spark, tmp_path):
+    """suggest_mode='popular': candidates must out-df the input term —
+    'strews' (df 1) keeps 'stream' (df 2) and drops same-df 'stress';
+    an absent input (df 0) behaves like 'always'; bad modes raise."""
+    from es_indexer_spark.query.suggest import suggest_terms
+
+    root = str(tmp_path / "idx_popular")
+    rows = [
+        (1, "stream merges"),
+        (2, "stream splits"),
+        (3, "strews gravel"),
+        (4, "stress tested"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    build_index(
+        spark, docs, root, content_col="text", id_col="doc_id",
+        tokenizer="standard", n_buckets=4, shard_size=100, n_ckpt_batches=1,
+    )
+
+    kw = dict(max_edits=2, min_word_length=4)
+    always = {
+        (r["term"], r["df"])
+        for r in suggest_terms(
+            spark, root, "strews", suggest_mode="always", **kw
+        ).collect()
+    }
+    popular = {
+        (r["term"], r["df"])
+        for r in suggest_terms(
+            spark, root, "strews", suggest_mode="popular", **kw
+        ).collect()
+    }
+    assert ("stress", 1) in always and ("stream", 2) in always
+    assert popular == {t for t in always if t[1] > 1} == {("stream", 2)}
+
+    # absent input (df 0): popular == always
+    pop_absent = suggest_terms(
+        spark, root, "strem", suggest_mode="popular", **kw
+    ).collect()
+    alw_absent = suggest_terms(
+        spark, root, "strem", suggest_mode="always", **kw
+    ).collect()
+    assert [r.asDict() for r in pop_absent] == [r.asDict() for r in alw_absent]
+    assert pop_absent
+
+    with pytest.raises(ValueError, match="suggest_mode"):
+        suggest_terms(spark, root, "strews", suggest_mode="weird")
+
+
 def test_dsl_suggest_terms_string_distance(spark, tr_index):
     """The suggest section passes string_distance through to suggest_terms."""
     from es_indexer_spark.query.dsl import suggest
