@@ -752,8 +752,10 @@ def test_suggest_terms_missing_mode(spark, documents, pos_index):
     assert suggest_terms(spark, pos_index, "xtream").collect() == []
     # short tokens skipped (min_word_length=4)
     assert suggest_terms(spark, pos_index, "dat").collect() == []
+    # suggest_mode='popular' is implemented since round 5h (see
+    # tests/test_fuzzy_transpositions.py); unknown modes still raise
     with pytest.raises(ValueError):
-        suggest_terms(spark, pos_index, "x", suggest_mode="popular")
+        suggest_terms(spark, pos_index, "x", suggest_mode="frequent")
 
 
 def test_suggest_terms_always_mode_micro(spark, tmp_path):

@@ -802,6 +802,33 @@ def main() -> int:
         ],
     ))
 
+    # 36. round 5h: Damerau fuzzy completion — exact distance runs in ONE
+    # Arrow stage over candidates the JVM pre-pruned (prefix pushed to the
+    # dict scan + codegen levenshtein <= 2f), never over the full dictionary
+    from es_indexer_spark.query.suggest import suggest_fuzzy
+
+    p = formatted(
+        suggest_fuzzy(spark, root, "strea", k=10, fuzziness=1,
+                      transpositions=True)
+    )
+    sections.append((
+        "damerau fuzzy completion: pruned dict scan -> one Arrow stage",
+        p,
+        [
+            ("one dict parquet scan only",
+             len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1),
+            ("prefix pushed into the scan",
+             "StringStartsWith" in p or "startswith" in p.lower()),
+            ("levenshtein pre-prune sits JVM-side (before the Arrow stage)",
+             "levenshtein" in p),
+            ("exactly one Arrow stage computes the exact distance",
+             len(re.findall(r"ArrowEvalPython", p)) >= 1
+             and p.count("BatchEvalPython") == 0),
+            ("no shuffle before the top-k (local scan -> project -> sort)",
+             "CartesianProduct" not in p),
+        ],
+    ))
+
     failures = 0
     lines = [
         "# PLANS — physical-plan audit evidence",
