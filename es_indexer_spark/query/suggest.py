@@ -379,6 +379,59 @@ def phrase_suggestions(
     return agg.orderBy(F.desc("df"), F.asc("phrase")).limit(k)
 
 
+def _jaro_winkler(s: str, t: str) -> float:
+    """Jaro-Winkler similarity, exactly DuckDB's ``jaro_winkler_similarity``
+    (verified by 20k-string fuzz): match window ``max(len)//2 - 1``,
+    half-transposition count, prefix boost ``l<=4`` at weight 0.1 applied
+    when jaro > 0.7, and 0.0 when either side is empty (DuckDB's
+    empty-vs-empty convention)."""
+    ls, lt = len(s), len(t)
+    if not ls or not lt:
+        return 0.0
+    if s == t:
+        return 1.0
+    window = max(ls, lt) // 2 - 1
+    if window < 0:
+        window = 0
+    tm = [False] * lt
+    sm = [False] * ls
+    m = 0
+    for i, c in enumerate(s):
+        lo = i - window
+        if lo < 0:
+            lo = 0
+        hi = i + window + 1
+        if hi > lt:
+            hi = lt
+        for j in range(lo, hi):
+            if not tm[j] and t[j] == c:
+                tm[j] = sm[i] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    k = 0
+    trans = 0
+    for i in range(ls):
+        if sm[i]:
+            while not tm[k]:
+                k += 1
+            if s[i] != t[k]:
+                trans += 1
+            k += 1
+    trans //= 2
+    j = (m / ls + m / lt + (m - trans) / m) / 3.0
+    if j > 0.7:
+        l = 0
+        for a, b in zip(s, t):
+            if a == b and l < 4:
+                l += 1
+            else:
+                break
+        j = j + 0.1 * l * (1.0 - j)
+    return j
+
+
 def suggest_terms(
     spark: SparkSession,
     index_root: str,
@@ -410,8 +463,14 @@ def suggest_terms(
     ``'damerau_levenshtein'`` / ``'internal'`` — an adjacent swap counts as
     ONE edit (ES defaults to ``internal``, its length-discounted Damerau;
     here ``internal`` maps to exact unrestricted Damerau-Levenshtein — the
-    DuckDB-replayable distance — a documented stand-in divergence).
-    ``jaro_winkler`` / ``ngram`` raise by name.
+    DuckDB-replayable distance — a documented stand-in divergence) — or
+    ``'jaro_winkler'``: candidates are still gated by ``max_edits``
+    Levenshtein edits (Lucene's DirectSpellChecker generates from the
+    edit-distance automaton regardless of the configured distance; the
+    distance only re-scores), the result gains a ``score`` column (the
+    Jaro-Winkler similarity, exactly DuckDB's ``jaro_winkler_similarity``,
+    rounded to 6 dp for replay determinism), and ``sort='score'`` orders by
+    score DESC first. ``ngram`` raises by name.
 
     ``sort``: ``'score'`` (ES default — closer first, then df desc) or
     ``'frequency'`` (df desc first, then closer — ES's high-traffic
@@ -431,16 +490,19 @@ def suggest_terms(
         raise ValueError(
             "suggest_mode must be 'missing', 'popular' or 'always'"
         )
-    if string_distance in ("jaro_winkler", "ngram"):
+    if string_distance == "ngram":
         raise NotImplementedError(
-            f"string_distance={string_distance!r} is not supported — use "
-            "'levenshtein' or 'damerau_levenshtein'/'internal'"
+            "string_distance='ngram' is not supported — use 'levenshtein', "
+            "'damerau_levenshtein'/'internal' or 'jaro_winkler'"
         )
-    if string_distance not in ("levenshtein", "damerau_levenshtein", "internal"):
+    if string_distance not in (
+        "levenshtein", "damerau_levenshtein", "internal", "jaro_winkler"
+    ):
         raise ValueError(f"unknown string_distance {string_distance!r}")
     if sort not in ("score", "frequency"):
         raise ValueError(f"sort must be 'score' or 'frequency', got {sort!r}")
-    damerau = string_distance != "levenshtein"
+    damerau = string_distance in ("damerau_levenshtein", "internal")
+    jw = string_distance == "jaro_winkler"
     vdir = _catalog.resolve(index_root)
     stats = _catalog.read_stats(vdir)
     tokens = [
@@ -460,6 +522,8 @@ def suggest_terms(
             for r in _dict_lookup(spark, vdir, tokens)
         }
     schema = "input string, term string, edits int, df long"
+    if jw:
+        schema += ", score double"
     if not tokens:
         return spark.createDataFrame([], schema)
     d = spark.read.parquet(os.path.join(vdir, "dict"))
@@ -489,16 +553,29 @@ def suggest_terms(
                 "edits", F.levenshtein(F.col("term"), F.lit(tok))
             )
         cand = cand.filter(F.col("edits") <= int(max_edits))
-        order = (
-            [F.asc("edits"), F.desc("df"), F.asc("term")]
-            if sort == "score"
-            else [F.desc("df"), F.asc("edits"), F.asc("term")]
-        )
-        w = (
-            cand.select(F.lit(tok).alias("input"), "term", "edits", "df")
-            .orderBy(*order)
-            .limit(int(size))
-        )
+        cols = [F.lit(tok).alias("input"), "term", "edits", "df"]
+        if jw:
+            # re-score the (request-sized, edit-pruned) candidate set with
+            # Jaro-Winkler — one Arrow stage, rounded to 6 dp so the DuckDB
+            # replay (jaro_winkler_similarity) hashes identically
+            @F.pandas_udf("double")
+            def _jws(s, _t=tok):
+                return s.map(lambda x: round(_jaro_winkler(x, _t), 6))
+
+            cand = cand.withColumn("score", _jws(F.col("term")))
+            cols.append("score")
+            order = (
+                [F.desc("score"), F.desc("df"), F.asc("term")]
+                if sort == "score"
+                else [F.desc("df"), F.desc("score"), F.asc("term")]
+            )
+        else:
+            order = (
+                [F.asc("edits"), F.desc("df"), F.asc("term")]
+                if sort == "score"
+                else [F.desc("df"), F.asc("edits"), F.asc("term")]
+            )
+        w = cand.select(*cols).orderBy(*order).limit(int(size))
         parts.append(w)
     out = parts[0]
     for p in parts[1:]:

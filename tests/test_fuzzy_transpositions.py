@@ -233,10 +233,68 @@ def test_suggest_terms_string_distance(spark, tr_index):
     assert ("saturn", 2) in [(r["term"], r["edits"]) for r in lev2]
     assert ("saturn", 1) in [(r["term"], r["edits"]) for r in dam2]
 
-    with pytest.raises(NotImplementedError, match="jaro_winkler"):
-        suggest_terms(spark, tr_index, "satrun", string_distance="jaro_winkler")
+    with pytest.raises(NotImplementedError, match="ngram"):
+        suggest_terms(spark, tr_index, "satrun", string_distance="ngram")
     with pytest.raises(ValueError, match="unknown string_distance"):
         suggest_terms(spark, tr_index, "satrun", string_distance="cosine")
+
+
+def test_suggest_terms_jaro_winkler(spark, tr_index):
+    """string_distance='jaro_winkler': candidates stay gated by max_edits
+    Levenshtein (Lucene generates from the edit automaton; the distance only
+    re-scores), the result gains a score column equal to DuckDB's
+    jaro_winkler_similarity rounded to 6 dp, ranked score desc."""
+    import duckdb
+
+    from es_indexer_spark.query.suggest import _jaro_winkler, suggest_terms
+
+    got = suggest_terms(
+        spark, tr_index, "satrun", max_edits=2,
+        string_distance="jaro_winkler",
+    ).collect()
+    assert got, "the max_edits=2 gate admits saturn"
+    lev_terms = {
+        r["term"]
+        for r in suggest_terms(spark, tr_index, "satrun", max_edits=2).collect()
+    }
+    assert {r["term"] for r in got} == lev_terms  # same candidate gate
+    con = duckdb.connect()
+    for r in got:
+        want = con.execute(
+            "select round(jaro_winkler_similarity(?, 'satrun'), 6)", [r["term"]]
+        ).fetchone()[0]
+        assert r["score"] == want
+        assert r["score"] == round(_jaro_winkler(r["term"], "satrun"), 6)
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_jaro_winkler_matches_duckdb_exactly():
+    """Fuzz the scalar against DuckDB's jaro_winkler_similarity — the oracle
+    replay depends on bit-identity (incl. the 0.7 boost threshold, the 4-char
+    prefix cap, and the empty-string convention)."""
+    import random
+
+    import duckdb
+
+    from es_indexer_spark.query.suggest import _jaro_winkler
+
+    con = duckdb.connect()
+    rng = random.Random(7)
+    pairs = [("", ""), ("", "a"), ("ab", "ba"), ("martha", "marhta"),
+             ("dixon", "dicksonx"), ("aaaaaab", "aaaaaba")]
+    pairs += [
+        (
+            "".join(rng.choice("abcd") for _ in range(rng.randint(0, 8))),
+            "".join(rng.choice("abcd") for _ in range(rng.randint(0, 8))),
+        )
+        for _ in range(3000)
+    ]
+    for s, t in pairs:
+        want = con.execute(
+            "select jaro_winkler_similarity(?, ?)", [s, t]
+        ).fetchone()[0]
+        assert abs(_jaro_winkler(s, t) - want) < 1e-12, (s, t)
 
 
 def test_suggest_terms_sort_frequency(spark, tr_index):
