@@ -432,6 +432,41 @@ def _jaro_winkler(s: str, t: str) -> float:
     return j
 
 
+def _ngram_similarity(s: str, t: str, n: int = 2) -> float:
+    """Kondrak (2005) positional n-gram edit similarity, n=2 — the published
+    algorithm behind Lucene's spell-module ``NGramDistance`` (re-implemented
+    from the paper's DP formulation, not translated): a Levenshtein-style DP
+    whose substitution cost is the fraction of mismatching positions between
+    the aligned n-grams, with an (n-1)-NUL source prefix whose matched pad
+    positions are discounted from the denominator. Degenerate inputs follow
+    the same conventions: both empty → 1.0, one empty → 0.0, either side
+    shorter than ``n`` → position-wise char agreement / max(len).
+    Returned as similarity ``1 - dist/max(len)`` in [0, 1]."""
+    sl, tl = len(s), len(t)
+    if sl == 0 or tl == 0:
+        return 1.0 if sl == tl else 0.0
+    if sl < n or tl < n:
+        m = sum(1 for a, b in zip(s, t) if a == b)
+        return m / max(sl, tl)
+    sa = ("\0" * (n - 1)) + s
+    p = [float(i) for i in range(sl + 1)]
+    d = [0.0] * (sl + 1)
+    for j in range(1, tl + 1):
+        t_j = ("\0" * (n - j) + t[:j]) if j < n else t[j - n : j]
+        d[0] = float(j)
+        for i in range(1, sl + 1):
+            cost = 0
+            tn = n
+            for ni in range(n):
+                if sa[i - 1 + ni] != t_j[ni]:
+                    cost += 1
+                elif sa[i - 1 + ni] == "\0":
+                    tn -= 1  # discount pad-vs-pad agreements
+            d[i] = min(d[i - 1] + 1.0, p[i] + 1.0, p[i - 1] + cost / tn)
+        p, d = d, p
+    return 1.0 - p[sl] / max(sl, tl)
+
+
 def suggest_terms(
     spark: SparkSession,
     index_root: str,
@@ -470,7 +505,11 @@ def suggest_terms(
     distance only re-scores), the result gains a ``score`` column (the
     Jaro-Winkler similarity, exactly DuckDB's ``jaro_winkler_similarity``,
     rounded to 6 dp for replay determinism), and ``sort='score'`` orders by
-    score DESC first. ``ngram`` raises by name.
+    score DESC first — or ``'ngram'``: same candidate gate and score-column
+    shape, scored with the Kondrak (2005) positional bigram edit similarity
+    (the algorithm behind Lucene's NGramDistance; see
+    :func:`_ngram_similarity` — pytest-pinned, no SQL equivalent so no
+    oracle entry).
 
     ``sort``: ``'score'`` (ES default — closer first, then df desc) or
     ``'frequency'`` (df desc first, then closer — ES's high-traffic
@@ -490,19 +529,18 @@ def suggest_terms(
         raise ValueError(
             "suggest_mode must be 'missing', 'popular' or 'always'"
         )
-    if string_distance == "ngram":
-        raise NotImplementedError(
-            "string_distance='ngram' is not supported — use 'levenshtein', "
-            "'damerau_levenshtein'/'internal' or 'jaro_winkler'"
-        )
     if string_distance not in (
-        "levenshtein", "damerau_levenshtein", "internal", "jaro_winkler"
+        "levenshtein", "damerau_levenshtein", "internal",
+        "jaro_winkler", "ngram",
     ):
         raise ValueError(f"unknown string_distance {string_distance!r}")
     if sort not in ("score", "frequency"):
         raise ValueError(f"sort must be 'score' or 'frequency', got {sort!r}")
     damerau = string_distance in ("damerau_levenshtein", "internal")
-    jw = string_distance == "jaro_winkler"
+    sim_fn = {
+        "jaro_winkler": _jaro_winkler,
+        "ngram": _ngram_similarity,
+    }.get(string_distance)
     vdir = _catalog.resolve(index_root)
     stats = _catalog.read_stats(vdir)
     tokens = [
@@ -522,7 +560,7 @@ def suggest_terms(
             for r in _dict_lookup(spark, vdir, tokens)
         }
     schema = "input string, term string, edits int, df long"
-    if jw:
+    if sim_fn is not None:
         schema += ", score double"
     if not tokens:
         return spark.createDataFrame([], schema)
@@ -554,15 +592,15 @@ def suggest_terms(
             )
         cand = cand.filter(F.col("edits") <= int(max_edits))
         cols = [F.lit(tok).alias("input"), "term", "edits", "df"]
-        if jw:
+        if sim_fn is not None:
             # re-score the (request-sized, edit-pruned) candidate set with
-            # Jaro-Winkler — one Arrow stage, rounded to 6 dp so the DuckDB
-            # replay (jaro_winkler_similarity) hashes identically
+            # the similarity — one Arrow stage, rounded to 6 dp (for
+            # jaro_winkler the DuckDB replay hashes identically)
             @F.pandas_udf("double")
-            def _jws(s, _t=tok):
-                return s.map(lambda x: round(_jaro_winkler(x, _t), 6))
+            def _sim(s, _t=tok, _f=sim_fn):
+                return s.map(lambda x: round(_f(x, _t), 6))
 
-            cand = cand.withColumn("score", _jws(F.col("term")))
+            cand = cand.withColumn("score", _sim(F.col("term")))
             cols.append("score")
             order = (
                 [F.desc("score"), F.desc("df"), F.asc("term")]

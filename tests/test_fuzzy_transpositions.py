@@ -212,7 +212,7 @@ def test_suggest_fuzzy_transpositions_matches_classic_when_no_swaps(spark, tr_in
 def test_suggest_terms_string_distance(spark, tr_index):
     """ES term-suggester string_distance: 'damerau_levenshtein' (and its
     'internal' alias) count the satrun->saturn swap as 1 edit; the default
-    'levenshtein' sees 2; jaro_winkler/ngram raise by name."""
+    'levenshtein' sees 2; unknown names raise."""
     from es_indexer_spark.query.suggest import suggest_terms
 
     kw = dict(max_edits=1, prefix_length=1, min_word_length=4)
@@ -233,8 +233,6 @@ def test_suggest_terms_string_distance(spark, tr_index):
     assert ("saturn", 2) in [(r["term"], r["edits"]) for r in lev2]
     assert ("saturn", 1) in [(r["term"], r["edits"]) for r in dam2]
 
-    with pytest.raises(NotImplementedError, match="ngram"):
-        suggest_terms(spark, tr_index, "satrun", string_distance="ngram")
     with pytest.raises(ValueError, match="unknown string_distance"):
         suggest_terms(spark, tr_index, "satrun", string_distance="cosine")
 
@@ -265,6 +263,53 @@ def test_suggest_terms_jaro_winkler(spark, tr_index):
         ).fetchone()[0]
         assert r["score"] == want
         assert r["score"] == round(_jaro_winkler(r["term"], "satrun"), 6)
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ngram_similarity_scalar():
+    """Kondrak bigram similarity: pinned values + invariants (bounds,
+    self-similarity 1, disjoint-alphabet 0, degenerate-length conventions)."""
+    import random
+
+    from es_indexer_spark.query.suggest import _ngram_similarity as ng
+
+    assert ng("", "") == 1.0
+    assert ng("", "a") == 0.0
+    assert ng("a", "a") == 1.0
+    assert ng("a", "b") == 0.0
+    assert ng("a", "ab") == 0.5  # sub-n inputs: positional agreement / max len
+    assert ng("ab", "ab") == 1.0
+    assert ng("abcd", "wxyz") == 0.0
+    assert round(ng("stream", "strem"), 6) == 0.75
+    assert round(ng("saturn", "satrun"), 6) == 0.666667
+    assert round(ng("data", "date"), 6) == 0.875
+    assert round(ng("kitten", "sitting"), 6) == 0.5
+    rng = random.Random(3)
+    for _ in range(2000):
+        s = "".join(rng.choice("abc") for _ in range(rng.randint(0, 7)))
+        t = "".join(rng.choice("abc") for _ in range(rng.randint(0, 7)))
+        v = ng(s, t)
+        assert 0.0 <= v <= 1.0
+        assert ng(s, s) == 1.0
+
+
+def test_suggest_terms_ngram(spark, tr_index):
+    """string_distance='ngram': same max_edits-Levenshtein candidate gate as
+    jaro_winkler, score column = the Kondrak bigram similarity, ranked desc."""
+    from es_indexer_spark.query.suggest import _ngram_similarity, suggest_terms
+
+    got = suggest_terms(
+        spark, tr_index, "satrun", max_edits=2, string_distance="ngram"
+    ).collect()
+    assert got
+    lev_terms = {
+        r["term"]
+        for r in suggest_terms(spark, tr_index, "satrun", max_edits=2).collect()
+    }
+    assert {r["term"] for r in got} == lev_terms
+    for r in got:
+        assert r["score"] == round(_ngram_similarity(r["term"], "satrun"), 6)
     scores = [r["score"] for r in got]
     assert scores == sorted(scores, reverse=True)
 
