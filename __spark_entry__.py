@@ -3,8 +3,8 @@
 ``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
 training-data operators (dedup / similarity / text stats / multimodal) and the
 reference scalar-transform surface (ops/mapper.py); ``oracle_sql()`` gives the
-DuckDB-runnable ANSI-SQL equivalent for EVERY entry (230 entries as of round
-5h — no rows-only entries since round 2). Column names and rounding are
+DuckDB-runnable ANSI-SQL equivalent for EVERY entry (233 entries as of round
+5i — no rows-only entries since round 2). Column names and rounding are
 matched pairwise so the driver's order-insensitive value-hash compares equal.
 
 Ops whose scale-path hashing isn't ANSI-SQL-expressible are parameterized into
@@ -735,6 +735,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["suggest_term_typo"] = _suggest_term_typo
     q["suggest_term_damerau"] = _suggest_term_damerau
     q["suggest_term_jaro"] = _suggest_term_jaro
+
+    # round 5i: ES 8.14 retriever tree — rrf over two STANDARD retrievers
+    # (generic fusion, not the fixed BM25+knn pair rrf_fusion covers); each
+    # leg is its own distributed top-window, fusion is request-sized
+    def _retriever_rrf_std(spark, sf):
+        from es_indexer_spark.query.dsl import search
+
+        body = {
+            "retriever": {"rrf": {"retrievers": [
+                {"standard": {"query": {"match": {"text": "data stream"}}}},
+                {"standard": {"query": {"match": {"text": "customer order"}}}},
+            ], "rank_constant": 60, "rank_window_size": 50}},
+            "size": 10,
+        }
+        return search(spark, _index_root(spark, sf), body).select(
+            F.col("docid").alias("doc_id"), "score"
+        )
+
+    q["retriever_rrf_std"] = _retriever_rrf_std
+
+    # round 5i: track_total_hits — ES hits.total attached to the hit rows
+    # (exact when true; bounded int N caps the value with relation gte)
+    def _track_total_hits(spark, sf):
+        from es_indexer_spark.query.dsl import search
+
+        body = {
+            "query": {"match": {"text": "data stream"}},
+            "size": 5, "track_total_hits": True,
+        }
+        return search(spark, _index_root(spark, sf), body).select(
+            F.col("docid").alias("doc_id"), F.round("score", 4).alias("score"),
+            "total_value", "total_relation",
+        )
+
+    q["track_total_hits"] = _track_total_hits
+
+    # round 5i: distributed _analyze — the offsets-bearing token stream must
+    # equal the canonical analyzer output token-for-token (offsets themselves
+    # are pinned by the slice-equality fuzz pytest; DuckDB replays the
+    # token/position stream)
+    def _analyze_offsets(spark, sf):
+        from es_indexer_spark.analysis.analyze import analyze_offsets
+
+        return analyze_offsets(_docs(spark, sf), "doc_id", "text").select(
+            F.col("id").alias("doc_id"), "position", "token"
+        )
+
+    q["analyze_offsets"] = _analyze_offsets
 
     # round 5c: ES intervals query (query/intervals.py) — minimal-interval
     # algebra with the filter rules; phrase_tf = minimal-interval count
@@ -3135,6 +3183,42 @@ FROM dfq
 WHERE substr(term, 1, 1) = 's' AND length(term) BETWEEN 3 AND 7
   AND term <> 'strem' AND levenshtein(term, 'strem') <= 2
 ORDER BY score DESC, df DESC, term ASC LIMIT 5
+"""
+    # retriever.rrf over two standard retrievers: each leg is the exact BM25
+    # top-50 (raw scores, ties doc_id asc), fused 1/(60+rank), round 8
+    o["retriever_rrf_std"] = f"""
+{_BM25_PREAMBLE},
+{_raw_cte("tf.term IN ('data', 'stream')")},
+{_raw_cte("tf.term IN ('customer', 'order')").replace("raw AS", "rawb AS", 1)},
+l1 AS (SELECT doc_id, row_number() OVER (ORDER BY score_raw DESC, doc_id ASC) AS r
+       FROM (SELECT doc_id, score_raw FROM raw ORDER BY score_raw DESC, doc_id ASC LIMIT 50)),
+l2 AS (SELECT doc_id, row_number() OVER (ORDER BY score_raw DESC, doc_id ASC) AS r
+       FROM (SELECT doc_id, score_raw FROM rawb ORDER BY score_raw DESC, doc_id ASC LIMIT 50)),
+u AS (SELECT doc_id, 1.0 / (60 + r) AS s FROM l1
+      UNION ALL SELECT doc_id, 1.0 / (60 + r) FROM l2)
+SELECT doc_id, round(sum(s)::DOUBLE, 8) AS score FROM u GROUP BY doc_id
+ORDER BY round(sum(s)::DOUBLE, 8) DESC, doc_id ASC LIMIT 10
+"""
+    # track_total_hits=true: hits.total = the match query's FULL match-set
+    # size (docs containing >= 1 query term), attached to each hit row
+    o["track_total_hits"] = f"""
+{_BM25_PREAMBLE},
+{_raw_cte("tf.term IN ('data', 'stream')")},
+tot AS (SELECT count(*)::BIGINT AS total_value FROM raw)
+SELECT doc_id, round(score_raw::DOUBLE, 4) AS score,
+       tot.total_value, 'eq' AS total_relation
+FROM raw CROSS JOIN tot
+ORDER BY score_raw DESC, doc_id ASC LIMIT 5
+"""
+    # distributed _analyze: the (position, token) stream per doc must equal
+    # the canonical standard chain (offsets are pinned by pytest fuzz —
+    # character spans are not SQL-expressible, the token stream is)
+    o["analyze_offsets"] = """
+WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS l
+           FROM documents)
+SELECT doc_id, CAST(unnest(range(len(l))) AS INT) AS position, unnest(l) AS token
+FROM t
 """
     # live-docs phrase: stats over the FULL corpus, dead docs filtered from
     # the result only (same rule as bm25_topk_deleted)

@@ -106,7 +106,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "scroll", "validate", "msearch", "mget", "search-template",
                  "render-template", "put-template", "reindex",
                  "update-by-query", "aliases", "snapshot", "restore",
-                 "snapshots", "mtermvectors", "rank-eval", "bulk"],
+                 "snapshots", "mtermvectors", "rank-eval", "bulk", "analyze"],
     )
     p.add_argument("--pages", type=int, default=None,
                    help="scroll: max pages to emit (default: to exhaustion)")
@@ -235,7 +235,7 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.index is None and args.job not in (
-        "aliases", "snapshots", "restore"
+        "aliases", "snapshots", "restore", "analyze"
     ):
         print(f"--index required for job {args.job}", file=sys.stderr)
         return 2
@@ -308,6 +308,16 @@ def main(argv: list[str] | None = None) -> int:
             hits = topk_many(spark, args.index, queries, k=args.k, lang=args.lang)
             for r in hits.collect():
                 print(json.dumps(r.asDict(), default=str))
+        elif args.job == "analyze":
+            # ES _analyze: token/start_offset/end_offset/position/type rows
+            # for --query through the --tokenizer chain (needs no index)
+            from es_indexer_spark.analysis.analyze import analyze_text
+
+            if args.query is None:
+                print("--query required", file=sys.stderr)
+                return 2
+            for t in analyze_text(args.query, args.tokenizer, lang=args.lang):
+                print(json.dumps(t))
         elif args.job == "suggest":
             from es_indexer_spark.query.suggest import suggest_prefix
 

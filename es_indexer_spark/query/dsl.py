@@ -580,6 +580,29 @@ def _finish(
             post_tag=(hl.get("post_tags") or ["</em>"])[0],
         )
     out = _fetch_fields(spark, index_root, body, out)
+    tth = body.get("track_total_hits")
+    if tth:
+        # ES hits.total: opt-in exact (true) or bounded (int N — accurate up
+        # to N, then N with relation "gte"); the count is the same
+        # map-combined k=None count _count runs, one extra scalar job only
+        # when asked for, exactly the ES cost model
+        from pyspark.sql import functions as F
+
+        from es_indexer_spark.query.dsl_aggs import count_query
+
+        total = int(
+            count_query(spark, index_root, {"query": qnode}, lang=lang)
+            .collect()[0][0]
+        )
+        if tth is True:
+            value, rel = total, "eq"
+        else:
+            bound = int(tth)
+            value, rel = min(total, bound), ("eq" if total <= bound else "gte")
+        out = (
+            out.withColumn("total_value", F.lit(value).cast("long"))
+            .withColumn("total_relation", F.lit(rel))
+        )
     return out.offset(from_) if from_ else out
 
 
@@ -630,6 +653,37 @@ def search(
     qnode = body.get("query")
     if qnode is None and knn_spec is None:
         qnode = {"match_all": {}}
+
+    rnode = body.get("retriever")
+    if rnode is not None:
+        # ES 8.14+ composable retriever tree (standard / knn / rrf) — the
+        # modern replacement for the top-level query/knn pair; mixing is an
+        # ES 400 and a ValueError here
+        if body.get("query") is not None or body.get("knn") is not None:
+            raise ValueError(
+                "retriever cannot be combined with a top-level query/knn "
+                "section (the ES contract)"
+            )
+        from es_indexer_spark.query.retriever import retriever_hits
+
+        out = retriever_hits(
+            spark, index_root, rnode, size + from_,
+            emb_df=emb_df, emb_id_col=emb_id_col, emb_vec_col=emb_vec_col,
+            lang=lang, src_df=src_df, src_id_col=src_id_col,
+            src_text_col=src_text_col, geo_root=geo_root, shape_df=shape_df,
+            nested_df=nested_df, queries_df=queries_df,
+        )
+        # response sections: a standard root exposes its query node (so
+        # highlight / track_total_hits see the real query); other roots
+        # present as match_all
+        (rk, rspec), = rnode.items()
+        qhl = (
+            rspec.get("query")
+            if rk == "standard" and isinstance(rspec, dict)
+            else None
+        ) or {"match_all": {}}
+        return _finish(spark, index_root, body, out, from_, qhl,
+                       src_df, src_id_col, src_text_col, lang)
 
     if knn_spec is not None:
         from es_indexer_spark.ops.similarity import knn_hybrid_topk, knn_search

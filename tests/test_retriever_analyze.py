@@ -1,0 +1,228 @@
+"""Round 5i: the ES 8.14 ``retriever`` tree, ``track_total_hits``, and the
+``_analyze`` endpoint with offsets.
+
+Retriever semantics are pinned by IDENTITY to the engine calls they compose
+(a standard retriever ≡ its plain query body; rrf over [standard, knn] ≡ the
+fixed-pair ``rrf_topk``); ``_analyze`` is pinned by token-stream identity to
+``tokenize_one`` plus the slice-equality offsets invariant
+(``text[start:end].lower() == token``), fuzzed.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from es_indexer_spark.analysis.analyze import analyze, analyze_offsets, analyze_text
+from es_indexer_spark.analysis.tokenizer import tokenize_one
+from es_indexer_spark.index.builder import build_index
+from es_indexer_spark.query.dsl import search
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def r_index(spark, documents, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx_retr"))
+    build_index(
+        spark, documents, root,
+        content_col="text", id_col="doc_id", meta_cols=("lang", "n_chars"),
+        tokenizer="standard", n_buckets=8, shard_size=100,
+        n_ckpt_batches=2, store_positions=True,
+    )
+    return root
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+def _rows(df, *cols):
+    return [tuple(r[c] for c in cols) for r in df.collect()]
+
+
+# ---- retriever tree ---------------------------------------------------------
+
+
+def test_standard_retriever_equals_plain_query(spark, r_index):
+    a = search(spark, r_index, {
+        "retriever": {"standard": {"query": {"match": {"text": "data stream"}}}},
+        "size": 7,
+    })
+    b = search(spark, r_index, {"query": {"match": {"text": "data stream"}}, "size": 7})
+    assert _rows(a, "docid", "score") == _rows(b, "docid", "score")
+
+
+def test_standard_retriever_filter_is_bool_filter_context(spark, r_index):
+    a = search(spark, r_index, {
+        "retriever": {"standard": {
+            "query": {"match": {"text": "data stream"}},
+            "filter": [{"term": {"lang": "en"}}],
+        }}, "size": 10,
+    })
+    b = search(spark, r_index, {"query": {"bool": {
+        "must": [{"match": {"text": "data stream"}}],
+        "filter": [{"term": {"lang": "en"}}],
+    }}, "size": 10})
+    assert _rows(a, "docid", "score") == _rows(b, "docid", "score") and a.count()
+
+
+def test_rrf_retriever_equals_rrf_topk(spark, r_index, emb):
+    from es_indexer_spark.ops.similarity import rrf_topk
+
+    qvec = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    body = {"retriever": {"rrf": {"retrievers": [
+        {"standard": {"query": {"match": {"text": "data stream"}}}},
+        {"knn": {"field": "embedding", "query_vector": qvec,
+                 "k": 50, "num_candidates": 50}},
+    ], "rank_constant": 60, "rank_window_size": 50}}, "size": 10}
+    got = _rows(search(spark, r_index, body, emb_df=emb), "docid", "score")
+    want = _rows(
+        rrf_topk(spark, r_index, "data stream", emb, "vec_id", "embedding",
+                 qvec, k=10, rank_constant=60, rank_window_size=50),
+        "docid", "score",
+    )
+    assert got == want and len(got) == 10
+
+
+def test_rrf_three_legs_fused_score(spark, r_index):
+    """rrf generalizes past the fixed BM25+knn pair: three standard legs;
+    the winner's fused score is Σ over legs of 1/(60+rank_leg)."""
+    legs = [{"standard": {"query": {"match": {"text": t}}}}
+            for t in ("data stream", "customer order", "spark")]
+    flat = search(spark, r_index, {
+        "retriever": {"rrf": {"retrievers": legs, "rank_window_size": 20}},
+        "size": 10,
+    })
+    assert flat.count() == 10
+    top = flat.collect()[0]
+    # recompute the winner's fused score from the three legs directly
+    expect = 0.0
+    for leg in legs:
+        hits = _rows(search(spark, r_index, {**leg["standard"], "size": 20}),
+                     "docid")
+        ranked = [d for (d,) in hits]
+        if top["docid"] in ranked:
+            expect += 1.0 / (60 + ranked.index(top["docid"]) + 1)
+    assert top["score"] == round(expect, 8)
+
+
+def test_retriever_mixing_and_unknown_raise(spark, r_index):
+    with pytest.raises(ValueError, match="cannot be combined"):
+        search(spark, r_index, {
+            "retriever": {"standard": {"query": {"match": {"text": "x"}}}},
+            "query": {"match": {"text": "x"}},
+        })
+    with pytest.raises(ValueError, match="unsupported retriever"):
+        search(spark, r_index, {"retriever": {"bm42": {}}})
+    with pytest.raises(NotImplementedError, match="text_similarity_reranker"):
+        search(spark, r_index, {"retriever": {"text_similarity_reranker": {}}})
+    with pytest.raises(ValueError, match="non-empty retrievers"):
+        search(spark, r_index, {"retriever": {"rrf": {"retrievers": []}}})
+
+
+# ---- track_total_hits -------------------------------------------------------
+
+
+def test_track_total_hits_exact_and_bounded(spark, r_index, documents):
+    base = {"query": {"match": {"text": "data stream"}}, "size": 3}
+    plain = search(spark, r_index, base)
+    assert "total_value" not in plain.columns  # opt-in, no schema change
+    exact = search(spark, r_index, {**base, "track_total_hits": True}).collect()
+    # ES total = the FULL match set (docs containing >= 1 query term)
+    want = (
+        documents.select(
+            "doc_id",
+            F.split(F.lower("text"), "[^a-z0-9]+").alias("t"),
+        )
+        .filter(
+            F.arrays_overlap("t", F.array(F.lit("data"), F.lit("stream")))
+        )
+        .count()
+    )
+    assert len(exact) == 3
+    assert all(r["total_value"] == want and r["total_relation"] == "eq"
+               for r in exact)
+    bounded = search(
+        spark, r_index, {**base, "track_total_hits": 5}
+    ).collect()
+    assert all(r["total_value"] == 5 and r["total_relation"] == "gte"
+               for r in bounded)
+    under = search(
+        spark, r_index, {**base, "track_total_hits": want + 100}
+    ).collect()
+    assert all(r["total_value"] == want and r["total_relation"] == "eq"
+               for r in under)
+
+
+# ---- _analyze ---------------------------------------------------------------
+
+
+def test_analyze_endpoint_shape(spark):
+    rows = analyze(spark, "Spark Joins 42", "standard").collect()
+    assert [(r["token"], r["start_offset"], r["end_offset"], r["position"],
+             r["type"]) for r in rows] == [
+        ("spark", 0, 5, 0, "<ALPHANUM>"),
+        ("joins", 6, 11, 1, "<ALPHANUM>"),
+        ("42", 12, 14, 2, "<NUM>"),
+    ]
+    assert analyze(spark, "", "standard").count() == 0
+
+
+def test_analyze_code_chain_offsets(spark):
+    rows = analyze_text("getUserName __init__ a1", "code", lang="py")
+    assert [r["token"] for r in rows] == tokenize_one(
+        "getUserName __init__ a1", "code", lang="py"
+    )
+    src = "getUserName __init__ a1"
+    for r in rows:
+        if r["type"] == "lang_marker":
+            assert (r["token"], r["start_offset"], r["end_offset"]) == (
+                "lang:py", 0, 0)
+        else:
+            assert src[r["start_offset"]:r["end_offset"]].lower() == r["token"]
+    # whole-identifier token spans the identifier minus stripped underscores
+    whole = next(r for r in rows if r["token"] == "getusername")
+    assert (whole["start_offset"], whole["end_offset"]) == (0, 11)
+    init = next(r for r in rows if r["token"] == "init")
+    assert src[init["start_offset"]:init["end_offset"]] == "init"
+
+
+def test_analyze_fuzz_matches_tokenizer_and_slices():
+    rng = random.Random(11)
+    chars = "abXY_01 .-("
+    for _ in range(1500):
+        s = "".join(rng.choice(chars) for _ in range(rng.randint(0, 40)))
+        for chain in ("standard", "code"):
+            toks = analyze_text(s, chain)
+            assert [t["token"] for t in toks] == tokenize_one(s, chain), (s, chain)
+            assert [t["position"] for t in toks] == list(range(len(toks)))
+            for t in toks:
+                assert s[t["start_offset"]:t["end_offset"]].lower() == t["token"]
+
+
+def test_analyze_offsets_distributed_matches_driver(spark, documents):
+    sample = documents.orderBy("doc_id").limit(3)
+    got = analyze_offsets(sample, "doc_id", "text").collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r["id"], []).append(r)
+    for row in sample.collect():
+        want = analyze_text(row["text"], "standard")
+        have = sorted(by_doc.get(row["doc_id"], []), key=lambda r: r["position"])
+        assert [(r["token"], r["start_offset"], r["end_offset"], r["position"])
+                for r in have] == [
+            (t["token"], t["start_offset"], t["end_offset"], t["position"])
+            for t in want
+        ]
+
+
+def test_analyze_unknown_and_shingle_raise(spark):
+    with pytest.raises(NotImplementedError, match="shingle"):
+        analyze_text("x", "shingle")
+    with pytest.raises(ValueError, match="unknown tokenizer"):
+        analyze_text("x", "nope")
