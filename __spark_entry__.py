@@ -3,7 +3,7 @@
 ``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
 training-data operators (dedup / similarity / text stats / multimodal) and the
 reference scalar-transform surface (ops/mapper.py); ``oracle_sql()`` gives the
-DuckDB-runnable ANSI-SQL equivalent for EVERY entry (233 entries as of round
+DuckDB-runnable ANSI-SQL equivalent for EVERY entry (235 entries as of round
 5i — no rows-only entries since round 2). Column names and rounding are
 matched pairwise so the driver's order-insensitive value-hash compares equal.
 
@@ -783,6 +783,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["analyze_offsets"] = _analyze_offsets
+
+    # round 5i: ES _terms_enum — lexicographic prefix enumeration (content
+    # field off the term dictionary; meta field = distinct stored values)
+    def _terms_enum_text(spark, sf):
+        from es_indexer_spark.query.lookup import terms_enum
+
+        return terms_enum(spark, _index_root(spark, sf), "text", "s", size=25)
+
+    def _terms_enum_meta(spark, sf):
+        from es_indexer_spark.query.lookup import terms_enum
+
+        return terms_enum(spark, _index_root(spark, sf), "lang", "", size=10)
+
+    q["terms_enum_text"] = _terms_enum_text
+    q["terms_enum_meta"] = _terms_enum_meta
 
     # round 5c: ES intervals query (query/intervals.py) — minimal-interval
     # algebra with the filter rules; phrase_tf = minimal-interval count
@@ -3219,6 +3234,18 @@ WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]
            FROM documents)
 SELECT doc_id, CAST(unnest(range(len(l))) AS INT) AS position, unnest(l) AS token
 FROM t
+"""
+    # _terms_enum: the dictionary IS the distinct analyzed-token set; page
+    # order is plain lexicographic asc (not cf-ranked like suggest_prefix)
+    o["terms_enum_text"] = """
+WITH toks AS (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+              FROM documents)
+SELECT DISTINCT term FROM toks WHERE term LIKE 's%'
+ORDER BY term ASC LIMIT 25
+"""
+    o["terms_enum_meta"] = """
+SELECT DISTINCT lang::VARCHAR AS term FROM documents WHERE lang IS NOT NULL
+ORDER BY term ASC LIMIT 10
 """
     # live-docs phrase: stats over the FULL corpus, dead docs filtered from
     # the result only (same rule as bm25_topk_deleted)

@@ -106,7 +106,8 @@ def build_parser() -> argparse.ArgumentParser:
                  "scroll", "validate", "msearch", "mget", "search-template",
                  "render-template", "put-template", "reindex",
                  "update-by-query", "aliases", "snapshot", "restore",
-                 "snapshots", "mtermvectors", "rank-eval", "bulk", "analyze"],
+                 "snapshots", "mtermvectors", "rank-eval", "bulk", "analyze",
+                 "terms-enum"],
     )
     p.add_argument("--pages", type=int, default=None,
                    help="scroll: max pages to emit (default: to exhaustion)")
@@ -171,7 +172,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--filter-phrase", default=None,
                    help="bool/delete-query: match_phrase in filter context")
     p.add_argument("--docid", type=int, default=None, help="explain job target doc")
-    p.add_argument("--field", default=None, help="delete-query: term field")
+    p.add_argument("--field", default=None,
+                   help="delete-query: term field; terms-enum: the field to "
+                        "enumerate (meta column or the content field)")
     p.add_argument("--value", default=None, help="delete-query: term value")
     p.add_argument("--match-all", action="store_true",
                    help="delete-query: tombstone every live doc")
@@ -308,6 +311,19 @@ def main(argv: list[str] | None = None) -> int:
             hits = topk_many(spark, args.index, queries, k=args.k, lang=args.lang)
             for r in hits.collect():
                 print(json.dumps(r.asDict(), default=str))
+        elif args.job == "terms-enum":
+            # ES _terms_enum: lexicographic prefix page over the field's
+            # index terms; --field meta column or the content field,
+            # --query is the prefix (optional)
+            from es_indexer_spark.query.lookup import terms_enum
+
+            if not args.field:
+                print("--field required", file=sys.stderr)
+                return 2
+            rows = terms_enum(
+                spark, args.index, args.field, args.query or "", size=args.k
+            ).collect()
+            print(json.dumps({"terms": [r["term"] for r in rows]}))
         elif args.job == "analyze":
             # ES _analyze: token/start_offset/end_offset/position/type rows
             # for --query through the --tokenizer chain (needs no index)

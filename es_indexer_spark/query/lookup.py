@@ -217,6 +217,53 @@ def term_count(
     )
 
 
+def terms_enum(
+    spark: SparkSession,
+    index_root: str,
+    field: str,
+    string: str = "",
+    size: int = 10,
+    *,
+    case_insensitive: bool = False,
+    search_after: str | None = None,
+) -> DataFrame:
+    """ES ``_terms_enum``: up to ``size`` index terms of ``field`` starting
+    with ``string``, lexicographically ASCENDING (the autocomplete-on-keyword
+    API; unlike :func:`~es_indexer_spark.query.suggest.suggest_prefix`, which
+    ranks by collection frequency). ``search_after`` resumes past the last
+    term of the previous page.
+
+    ``field`` naming: a stored meta column of the docs table enumerates its
+    DISTINCT values; any other name addresses the analyzed content field —
+    its terms come straight off the term dictionary. Like ES's published
+    caveat, dictionary terms may still include logically deleted docs' terms
+    until compaction (``_terms_enum`` is index-structure-based there too).
+
+    Physical plan: the dict is term-sorted parquet, so the prefix is a pushed
+    ``StringStartsWith`` over contiguous row groups; the meta path is a
+    column-pruned scan + partial/final distinct. Both end in a k-row
+    TakeOrdered — no corpus-sized sort."""
+    vdir = catalog.resolve(index_root)
+    docs = spark.read.parquet(os.path.join(vdir, "docs"))
+    if field in docs.columns and field not in ("docid", "sha256", "doc_len"):
+        src = (
+            docs.where(F.col(field).isNotNull())
+            .select(F.col(field).cast("string").alias("term"))
+            .distinct()
+        )
+    else:
+        src = spark.read.parquet(os.path.join(vdir, "dict")).select("term")
+    p = str(string or "")
+    if case_insensitive:
+        pred = F.lower(F.col("term")).startswith(p.lower())
+    else:
+        pred = F.col("term").startswith(p)
+    out = src.filter(pred) if p else src
+    if search_after is not None:
+        out = out.filter(F.col("term") > str(search_after))
+    return out.orderBy(F.asc("term")).limit(int(size))
+
+
 def facet_counts(
     spark: SparkSession,
     index_root: str,

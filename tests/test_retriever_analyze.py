@@ -226,3 +226,43 @@ def test_analyze_unknown_and_shingle_raise(spark):
         analyze_text("x", "shingle")
     with pytest.raises(ValueError, match="unknown tokenizer"):
         analyze_text("x", "nope")
+
+
+# ---- _terms_enum ------------------------------------------------------------
+
+
+def test_terms_enum_text_lexicographic_and_paged(spark, r_index, documents):
+    from es_indexer_spark.query.lookup import terms_enum
+
+    want = sorted(
+        r["term"]
+        for r in documents.select(
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term")
+        ).filter("term LIKE 'st%'").distinct().collect()
+    )
+    page1 = [r["term"] for r in
+             terms_enum(spark, r_index, "text", "st", size=5).collect()]
+    assert page1 == want[:5]
+    page2 = [r["term"] for r in
+             terms_enum(spark, r_index, "text", "st", size=5,
+                        search_after=page1[-1]).collect()]
+    assert page2 == want[5:10]
+
+
+def test_terms_enum_meta_distinct_and_ci(spark, r_index, documents):
+    from es_indexer_spark.query.lookup import terms_enum
+
+    want = sorted(
+        r["lang"] for r in documents.select("lang").distinct().collect()
+        if r["lang"] is not None
+    )
+    got = [r["term"] for r in
+           terms_enum(spark, r_index, "lang", "", size=100).collect()]
+    assert got == want
+    # case_insensitive prefix matches the lowercase stored values
+    lo = [r["term"] for r in
+          terms_enum(spark, r_index, "lang", want[0].upper(), size=10,
+                     case_insensitive=True).collect()]
+    assert want[0] in lo
+    assert terms_enum(spark, r_index, "lang", want[0].upper(),
+                      size=10).count() == 0
