@@ -829,6 +829,59 @@ def main() -> int:
         ],
     ))
 
+    # 37. round 5i: _terms_enum content-field page — the prefix must reach
+    # the dict parquet scan as a pushed filter; the page is a TakeOrdered
+    # over the pruned scan, no corpus-wide sort, no Python
+    from es_indexer_spark.query.lookup import terms_enum
+
+    p = formatted(terms_enum(spark, root, "text", "st", size=10))
+    sections.append((
+        "_terms_enum: prefix pushed to the dict scan, k-row TakeOrdered",
+        p,
+        [
+            ("one dict parquet scan only",
+             len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1),
+            ("prefix applied as StartsWith at the scan (pushed to parquet, "
+             "or a filter over the session-cached dict)",
+             "StringStartsWith" in p or "StartsWith(term" in p),
+            ("page is a TakeOrderedAndProject (no global sort materialized)",
+             "TakeOrderedAndProject" in p),
+            ("scan output pruned to the term column",
+             "ReadSchema: struct<term:string>" in p
+             or re.search(r"InMemoryTableScan\nOutput \[1\]: \[term", p)
+             is not None),
+            ("no Python in the path", "EvalPython" not in p),
+        ],
+    ))
+
+    # 38. round 5i: retriever.rrf over two standard legs — each leg keeps
+    # its own distributed top-window (TakeOrdered), the two single-partition
+    # rank windows are request-sized by construction, fusion is ONE hash agg
+    from es_indexer_spark.query.dsl import search as dsl_search
+
+    p = formatted(dsl_search(spark, root, {
+        "retriever": {"rrf": {"retrievers": [
+            {"standard": {"query": {"match": {"text": "data stream"}}}},
+            {"standard": {"query": {"match": {"text": "spark"}}}},
+        ], "rank_window_size": 20}},
+        "size": 10,
+    }))
+    sections.append((
+        "retriever.rrf: per-leg distributed top-window -> one fusion agg",
+        p,
+        [
+            ("both legs contribute (a union feeds the fusion)",
+             "Union" in p),
+            ("per-leg rank windows exist (row_number windows)",
+             p.count("Window") >= 2),
+            ("fusion is hash aggregation on docid",
+             "HashAggregate" in p and "docid" in p),
+            ("final page is a TakeOrderedAndProject",
+             "TakeOrderedAndProject" in p),
+            ("no cartesian product anywhere", "CartesianProduct" not in p),
+        ],
+    ))
+
     failures = 0
     lines = [
         "# PLANS — physical-plan audit evidence",
