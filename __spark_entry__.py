@@ -3,7 +3,7 @@
 ``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
 training-data operators (dedup / similarity / text stats / multimodal) and the
 reference scalar-transform surface (ops/mapper.py); ``oracle_sql()`` gives the
-DuckDB-runnable ANSI-SQL equivalent for EVERY entry (235 entries as of round
+DuckDB-runnable ANSI-SQL equivalent for EVERY entry (236 entries as of round
 5i — no rows-only entries since round 2). Column names and rounding are
 matched pairwise so the driver's order-insensitive value-hash compares equal.
 
@@ -798,6 +798,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["terms_enum_text"] = _terms_enum_text
     q["terms_enum_meta"] = _terms_enum_meta
+
+    # round 5i: batched _explain (the search body's explain=true engine) —
+    # the per-term breakdown of every top-10 hit in ONE job; Σ contribution
+    # per doc == the topk score (same float64 expression)
+    def _explain_hits(spark, sf):
+        from es_indexer_spark.query.engine import explain_many, topk
+
+        root = _index_root(spark, sf)
+        ids = [r["docid"] for r in topk(spark, root, "data stream", k=10).collect()]
+        return explain_many(spark, root, "data stream", ids).select(
+            F.col("docid").alias("doc_id"), "term", "tf", "df", "doc_len",
+            F.round("idf", 6).alias("idf"),
+            F.round("contribution", 6).alias("contribution"),
+        )
+
+    q["explain_hits"] = _explain_hits
 
     # round 5c: ES intervals query (query/intervals.py) — minimal-interval
     # algebra with the filter rules; phrase_tf = minimal-interval count
@@ -3246,6 +3262,22 @@ ORDER BY term ASC LIMIT 25
     o["terms_enum_meta"] = """
 SELECT DISTINCT lang::VARCHAR AS term FROM documents WHERE lang IS NOT NULL
 ORDER BY term ASC LIMIT 10
+"""
+    # batched _explain of the data-stream top-10: per-(doc, term) BM25 parts
+    o["explain_hits"] = f"""
+{_BM25_PREAMBLE},
+{_RAW_DS},
+top AS (SELECT doc_id FROM raw ORDER BY score_raw DESC, doc_id ASC LIMIT 10)
+SELECT tf.doc_id, tf.term, tf.tf::BIGINT AS tf, dfq.df::BIGINT AS df,
+       dl.dl::BIGINT AS doc_len,
+       round(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)), 6) AS idf,
+       round(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+             tf.tf * {K1 + 1} /
+             (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / st.avgdl)), 6)
+         AS contribution
+FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+JOIN top USING (doc_id)
+WHERE tf.term IN ('data', 'stream')
 """
     # live-docs phrase: stats over the FULL corpus, dead docs filtered from
     # the result only (same rule as bm25_topk_deleted)

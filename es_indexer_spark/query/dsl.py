@@ -579,6 +579,50 @@ def _finish(
             pre_tag=(hl.get("pre_tags") or ["<em>"])[0],
             post_tag=(hl.get("post_tags") or ["</em>"])[0],
         )
+    if body.get("explain"):
+        # ES explain=true: every hit carries its score breakdown. One batched
+        # explain_many job for ALL k hits (never k _explain calls); the
+        # per-term rows fold into a deterministic term-sorted JSON column
+        from pyspark.sql import functions as F
+
+        from es_indexer_spark.query.engine import explain_many
+
+        kind, v = _one(qnode, "query")
+        if kind != "match":
+            raise ValueError(
+                "explain supports a match main query — other shapes: call "
+                "query/engine.py explain_many on the hit ids yourself"
+            )
+        mspec = _field_query(v)
+        if "query" not in mspec:
+            _fn, fspec = _one(mspec, "match")
+            mspec = _field_query(fspec)
+        hits = out.collect()
+        if hits:
+            from pyspark.sql.types import IntegerType
+
+            schema = out.schema.add("_hit_rank", IntegerType())
+            out = spark.createDataFrame(
+                [(*r, i) for i, r in enumerate(hits)], schema
+            )
+            br = explain_many(
+                spark, index_root, str(mspec["query"]),
+                [r["docid"] for r in hits], lang=lang,
+            )
+            expl = br.groupBy("docid").agg(
+                F.to_json(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("term", "tf", "df", "idf", "contribution")
+                        )
+                    )
+                ).alias("explanation")
+            )
+            out = (
+                out.join(F.broadcast(expl), "docid", "left")
+                .orderBy("_hit_rank")
+                .drop("_hit_rank")
+            )
     out = _fetch_fields(spark, index_root, body, out)
     tth = body.get("track_total_hits")
     if tth:

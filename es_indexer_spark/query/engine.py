@@ -901,6 +901,124 @@ def explain(
     )
 
 
+def explain_many(
+    spark: SparkSession,
+    index_root: str,
+    query: str,
+    docids: Sequence[int],
+    *,
+    lang: str | None = None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Batched ``_explain``: the per-term BM25 breakdown of EVERY requested
+    docid's score for ``query`` in ONE job — the engine behind the search
+    body's ``explain: true`` flag (ES attaches an explanation to each hit;
+    issuing k single-doc ``_explain`` calls would be k jobs).
+
+    Returns ``(docid, term, tf, df, doc_len, idf, contribution)`` with
+    Σ contribution per docid == that doc's ``topk`` score (same float64
+    expression). Rows only for live requested docs that match ≥1 term.
+
+    Physical shape mirrors :func:`explain`: one dictionary lookup, postings
+    pruned to the query terms' buckets, the requested docids' shards, and a
+    coarse block range; the exact per-doc match runs in one Arrow stage over
+    those few blocks (requests are O(k), never corpus-sized)."""
+    from es_indexer_spark.index.tombstones import live_mask, tombstone_array
+
+    vdir = catalog.resolve(index_root)
+    stats = catalog.read_stats(vdir)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    k1, b = stats["k1"], stats["b"]
+    ids = np.array(sorted({int(d) for d in docids}), dtype=np.int64)
+    out_schema = "docid long, " + _EXPLAIN_SCHEMA
+    tomb = tombstone_array(spark, vdir)
+    if tomb is not None and ids.size:
+        m = live_mask(tomb, ids)
+        if m is not None:
+            ids = ids[m]
+    if ids.size == 0:
+        return spark.createDataFrame([], out_schema)
+
+    qterms = sorted(set(tokenize_one(query, stats["tokenizer"], lang=lang)))
+    if synonyms:
+        from es_indexer_spark.analysis.synonyms import expand_terms
+
+        qterms = sorted(
+            set(
+                expand_terms(
+                    qterms,
+                    synonyms,
+                    lambda s: tokenize_one(s, stats["tokenizer"], lang=lang),
+                )
+            )
+        )
+    if not qterms:
+        return spark.createDataFrame([], out_schema)
+    dict_rows = _dict_lookup(spark, vdir, qterms)
+    if not dict_rows:
+        return spark.createDataFrame([], out_schema)
+    idfs = {r["term"]: lucene_idf(n_docs, r["df"]) for r in dict_rows}
+    dfs = {r["term"]: int(r["df"]) for r in dict_rows}
+    buckets = sorted({r["bucket"] for r in dict_rows})
+    shard_size = stats["shard_size"]
+    shards = sorted({int(d) // shard_size for d in ids})
+    id_list = ids.tolist()
+
+    blocks = (
+        _load_blocks(spark, vdir, sorted(idfs), buckets)
+        .filter(
+            F.col("shard").isin(shards)
+            & (F.col("first_docid") <= int(ids.max()))
+            & (F.col("last_docid") >= int(ids.min()))
+        )
+        .select("term", "gaps", "tfs", "dls", "first_docid")
+    )
+
+    def expl(it):
+        want = np.array(id_list, dtype=np.int64)
+        for pdf in it:
+            ds, terms, tfl, dll = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                d, t, l = decode_block(row.gaps, row.tfs, row.dls, row.first_docid)
+                d64 = d.astype(np.int64)
+                hit = np.nonzero(np.isin(d64, want))[0]
+                for h in hit:
+                    ds.append(int(d64[h]))
+                    terms.append(row.term)
+                    tfl.append(int(t[h]))
+                    dll.append(int(l[h]))
+            yield pd.DataFrame(
+                {"docid": ds, "term": terms, "tf": tfl, "doc_len": dll}
+            )
+
+    rows = blocks.mapInPandas(
+        expl, "docid long, term string, tf long, doc_len long"
+    )
+    dict_small = spark.createDataFrame(
+        [(t, dfs[t], float(idfs[t])) for t in sorted(idfs)],
+        "term string, df long, idf double",
+    )
+    tf, dl = F.col("tf").cast("double"), F.col("doc_len").cast("double")
+    return (
+        rows.join(F.broadcast(dict_small), "term")
+        .withColumn(
+            "contribution",
+            F.col("idf") * tf * F.lit(k1 + 1.0)
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))),
+        )
+        # a docid duplicated across blocks of one term (duplicate user id_col)
+        # sums its postings, mirroring the canonical scorer's summation
+        .groupBy("docid", "term", "df", "idf")
+        .agg(
+            F.sum("tf").alias("tf"),
+            F.max("doc_len").alias("doc_len"),
+            F.sum("contribution").alias("contribution"),
+        )
+        .select("docid", "term", "tf", "df", "doc_len", "idf", "contribution")
+        .orderBy(F.asc("docid"), F.asc("term"))
+    )
+
+
 def fetch_docs(spark: SparkSession, index_root: str, topk_df: DataFrame) -> DataFrame:
     """Join the ≤k scored docids back to the doc table (broadcast the k-row side —
     SURVEY.md J6; the docid point-filter prunes parquet row groups because docs are

@@ -266,3 +266,52 @@ def test_terms_enum_meta_distinct_and_ci(spark, r_index, documents):
     assert want[0] in lo
     assert terms_enum(spark, r_index, "lang", want[0].upper(),
                       size=10).count() == 0
+
+
+# ---- batched _explain / body explain=true -----------------------------------
+
+
+def test_explain_many_matches_single_and_topk(spark, r_index):
+    from es_indexer_spark.query.engine import explain, explain_many, topk
+
+    hits = topk(spark, r_index, "data stream", k=8).collect()
+    ids = [r["docid"] for r in hits]
+    em = explain_many(spark, r_index, "data stream", ids).collect()
+    cols = ("term", "tf", "df", "doc_len", "idf", "contribution")
+    one = explain(spark, r_index, "data stream", ids[0]).collect()
+    assert [tuple(r[c] for c in cols) for r in em if r["docid"] == ids[0]] == [
+        tuple(r[c] for c in cols) for r in one
+    ]
+    sums: dict[int, float] = {}
+    for r in em:
+        sums[r["docid"]] = sums.get(r["docid"], 0.0) + r["contribution"]
+    for h in hits:
+        assert abs(sums[h["docid"]] - h["score"]) < 1e-9
+
+
+def test_explain_many_dead_and_absent(spark, r_index):
+    from es_indexer_spark.query.engine import explain_many
+
+    assert explain_many(spark, r_index, "data stream", [10**9]).count() == 0
+    assert explain_many(spark, r_index, "zzzznotaterm", [1]).count() == 0
+
+
+def test_search_body_explain_flag(spark, r_index):
+    import json as _json
+
+    from es_indexer_spark.query.engine import topk
+
+    res = search(spark, r_index, {
+        "query": {"match": {"text": "data stream"}}, "size": 5,
+        "explain": True,
+    }).collect()
+    want = topk(spark, r_index, "data stream", k=5).collect()
+    assert [r["docid"] for r in res] == [r["docid"] for r in want]  # order kept
+    for r in res:
+        parts = _json.loads(r["explanation"])
+        assert [p["term"] for p in parts] == sorted(p["term"] for p in parts)
+        assert abs(sum(p["contribution"] for p in parts) - r["score"]) < 1e-9
+    with pytest.raises(ValueError, match="explain supports a match"):
+        search(spark, r_index, {
+            "query": {"term": {"lang": "en"}}, "explain": True,
+        })
