@@ -3,7 +3,7 @@
 ``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
 training-data operators (dedup / similarity / text stats / multimodal) and the
 reference scalar-transform surface (ops/mapper.py); ``oracle_sql()`` gives the
-DuckDB-runnable ANSI-SQL equivalent for EVERY entry (236 entries as of round
+DuckDB-runnable ANSI-SQL equivalent for EVERY entry (237 entries as of round
 5i — no rows-only entries since round 2). Column names and rounding are
 matched pairwise so the driver's order-insensitive value-hash compares equal.
 
@@ -814,6 +814,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["explain_hits"] = _explain_hits
+
+    # round 5i: completion-suggester contexts — category-filtered completion
+    # off the per-context term-stats artifact (built once per process)
+    def _suggest_ctx(spark, sf):
+        from es_indexer_spark.query.suggest import (
+            build_completion_contexts, suggest_prefix_ctx,
+        )
+
+        root = _index_root(spark, sf)
+        key = root + "::ctx_lang"
+        if key not in _BUILT:
+            build_completion_contexts(
+                spark, _docs(spark, sf), root,
+                content_col="text", context_col="lang",
+            )
+            _BUILT.add(key)
+        return suggest_prefix_ctx(spark, root, "s", "lang", ["en", "fr"], k=10)
+
+    q["suggest_ctx"] = _suggest_ctx
 
     # round 5c: ES intervals query (query/intervals.py) — minimal-interval
     # algebra with the filter rules; phrase_tf = minimal-interval count
@@ -3262,6 +3281,17 @@ ORDER BY term ASC LIMIT 25
     o["terms_enum_meta"] = """
 SELECT DISTINCT lang::VARCHAR AS term FROM documents WHERE lang IS NOT NULL
 ORDER BY term ASC LIMIT 10
+"""
+    # completion contexts: per-context term stats = tokens joined to the
+    # docs' context value; ranked cf desc, term asc like suggest_prefix
+    o["suggest_ctx"] = """
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+              FROM documents),
+t2 AS (SELECT t.doc_id, t.term, d.lang FROM toks t JOIN documents d USING (doc_id)
+       WHERE t.term <> '' AND d.lang IN ('en', 'fr'))
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM t2 WHERE term LIKE 's%'
+GROUP BY term ORDER BY cf DESC, term ASC LIMIT 10
 """
     # batched _explain of the data-stream top-10: per-(doc, term) BM25 parts
     o["explain_hits"] = f"""

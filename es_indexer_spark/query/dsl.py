@@ -1574,7 +1574,32 @@ def suggest(
         elif "completion" in spec:
             c = spec["completion"]
             size = int(c.get("size", 5))
-            if c.get("fuzzy"):
+            if c.get("contexts"):
+                # ES category contexts: filter completions to docs whose
+                # context field holds one of the requested values (backed by
+                # the build_completion_contexts artifact)
+                if "fuzzy" in c:
+                    raise ValueError(
+                        "contexts + fuzzy completion is not supported — "
+                        "use contexts with an exact prefix"
+                    )
+                ctxs = c["contexts"]
+                if not isinstance(ctxs, dict) or len(ctxs) != 1:
+                    raise ValueError(
+                        "contexts must carry exactly one {field: values} pair"
+                    )
+                from es_indexer_spark.query.suggest import suggest_prefix_ctx
+
+                (cfield, cvals), = ctxs.items()
+                vals = [
+                    v["context"] if isinstance(v, dict) else v
+                    for v in _as_list(cvals)
+                ]
+                out[name] = suggest_prefix_ctx(
+                    spark, index_root, str(spec["prefix"]), str(cfield),
+                    [str(v) for v in vals], k=size,
+                )
+            elif c.get("fuzzy"):
                 from es_indexer_spark.query.suggest import suggest_fuzzy
 
                 fz = c["fuzzy"] if isinstance(c["fuzzy"], dict) else {}

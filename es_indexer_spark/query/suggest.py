@@ -49,6 +49,100 @@ def suggest_prefix(
     )
 
 
+def build_completion_contexts(
+    spark: SparkSession,
+    corpus_df: DataFrame,
+    index_root: str,
+    *,
+    content_col: str,
+    context_col: str,
+    tokenizer: str = "standard",
+    lang_col: str | None = None,
+) -> str:
+    """ES completion-suggester CONTEXTS analog: a per-context term-statistics
+    artifact (``(ctx, term, df, cf)``) under the CURRENT index version, so
+    suggestions can be filtered by a category context at query time (ES
+    indexes context values alongside each suggestion; this engine aggregates
+    them once at build time — same information, columnar layout).
+
+    Scale: one tokenize pass (the builder's own Arrow term-stats UDF — per-doc
+    unique terms + tfs, no per-token rows before the explode) and ONE
+    partial+final hash agg on (ctx, term); written partitioned by ``ctx``
+    (query-time partition pruning) and term-sorted within files (row-group
+    pruning for the prefix scan). Returns the artifact path."""
+    from es_indexer_spark.analysis.tokenizer import get_term_stats_udf
+
+    vdir = catalog.resolve(index_root)
+    out_dir = os.path.join(vdir, f"completion_ctx_{context_col}")
+    ts_udf = get_term_stats_udf(tokenizer)
+    if tokenizer == "code":
+        lang_expr = (
+            F.col(lang_col) if lang_col else F.lit(None).cast("string")
+        )
+        stats_col = ts_udf(F.col(content_col), lang_expr)
+    else:
+        stats_col = ts_udf(F.col(content_col))
+    pairs = (
+        corpus_df.select(
+            F.col(context_col).cast("string").alias("ctx"),
+            stats_col.alias("_ts"),
+        )
+        .where(F.col("ctx").isNotNull())
+        .select("ctx", F.explode(F.arrays_zip("_ts.terms", "_ts.tfs")).alias("p"))
+        .select("ctx", F.col("p.terms").alias("term"), F.col("p.tfs").alias("tf"))
+    )
+    (
+        pairs.groupBy("ctx", "term")
+        .agg(F.count("*").alias("df"), F.sum("tf").cast("long").alias("cf"))
+        .repartition("ctx")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("ctx")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def suggest_prefix_ctx(
+    spark: SparkSession,
+    index_root: str,
+    prefix: str,
+    context_col: str,
+    values: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Context-filtered completion: top-k terms completing ``prefix`` among
+    docs whose ``context_col`` is in ``values`` — the ES completion
+    suggester's ``contexts`` option. Ranked cf desc, term asc (the same rule
+    as :func:`suggest_prefix`); df/cf sum across the requested context
+    values (a doc carries one context value, so nothing double-counts).
+
+    Needs :func:`build_completion_contexts` to have run for ``context_col``
+    on the CURRENT version — raises by name otherwise. The context filter is
+    partition pruning, the prefix a pushed StringStartsWith."""
+    vdir = catalog.resolve(index_root)
+    path = os.path.join(vdir, f"completion_ctx_{context_col}")
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"no completion-context artifact for {context_col!r} — run "
+            "build_completion_contexts(spark, corpus_df, index_root, "
+            f"content_col=..., context_col={context_col!r}) first"
+        )
+    d = spark.read.parquet(path)
+    p = str(prefix).lower()
+    return (
+        d.filter(
+            F.col("ctx").isin([str(v) for v in values])
+            & F.col("term").startswith(p)
+        )
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"),
+             F.sum("cf").cast("long").alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(int(k))
+    )
+
+
 def suggest_fuzzy(
     spark: SparkSession,
     index_root: str,

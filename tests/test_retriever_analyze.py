@@ -315,3 +315,50 @@ def test_search_body_explain_flag(spark, r_index):
         search(spark, r_index, {
             "query": {"term": {"lang": "en"}}, "explain": True,
         })
+
+
+# ---- completion-suggester contexts -------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ctx_artifact(spark, documents, r_index):
+    from es_indexer_spark.query.suggest import build_completion_contexts
+
+    return build_completion_contexts(
+        spark, documents, r_index, content_col="text", context_col="lang"
+    )
+
+
+def test_suggest_ctx_matches_brute_filter(spark, r_index, documents, ctx_artifact):
+    from es_indexer_spark.query.suggest import suggest_prefix_ctx
+
+    got = [(r["term"], r["df"], r["cf"]) for r in
+           suggest_prefix_ctx(spark, r_index, "st", "lang", ["en"], k=5).collect()]
+    brute = (
+        documents.filter("lang = 'en'")
+        .select("doc_id", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"))
+        .filter("term LIKE 'st%' AND term <> ''")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"), F.count("*").alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("term")).limit(5).collect()
+    )
+    assert got == [(r["term"], r["df"], r["cf"]) for r in brute] and got
+
+
+def test_suggest_ctx_dsl_dispatch_and_errors(spark, r_index, ctx_artifact):
+    from es_indexer_spark.query.dsl import suggest as dsl_suggest
+    from es_indexer_spark.query.suggest import suggest_prefix_ctx
+
+    body = {"suggest": {"c": {"prefix": "st", "completion": {
+        "contexts": {"lang": ["en", {"context": "fr"}]}, "size": 4}}}}
+    got = [r["term"] for r in dsl_suggest(spark, r_index, body)["c"].collect()]
+    want = [r["term"] for r in
+            suggest_prefix_ctx(spark, r_index, "st", "lang", ["en", "fr"], k=4).collect()]
+    assert got == want and got
+    with pytest.raises(ValueError, match="contexts \\+ fuzzy"):
+        dsl_suggest(spark, r_index, {"suggest": {"c": {
+            "prefix": "st",
+            "completion": {"contexts": {"lang": ["en"]}, "fuzzy": {}},
+        }}})
+    with pytest.raises(FileNotFoundError, match="completion-context"):
+        suggest_prefix_ctx(spark, r_index, "st", "source", ["x"])
