@@ -3,7 +3,7 @@
 ``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
 training-data operators (dedup / similarity / text stats / multimodal) and the
 reference scalar-transform surface (ops/mapper.py); ``oracle_sql()`` gives the
-DuckDB-runnable ANSI-SQL equivalent for EVERY entry (237 entries as of round
+DuckDB-runnable ANSI-SQL equivalent for EVERY entry (238 entries as of round
 5i — no rows-only entries since round 2). Column names and rounding are
 matched pairwise so the driver's order-insensitive value-hash compares equal.
 
@@ -833,6 +833,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return suggest_prefix_ctx(spark, root, "s", "lang", ["en", "fr"], k=10)
 
     q["suggest_ctx"] = _suggest_ctx
+
+    # round 5i: ES SQL (x-pack _sql) — SQL text translated to the exact
+    # request body the DSL executes (MATCH/SCORE() extensions); execution is
+    # the already-verified engine, the layer holds no matching logic
+    def _sql_match(spark, sf):
+        from es_indexer_spark.query.essql import sql_query
+
+        return sql_query(
+            spark, _index_root(spark, sf),
+            "SELECT lang, SCORE() FROM idx WHERE MATCH(text, 'data stream') "
+            "AND lang = 'en' ORDER BY SCORE() DESC LIMIT 10",
+        ).select(
+            F.col("docid").alias("doc_id"), "lang",
+            F.round("score", 4).alias("score"),
+        )
+
+    q["sql_match"] = _sql_match
 
     # round 5c: ES intervals query (query/intervals.py) — minimal-interval
     # algebra with the filter rules; phrase_tf = minimal-interval count
@@ -3292,6 +3309,16 @@ t2 AS (SELECT t.doc_id, t.term, d.lang FROM toks t JOIN documents d USING (doc_i
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
 FROM t2 WHERE term LIKE 's%'
 GROUP BY term ORDER BY cf DESC, term ASC LIMIT 10
+"""
+    # ES SQL: MATCH + term filter — global BM25 stats, match set restricted
+    # to the filter (the bool engine's filter-context rule)
+    o["sql_match"] = f"""
+{_BM25_PREAMBLE},
+{_RAW_DS}
+SELECT r.doc_id, d.lang, round(r.score_raw::DOUBLE, 4) AS score
+FROM raw r JOIN documents d USING (doc_id)
+WHERE d.lang = 'en'
+ORDER BY r.score_raw DESC, r.doc_id ASC LIMIT 10
 """
     # batched _explain of the data-stream top-10: per-(doc, term) BM25 parts
     o["explain_hits"] = f"""

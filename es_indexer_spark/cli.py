@@ -107,7 +107,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "render-template", "put-template", "reindex",
                  "update-by-query", "aliases", "snapshot", "restore",
                  "snapshots", "mtermvectors", "rank-eval", "bulk", "analyze",
-                 "terms-enum"],
+                 "terms-enum", "sql", "translate-sql"],
     )
     p.add_argument("--pages", type=int, default=None,
                    help="scroll: max pages to emit (default: to exhaustion)")
@@ -238,7 +238,7 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.index is None and args.job not in (
-        "aliases", "snapshots", "restore", "analyze"
+        "aliases", "snapshots", "restore", "analyze", "translate-sql"
     ):
         print(f"--index required for job {args.job}", file=sys.stderr)
         return 2
@@ -311,6 +311,22 @@ def main(argv: list[str] | None = None) -> int:
             hits = topk_many(spark, args.index, queries, k=args.k, lang=args.lang)
             for r in hits.collect():
                 print(json.dumps(r.asDict(), default=str))
+        elif args.job in ("sql", "translate-sql"):
+            # ES _sql / _sql/translate: --query carries the SQL text
+            from es_indexer_spark.query.essql import sql_query, translate_sql
+
+            if not args.query:
+                print("--query required (the SQL text)", file=sys.stderr)
+                return 2
+            if args.job == "translate-sql":
+                body = translate_sql(args.query)
+                body.pop("_sql_meta", None)
+                print(json.dumps(body))
+            else:
+                for r in sql_query(
+                    spark, args.index, args.query, lang=args.lang
+                ).collect():
+                    print(json.dumps(r.asDict(), default=str))
         elif args.job == "terms-enum":
             # ES _terms_enum: lexicographic prefix page over the field's
             # index terms; --field meta column or the content field,

@@ -362,3 +362,66 @@ def test_suggest_ctx_dsl_dispatch_and_errors(spark, r_index, ctx_artifact):
         }}})
     with pytest.raises(FileNotFoundError, match="completion-context"):
         suggest_prefix_ctx(spark, r_index, "st", "source", ["x"])
+
+
+# ---- ES SQL (_sql) ------------------------------------------------------------
+
+
+def test_sql_translate_shapes():
+    from es_indexer_spark.query.essql import translate_sql
+
+    b = translate_sql(
+        "SELECT lang, SCORE() FROM idx WHERE MATCH(text, 'data stream') "
+        "AND lang = 'en' AND n_chars >= 200 ORDER BY SCORE() DESC LIMIT 5"
+    )
+    assert b["query"] == {"bool": {
+        "must": [{"match": {"text": "data stream"}}],
+        "filter": [{"term": {"lang": {"value": "en"}}},
+                   {"range": {"n_chars": {"gte": 200}}}],
+    }}
+    assert b["size"] == 5 and "sort" not in b and b["fields"] == ["lang"]
+    b2 = translate_sql("SELECT * FROM idx WHERE lang IN ('en','fr') "
+                       "AND source IS NOT NULL AND lang != 'de' "
+                       "ORDER BY n_chars DESC, docid LIMIT 3")
+    assert b2["query"]["bool"]["must_not"] == [{"term": {"lang": {"value": "de"}}}]
+    assert b2["sort"] == [{"n_chars": {"order": "desc"}},
+                          {"docid": {"order": "asc"}}]
+    assert b2["_source"] is True
+    assert translate_sql("SELECT lang FROM idx")["query"] == {"match_all": {}}
+    for bad, msg in [
+        ("SELECT * FROM idx WHERE a = 1 OR b = 2", "OR is not lowered"),
+        ("SELECT * FROM idx WHERE MATCH(text, 3)", "string literal"),
+        ("SELECT * FROM idx LIMIT 5 x", "trailing"),
+        ("SELECT * FROM idx ORDER BY SCORE() ASC", "ASC is not lowered"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            translate_sql(bad)
+
+
+def test_sql_query_matches_engine(spark, r_index):
+    from es_indexer_spark.query.engine import topk
+    from es_indexer_spark.query.essql import sql_query
+
+    got = sql_query(
+        spark, r_index,
+        "SELECT lang, SCORE() FROM idx WHERE MATCH(text, 'data stream') "
+        "ORDER BY SCORE() DESC LIMIT 5",
+    ).collect()
+    want = topk(spark, r_index, "data stream", k=5).collect()
+    assert [(r["docid"], r["score"]) for r in got] == [
+        (r["docid"], r["score"]) for r in want
+    ]
+    assert all(r["lang"] is not None for r in got)
+    filt = sql_query(
+        spark, r_index,
+        "SELECT * FROM idx WHERE MATCH(text, 'data stream') AND lang = 'fr' "
+        "LIMIT 4",
+    ).collect()
+    assert filt and all(r["lang"] == "fr" for r in filt)
+    assert "score" not in filt[0].asDict()  # SCORE() not selected
+    srt = sql_query(
+        spark, r_index,
+        "SELECT lang FROM idx WHERE lang IN ('en','fr') ORDER BY docid LIMIT 4",
+    ).collect()
+    assert [r["docid"] for r in srt] == sorted(r["docid"] for r in srt)
+    assert all(r["lang"] in ("en", "fr") for r in srt)
