@@ -3,7 +3,7 @@
 ``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
 training-data operators (dedup / similarity / text stats / multimodal) and the
 reference scalar-transform surface (ops/mapper.py); ``oracle_sql()`` gives the
-DuckDB-runnable ANSI-SQL equivalent for EVERY entry (238 entries as of round
+DuckDB-runnable ANSI-SQL equivalent for EVERY entry (239 entries as of round
 5i — no rows-only entries since round 2). Column names and rounding are
 matched pairwise so the driver's order-insensitive value-hash compares equal.
 
@@ -850,6 +850,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["sql_match"] = _sql_match
+
+    # round 5i: ES SQL GROUP BY — lowered onto the dsl_aggs terms agg over
+    # the query's full match set
+    def _sql_group_by(spark, sf):
+        from es_indexer_spark.query.essql import sql_query
+
+        return sql_query(
+            spark, _index_root(spark, sf),
+            "SELECT lang, COUNT(*) AS n, AVG(n_chars) AS avg_chars FROM idx "
+            "WHERE MATCH(text, 'data') GROUP BY lang "
+            "ORDER BY n DESC, lang ASC LIMIT 5",
+        )
+
+    q["sql_group_by"] = _sql_group_by
 
     # round 5c: ES intervals query (query/intervals.py) — minimal-interval
     # algebra with the filter rules; phrase_tf = minimal-interval count
@@ -3319,6 +3333,15 @@ SELECT r.doc_id, d.lang, round(r.score_raw::DOUBLE, 4) AS score
 FROM raw r JOIN documents d USING (doc_id)
 WHERE d.lang = 'en'
 ORDER BY r.score_raw DESC, r.doc_id ASC LIMIT 10
+"""
+    # ES SQL GROUP BY: terms agg over the match set (docs containing 'data')
+    o["sql_group_by"] = """
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'data')
+SELECT lang, count(*)::BIGINT AS n, round(avg(n_chars), 6) AS avg_chars
+FROM documents JOIN m USING (doc_id)
+WHERE lang IS NOT NULL
+GROUP BY lang ORDER BY n DESC, lang ASC LIMIT 5
 """
     # batched _explain of the data-stream top-10: per-(doc, term) BM25 parts
     o["explain_hits"] = f"""

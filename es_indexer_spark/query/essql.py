@@ -119,7 +119,9 @@ def translate_sql(sql: str) -> dict:
     p.expect("word", "SELECT")
 
     select_cols: list[str] = []
+    agg_items: list[dict] = []
     want_score = star = False
+    _AGG_FNS = ("COUNT", "AVG", "SUM", "MIN", "MAX")
     while True:
         tok = p.next()
         if tok == ("op", "*"):
@@ -127,6 +129,22 @@ def translate_sql(sql: str) -> dict:
         elif tok[0] == "word" and tok[1].upper() == "SCORE":
             p.expect("op", "("), p.expect("op", ")")
             want_score = True
+        elif tok[0] == "word" and tok[1].upper() in _AGG_FNS and \
+                p.peek() == ("op", "("):
+            fn = tok[1].upper()
+            p.next()
+            arg_tok = p.next()
+            if arg_tok == ("op", "*"):
+                if fn != "COUNT":
+                    raise ValueError(f"{fn}(*) is not valid SQL — name a column")
+                arg = "*"
+            elif arg_tok[0] == "word":
+                arg = arg_tok[1]
+            else:
+                raise ValueError(f"bad {fn} argument {arg_tok[1]!r}")
+            p.expect("op", ")")
+            alias = p.expect("word") if p.kw("AS") else None
+            agg_items.append({"fn": fn, "col": arg, "alias": alias})
         elif tok[0] == "word":
             select_cols.append(tok[1])
         else:
@@ -171,6 +189,12 @@ def translate_sql(sql: str) -> dict:
                 musts.append({"query_string": {"query": txt[1]}})
             else:
                 fld = word
+                if p.kw("LIKE"):
+                    raise ValueError(
+                        "LIKE is not lowered — dictionary prefixes go "
+                        "through QUERY('pre*'); keyword patterns through "
+                        "the wildcard query body"
+                    )
                 if p.kw("IS", "NOT", "NULL"):
                     filters.append({"exists": {"field": fld}})
                 elif p.kw("IS", "NULL"):
@@ -205,7 +229,18 @@ def translate_sql(sql: str) -> dict:
                 )
             break
 
+    group_by: str | None = None
+    if p.kw("GROUP", "BY"):
+        group_by = p.expect("word")
+        if p.peek() == ("op", ","):
+            raise ValueError("GROUP BY supports a single column")
+        if p.kw("HAVING"):
+            raise ValueError(
+                "HAVING is not lowered — filter the returned bucket frame"
+            )
+
     sort: list = []
+    order_items: list[tuple[str, str]] = []
     if p.kw("ORDER", "BY"):
         while True:
             tok = p.next()
@@ -229,6 +264,7 @@ def translate_sql(sql: str) -> dict:
                 else:
                     p.kw("ASC")
                 sort.append({tok[1]: {"order": direction}})
+                order_items.append((tok[1], direction))
             else:
                 raise ValueError(f"bad ORDER BY item {tok[1]!r}")
             if p.peek() == ("op", ","):
@@ -258,6 +294,57 @@ def translate_sql(sql: str) -> dict:
         qnode = {"bool": b}
 
     body: dict = {"query": qnode, "size": size}
+    if group_by is not None:
+        # GROUP BY → a terms aggregation over the query's full match set
+        # (the dsl_aggs half). ES SQL itself lowers GROUP BY onto
+        # (composite) aggregations; this engine's single-page bound is the
+        # terms size below — queries with more groups raise there, they are
+        # never silently truncated by this layer's LIMIT.
+        if want_score or star:
+            raise ValueError("GROUP BY supports column + aggregate selects")
+        bad = [c for c in select_cols if c != group_by]
+        if bad:
+            raise ValueError(f"column {bad[0]!r} is neither grouped nor "
+                             "aggregated")
+        subaggs: dict = {}
+        count_alias = None
+        for it in agg_items:
+            if it["fn"] == "COUNT" and it["col"] == "*":
+                count_alias = it["alias"] or "count"
+            elif it["fn"] == "COUNT":
+                subaggs[it["alias"] or f"count_{it['col']}"] = {
+                    "value_count": {"field": it["col"]}
+                }
+            else:
+                subaggs[it["alias"] or f"{it['fn'].lower()}_{it['col']}"] = {
+                    it["fn"].lower(): {"field": it["col"]}
+                }
+        g: dict = {"terms": {"field": group_by, "size": 65536}}
+        if subaggs:
+            g["aggs"] = subaggs
+        body = {"query": qnode, "size": 0, "aggs": {"g": g}}
+        body["_sql_meta"] = {
+            "group_by": group_by, "count_alias": count_alias,
+            "order": order_items, "limit": size, "select": select_cols,
+        }
+        return body
+    if agg_items:
+        # ungrouped aggregate: SELECT COUNT(*) = the _count API
+        if (
+            len(agg_items) == 1 and agg_items[0]["fn"] == "COUNT"
+            and agg_items[0]["col"] == "*" and not select_cols
+            and not want_score and not star
+        ):
+            body["_sql_meta"] = {
+                "count_only": agg_items[0]["alias"] or "count",
+                "group_by": None, "select": [], "star": False,
+                "score": False,
+            }
+            return body
+        raise ValueError(
+            "ungrouped aggregates support SELECT COUNT(*) only — metric "
+            "aggregates need a GROUP BY column"
+        )
     if sort and sort != ["_score"]:
         body["sort"] = sort
     if star:
@@ -266,6 +353,7 @@ def translate_sql(sql: str) -> dict:
         body["fields"] = select_cols
     body["_sql_meta"] = {
         "select": select_cols, "star": star, "score": want_score,
+        "group_by": None,
     }
     return body
 
@@ -281,10 +369,35 @@ def sql_query(
     """ES ``POST /_sql`` analog: translate and execute. The hits keep
     ``docid`` (the ES SQL implicit id), the selected stored columns, and
     ``score`` when ``SCORE()`` was selected."""
+    from pyspark.sql import functions as F
+
     from es_indexer_spark.query.dsl import search
 
     body = translate_sql(sql)
     meta = body.pop("_sql_meta")
+    if meta.get("count_only"):
+        from es_indexer_spark.query.dsl_aggs import count_query
+
+        return count_query(spark, index_root, body, lang=lang).select(
+            F.col("count").alias(meta["count_only"])
+        )
+    if meta.get("group_by"):
+        from es_indexer_spark.query.dsl_aggs import aggregations
+
+        frame = aggregations(spark, index_root, body, lang=lang)["g"]
+        gcol = meta["group_by"]
+        frame = frame.withColumnRenamed("key", gcol)
+        if meta["count_alias"]:
+            frame = frame.withColumnRenamed("doc_count", meta["count_alias"])
+        else:
+            frame = frame.drop("doc_count")
+        order = meta["order"] or [(gcol, "asc")]
+        for name, _d in order:
+            if name not in frame.columns:
+                raise ValueError(f"ORDER BY {name!r} is not in the result")
+        return frame.orderBy(
+            *[F.asc(n) if d == "asc" else F.desc(n) for n, d in order]
+        ).limit(int(meta["limit"]))
     out = search(spark, index_root, body, lang=lang, **backings)
     keep = ["docid"]
     keep += [c for c in meta["select"] if c in out.columns and c not in keep]

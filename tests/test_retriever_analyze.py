@@ -425,3 +425,37 @@ def test_sql_query_matches_engine(spark, r_index):
     ).collect()
     assert [r["docid"] for r in srt] == sorted(r["docid"] for r in srt)
     assert all(r["lang"] in ("en", "fr") for r in srt)
+
+
+def test_sql_group_by_and_count(spark, r_index, documents):
+    from es_indexer_spark.query.essql import sql_query
+
+    got = [(r["lang"], r["n"], r["a"]) for r in sql_query(
+        spark, r_index,
+        "SELECT lang, COUNT(*) AS n, AVG(n_chars) AS a FROM idx "
+        "WHERE MATCH(text, 'data') GROUP BY lang ORDER BY n DESC, lang LIMIT 3",
+    ).collect()]
+    brute = (
+        documents.select("doc_id", "lang", "n_chars",
+                         F.split(F.lower("text"), "[^a-z0-9]+").alias("t"))
+        .filter(F.array_contains("t", "data"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.round(F.avg("n_chars"), 6).alias("a"))
+        .orderBy(F.desc("n"), F.asc("lang")).limit(3).collect()
+    )
+    assert got == [(r["lang"], r["n"], r["a"]) for r in brute] and got
+    total = sql_query(
+        spark, r_index,
+        "SELECT COUNT(*) AS total FROM idx WHERE MATCH(text, 'data')",
+    ).collect()
+    assert total[0]["total"] == sum(
+        r["n"] for r in documents.select(
+            "lang", F.split(F.lower("text"), "[^a-z0-9]+").alias("t")
+        ).filter(F.array_contains("t", "data"))
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    )
+    with pytest.raises(ValueError, match="GROUP BY"):
+        sql_query(spark, r_index, "SELECT lang, AVG(n_chars) FROM idx")
+    with pytest.raises(ValueError, match="neither grouped"):
+        sql_query(spark, r_index,
+                  "SELECT source, COUNT(*) FROM idx GROUP BY lang")
