@@ -437,6 +437,7 @@ def bool_query(
     must_prefix: Sequence[str | tuple[str, float]] = (),
     should_prefix: Sequence[str | tuple[str, float]] = (),
     filter_exists: Sequence[str] = (),
+    filter_like: Sequence[tuple[str, str]] = (),
     must_raw: Sequence[str | tuple] = (),
     should_raw: Sequence[str | tuple] = (),
     must_terms: Sequence[Sequence[str] | tuple] = (),
@@ -477,6 +478,10 @@ def bool_query(
     query_string ``f:[a TO b] g:>x`` shape); all bounds land in the same
     scan. ``filter_exists=["field", ...]`` is ES ``bool.filter(exists)``:
     the stored field must be non-null — same pushed scan.
+    ``filter_like=[("path", "src/*.java"), ...]`` is ES
+    ``bool.filter(wildcard)`` on a stored keyword field (the ES SQL ``LIKE``
+    lowering): an anchored ``*``/``?`` pattern match, case-sensitive,
+    evaluated in the same pushed docs-store scan.
     ``must_prefix`` / ``should_prefix`` are trailing-wildcard clauses
     (ES/Lucene ``field:pre*`` inside query_string, or a ``prefix`` query in
     a bool): each expands against the term-sorted dictionary (startswith
@@ -791,6 +796,20 @@ def bool_query(
     for fld in filter_exists:
         # ES bool.filter(exists): stored field non-null — same pushed scan
         doc_preds.append(F.col(fld).isNotNull())
+    for fld, pat in filter_like:
+        # ES bool.filter(wildcard) on a STORED keyword field (ES SQL LIKE
+        # lowers here): the * / ? pattern compiles to an anchored regex
+        # evaluated inside the same pushed docs-store scan — case-SENSITIVE,
+        # ES's wildcard default (the indexed-content wildcard clause is the
+        # lowercased dictionary-expansion path; this one never touches the
+        # postings)
+        import re as _re
+
+        rx = "^" + "".join(
+            ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+            for ch in str(pat)
+        ) + "$"
+        doc_preds.append(F.col(fld).rlike(rx))
     for fld, val in filter_fields:
         # ES bool.filter(term) on a stored keyword field — equality pushed
         # into the same docs-store scan as the range bounds (one scan, one

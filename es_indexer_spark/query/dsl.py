@@ -122,6 +122,7 @@ def _bool_kwargs(spec: dict) -> dict:
         "must_ranges": [], "should_ranges": [],
         "must_exists": [], "should_exists": [],
         "filter_terms": [], "filter_fields": [], "filter_exists": [],
+        "filter_like": [],
         "filter_range": [], "filter_phrase": None, "filter_phrase_slop": 0,
     }
     fuzz: set[int] = set()
@@ -311,6 +312,20 @@ def _bool_kwargs(spec: dict) -> dict:
             )
         elif kind == "exists":
             out["filter_exists"].append(v["field"])
+        elif kind == "wildcard":
+            # ES bool.filter(wildcard) on a STORED keyword field: the ES SQL
+            # LIKE lowering — a non-scoring anchored pattern predicate pushed
+            # into the docs-store scan (the scored wildcard clause in
+            # must/should addresses the indexed content instead)
+            fname, fspec = _one(v, "wildcard")
+            wspec = _field_query(fspec, "value")
+            if wspec.get("case_insensitive"):
+                raise ValueError(
+                    "filter-context wildcard is case-sensitive (ES default) "
+                    "— lowercase the pattern and field, or use a scored "
+                    "wildcard clause"
+                )
+            out["filter_like"].append((fname, str(wspec["value"])))
         elif kind == "match_phrase":
             if out["filter_phrase"] is not None:
                 raise ValueError("one filter match_phrase per bool")
@@ -326,7 +341,7 @@ def _bool_kwargs(spec: dict) -> dict:
                 mspec = _field_query(fspec)
             out["filter_terms"].append(str(mspec["query"]))
         else:
-            raise ValueError(f"bool.filter supports term/terms/range/exists/match/match_phrase/bool, got {kind!r}")
+            raise ValueError(f"bool.filter supports term/terms/range/exists/wildcard/match/match_phrase/bool, got {kind!r}")
 
     for dest in ("must", "should"):
         for q in _as_list(spec.get(dest)):
@@ -796,8 +811,19 @@ def search(
         elif kind == "bool":
             # ES with an explicit sort selects BY THE SORT KEY over the FULL
             # match set — any k=None-capable query feeds its matches in
-            matches = bool_query(spark, index_root, k=None, lang=lang,
-                                 **_bool_kwargs(v))
+            try:
+                matches = bool_query(spark, index_root, k=None, lang=lang,
+                                     **_bool_kwargs(v))
+            except ValueError as e:
+                from es_indexer_spark.query.composebool import (
+                    _is_flatten_error,
+                    compose_bool,
+                )
+
+                if not _is_flatten_error(e):
+                    raise
+                matches = compose_bool(spark, index_root, v, k=None,
+                                       lang=lang)
         elif kind == "match_phrase":
             from es_indexer_spark.query.phrase import phrase_match
 

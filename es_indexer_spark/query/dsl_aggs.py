@@ -101,9 +101,21 @@ def match_docids(
     if kind == "bool":
         from es_indexer_spark.query.boolean import bool_query
 
-        return bool_query(
-            spark, index_root, k=None, lang=lang, **_bool_kwargs(v)
-        ).select("docid")
+        try:
+            return bool_query(
+                spark, index_root, k=None, lang=lang, **_bool_kwargs(v)
+            ).select("docid")
+        except ValueError as e:
+            from es_indexer_spark.query.composebool import (
+                _is_flatten_error,
+                compose_bool,
+            )
+
+            if not _is_flatten_error(e):
+                raise
+            return compose_bool(
+                spark, index_root, v, k=None, lang=lang
+            ).select("docid")
     if kind == "match_phrase":
         from es_indexer_spark.query.phrase import phrase_match
 

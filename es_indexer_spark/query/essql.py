@@ -12,26 +12,40 @@ logic, exactly like the DSL layer.
 
 Supported grammar (raise-by-name beyond it):
 
-    SELECT  * | col[, col...] [, SCORE()]
+    SELECT  * | col[, col...] [, SCORE()] | col/aggs with GROUP BY
     FROM    ident                      -- informational (one index per call)
-    [WHERE  cond [AND cond]*]          -- OR is not lowered (use query_string)
+    [WHERE  expr]                      -- full boolean expressions
+    [GROUP BY col[, col...] [HAVING hexpr]]
     [ORDER BY SCORE() [DESC] | col [ASC|DESC][, ...]]
     [LIMIT  n]
 
-    cond := MATCH(col, 'text') | QUERY('query string')
+    expr  := expr OR expr | expr AND expr | NOT expr | ( expr ) | pred
+    pred  := MATCH(col, 'text') | QUERY('query string')
           | col = lit | col != lit | col <> lit
           | col > lit | col >= lit | col < lit | col <= lit
-          | col IN (lit[, lit...])
+          | col [NOT] IN (lit[, lit...])
           | col IS NULL | col IS NOT NULL
+          | col [NOT] LIKE 'pat'       -- % / _ → ES wildcard * / ?
+          | col [NOT] BETWEEN lo AND hi
+    hexpr := AND/OR/NOT/parens over  aggref op lit  — aggref is a SELECT
+             aggregate alias, FN(col) from the SELECT list, COUNT(*), or a
+             grouped column
 
 Lowering: MATCH/QUERY become scoring ``must`` clauses; field predicates
-become bool ``filter`` (``term``/``terms``/``range``/``exists``) or
-``must_not`` (``!=``, ``IS NULL``) clauses — i.e. non-scoring, pushed to the
-docs scan by the bool engine. ``ORDER BY col`` routes through the body
-``sort`` path (full-match-set selection by the sort key, ES semantics);
-``ORDER BY SCORE() DESC`` (and no ORDER BY at all) is the relevance top-k.
-``SELECT cols`` becomes the body ``fields`` section (stored-column fetch of
-the ≤k hits)."""
+become bool ``filter`` (``term``/``terms``/``range``/``exists``/
+``wildcard``) or ``must_not`` (``!=``, ``IS NULL``, ``NOT x``) clauses —
+i.e. non-scoring, pushed to the docs scan by the bool engine. A top-level
+conjunction keeps that exact flat one-scan shape; OR subtrees lower to ONE
+nested ``{bool: {should, minimum_should_match: 1}}`` child (non-scoring →
+filter position, scoring → must position) which query/dsl.py routes through
+the compositional bool evaluator — leaves still cost one term-pruned scan
+each, plus one hash-agg per bool level. ``ORDER BY col`` routes through the
+body ``sort`` path (full-match-set selection by the sort key, ES
+semantics); ``ORDER BY SCORE() DESC`` (and no ORDER BY at all) is the
+relevance top-k. ``SELECT cols`` becomes the body ``fields`` section
+(stored-column fetch of the ≤k hits). ``GROUP BY`` lowers to a ``terms``
+(one column) / ``multi_terms`` (several) aggregation; ``HAVING`` compiles
+to one Catalyst predicate over the bucket frame — never a second pass."""
 
 from __future__ import annotations
 
@@ -112,6 +126,294 @@ def _lit(tok: tuple[str, str]):
     raise ValueError(f"expected a literal, got {v!r}")
 
 
+# ------------------------------------------------- WHERE expression grammar
+# Precedence (loosest first): OR < AND < NOT < predicate/parens — standard
+# SQL. The tree lowers onto ES bool JSON below; a pure conjunction keeps the
+# exact flat (must/filter/must_not) body the one-scan engine evaluates, and
+# only genuine disjunctions produce nested bools (which query/dsl.py routes
+# to the compositional evaluator).
+
+_RESERVED = {
+    "AND", "OR", "NOT", "GROUP", "ORDER", "HAVING", "LIMIT", "BY",
+    "IS", "IN", "LIKE", "BETWEEN", "NULL",
+}
+
+
+def _sql_like_to_wildcard(pat: str) -> str:
+    """SQL LIKE pattern → ES wildcard pattern (``%``→``*``, ``_``→``?``).
+    Literal ``*``/``?`` in the pattern cannot be represented (ES wildcard
+    has no escape) — raise rather than silently change meaning."""
+    if "*" in pat or "?" in pat:
+        raise ValueError(
+            "LIKE pattern contains a literal * or ? — not representable as "
+            "an ES wildcard; use QUERY() for analyzed-content patterns"
+        )
+    return pat.replace("%", "*").replace("_", "?")
+
+
+def _parse_pred(p: _P):
+    """One predicate → tree node ``("leaf", qnode, scoring)`` or
+    ``("not", leaf)`` for the negative comparators (!=, IS NULL)."""
+    tok = p.next()
+    if tok[0] != "word":
+        raise ValueError(f"bad WHERE clause at {tok[1]!r}")
+    up = tok[1].upper()
+    if up == "MATCH":
+        p.expect("op", "(")
+        fld = p.expect("word")
+        p.expect("op", ",")
+        txt = p.next()
+        if txt[0] != "str":
+            raise ValueError("MATCH needs a string literal")
+        p.expect("op", ")")
+        return ("leaf", {"match": {fld: txt[1]}}, True)
+    if up == "QUERY":
+        p.expect("op", "(")
+        txt = p.next()
+        if txt[0] != "str":
+            raise ValueError("QUERY needs a string literal")
+        p.expect("op", ")")
+        return ("leaf", {"query_string": {"query": txt[1]}}, True)
+    fld = tok[1]
+    if p.kw("NOT", "LIKE"):
+        pat = p.next()
+        if pat[0] != "str":
+            raise ValueError("LIKE needs a string pattern")
+        node = {"wildcard": {fld: {"value": _sql_like_to_wildcard(pat[1])}}}
+        return ("not", ("leaf", node, False))
+    if p.kw("LIKE"):
+        pat = p.next()
+        if pat[0] != "str":
+            raise ValueError("LIKE needs a string pattern")
+        return ("leaf",
+                {"wildcard": {fld: {"value": _sql_like_to_wildcard(pat[1])}}},
+                False)
+    neg = p.kw("NOT", "BETWEEN")
+    if neg or p.kw("BETWEEN"):
+        lo = _lit(p.next())
+        if not p.kw("AND"):
+            raise ValueError("BETWEEN needs 'lo AND hi'")
+        hi = _lit(p.next())
+        node = ("leaf", {"range": {fld: {"gte": lo, "lte": hi}}}, False)
+        return ("not", node) if neg else node
+    if p.kw("NOT", "IN"):
+        p.expect("op", "(")
+        vals = [_lit(p.next())]
+        while p.peek() == ("op", ","):
+            p.next()
+            vals.append(_lit(p.next()))
+        p.expect("op", ")")
+        return ("not", ("leaf", {"terms": {fld: vals}}, False))
+    if p.kw("IS", "NOT", "NULL"):
+        return ("leaf", {"exists": {"field": fld}}, False)
+    if p.kw("IS", "NULL"):
+        return ("not", ("leaf", {"exists": {"field": fld}}, False))
+    if p.kw("IN"):
+        p.expect("op", "(")
+        vals = [_lit(p.next())]
+        while p.peek() == ("op", ","):
+            p.next()
+            vals.append(_lit(p.next()))
+        p.expect("op", ")")
+        return ("leaf", {"terms": {fld: vals}}, False)
+    k, op = p.next()
+    if k != "op" or op in ("(", ")", ",", "*"):
+        raise ValueError(f"bad operator {op!r} after {fld!r}")
+    val = _lit(p.next())
+    if op == "=":
+        return ("leaf", {"term": {fld: {"value": val}}}, False)
+    if op in ("!=", "<>"):
+        return ("not", ("leaf", {"term": {fld: {"value": val}}}, False))
+    key = {">": "gt", ">=": "gte", "<": "lt", "<=": "lte"}[op]
+    return ("leaf", {"range": {fld: {key: val}}}, False)
+
+
+def _parse_not(p: _P):
+    if p.kw("NOT"):
+        return ("not", _parse_not(p))
+    if p.peek() == ("op", "("):
+        p.next()
+        e = _parse_or(p)
+        p.expect("op", ")")
+        return e
+    return _parse_pred(p)
+
+
+def _parse_and(p: _P):
+    items = [_parse_not(p)]
+    while p.kw("AND"):
+        items.append(_parse_not(p))
+    return ("and", items) if len(items) > 1 else items[0]
+
+
+def _parse_or(p: _P):
+    items = [_parse_and(p)]
+    while p.kw("OR"):
+        items.append(_parse_and(p))
+    return ("or", items) if len(items) > 1 else items[0]
+
+
+def _tree_scoring(tree) -> bool:
+    """Does any leaf under this node score (MATCH/QUERY)?"""
+    kind = tree[0]
+    if kind == "leaf":
+        return tree[2]
+    if kind == "not":
+        return _tree_scoring(tree[1])
+    return any(_tree_scoring(c) for c in tree[1])
+
+
+def _lower_node(tree) -> dict:
+    """Lower a subtree to ONE ES query node (used inside should lists and
+    nested positions). Non-scoring leaves in scoring positions wrap as
+    ``{bool: {filter: [leaf]}}`` so stored-field semantics survive the
+    compositional evaluator's context rules."""
+    kind = tree[0]
+    if kind == "leaf":
+        return tree[1]
+    if kind == "not":
+        raise ValueError(
+            "NOT inside a disjunction is not lowered — apply De Morgan and "
+            "move the negation above the OR"
+        )
+    if kind == "and":
+        musts, filts, nots = _lower_conjunction(tree[1])
+        b: dict = {}
+        if musts:
+            b["must"] = musts
+        if filts:
+            b["filter"] = filts
+        if nots:
+            b["must_not"] = nots
+        return {"bool": b}
+    # or
+    shoulds = []
+    for c in tree[1]:
+        low = _lower_node(c)
+        if c[0] == "leaf" and not c[2]:
+            low = {"bool": {"filter": [low]}}
+        shoulds.append(low)
+    return {"bool": {"should": shoulds, "minimum_should_match": 1}}
+
+
+def _lower_conjunction(items) -> tuple[list, list, list]:
+    """Children of a conjunction → (musts, filters, must_nots) — the flat
+    bool shape. OR subtrees become one nested bool child in must (scoring)
+    or filter (non-scoring) position."""
+    musts: list[dict] = []
+    filters: list[dict] = []
+    must_nots: list[dict] = []
+    for c in items:
+        kind = c[0]
+        if kind == "leaf":
+            (musts if c[2] else filters).append(c[1])
+        elif kind == "not":
+            must_nots.append(_lower_node(c[1]))
+        elif kind == "and":
+            m, f, n = _lower_conjunction(c[1])
+            musts += m
+            filters += f
+            must_nots += n
+        else:  # or
+            (musts if _tree_scoring(c) else filters).append(_lower_node(c))
+    return musts, filters, must_nots
+
+
+def _lower_where(tree) -> tuple[list, list, list]:
+    """Top-level WHERE tree → the flat (musts, filters, must_nots) triple
+    the body assembler has always produced."""
+    if tree[0] == "and":
+        return _lower_conjunction(tree[1])
+    return _lower_conjunction([tree])
+
+
+# ------------------------------------------------------------ HAVING clause
+# HAVING compiles to ONE Catalyst boolean expression over the bucket frame
+# (post-aggregation, like SQL) — never a second corpus pass. Aggregate refs
+# resolve to the same output names the GROUP BY agg builder emits; COUNT(*)
+# resolves to the ``__COUNT__`` sentinel replaced with the live count column
+# at execution (it is filterable even when not selected).
+
+_AGG_FNS = ("COUNT", "AVG", "SUM", "MIN", "MAX")
+
+
+def _sql_literal(v) -> str:
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return repr(v)
+
+
+def _having_ref(p: _P, agg_items: list[dict], group_by: list[str]) -> str:
+    tok = p.next()
+    if tok[0] != "word":
+        raise ValueError(f"bad HAVING reference {tok[1]!r}")
+    w = tok[1]
+    up = w.upper()
+    if up in _AGG_FNS and p.peek() == ("op", "("):
+        p.next()
+        arg = p.next()
+        if arg == ("op", "*"):
+            if up != "COUNT":
+                raise ValueError(f"{up}(*) is not valid SQL — name a column")
+            col = "*"
+        elif arg[0] == "word":
+            col = arg[1]
+        else:
+            raise ValueError(f"bad {up} argument {arg[1]!r}")
+        p.expect("op", ")")
+        if up == "COUNT" and col == "*":
+            return "__COUNT__"
+        for it in agg_items:
+            if it["fn"] == up and it["col"] == col:
+                out = it["alias"] or (
+                    f"count_{col}" if up == "COUNT" else f"{up.lower()}_{col}"
+                )
+                return f"`{out}`"
+        raise ValueError(
+            f"HAVING {up}({col}) must also appear in the SELECT list "
+            "(COUNT(*) alone is implicit)"
+        )
+    aliases = {it["alias"] for it in agg_items if it["alias"]}
+    if w in aliases or w in group_by:
+        return f"`{w}`"
+    raise ValueError(
+        f"HAVING reference {w!r} is neither a grouped column nor a SELECT "
+        "aggregate alias"
+    )
+
+
+def _parse_having_pred(p: _P, agg_items: list[dict], group_by: list[str]) -> str:
+    if p.kw("NOT"):
+        return f"(NOT {_parse_having_pred(p, agg_items, group_by)})"
+    if p.peek() == ("op", "("):
+        p.next()
+        e = _parse_having_or(p, agg_items, group_by)
+        p.expect("op", ")")
+        return f"({e})"
+    ref = _having_ref(p, agg_items, group_by)
+    k, op = p.next()
+    if k != "op" or op not in ("=", "!=", "<>", ">", ">=", "<", "<="):
+        raise ValueError(f"bad HAVING operator {op!r}")
+    val = _lit(p.next())
+    return f"({ref} {op} {_sql_literal(val)})"
+
+
+def _parse_having_and(p: _P, agg_items: list[dict], group_by: list[str]) -> str:
+    parts = [_parse_having_pred(p, agg_items, group_by)]
+    while p.kw("AND"):
+        parts.append(_parse_having_pred(p, agg_items, group_by))
+    return " AND ".join(parts)
+
+
+def _parse_having_or(p: _P, agg_items: list[dict], group_by: list[str]) -> str:
+    parts = [_parse_having_and(p, agg_items, group_by)]
+    while p.kw("OR"):
+        parts.append(_parse_having_and(p, agg_items, group_by))
+    return " OR ".join(parts)
+
+
 def translate_sql(sql: str) -> dict:
     """The ``/_sql/translate`` analog: SQL text → the search request body
     (query + optional sort/fields/size) the DSL layer would execute."""
@@ -121,7 +423,6 @@ def translate_sql(sql: str) -> dict:
     select_cols: list[str] = []
     agg_items: list[dict] = []
     want_score = star = False
-    _AGG_FNS = ("COUNT", "AVG", "SUM", "MIN", "MAX")
     while True:
         tok = p.next()
         if tok == ("op", "*"):
@@ -160,84 +461,17 @@ def translate_sql(sql: str) -> dict:
     filters: list[dict] = []
     must_nots: list[dict] = []
     if p.kw("WHERE"):
-        while True:
-            tok = p.next()
-            if tok[0] != "word":
-                raise ValueError(f"bad WHERE clause at {tok[1]!r}")
-            word = tok[1]
-            up = word.upper()
-            if up == "OR":
-                raise ValueError(
-                    "OR is not lowered — express disjunctions with "
-                    "QUERY('a OR b') or a terms IN list"
-                )
-            if up == "MATCH":
-                p.expect("op", "(")
-                fld = p.expect("word")
-                p.expect("op", ",")
-                txt = p.next()
-                if txt[0] != "str":
-                    raise ValueError("MATCH needs a string literal")
-                p.expect("op", ")")
-                musts.append({"match": {fld: txt[1]}})
-            elif up == "QUERY":
-                p.expect("op", "(")
-                txt = p.next()
-                if txt[0] != "str":
-                    raise ValueError("QUERY needs a string literal")
-                p.expect("op", ")")
-                musts.append({"query_string": {"query": txt[1]}})
-            else:
-                fld = word
-                if p.kw("LIKE"):
-                    raise ValueError(
-                        "LIKE is not lowered — dictionary prefixes go "
-                        "through QUERY('pre*'); keyword patterns through "
-                        "the wildcard query body"
-                    )
-                if p.kw("IS", "NOT", "NULL"):
-                    filters.append({"exists": {"field": fld}})
-                elif p.kw("IS", "NULL"):
-                    must_nots.append({"exists": {"field": fld}})
-                elif p.kw("IN"):
-                    p.expect("op", "(")
-                    vals = [_lit(p.next())]
-                    while p.peek() == ("op", ","):
-                        p.next()
-                        vals.append(_lit(p.next()))
-                    p.expect("op", ")")
-                    filters.append({"terms": {fld: vals}})
-                else:
-                    k, op = p.next()
-                    if k != "op" or op in ("(", ")", ",", "*"):
-                        raise ValueError(f"bad operator {op!r} after {fld!r}")
-                    val = _lit(p.next())
-                    if op == "=":
-                        filters.append({"term": {fld: {"value": val}}})
-                    elif op in ("!=", "<>"):
-                        must_nots.append({"term": {fld: {"value": val}}})
-                    else:
-                        key = {">": "gt", ">=": "gte", "<": "lt", "<=": "lte"}[op]
-                        filters.append({"range": {fld: {key: val}}})
-            if p.kw("AND"):
-                continue
-            nxt = p.peek()
-            if nxt and nxt[0] == "word" and nxt[1].upper() == "OR":
-                raise ValueError(
-                    "OR is not lowered — express disjunctions with "
-                    "QUERY('a OR b') or a terms IN list"
-                )
-            break
+        musts, filters, must_nots = _lower_where(_parse_or(p))
 
-    group_by: str | None = None
+    group_by: list[str] = []
+    having: str | None = None
     if p.kw("GROUP", "BY"):
-        group_by = p.expect("word")
-        if p.peek() == ("op", ","):
-            raise ValueError("GROUP BY supports a single column")
+        group_by.append(p.expect("word"))
+        while p.peek() == ("op", ","):
+            p.next()
+            group_by.append(p.expect("word"))
         if p.kw("HAVING"):
-            raise ValueError(
-                "HAVING is not lowered — filter the returned bucket frame"
-            )
+            having = _parse_having_or(p, agg_items, group_by)
 
     sort: list = []
     order_items: list[tuple[str, str]] = []
@@ -294,15 +528,16 @@ def translate_sql(sql: str) -> dict:
         qnode = {"bool": b}
 
     body: dict = {"query": qnode, "size": size}
-    if group_by is not None:
-        # GROUP BY → a terms aggregation over the query's full match set
-        # (the dsl_aggs half). ES SQL itself lowers GROUP BY onto
-        # (composite) aggregations; this engine's single-page bound is the
-        # terms size below — queries with more groups raise there, they are
-        # never silently truncated by this layer's LIMIT.
+    if group_by:
+        # GROUP BY → a terms (one column) / multi_terms (several columns)
+        # aggregation over the query's full match set (the dsl_aggs half).
+        # ES SQL itself lowers GROUP BY onto (composite) aggregations; this
+        # engine's single-page bound is the terms size below — queries with
+        # more groups raise there, they are never silently truncated by
+        # this layer's LIMIT.
         if want_score or star:
             raise ValueError("GROUP BY supports column + aggregate selects")
-        bad = [c for c in select_cols if c != group_by]
+        bad = [c for c in select_cols if c not in group_by]
         if bad:
             raise ValueError(f"column {bad[0]!r} is neither grouped nor "
                              "aggregated")
@@ -319,13 +554,19 @@ def translate_sql(sql: str) -> dict:
                 subaggs[it["alias"] or f"{it['fn'].lower()}_{it['col']}"] = {
                     it["fn"].lower(): {"field": it["col"]}
                 }
-        g: dict = {"terms": {"field": group_by, "size": 65536}}
+        if len(group_by) == 1:
+            g: dict = {"terms": {"field": group_by[0], "size": 65536}}
+        else:
+            g = {"multi_terms": {
+                "terms": [{"field": c} for c in group_by], "size": 65536,
+            }}
         if subaggs:
             g["aggs"] = subaggs
         body = {"query": qnode, "size": 0, "aggs": {"g": g}}
         body["_sql_meta"] = {
             "group_by": group_by, "count_alias": count_alias,
             "order": order_items, "limit": size, "select": select_cols,
+            "having": having,
         }
         return body
     if agg_items:
@@ -385,13 +626,23 @@ def sql_query(
         from es_indexer_spark.query.dsl_aggs import aggregations
 
         frame = aggregations(spark, index_root, body, lang=lang)["g"]
-        gcol = meta["group_by"]
-        frame = frame.withColumnRenamed("key", gcol)
+        gcols = meta["group_by"]
+        if len(gcols) == 1:
+            frame = frame.withColumnRenamed("key", gcols[0])
+        count_name = "doc_count"
         if meta["count_alias"]:
             frame = frame.withColumnRenamed("doc_count", meta["count_alias"])
-        else:
+            count_name = meta["count_alias"]
+        if meta.get("having"):
+            # HAVING: one Catalyst predicate over the bucket frame —
+            # COUNT(*) filters even when unselected (sentinel resolves to
+            # the live count column before any drop)
+            frame = frame.filter(
+                F.expr(meta["having"].replace("__COUNT__", f"`{count_name}`"))
+            )
+        if not meta["count_alias"]:
             frame = frame.drop("doc_count")
-        order = meta["order"] or [(gcol, "asc")]
+        order = meta["order"] or [(c, "asc") for c in gcols]
         for name, _d in order:
             if name not in frame.columns:
                 raise ValueError(f"ORDER BY {name!r} is not in the result")

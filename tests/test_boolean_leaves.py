@@ -355,3 +355,44 @@ def test_dsl_range_in_should_scored(spark, leaf_index):
     ref = _run(spark, leaf_index[0], must=["data"],
                should_ranges=[("n_chars", {"gte": 400}, 0.5)], k=2000)
     assert got == ref and got
+
+
+def test_filter_like_stored_field(spark, leaf_index, documents):
+    """filter_like: ES bool.filter(wildcard) on a STORED keyword column —
+    anchored, case-sensitive * / ? match inside the pushed docs scan."""
+    root, toks, _ = leaf_index
+    langs = {r["doc_id"]: r["lang"] for r in documents.select("doc_id", "lang").collect()}
+    got = _run(spark, root, filter_like=[("lang", "e*")], k=5000)
+    exp = sorted(d for d, lg in langs.items() if lg is not None and lg.startswith("e"))
+    assert sorted(d for d, _s in got) == exp and got
+    assert all(s == 0.0 for _d, s in got)  # filter context never scores
+    # ? = exactly one char; anchored both ends
+    got_q = _run(spark, root, filter_like=[("lang", "e?")], k=5000)
+    exp_q = sorted(d for d, lg in langs.items()
+                   if lg is not None and len(lg) == 2 and lg[0] == "e")
+    assert sorted(d for d, _s in got_q) == exp_q
+    # case-sensitive: uppercase pattern matches nothing in this corpus
+    assert _run(spark, root, filter_like=[("lang", "E*")], k=5000) == []
+    # stacks with scoring clauses: same docs as must ∩ like, scores unchanged
+    both = _run(spark, root, must=["data"], filter_like=[("lang", "e*")], k=5000)
+    base = dict(_run(spark, root, must=["data"], k=5000))
+    assert all(d in base and abs(s - base[d]) < 1e-9 for d, s in both)
+    assert sorted(d for d, _s in both) == sorted(set(base) & set(exp))
+
+
+def test_dsl_filter_wildcard(spark, leaf_index, documents):
+    """bool.filter(wildcard) through the JSON DSL — the ES SQL LIKE shape."""
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "data"}}],
+        "filter": [{"wildcard": {"lang": {"value": "e*"}}}],
+    }}, "size": 2000}
+    got = [(r["docid"], round(r["score"], 6))
+           for r in search(spark, leaf_index[0], body).collect()]
+    ref = _run(spark, leaf_index[0], must=["data"],
+               filter_like=[("lang", "e*")], k=2000)
+    assert got == ref and got
+    with pytest.raises(ValueError, match="case-sensitive"):
+        search(spark, leaf_index[0], {"query": {"bool": {
+            "must": [{"match": {"text": "data"}}],
+            "filter": [{"wildcard": {"lang": {"value": "E*", "case_insensitive": True}}}],
+        }}, "size": 10})

@@ -389,13 +389,63 @@ def test_sql_translate_shapes():
     assert b2["_source"] is True
     assert translate_sql("SELECT lang FROM idx")["query"] == {"match_all": {}}
     for bad, msg in [
-        ("SELECT * FROM idx WHERE a = 1 OR b = 2", "OR is not lowered"),
         ("SELECT * FROM idx WHERE MATCH(text, 3)", "string literal"),
         ("SELECT * FROM idx LIMIT 5 x", "trailing"),
         ("SELECT * FROM idx ORDER BY SCORE() ASC", "ASC is not lowered"),
+        ("SELECT * FROM idx WHERE a LIKE 'x*'", "literal [*] or [?]"),
+        ("SELECT lang, COUNT(*) FROM idx GROUP BY lang HAVING SUM(n) > 2",
+         "must also appear in the SELECT"),
     ]:
         with pytest.raises(ValueError, match=msg):
             translate_sql(bad)
+
+
+def test_sql_translate_boolean_grammar():
+    from es_indexer_spark.query.essql import translate_sql
+
+    # OR of field predicates → ONE nested non-scoring should bool in filter
+    b = translate_sql("SELECT * FROM idx WHERE lang = 'en' OR lang = 'fr'")
+    (node,) = b["query"]["bool"]["filter"]
+    assert node["bool"]["minimum_should_match"] == 1
+    assert len(node["bool"]["should"]) == 2
+    # LIKE → wildcard filter; BETWEEN → closed range; NOT x → must_not
+    b = translate_sql(
+        "SELECT * FROM idx WHERE source LIKE 'a%b_c' "
+        "AND n_chars BETWEEN 10 AND 99 AND NOT lang = 'de'"
+    )
+    f = b["query"]["bool"]["filter"]
+    assert {"wildcard": {"source": {"value": "a*b?c"}}} in f
+    assert {"range": {"n_chars": {"gte": 10, "lte": 99}}} in f
+    assert b["query"]["bool"]["must_not"] == [
+        {"term": {"lang": {"value": "de"}}}
+    ]
+    # scoring OR (MATCH on a side): a single top-level clause unwraps to the
+    # should-bool itself; with another conjunct it lands in must, not filter
+    b = translate_sql(
+        "SELECT * FROM idx WHERE MATCH(text, 'data') OR lang = 'fr'"
+    )
+    kinds = [next(iter(c)) for c in b["query"]["bool"]["should"]]
+    assert kinds == ["match", "bool"]
+    assert b["query"]["bool"]["minimum_should_match"] == 1
+    b = translate_sql(
+        "SELECT * FROM idx WHERE n_chars > 0 AND "
+        "(MATCH(text, 'data') OR lang = 'fr')"
+    )
+    (node,) = b["query"]["bool"]["must"]
+    assert [next(iter(c)) for c in node["bool"]["should"]] == ["match", "bool"]
+    # NOT over a parenthesized conjunction stays one must_not bool child
+    b = translate_sql(
+        "SELECT * FROM idx WHERE lang = 'en' AND NOT (source = 'x' AND n_chars > 5)"
+    )
+    (mn,) = b["query"]["bool"]["must_not"]
+    assert set(mn["bool"]) == {"filter"} and len(mn["bool"]["filter"]) == 2
+    # NOT IN / NOT BETWEEN / NOT LIKE negate their positive forms
+    b = translate_sql(
+        "SELECT * FROM idx WHERE lang NOT IN ('de','es') "
+        "AND n_chars NOT BETWEEN 1 AND 5 AND source NOT LIKE 'tmp%'"
+    )
+    kinds = sorted(next(iter(c)) for c in b["query"]["bool"]["must_not"])
+    assert kinds == ["range", "terms", "wildcard"]
 
 
 def test_sql_query_matches_engine(spark, r_index):
@@ -459,3 +509,86 @@ def test_sql_group_by_and_count(spark, r_index, documents):
     with pytest.raises(ValueError, match="neither grouped"):
         sql_query(spark, r_index,
                   "SELECT source, COUNT(*) FROM idx GROUP BY lang")
+
+
+def test_sql_or_like_between_execution(spark, r_index, documents):
+    from es_indexer_spark.query.essql import sql_query
+
+    # OR of field predicates (composed filter-context disjunction)
+    got = sorted(r["docid"] for r in sql_query(
+        spark, r_index,
+        "SELECT lang FROM idx WHERE lang = 'fr' OR n_chars > 900 "
+        "ORDER BY docid LIMIT 10000",
+    ).collect())
+    want = sorted(
+        r["doc_id"] for r in documents.filter(
+            (F.col("lang") == "fr") | (F.col("n_chars") > 900)
+        ).select("doc_id").collect()
+    )
+    # docids are key-ordered doc_id ranks — compare by count + lang check
+    assert len(got) == len(want) and got
+    # LIKE on a stored keyword column
+    likes = sql_query(
+        spark, r_index,
+        "SELECT lang FROM idx WHERE lang LIKE 'e%' ORDER BY docid LIMIT 10000",
+    ).collect()
+    n_en = documents.filter(F.col("lang").startswith("e")).count()
+    assert len(likes) == n_en and all(r["lang"].startswith("e") for r in likes)
+    # BETWEEN is the closed range
+    bw = sql_query(
+        spark, r_index,
+        "SELECT n_chars FROM idx WHERE n_chars BETWEEN 100 AND 200 "
+        "ORDER BY docid LIMIT 10000",
+    ).collect()
+    n_bw = documents.filter(
+        (F.col("n_chars") >= 100) & (F.col("n_chars") <= 200)
+    ).count()
+    assert len(bw) == n_bw and all(100 <= r["n_chars"] <= 200 for r in bw)
+    # scoring OR: MATCH side keeps its BM25 contribution
+    sc = sql_query(
+        spark, r_index,
+        "SELECT lang, SCORE() FROM idx WHERE MATCH(text, 'data') OR lang = 'fr' "
+        "ORDER BY SCORE() DESC LIMIT 5",
+    ).collect()
+    assert sc and sc[0]["score"] > 0.0
+
+
+def test_sql_having_execution(spark, r_index, documents):
+    import pytest as _pt
+
+    from es_indexer_spark.query.essql import sql_query
+
+    with _pt.raises(ValueError, match="must also appear in the SELECT"):
+        sql_query(
+            spark, r_index,
+            "SELECT lang, COUNT(*) AS n FROM idx GROUP BY lang "
+            "HAVING AVG(n_chars) > 0",
+        )
+    got = [(r["lang"], r["n"]) for r in sql_query(
+        spark, r_index,
+        "SELECT lang, COUNT(*) AS n FROM idx GROUP BY lang "
+        "HAVING n > 2 ORDER BY lang LIMIT 50",
+    ).collect()]
+    brute = (
+        documents.groupBy("lang").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 2).orderBy("lang").collect()
+    )
+    assert got == [(r["lang"], r["n"]) for r in brute] and got
+    # HAVING COUNT(*) works without selecting the count
+    got2 = [r["lang"] for r in sql_query(
+        spark, r_index,
+        "SELECT lang FROM idx GROUP BY lang HAVING COUNT(*) > 2 "
+        "ORDER BY lang LIMIT 50",
+    ).collect()]
+    assert got2 == [r["lang"] for r in brute]
+    # multi-column GROUP BY → multi_terms lowering
+    got3 = [(r["lang"], r["n_chars"], r["n"]) for r in sql_query(
+        spark, r_index,
+        "SELECT lang, n_chars, COUNT(*) AS n FROM idx "
+        "GROUP BY lang, n_chars ORDER BY n DESC, lang, n_chars LIMIT 5",
+    ).collect()]
+    brute3 = (
+        documents.groupBy("lang", "n_chars").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("lang"), F.asc("n_chars")).limit(5).collect()
+    )
+    assert got3 == [(r["lang"], r["n_chars"], r["n"]) for r in brute3] and got3
