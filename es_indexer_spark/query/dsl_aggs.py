@@ -14,14 +14,28 @@ ES semantics reproduced:
   ``size`` page — ES users send ``"size": 0`` for agg-only requests), with
   ``match_all`` when no query is given;
 - bucket families: ``terms`` (+``size``/``missing``), ``multi_terms``,
-  ``histogram`` / ``date_histogram`` (+``min_doc_count``), ``range``
-  (request-ordered, overlap allowed), ``filters`` (named predicate buckets),
-  ``missing``;
+  ``histogram`` / ``date_histogram`` (+``min_doc_count``), ``range`` /
+  ``date_range`` (request-ordered, overlap allowed), ``filters`` (named
+  predicate buckets), ``filter`` (single-predicate subset, children ride
+  the pushed scan), ``missing``, ``composite`` (keyset-paginated),
+  ``rare_terms`` (stored-keyword long tail), ``adjacency_matrix``,
+  ``auto_date_histogram``, ``global`` / ``significant_terms`` /
+  ``sampler`` / ``diversified_sampler`` (entry-level: they need the full
+  corpus, the match set as a foreground flag, or the postings engine's
+  scored sample — see the entry-context section);
 - metric sub-aggregations (``aggs`` inside a bucket agg): ``avg`` / ``sum``
   / ``min`` / ``max`` / ``value_count`` / ``cardinality`` / ``stats`` /
-  ``extended_stats`` / ``percentiles`` / ``weighted_avg`` — multi-valued
-  families flatten to ``{name}_{stat}`` columns (a DataFrame row is the
-  bucket object);
+  ``extended_stats`` / ``percentiles`` / ``percentile_ranks`` /
+  ``weighted_avg`` / ``top_metrics`` (size 1) / ``geo_bounds`` /
+  ``geo_centroid`` — multi-valued families flatten to ``{name}_{stat}``
+  columns (a DataFrame row is the bucket object); frame-shaped metric
+  families (``boxplot`` / ``string_stats`` / ``median_absolute_deviation``
+  / ``t_test`` / ``matrix_stats``) run top-level only;
+- sibling pipeline aggregations (top-level, ``buckets_path``
+  ``"sibling>metric"``): ``avg_bucket`` / ``min_bucket`` / ``max_bucket``
+  / ``sum_bucket`` / ``stats_bucket`` / ``extended_stats_bucket`` /
+  ``percentiles_bucket`` / ``normalize`` — computed over the sibling's
+  already-reduced bucket frame, never a second corpus pass;
 - pipeline sub-aggregations under a histogram parent: ``derivative`` /
   ``cumulative_sum`` / ``moving_fn`` (unweightedAvg) / ``serial_diff`` /
   ``bucket_script`` / ``bucket_selector`` / ``bucket_sort``, applied in
@@ -54,7 +68,8 @@ _INTERVALS = ("year", "quarter", "month", "week", "day", "hour", "minute")
 
 _METRIC_FAMILIES = (
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
-    "extended_stats", "percentiles", "weighted_avg",
+    "extended_stats", "percentiles", "weighted_avg", "percentile_ranks",
+    "top_metrics", "geo_bounds", "geo_centroid",
 )
 _PIPELINE_FAMILIES = (
     "derivative", "cumulative_sum", "moving_fn", "serial_diff",
@@ -62,7 +77,20 @@ _PIPELINE_FAMILIES = (
 )
 _BUCKET_FAMILIES = (
     "terms", "multi_terms", "histogram", "date_histogram", "range",
-    "filters", "missing",
+    "filters", "missing", "filter", "composite", "rare_terms", "date_range",
+    "adjacency_matrix", "auto_date_histogram",
+)
+# multi-row / multi-pass metric families: top-level only (their frames are
+# not (name, expression) pairs, so they cannot ride inside a bucket groupBy)
+_FRAME_METRICS = (
+    "boxplot", "string_stats", "median_absolute_deviation", "t_test",
+    "matrix_stats",
+)
+# sibling pipeline aggregations: top-level, referencing another top-level
+# bucket agg's per-bucket metric via buckets_path "sibling>metric"
+_SIBLING_PIPELINES = (
+    "avg_bucket", "min_bucket", "max_bucket", "sum_bucket", "stats_bucket",
+    "extended_stats_bucket", "percentiles_bucket", "normalize",
 )
 
 
@@ -185,6 +213,63 @@ def _metric_pairs(
         return [
             (name, F.round(F.sum(F.when(ok, v * w)) / F.sum(F.when(ok, w)), 6))
         ]
+    if fam == "top_metrics":
+        # ES top_metrics: metric values from the doc with the most extreme
+        # sort value — ONE max_by/min_by pair per metric, so it rides inside
+        # any bucket groupBy (size>1 needs a window; use the direct
+        # aggs.top_metrics_agg function for that)
+        if int(spec.get("size", 1)) != 1:
+            raise ValueError(
+                "top_metrics size > 1 in the aggs body is not supported — "
+                "use aggs.top_metrics_agg for the windowed variant"
+            )
+        sspec = spec.get("sort")
+        if isinstance(sspec, str):
+            sort_col, order = sspec, "asc"
+        elif isinstance(sspec, dict) and len(sspec) == 1:
+            sort_col, o = next(iter(sspec.items()))
+            order = o.get("order", "asc") if isinstance(o, dict) else str(o)
+        else:
+            raise ValueError("top_metrics needs sort: {field: asc|desc}")
+        mlist = spec.get("metrics") or []
+        if isinstance(mlist, dict):
+            mlist = [mlist]
+        if not mlist:
+            raise ValueError("top_metrics needs a metrics list of {field}")
+        sc = F.col(sort_col)
+        if cond is not None:
+            sc = F.when(cond, sc)
+        pick = F.max_by if order == "desc" else F.min_by
+        return [
+            (f"{name}_{m['field']}", pick(_src(m["field"], cond), sc))
+            for m in mlist
+        ]
+    if fam == "geo_bounds":
+        # ES geo_bounds over a (lon, lat) column pair — no geo_point type in
+        # the docs store, so the request names the columns (divergence note
+        # in aggs.geo_bounds; wrap_longitude needs the 6-extreme pick — use
+        # the direct function)
+        if spec.get("wrap_longitude"):
+            raise ValueError(
+                "geo_bounds wrap_longitude in the aggs body is not supported "
+                "— use aggs.geo_bounds for the antimeridian-aware variant"
+            )
+        lon = _src(spec.get("lon_field", "lon"), cond).cast("double")
+        lat = _src(spec.get("lat_field", "lat"), cond).cast("double")
+        return [
+            (f"{name}_top", F.max(lat)),
+            (f"{name}_bottom", F.min(lat)),
+            (f"{name}_left", F.min(lon)),
+            (f"{name}_right", F.max(lon)),
+        ]
+    if fam == "geo_centroid":
+        lon = _src(spec.get("lon_field", "lon"), cond).cast("double")
+        lat = _src(spec.get("lat_field", "lat"), cond).cast("double")
+        return [
+            (f"{name}_lon", F.round(F.avg(lon), 6)),
+            (f"{name}_lat", F.round(F.avg(lat), 6)),
+            (f"{name}_count", F.count(lon)),
+        ]
     field = spec.get("field")
     if not field:
         raise ValueError(f"metric {fam!r} ({name}) needs a field")
@@ -237,6 +322,26 @@ def _metric_pairs(
             )
             key = f"{p:g}".replace(".", "_")
             out.append((f"{name}_p{key}", F.round(q, 6)))
+        return out
+    if fam == "percentile_ranks":
+        # exact empirical CDF (ES's is the t-digest approximation) — one
+        # conditional sum per requested value, same single pass
+        values = spec.get("values")
+        if not values:
+            raise ValueError("percentile_ranks needs a values list")
+        d = s.cast("double")
+        out = []
+        for v in values:
+            key = f"{float(v):g}".replace(".", "_").replace("-", "m")
+            out.append((
+                f"{name}_{key}",
+                F.round(
+                    F.lit(100.0)
+                    * F.sum(F.when(d <= F.lit(float(v)), 1).otherwise(0))
+                    / F.count(d),
+                    6,
+                ),
+            ))
         return out
     raise ValueError(f"unsupported metric aggregation: {fam!r}")
 
@@ -291,6 +396,9 @@ def _leaf_cond(node: dict) -> Column:
         fname, fv = _one(v, "term")
         val = fv["value"] if isinstance(fv, dict) else fv
         return F.col(fname) == F.lit(val)
+    if kind == "terms":
+        fname, vals = _one(v, "terms")
+        return F.col(fname).isin(list(vals))
     if kind == "range":
         fname, bounds = _one(v, "range")
         ops = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__", "lte": "__le__"}
@@ -301,9 +409,22 @@ def _leaf_cond(node: dict) -> Column:
         return cond
     if kind == "exists":
         return F.col(v["field"]).isNotNull()
+    if kind == "wildcard":
+        import re as _re
+
+        from es_indexer_spark.query.dsl import _field_query
+
+        fname, fspec = _one(v, "wildcard")
+        wspec = _field_query(fspec, "value")
+        rx = "^" + "".join(
+            ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+            for ch in str(wspec["value"])
+        ) + "$"
+        return F.col(fname).rlike(rx)
     raise ValueError(
-        f"filters buckets support term/range/exists leaves, got {kind!r} "
-        "(a match predicate needs the postings engine — put it in the query)"
+        f"filters buckets support term/range/exists/wildcard leaves, got "
+        f"{kind!r} (a match predicate needs the postings engine — put it "
+        "in the query)"
     )
 
 
@@ -422,6 +543,36 @@ def _apply_pipelines(buckets: DataFrame, pipelines: list) -> DataFrame:
     return out
 
 
+def _frame_metric(df: DataFrame, fam: str, spec: dict, exact: bool) -> DataFrame:
+    """Top-level-only metric families with multi-row / multi-pass frames —
+    thin request-shape adapters over the per-family functions in
+    :mod:`es_indexer_spark.query.aggs` (the plans and semantics live there)."""
+    from es_indexer_spark.query import aggs as A
+
+    if fam == "boxplot":
+        return A.boxplot_agg(df, spec["field"])
+    if fam == "string_stats":
+        return A.string_stats_agg(df, spec["field"])
+    if fam == "median_absolute_deviation":
+        return A.median_absolute_deviation(df, spec["field"], exact=exact)
+    if fam == "t_test":
+        # simplified request shape (divergence note in aggs.t_test_agg):
+        # {field, group_field, a, b[, type]} — ES's per-side filter objects
+        # reduce to one group column with two values
+        for k in ("field", "group_field", "a", "b"):
+            if k not in spec:
+                raise ValueError(f"t_test needs {k!r}")
+        return A.t_test_agg(
+            df, spec["field"], spec["group_field"], spec["a"], spec["b"],
+            test_type=str(spec.get("type", "heteroscedastic")),
+        )
+    # matrix_stats
+    fields = spec.get("fields")
+    if not isinstance(fields, list) or len(fields) < 2:
+        raise ValueError("matrix_stats needs a fields list (>= 2)")
+    return A.matrix_stats_agg(df, fields)
+
+
 def _compile_agg(df: DataFrame, name: str, node: dict, exact: bool) -> DataFrame:
     fams = [k for k in node if k not in ("aggs", "aggregations", "meta")]
     if len(fams) != 1:
@@ -434,13 +585,101 @@ def _compile_agg(df: DataFrame, name: str, node: dict, exact: bool) -> DataFrame
         if children:
             raise ValueError(f"metric aggregation {name!r} cannot nest aggs")
         return df.agg(*_metric_exprs(name, fam, spec, exact=exact))
+    if fam in _FRAME_METRICS:
+        if children:
+            raise ValueError(f"metric aggregation {name!r} cannot nest aggs")
+        return _frame_metric(df, fam, spec, exact)
     if fam in _PIPELINE_FAMILIES:
         raise ValueError(
             f"{fam} is a pipeline aggregation — nest it under a histogram/"
             "date_histogram parent"
         )
+    if fam in _SIBLING_PIPELINES:
+        raise ValueError(
+            f"{fam} is a sibling pipeline aggregation — it must sit at the "
+            "top level next to the bucket agg its buckets_path names"
+        )
     if fam not in _BUCKET_FAMILIES:
         raise ValueError(f"unsupported aggregation family: {fam!r}")
+
+    if fam == "filter":
+        # ES single-filter bucket: children aggregate over the predicate's
+        # subset — the predicate conjoins into the SAME scan (Catalyst
+        # pushes it), never a materialized intermediate
+        return _global_like(df.filter(_leaf_cond(spec)), name, node, exact)
+
+    if fam == "composite":
+        from es_indexer_spark.query import aggs as A
+        from es_indexer_spark.query.dsl import _one
+
+        if children:
+            raise ValueError(
+                "composite sub-aggregations are not supported — page the "
+                "buckets, then aggregate per page"
+            )
+        sources = spec.get("sources")
+        if not isinstance(sources, list) or not sources:
+            raise ValueError("composite needs a sources list")
+        fields, names = [], []
+        for s in sources:
+            sname, sdef = _one(s, "composite source")
+            skind, sspec = _one(sdef, f"composite source {sname!r}")
+            if skind != "terms":
+                raise ValueError(
+                    f"composite source {sname!r}: only terms sources are "
+                    "supported (histogram sources: bucket first, then page)"
+                )
+            names.append(sname)
+            fields.append(sspec["field"])
+        after = spec.get("after")
+        after_vals = None
+        if after is not None:
+            missing = [n for n in names if n not in after]
+            if missing:
+                raise ValueError(f"composite after is missing {missing[0]!r}")
+            after_vals = [after[n] for n in names]
+        return A.composite_agg(
+            df, fields, size=int(spec.get("size", 10)), after=after_vals
+        )
+
+    if fam == "rare_terms":
+        # stored-keyword long tail: value doc_count <= max_doc_count,
+        # ordered count asc / key asc (the indexed-content variant reads the
+        # term dictionary — aggs.rare_terms)
+        if children:
+            raise ValueError("rare_terms supports no sub-aggregations")
+        mdc = int(spec.get("max_doc_count", 1))
+        return (
+            df.filter(F.col(spec["field"]).isNotNull())
+            .groupBy(F.col(spec["field"]).alias("key"))
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .filter(F.col("doc_count") <= mdc)
+            .orderBy(F.asc("doc_count"), F.asc("key"))
+        )
+
+    if fam == "adjacency_matrix":
+        from es_indexer_spark.query import aggs as A
+
+        if children:
+            raise ValueError("adjacency_matrix supports no sub-aggregations")
+        fspecs = spec.get("filters")
+        if not isinstance(fspecs, dict) or not fspecs:
+            raise ValueError("adjacency_matrix needs a named filters object")
+        return A.adjacency_matrix(
+            df, {str(n): _leaf_cond(q) for n, q in fspecs.items()}
+        )
+
+    if fam == "auto_date_histogram":
+        from es_indexer_spark.query import aggs as A
+
+        if children:
+            raise ValueError(
+                "auto_date_histogram sub-aggregations are not supported — "
+                "the interval is data-dependent; use date_histogram"
+            )
+        return A.auto_date_histogram(
+            df, spec["field"], buckets=int(spec.get("buckets", 10))
+        )
 
     metrics, pipelines, bucket_children = _split_children(children)
 
@@ -549,6 +788,24 @@ def _compile_agg(df: DataFrame, name: str, node: dict, exact: bool) -> DataFrame
             raise ValueError("filters needs a named filters object")
         conds = [(str(n), _leaf_cond(q)) for n, q in fspecs.items()]
         return _conditional_buckets(df, conds, metrics, exact)
+    if fam == "date_range":
+        # ES date_range: [from, to) half-open timestamp buckets, request
+        # order, overlap double-counts — same ONE conditional-sum pass as
+        # range, so metric children ride along
+        ranges = spec.get("ranges")
+        if not ranges:
+            raise ValueError("date_range needs a ranges list")
+        c = F.col(spec["field"])
+        conds = []
+        for r in ranges:
+            lo, hi = r.get("from"), r.get("to")
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (c >= F.to_timestamp(F.lit(str(lo))))
+            if hi is not None:
+                cond = cond & (c < F.to_timestamp(F.lit(str(hi))))
+            conds.append((str(r.get("key", _range_key(lo, hi))), cond))
+        return _conditional_buckets(df, conds, metrics, exact)
     # missing
     cond = F.col(spec["field"]).isNull()
     mexprs = mexprs_by(None)
@@ -611,6 +868,195 @@ def _runtime_leaf(qnode: dict | None, runtime: dict) -> Column | None:
     return _leaf_cond(qnode)
 
 
+# ---------------------------------------------------- entry-context buckets
+# Families that need more than the match-set frame: the full corpus
+# (global, significant_terms' background), the postings engine (sampler's
+# scored candidate set), or another top-level agg's result (sibling
+# pipelines). All resolved here so _compile_agg stays a pure function of df.
+
+
+def _global_like(
+    full: DataFrame, name: str, node: dict, exact: bool
+) -> DataFrame:
+    """``global`` (and the sampler children shape): one nested bucket child
+    compiles over the alternate frame, metric children fold into ONE
+    aggregate row with the bucket's doc_count."""
+    children = node.get("aggs") or node.get("aggregations") or {}
+    bkids = {
+        n: c for n, c in children.items()
+        if next(k for k in c if k not in ("aggs", "aggregations", "meta"))
+        not in _METRIC_FAMILIES
+    }
+    if bkids:
+        if len(children) != 1:
+            raise ValueError(
+                f"{name!r}: one nested bucket agg OR metric children"
+            )
+        (cname, cnode), = bkids.items()
+        return _compile_agg(full, cname, cnode, exact)
+    mexprs = [
+        e
+        for cname, cnode in children.items()
+        for cf in [next(k for k in cnode
+                        if k not in ("aggs", "aggregations", "meta"))]
+        for e in _metric_exprs(cname, cf, cnode[cf], exact=exact)
+    ]
+    return full.agg(F.count(F.lit(1)).alias("doc_count"), *mexprs)
+
+
+def _significant_terms_agg(
+    full: DataFrame, matched: DataFrame | None, spec: dict
+) -> DataFrame:
+    """``significant_terms`` over a STORED KEYWORD field (ES's split: the
+    analyzed-text variant is ``significant_text`` — aggs.significant_terms
+    serves that over a raw text column): values unusually frequent in the
+    query's match set vs the whole store, scored with the same published JLH
+    heuristic ``(fg_pct - bg_pct) * (fg_pct / bg_pct)``. Needs BOTH frames,
+    unlike every other bucket agg — the foreground flag is a left-join
+    marker column (broadcast-sized: one docid column), then ONE partial+
+    final hash agg over the keyword values (no tokenization, tiny key
+    space)."""
+    field = spec.get("field")
+    if not field:
+        raise ValueError("significant_terms needs a field")
+    if matched is None:
+        # match_all foreground: fg == bg, every JLH score is 0 — ES returns
+        # empty buckets; make the degenerate case explicit
+        raise ValueError(
+            "significant_terms needs a restrictive query — with match_all "
+            "the foreground IS the background and every score is 0"
+        )
+    size = int(spec.get("size", 10))
+    min_doc_count = int(spec.get("min_doc_count", 3))
+    flagged = full.join(
+        matched.select("docid").withColumn("__fg", F.lit(1)),
+        "docid", "left",
+    ).filter(F.col(field).isNotNull())
+    totals = flagged.agg(
+        F.coalesce(F.sum("__fg"), F.lit(0)).cast("double").alias("_nf"),
+        F.count(F.lit(1)).cast("double").alias("_na"),
+    )
+    counts = flagged.groupBy(F.col(field).alias("term")).agg(
+        F.coalesce(F.sum("__fg"), F.lit(0)).alias("fg_count"),
+        F.count(F.lit(1)).alias("bg_count"),
+    )
+    fg_pct = F.col("fg_count") / F.col("_nf")
+    bg_pct = F.col("bg_count") / F.col("_na")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .filter(F.col("fg_count") >= min_doc_count)
+        .select(
+            "term",
+            F.col("fg_count").cast("long").alias("fg_count"),
+            F.col("bg_count").cast("long").alias("bg_count"),
+            F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 8).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(size)
+    )
+
+
+def _sampler_agg(
+    spark: SparkSession,
+    index_root: str,
+    full: DataFrame,
+    fam: str,
+    node: dict,
+    exact: bool,
+    lang: str | None,
+    qnode: dict | None,
+) -> DataFrame:
+    """``sampler`` / ``diversified_sampler``: children aggregate over the
+    best-scoring shard_size matches (the postings engine's top, not a row
+    sample). The query must be a scoring ``match`` — a sampler over
+    match_all has no score to rank by."""
+    from es_indexer_spark.query import aggs as A
+    from es_indexer_spark.query.dsl import _field_query, _one
+
+    if qnode is None:
+        raise ValueError(f"{fam} needs a scoring match query to sample from")
+    kind, v = _one(qnode, "query")
+    if kind != "match":
+        raise ValueError(
+            f"{fam} samples the best-scoring matches — the body query must "
+            f"be a match, got {kind!r}"
+        )
+    mspec = _field_query(v)
+    if "query" not in mspec:
+        _fn, fspec = _one(mspec, "match")
+        mspec = _field_query(fspec)
+    spec = node[fam]
+    kw: dict = {"lang": lang}
+    if fam == "diversified_sampler":
+        if not spec.get("field"):
+            raise ValueError("diversified_sampler needs a field")
+        kw["diversify_field"] = spec["field"]
+        kw["max_docs_per_value"] = int(spec.get("max_docs_per_value", 1))
+    sample = A.sampler_hits(
+        spark, index_root, str(mspec["query"]),
+        int(spec.get("shard_size", 100)), **kw,
+    )
+    children = node.get("aggs") or node.get("aggregations") or {}
+    if not children:
+        return sample
+    sampled = full.join(sample.select("docid"), "docid", "left_semi")
+    return _global_like(sampled, fam, node, exact)
+
+
+def _sibling_pipeline(
+    out: dict[str, DataFrame], fam: str, spec: dict
+) -> DataFrame:
+    """Sibling pipeline aggs over an already-compiled top-level bucket
+    frame. ``buckets_path`` is ``"sibling>metric"`` (``_count`` → the
+    doc_count column) — resolved against the sibling's OUTPUT columns, so
+    metric sub-agg names work unchanged."""
+    from es_indexer_spark.query import aggs as A
+
+    path = spec.get("buckets_path")
+    if not isinstance(path, str) or ">" not in path:
+        raise ValueError(f"{fam} needs buckets_path 'sibling>metric'")
+    sib, _, metric = path.partition(">")
+    metric = "doc_count" if metric == "_count" else metric
+    if sib not in out:
+        raise ValueError(
+            f"{fam} buckets_path names {sib!r} — not a sibling aggregation "
+            "in this request (sibling pipelines cannot reference other "
+            "pipelines)"
+        )
+    frame = out[sib]
+    if metric not in frame.columns:
+        raise ValueError(f"{fam}: {metric!r} is not a column of {sib!r}")
+    bc = "bucket" if "bucket" in frame.columns else (
+        "key" if "key" in frame.columns else frame.columns[0]
+    )
+    if fam == "stats_bucket":
+        return A.sibling_bucket_stats(frame, metric, bucket_col=bc)
+    if fam in ("min_bucket", "max_bucket"):
+        s = A.sibling_bucket_stats(frame, metric, bucket_col=bc)
+        side = fam.split("_", 1)[0]
+        return s.select(
+            F.col(side).alias("value"), F.col(f"{side}_keys").alias("keys")
+        )
+    if fam in ("avg_bucket", "sum_bucket"):
+        s = A.sibling_bucket_stats(frame, metric, bucket_col=bc)
+        return s.select(
+            F.round(F.col(fam.split("_", 1)[0]), 6).alias("value")
+        )
+    if fam == "extended_stats_bucket":
+        return A.extended_stats_bucket(
+            frame, metric, sigma=float(spec.get("sigma", 2.0))
+        )
+    if fam == "percentiles_bucket":
+        percents = [float(p) for p in spec.get(
+            "percents", (1, 5, 25, 50, 75, 95, 99))]
+        return A.percentiles_bucket(frame, metric, percents)
+    # normalize
+    method = spec.get("method")
+    if not method:
+        raise ValueError("normalize needs a method")
+    return A.normalize_agg(frame, metric, str(method), bucket_col=bc)
+
+
 # ------------------------------------------------------------------- entry
 
 
@@ -636,10 +1082,12 @@ def aggregations(
     if not isinstance(aggs_node, dict) or not aggs_node:
         raise ValueError("body has no aggs section — use search() for hits")
 
-    base = index_docs(spark, index_root)
+    full = index_docs(spark, index_root)
     runtime = body.get("runtime_mappings") or {}
     if runtime:
-        base = with_runtime_fields(base, runtime)
+        full = with_runtime_fields(full, runtime)
+    base = full
+    ms = None
     rt_pred = _runtime_leaf(body.get("query"), runtime)
     if rt_pred is not None:
         base = base.filter(rt_pred)
@@ -647,10 +1095,33 @@ def aggregations(
         ms = match_docids(spark, index_root, body.get("query"), lang=lang)
         if ms is not None:
             base = base.join(ms, "docid", "left_semi")
-    return {
-        name: _compile_agg(base, name, node, exact)
-        for name, node in aggs_node.items()
-    }
+
+    out: dict[str, DataFrame] = {}
+    deferred: list[tuple[str, str, dict]] = []
+    for name, node in aggs_node.items():
+        fams = [k for k in node if k not in ("aggs", "aggregations", "meta")]
+        fam = fams[0] if len(fams) == 1 else None
+        if fam == "global":
+            # ES global bucket: children see the WHOLE live docs store, the
+            # query notwithstanding
+            out[name] = _global_like(full, name, node, exact)
+        elif fam == "significant_terms":
+            out[name] = _significant_terms_agg(
+                full, base if (ms is not None or rt_pred is not None) else None,
+                node[fam],
+            )
+        elif fam in ("sampler", "diversified_sampler"):
+            out[name] = _sampler_agg(
+                spark, index_root, full, fam, node, exact, lang,
+                body.get("query"),
+            )
+        elif fam in _SIBLING_PIPELINES:
+            deferred.append((name, fam, node[fam]))
+        else:
+            out[name] = _compile_agg(base, name, node, exact)
+    for name, fam, spec in deferred:
+        out[name] = _sibling_pipeline(out, fam, spec)
+    return out
 
 
 def count_query(
