@@ -865,6 +865,165 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sql_group_by"] = _sql_group_by
 
+    # round 5j: ES SQL boolean WHERE grammar — OR lowers to ONE nested
+    # non-scoring should-bool (compositional evaluator), LIKE to the
+    # filter-context wildcard (docs-scan predicate), BETWEEN to the closed
+    # range; the conjunction shape stays the flat one-scan body
+    def _sql_bool_or(spark, sf):
+        from es_indexer_spark.query.essql import sql_query
+
+        return sql_query(
+            spark, _index_root(spark, sf),
+            "SELECT lang, n_chars FROM idx "
+            "WHERE lang = 'fr' OR n_chars > 900 "
+            "ORDER BY docid LIMIT 200",
+        ).select(F.col("docid").alias("doc_id"), "lang", "n_chars")
+
+    q["sql_bool_or"] = _sql_bool_or
+
+    def _sql_like_between(spark, sf):
+        from es_indexer_spark.query.essql import sql_query
+
+        return sql_query(
+            spark, _index_root(spark, sf),
+            "SELECT lang, n_chars FROM idx "
+            "WHERE lang LIKE 'e%' AND n_chars BETWEEN 100 AND 900 "
+            "AND NOT lang = 'es' ORDER BY docid LIMIT 200",
+        ).select(F.col("docid").alias("doc_id"), "lang", "n_chars")
+
+    q["sql_like_between"] = _sql_like_between
+
+    # round 5j: HAVING = one Catalyst predicate over the bucket frame;
+    # multi-column GROUP BY lowers to the multi_terms agg
+    def _sql_having(spark, sf):
+        from es_indexer_spark.query.essql import sql_query
+
+        return sql_query(
+            spark, _index_root(spark, sf),
+            "SELECT lang, COUNT(*) AS n, MIN(n_chars) AS mn FROM idx "
+            "WHERE n_chars > 50 GROUP BY lang "
+            "HAVING n > 10 AND mn < 500 ORDER BY lang LIMIT 20",
+        )
+
+    q["sql_having"] = _sql_having
+
+    def _sql_multi_group(spark, sf):
+        from es_indexer_spark.query.essql import sql_query
+
+        return sql_query(
+            spark, _index_root(spark, sf),
+            "SELECT lang, source, COUNT(*) AS n FROM idx "
+            "GROUP BY lang, source ORDER BY n DESC, lang, source LIMIT 10",
+        )
+
+    q["sql_multi_group"] = _sql_multi_group
+
+    # round 5j: bool.filter(wildcard) through the JSON DSL — the stored-
+    # keyword pattern predicate the SQL LIKE lowers to, stacked under a
+    # scoring match (scores must be untouched by the filter)
+    def _bool_filter_wildcard(spark, sf):
+        from es_indexer_spark.query.dsl import search
+
+        return search(spark, _index_root(spark, sf), {
+            "query": {"bool": {
+                "must": [{"match": {"text": "data stream"}}],
+                "filter": [{"wildcard": {"lang": {"value": "e?"}}}],
+            }},
+            "size": 10,
+        }).select(
+            F.col("docid").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+
+    q["bool_filter_wildcard"] = _bool_filter_wildcard
+
+    # round 5j: aggs-body families through the JSON dispatch (the direct
+    # aggs.py functions behind them are separately oracle-checked — these
+    # entries pin the translation layer)
+    def _dsl_aggs_filter(spark, sf):
+        from es_indexer_spark.query.dsl_aggs import aggregations
+
+        return aggregations(spark, _index_root(spark, sf), {
+            "query": {"match": {"text": "data"}},
+            "size": 0,
+            "aggs": {"long_fr": {
+                "filter": {"range": {"n_chars": {"gte": 300}}},
+                "aggs": {"avg_len": {"avg": {"field": "n_chars"}},
+                         "n_langs": {"cardinality": {"field": "lang"}}},
+            }},
+        }, exact=True)["long_fr"]
+
+    q["dsl_aggs_filter"] = _dsl_aggs_filter
+
+    def _dsl_aggs_global(spark, sf):
+        from es_indexer_spark.query.dsl_aggs import aggregations
+
+        return aggregations(spark, _index_root(spark, sf), {
+            "query": {"term": {"lang": "fr"}},
+            "size": 0,
+            "aggs": {"all_docs": {
+                "global": {},
+                "aggs": {"total_len": {"sum": {"field": "n_chars"}}},
+            }},
+        })["all_docs"]
+
+    q["dsl_aggs_global"] = _dsl_aggs_global
+
+    def _dsl_aggs_composite(spark, sf):
+        from es_indexer_spark.query.dsl_aggs import aggregations
+
+        return aggregations(spark, _index_root(spark, sf), {
+            "size": 0,
+            "aggs": {"pairs": {"composite": {
+                "size": 8,
+                "sources": [{"by_lang": {"terms": {"field": "lang"}}},
+                            {"by_src": {"terms": {"field": "source"}}}],
+                "after": {"by_lang": "en", "by_src": "src12"},
+            }}},
+        })["pairs"]
+
+    q["dsl_aggs_composite"] = _dsl_aggs_composite
+
+    def _dsl_aggs_sig_terms(spark, sf):
+        from es_indexer_spark.query.dsl_aggs import aggregations
+
+        return aggregations(spark, _index_root(spark, sf), {
+            "query": {"range": {"n_chars": {"gte": 400}}},
+            "size": 0,
+            "aggs": {"sig": {"significant_terms": {
+                "field": "source", "size": 5, "min_doc_count": 3}}},
+        })["sig"]
+
+    q["dsl_aggs_sig_terms"] = _dsl_aggs_sig_terms
+
+    def _dsl_aggs_sibling(spark, sf):
+        from es_indexer_spark.query.dsl_aggs import aggregations
+
+        res = aggregations(spark, _index_root(spark, sf), {
+            "size": 0,
+            "aggs": {
+                "per_lang": {"terms": {"field": "lang", "size": 100}},
+                "best": {"max_bucket": {"buckets_path": "per_lang>_count"}},
+            },
+        })
+        return res["best"].select(
+            F.col("value").cast("long").alias("value"),
+            F.array_join("keys", ",").alias("keys"),
+        )
+
+    q["dsl_aggs_sibling"] = _dsl_aggs_sibling
+
+    def _dsl_aggs_pct_ranks(spark, sf):
+        from es_indexer_spark.query.dsl_aggs import aggregations
+
+        return aggregations(spark, _index_root(spark, sf), {
+            "size": 0,
+            "aggs": {"pr": {"percentile_ranks": {
+                "field": "n_chars", "values": [200, 500]}}},
+        })["pr"]
+
+    q["dsl_aggs_pct_ranks"] = _dsl_aggs_pct_ranks
+
     # round 5c: ES intervals query (query/intervals.py) — minimal-interval
     # algebra with the filter rules; phrase_tf = minimal-interval count
     def _intervals(spec: dict):
@@ -3342,6 +3501,101 @@ SELECT lang, count(*)::BIGINT AS n, round(avg(n_chars), 6) AS avg_chars
 FROM documents JOIN m USING (doc_id)
 WHERE lang IS NOT NULL
 GROUP BY lang ORDER BY n DESC, lang ASC LIMIT 5
+"""
+    # ES SQL OR: the composed filter-context disjunction must equal plain SQL
+    o["sql_bool_or"] = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE lang = 'fr' OR n_chars > 900
+ORDER BY doc_id ASC LIMIT 200
+"""
+    # ES SQL LIKE / BETWEEN / NOT: wildcard filter + closed range + must_not
+    o["sql_like_between"] = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE lang LIKE 'e%' AND n_chars BETWEEN 100 AND 900 AND NOT lang = 'es'
+ORDER BY doc_id ASC LIMIT 200
+"""
+    # ES SQL HAVING over the bucket frame (COUNT alias + MIN aggregate)
+    o["sql_having"] = """
+SELECT lang, count(*)::BIGINT AS n, min(n_chars)::BIGINT AS mn
+FROM documents WHERE n_chars > 50 AND lang IS NOT NULL
+GROUP BY lang HAVING count(*) > 10 AND min(n_chars) < 500
+ORDER BY lang ASC LIMIT 20
+"""
+    # ES SQL multi-column GROUP BY -> multi_terms (count desc, keys asc)
+    o["sql_multi_group"] = """
+SELECT lang, source, count(*)::BIGINT AS n
+FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+GROUP BY lang, source ORDER BY n DESC, lang ASC, source ASC LIMIT 10
+"""
+    # filter-context wildcard under a scoring match: scores untouched,
+    # match set restricted to lang LIKE 'e_'
+    o["bool_filter_wildcard"] = f"""
+{_BM25_PREAMBLE},
+{_RAW_DS}
+SELECT r.doc_id, round(r.score_raw::DOUBLE, 4) AS score
+FROM raw r JOIN documents d USING (doc_id)
+WHERE d.lang LIKE 'e_'
+ORDER BY r.score_raw DESC, r.doc_id ASC LIMIT 10
+"""
+    # aggs-body filter bucket: doc_count + metrics over the pushed subset
+    o["dsl_aggs_filter"] = """
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'data')
+SELECT count(*)::BIGINT AS doc_count,
+       round(avg(n_chars), 6) AS avg_len,
+       count(DISTINCT lang)::BIGINT AS n_langs
+FROM documents JOIN m USING (doc_id)
+WHERE n_chars >= 300
+"""
+    # aggs-body global bucket: children see the WHOLE store despite the query
+    o["dsl_aggs_global"] = """
+SELECT count(*)::BIGINT AS doc_count, sum(n_chars)::BIGINT AS total_len
+FROM documents
+"""
+    # aggs-body composite page 2: keyset-after over (lang, source)
+    o["dsl_aggs_composite"] = """
+SELECT lang, source, count(*)::BIGINT AS doc_count
+FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+GROUP BY lang, source
+HAVING (lang > 'en') OR (lang = 'en' AND source > 'src12')
+ORDER BY lang ASC, source ASC LIMIT 8
+"""
+    # aggs-body significant_terms over a stored keyword: JLH doc-frequency
+    # heuristic, fg = the range query's match set, bg = the whole store
+    o["dsl_aggs_sig_terms"] = """
+WITH t AS (
+  SELECT source AS term,
+         sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END)::BIGINT AS fg_count,
+         count(*)::BIGINT AS bg_count
+  FROM documents WHERE source IS NOT NULL GROUP BY source),
+tot AS (
+  SELECT sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END)::DOUBLE AS nf,
+         count(*)::DOUBLE AS na
+  FROM documents WHERE source IS NOT NULL)
+SELECT term, fg_count, bg_count,
+       round((fg_count / tot.nf - bg_count / tot.na)
+             * ((fg_count / tot.nf) / (bg_count / tot.na)), 8) AS score
+FROM t CROSS JOIN tot
+WHERE fg_count >= 3
+ORDER BY score DESC, term ASC LIMIT 5
+"""
+    # sibling max_bucket over the per-lang terms counts: extreme value +
+    # ALL tied keys (sorted, comma-joined)
+    o["dsl_aggs_sibling"] = """
+WITH b AS (SELECT lang, count(*)::BIGINT AS n FROM documents
+           WHERE lang IS NOT NULL GROUP BY lang)
+SELECT max(n)::BIGINT AS value,
+       string_agg(lang, ',' ORDER BY lang)
+         FILTER (WHERE n = (SELECT max(n) FROM b)) AS keys
+FROM b
+"""
+    # percentile_ranks = the exact empirical CDF (ES's is t-digest approx)
+    o["dsl_aggs_pct_ranks"] = """
+SELECT round(100.0 * sum(CASE WHEN n_chars <= 200 THEN 1 ELSE 0 END)
+             / count(n_chars), 6) AS pr_200,
+       round(100.0 * sum(CASE WHEN n_chars <= 500 THEN 1 ELSE 0 END)
+             / count(n_chars), 6) AS pr_500
+FROM documents
 """
     # batched _explain of the data-stream top-10: per-(doc, term) BM25 parts
     o["explain_hits"] = f"""

@@ -438,6 +438,7 @@ def bool_query(
     should_prefix: Sequence[str | tuple[str, float]] = (),
     filter_exists: Sequence[str] = (),
     filter_like: Sequence[tuple[str, str]] = (),
+    filter_script: Sequence[str] = (),
     must_raw: Sequence[str | tuple] = (),
     should_raw: Sequence[str | tuple] = (),
     must_terms: Sequence[Sequence[str] | tuple] = (),
@@ -810,6 +811,15 @@ def bool_query(
             for ch in str(pat)
         ) + "$"
         doc_preds.append(F.col(fld).rlike(rx))
+    for src in filter_script:
+        # ES bool.filter(script): a Catalyst boolean expression over the
+        # STORED columns in the Painless slot (same translation stance as
+        # runtime_mappings / lookup.script_query) — pushed into the one
+        # docs-store scan with the other doc-level filters. This is also
+        # where the ES SQL layer lands non-scoring negations and
+        # disjunctions (NOT x, a OR b over fields): one predicate, one scan,
+        # SQL three-valued semantics (NULL never matches).
+        doc_preds.append(F.expr(str(src)))
     for fld, val in filter_fields:
         # ES bool.filter(term) on a stored keyword field — equality pushed
         # into the same docs-store scan as the range bounds (one scan, one

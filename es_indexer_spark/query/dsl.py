@@ -122,7 +122,7 @@ def _bool_kwargs(spec: dict) -> dict:
         "must_ranges": [], "should_ranges": [],
         "must_exists": [], "should_exists": [],
         "filter_terms": [], "filter_fields": [], "filter_exists": [],
-        "filter_like": [],
+        "filter_like": [], "filter_script": [],
         "filter_range": [], "filter_phrase": None, "filter_phrase_slop": 0,
     }
     fuzz: set[int] = set()
@@ -326,6 +326,15 @@ def _bool_kwargs(spec: dict) -> dict:
                     "wildcard clause"
                 )
             out["filter_like"].append((fname, str(wspec["value"])))
+        elif kind == "script":
+            # ES bool.filter(script): Catalyst predicate over stored columns
+            # (the Painless slot), pushed into the same docs scan — also the
+            # ES SQL lowering for NOT / non-scoring OR over field predicates
+            sspec = v.get("script")
+            src = sspec.get("source") if isinstance(sspec, dict) else sspec
+            if not src:
+                raise ValueError("filter script needs script.source")
+            out["filter_script"].append(str(src))
         elif kind == "match_phrase":
             if out["filter_phrase"] is not None:
                 raise ValueError("one filter match_phrase per bool")
@@ -341,7 +350,7 @@ def _bool_kwargs(spec: dict) -> dict:
                 mspec = _field_query(fspec)
             out["filter_terms"].append(str(mspec["query"]))
         else:
-            raise ValueError(f"bool.filter supports term/terms/range/exists/wildcard/match/match_phrase/bool, got {kind!r}")
+            raise ValueError(f"bool.filter supports term/terms/range/exists/wildcard/script/match/match_phrase/bool, got {kind!r}")
 
     for dest in ("must", "should"):
         for q in _as_list(spec.get(dest)):

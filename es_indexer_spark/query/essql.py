@@ -31,15 +31,18 @@ Supported grammar (raise-by-name beyond it):
              aggregate alias, FN(col) from the SELECT list, COUNT(*), or a
              grouped column
 
-Lowering: MATCH/QUERY become scoring ``must`` clauses; field predicates
-become bool ``filter`` (``term``/``terms``/``range``/``exists``/
-``wildcard``) or ``must_not`` (``!=``, ``IS NULL``, ``NOT x``) clauses —
-i.e. non-scoring, pushed to the docs scan by the bool engine. A top-level
-conjunction keeps that exact flat one-scan shape; OR subtrees lower to ONE
-nested ``{bool: {should, minimum_should_match: 1}}`` child (non-scoring →
-filter position, scoring → must position) which query/dsl.py routes through
-the compositional bool evaluator — leaves still cost one term-pruned scan
-each, plus one hash-agg per bool level. ``ORDER BY col`` routes through the
+Lowering: MATCH/QUERY become scoring ``must`` clauses; positive field
+predicates become typed bool ``filter`` leaves (``term``/``terms``/
+``range``/``exists``/``wildcard``) pushed to the docs scan by the bool
+engine. Negations and disjunctions of field predicates lower to ONE
+``script`` filter — the whole subtree as a single Catalyst boolean
+expression in the same pushed scan, with SQL three-valued semantics (NULL
+never matches; the engine's ``must_not``-term leaf is a raw INDEX-term
+exclusion and would diverge). Only disjunctions containing MATCH/QUERY
+produce a nested ``{bool: {should, minimum_should_match: 1}}`` child,
+routed through the compositional bool evaluator (each leaf still one
+term-pruned scan, one hash-agg per level); ``NOT MATCH(...)`` stays the
+analyzed-term ``must_not``. ``ORDER BY col`` routes through the
 body ``sort`` path (full-match-set selection by the sort key, ES
 semantics); ``ORDER BY SCORE() DESC`` (and no ORDER BY at all) is the
 relevance top-k. ``SELECT cols`` becomes the body ``fields`` section
@@ -152,7 +155,9 @@ def _sql_like_to_wildcard(pat: str) -> str:
 
 
 def _parse_pred(p: _P):
-    """One predicate → tree node ``("leaf", qnode, scoring)`` or
+    """One predicate → tree node ``("leaf", qnode, scoring, sqlexpr)`` —
+    ``sqlexpr`` is the equivalent Catalyst boolean expression over the
+    stored columns (None for the scoring full-text predicates) — or
     ``("not", leaf)`` for the negative comparators (!=, IS NULL)."""
     tok = p.next()
     if tok[0] != "word":
@@ -166,66 +171,64 @@ def _parse_pred(p: _P):
         if txt[0] != "str":
             raise ValueError("MATCH needs a string literal")
         p.expect("op", ")")
-        return ("leaf", {"match": {fld: txt[1]}}, True)
+        return ("leaf", {"match": {fld: txt[1]}}, True, None)
     if up == "QUERY":
         p.expect("op", "(")
         txt = p.next()
         if txt[0] != "str":
             raise ValueError("QUERY needs a string literal")
         p.expect("op", ")")
-        return ("leaf", {"query_string": {"query": txt[1]}}, True)
+        return ("leaf", {"query_string": {"query": txt[1]}}, True, None)
     fld = tok[1]
-    if p.kw("NOT", "LIKE"):
+    col = f"`{fld}`"
+    neg = p.kw("NOT", "LIKE")
+    if neg or p.kw("LIKE"):
         pat = p.next()
         if pat[0] != "str":
             raise ValueError("LIKE needs a string pattern")
-        node = {"wildcard": {fld: {"value": _sql_like_to_wildcard(pat[1])}}}
-        return ("not", ("leaf", node, False))
-    if p.kw("LIKE"):
-        pat = p.next()
-        if pat[0] != "str":
-            raise ValueError("LIKE needs a string pattern")
-        return ("leaf",
+        node = ("leaf",
                 {"wildcard": {fld: {"value": _sql_like_to_wildcard(pat[1])}}},
-                False)
+                False, f"{col} LIKE {_sql_literal(pat[1])}")
+        return ("not", node) if neg else node
     neg = p.kw("NOT", "BETWEEN")
     if neg or p.kw("BETWEEN"):
         lo = _lit(p.next())
         if not p.kw("AND"):
             raise ValueError("BETWEEN needs 'lo AND hi'")
         hi = _lit(p.next())
-        node = ("leaf", {"range": {fld: {"gte": lo, "lte": hi}}}, False)
+        node = ("leaf", {"range": {fld: {"gte": lo, "lte": hi}}}, False,
+                f"({col} >= {_sql_literal(lo)} AND {col} <= {_sql_literal(hi)})")
         return ("not", node) if neg else node
-    if p.kw("NOT", "IN"):
+    neg = p.kw("NOT", "IN")
+    if neg or p.kw("IN"):
         p.expect("op", "(")
         vals = [_lit(p.next())]
         while p.peek() == ("op", ","):
             p.next()
             vals.append(_lit(p.next()))
         p.expect("op", ")")
-        return ("not", ("leaf", {"terms": {fld: vals}}, False))
+        node = ("leaf", {"terms": {fld: vals}}, False,
+                f"{col} IN ({', '.join(_sql_literal(v) for v in vals)})")
+        return ("not", node) if neg else node
     if p.kw("IS", "NOT", "NULL"):
-        return ("leaf", {"exists": {"field": fld}}, False)
+        return ("leaf", {"exists": {"field": fld}}, False,
+                f"{col} IS NOT NULL")
     if p.kw("IS", "NULL"):
-        return ("not", ("leaf", {"exists": {"field": fld}}, False))
-    if p.kw("IN"):
-        p.expect("op", "(")
-        vals = [_lit(p.next())]
-        while p.peek() == ("op", ","):
-            p.next()
-            vals.append(_lit(p.next()))
-        p.expect("op", ")")
-        return ("leaf", {"terms": {fld: vals}}, False)
+        return ("not", ("leaf", {"exists": {"field": fld}}, False,
+                        f"{col} IS NOT NULL"))
     k, op = p.next()
     if k != "op" or op in ("(", ")", ",", "*"):
         raise ValueError(f"bad operator {op!r} after {fld!r}")
     val = _lit(p.next())
     if op == "=":
-        return ("leaf", {"term": {fld: {"value": val}}}, False)
+        return ("leaf", {"term": {fld: {"value": val}}}, False,
+                f"{col} = {_sql_literal(val)}")
     if op in ("!=", "<>"):
-        return ("not", ("leaf", {"term": {fld: {"value": val}}}, False))
+        return ("not", ("leaf", {"term": {fld: {"value": val}}}, False,
+                        f"{col} = {_sql_literal(val)}"))
     key = {">": "gt", ">=": "gte", "<": "lt", "<=": "lte"}[op]
-    return ("leaf", {"range": {fld: {key: val}}}, False)
+    return ("leaf", {"range": {fld: {key: val}}}, False,
+            f"{col} {op} {_sql_literal(val)}")
 
 
 def _parse_not(p: _P):
@@ -263,18 +266,46 @@ def _tree_scoring(tree) -> bool:
     return any(_tree_scoring(c) for c in tree[1])
 
 
+def _tree_sql(tree) -> str | None:
+    """The whole subtree as ONE Catalyst boolean expression over the stored
+    columns — or None when any leaf is a scoring full-text predicate. This
+    is the preferred lowering for disjunctions and negations of field
+    predicates: one pushed docs-scan predicate with SQL three-valued
+    semantics, instead of a composed bool evaluation."""
+    kind = tree[0]
+    if kind == "leaf":
+        return tree[3]
+    if kind == "not":
+        inner = _tree_sql(tree[1])
+        return None if inner is None else f"NOT ({inner})"
+    parts = [_tree_sql(c) for c in tree[1]]
+    if any(x is None for x in parts):
+        return None
+    joiner = " AND " if kind == "and" else " OR "
+    return "(" + joiner.join(parts) + ")"
+
+
+def _script_node(src: str) -> dict:
+    return {"script": {"script": {"source": src}}}
+
+
 def _lower_node(tree) -> dict:
-    """Lower a subtree to ONE ES query node (used inside should lists and
-    nested positions). Non-scoring leaves in scoring positions wrap as
-    ``{bool: {filter: [leaf]}}`` so stored-field semantics survive the
-    compositional evaluator's context rules."""
+    """Lower a subtree with SCORING leaves to ONE ES query node (used
+    inside should lists and nested positions). Non-scoring leaves in
+    scoring positions wrap as ``{bool: {filter: [leaf]}}`` so stored-field
+    semantics survive the compositional evaluator's context rules;
+    all-non-scoring subtrees never reach here (they become one script
+    filter via :func:`_tree_sql`)."""
     kind = tree[0]
     if kind == "leaf":
         return tree[1]
     if kind == "not":
+        sql = _tree_sql(tree[1])
+        if sql is not None:
+            return _script_node(f"NOT ({sql})")
         raise ValueError(
-            "NOT inside a disjunction is not lowered — apply De Morgan and "
-            "move the negation above the OR"
+            "NOT over a full-text predicate inside a disjunction is not "
+            "lowered — apply De Morgan and move the negation above the OR"
         )
     if kind == "and":
         musts, filts, nots = _lower_conjunction(tree[1])
@@ -289,17 +320,22 @@ def _lower_node(tree) -> dict:
     # or
     shoulds = []
     for c in tree[1]:
-        low = _lower_node(c)
-        if c[0] == "leaf" and not c[2]:
-            low = {"bool": {"filter": [low]}}
+        sql = _tree_sql(c)
+        if sql is not None:
+            low = {"bool": {"filter": [_script_node(sql)]}}
+        elif c[0] == "leaf":
+            low = c[1]
+        else:
+            low = _lower_node(c)
         shoulds.append(low)
     return {"bool": {"should": shoulds, "minimum_should_match": 1}}
 
 
 def _lower_conjunction(items) -> tuple[list, list, list]:
     """Children of a conjunction → (musts, filters, must_nots) — the flat
-    bool shape. OR subtrees become one nested bool child in must (scoring)
-    or filter (non-scoring) position."""
+    bool shape. Non-scoring OR / NOT subtrees become ONE script filter
+    (pushed scan); scoring subtrees become one nested bool child in must
+    position; NOT over a scoring MATCH stays an analyzed-term must_not."""
     musts: list[dict] = []
     filters: list[dict] = []
     must_nots: list[dict] = []
@@ -308,14 +344,22 @@ def _lower_conjunction(items) -> tuple[list, list, list]:
         if kind == "leaf":
             (musts if c[2] else filters).append(c[1])
         elif kind == "not":
-            must_nots.append(_lower_node(c[1]))
+            sql = _tree_sql(c[1])
+            if sql is not None:
+                filters.append(_script_node(f"NOT ({sql})"))
+            else:
+                must_nots.append(_lower_node(c[1]))
         elif kind == "and":
             m, f, n = _lower_conjunction(c[1])
             musts += m
             filters += f
             must_nots += n
         else:  # or
-            (musts if _tree_scoring(c) else filters).append(_lower_node(c))
+            sql = _tree_sql(c)
+            if sql is not None:
+                filters.append(_script_node(sql))
+            else:
+                musts.append(_lower_node(c))
     return musts, filters, must_nots
 
 
@@ -325,9 +369,6 @@ def _lower_where(tree) -> tuple[list, list, list]:
     if tree[0] == "and":
         return _lower_conjunction(tree[1])
     return _lower_conjunction([tree])
-
-
-# ------------------------------------------------------------ HAVING clause
 # HAVING compiles to ONE Catalyst boolean expression over the bucket frame
 # (post-aggregation, like SQL) — never a second corpus pass. Aggregate refs
 # resolve to the same output names the GROUP BY agg builder emits; COUNT(*)

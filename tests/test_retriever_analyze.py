@@ -383,7 +383,8 @@ def test_sql_translate_shapes():
     b2 = translate_sql("SELECT * FROM idx WHERE lang IN ('en','fr') "
                        "AND source IS NOT NULL AND lang != 'de' "
                        "ORDER BY n_chars DESC, docid LIMIT 3")
-    assert b2["query"]["bool"]["must_not"] == [{"term": {"lang": {"value": "de"}}}]
+    assert {"script": {"script": {"source": "NOT (`lang` = 'de')"}}} \
+        in b2["query"]["bool"]["filter"]
     assert b2["sort"] == [{"n_chars": {"order": "desc"}},
                           {"docid": {"order": "asc"}}]
     assert b2["_source"] is True
@@ -403,12 +404,13 @@ def test_sql_translate_shapes():
 def test_sql_translate_boolean_grammar():
     from es_indexer_spark.query.essql import translate_sql
 
-    # OR of field predicates → ONE nested non-scoring should bool in filter
+    # OR of field predicates → ONE pushed script filter (SQL three-valued
+    # semantics, single docs scan — never a composed bool)
     b = translate_sql("SELECT * FROM idx WHERE lang = 'en' OR lang = 'fr'")
     (node,) = b["query"]["bool"]["filter"]
-    assert node["bool"]["minimum_should_match"] == 1
-    assert len(node["bool"]["should"]) == 2
-    # LIKE → wildcard filter; BETWEEN → closed range; NOT x → must_not
+    assert node == {"script": {"script": {
+        "source": "(`lang` = 'en' OR `lang` = 'fr')"}}}
+    # LIKE → wildcard filter; BETWEEN → closed range; NOT x → script filter
     b = translate_sql(
         "SELECT * FROM idx WHERE source LIKE 'a%b_c' "
         "AND n_chars BETWEEN 10 AND 99 AND NOT lang = 'de'"
@@ -416,9 +418,8 @@ def test_sql_translate_boolean_grammar():
     f = b["query"]["bool"]["filter"]
     assert {"wildcard": {"source": {"value": "a*b?c"}}} in f
     assert {"range": {"n_chars": {"gte": 10, "lte": 99}}} in f
-    assert b["query"]["bool"]["must_not"] == [
-        {"term": {"lang": {"value": "de"}}}
-    ]
+    assert {"script": {"script": {"source": "NOT (`lang` = 'de')"}}} in f
+    assert "must_not" not in b["query"]["bool"]
     # scoring OR (MATCH on a side): a single top-level clause unwraps to the
     # should-bool itself; with another conjunct it lands in must, not filter
     b = translate_sql(
@@ -433,19 +434,30 @@ def test_sql_translate_boolean_grammar():
     )
     (node,) = b["query"]["bool"]["must"]
     assert [next(iter(c)) for c in node["bool"]["should"]] == ["match", "bool"]
-    # NOT over a parenthesized conjunction stays one must_not bool child
+    # NOT over a parenthesized conjunction → one negated script filter
     b = translate_sql(
         "SELECT * FROM idx WHERE lang = 'en' AND NOT (source = 'x' AND n_chars > 5)"
     )
-    (mn,) = b["query"]["bool"]["must_not"]
-    assert set(mn["bool"]) == {"filter"} and len(mn["bool"]["filter"]) == 2
-    # NOT IN / NOT BETWEEN / NOT LIKE negate their positive forms
+    f = b["query"]["bool"]["filter"]
+    assert {"script": {"script": {
+        "source": "NOT ((`source` = 'x' AND `n_chars` > 5))"}}} in f
+    # NOT IN / NOT BETWEEN / NOT LIKE negate their positive SQL forms
     b = translate_sql(
         "SELECT * FROM idx WHERE lang NOT IN ('de','es') "
         "AND n_chars NOT BETWEEN 1 AND 5 AND source NOT LIKE 'tmp%'"
     )
-    kinds = sorted(next(iter(c)) for c in b["query"]["bool"]["must_not"])
-    assert kinds == ["range", "terms", "wildcard"]
+    srcs = [c["script"]["script"]["source"]
+            for c in b["query"]["bool"]["filter"]]
+    assert srcs == [
+        "NOT (`lang` IN ('de', 'es'))",
+        "NOT ((`n_chars` >= 1 AND `n_chars` <= 5))",
+        "NOT (`source` LIKE 'tmp%')",
+    ]
+    # NOT over a scoring MATCH stays the analyzed-term must_not
+    b = translate_sql(
+        "SELECT * FROM idx WHERE lang = 'en' AND NOT MATCH(text, 'spam')"
+    )
+    assert b["query"]["bool"]["must_not"] == [{"match": {"text": "spam"}}]
 
 
 def test_sql_query_matches_engine(spark, r_index):
