@@ -854,6 +854,62 @@ def main() -> int:
         ],
     ))
 
+    # 38b. round 5j: SQL disjunction / negation of field predicates — ONE
+    # script filter (Catalyst boolean expr) inside the pushed docs scan:
+    # no composed-bool union, no second scan, no Python
+    from es_indexer_spark.query.boolean import bool_query
+
+    p = formatted(bool_query(
+        spark, root, k=None,
+        filter_script=[
+            "((`lang` = 'fr' OR `n_chars` > 900) AND NOT (`lang` = 'de'))"
+        ],
+    ))
+    sections.append((
+        "SQL OR/NOT over stored fields (filter_script match phase): one "
+        "script-filter docs scan, no composed union",
+        p,
+        [
+            ("the OR predicate is a single Catalyst filter (both columns "
+             "in one condition)",
+             re.search(r"\(lang#\d+ = fr\) OR \(n_chars#\d+L? > 900\)", p)
+             is not None),
+            ("the negation folds into the same condition",
+             re.search(r"NOT \(lang#\d+ = de\)", p) is not None),
+            ("no union of per-clause match frames", "Union" not in p),
+            ("exactly one docs parquet scan feeds the match set",
+             len(re.findall(r"Location: InMemoryFileIndex \[file:[^\n]*/docs\]",
+                            p)) == 1),
+            ("no Python in the path", "EvalPython" not in p),
+        ],
+    ))
+
+    # 38c. round 5j: aggs-body filter bucket with metric children — the
+    # bucket predicate conjoins into the docs scan feeding ONE hash agg
+    from es_indexer_spark.query.dsl_aggs import aggregations as dsl_aggregations
+
+    p = formatted(dsl_aggregations(spark, root, {
+        "size": 0,
+        "aggs": {"long_docs": {
+            "filter": {"range": {"n_chars": {"gte": 300}}},
+            "aggs": {"avg_len": {"avg": {"field": "n_chars"}}},
+        }},
+    })["long_docs"])
+    sections.append((
+        "aggs filter bucket: predicate pushed into the scan, one hash agg",
+        p,
+        [
+            ("range predicate reaches the parquet scan as a pushed filter",
+             "PushedFilters: [IsNotNull(n_chars), GreaterThanOrEqual(n_chars,300)" in p
+             or "GreaterThanOrEqual(n_chars,300)" in p),
+            ("exactly one docs scan",
+             len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1),
+            ("partial+final hash aggregation",
+             "partial_count" in p and p.count("HashAggregate") >= 2),
+            ("no Python in the path", "EvalPython" not in p),
+        ],
+    ))
+
     # 38. round 5i: retriever.rrf over two standard legs — each leg keeps
     # its own distributed top-window (TakeOrdered), the two single-partition
     # rank windows are request-sized by construction, fusion is ONE hash agg
