@@ -1024,6 +1024,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsl_aggs_pct_ranks"] = _dsl_aggs_pct_ranks
 
+    # round 5j: terms agg options (order by sub-metric / include regex),
+    # top_hits sub-agg (per-bucket rank window), date_histogram
+    # fixed_interval (epoch-aligned), min_doc_count:0 empty-bucket fill
+    def _dsl_aggs_terms_order(spark, sf):
+        from es_indexer_spark.query.dsl_aggs import aggregations
+
+        return aggregations(spark, _index_root(spark, sf), {
+            "size": 0,
+            "aggs": {"langs": {
+                "terms": {"field": "lang", "size": 3, "include": "[a-f].*",
+                          "order": {"avg_len": "asc"}},
+                "aggs": {"avg_len": {"avg": {"field": "n_chars"}}},
+            }},
+        })["langs"]
+
+    q["dsl_aggs_terms_order"] = _dsl_aggs_terms_order
+
+    def _dsl_aggs_top_hits(spark, sf):
+        from es_indexer_spark.query.dsl_aggs import aggregations
+
+        return aggregations(spark, _index_root(spark, sf), {
+            "size": 0,
+            "aggs": {"by_lang": {
+                "terms": {"field": "lang"},
+                "aggs": {"best": {"top_hits": {
+                    "size": 2, "sort": [{"n_chars": "desc"}]}}},
+            }},
+        })["by_lang"].select(
+            F.col("docid").alias("doc_id"), "lang", "n_chars", "hit_rank",
+        )
+
+    q["dsl_aggs_top_hits"] = _dsl_aggs_top_hits
+
+    def _dsl_aggs_fixed_interval(spark, sf):
+        from es_indexer_spark.query.dsl_aggs import aggregations
+
+        return aggregations(spark, _index_root(spark, sf), {
+            "size": 0,
+            "runtime_mappings": {"ts": {
+                "type": "date",
+                "script": "timestamp'2024-01-01' + "
+                          "make_interval(0,0,0,n_chars % 28,0,0,0)",
+            }},
+            "aggs": {"h12": {"date_histogram": {
+                "field": "ts", "fixed_interval": "12h"}}},
+        })["h12"]
+
+    q["dsl_aggs_fixed_interval"] = _dsl_aggs_fixed_interval
+
+    def _dsl_aggs_empty_fill(spark, sf):
+        from es_indexer_spark.query.dsl_aggs import aggregations
+
+        return aggregations(spark, _index_root(spark, sf), {
+            "size": 0,
+            "aggs": {"h": {"histogram": {
+                "field": "n_chars", "interval": 100, "min_doc_count": 0,
+                "extended_bounds": {"min": 0, "max": 1200}}}},
+        })["h"].select(
+            F.col("bucket").cast("double").alias("bucket"), "doc_count",
+        )
+
+    q["dsl_aggs_empty_fill"] = _dsl_aggs_empty_fill
+
     # round 5c: ES intervals query (query/intervals.py) — minimal-interval
     # algebra with the filter rules; phrase_tf = minimal-interval count
     def _intervals(spec: dict):
@@ -3596,6 +3659,40 @@ SELECT round(100.0 * sum(CASE WHEN n_chars <= 200 THEN 1 ELSE 0 END)
        round(100.0 * sum(CASE WHEN n_chars <= 500 THEN 1 ELSE 0 END)
              / count(n_chars), 6) AS pr_500
 FROM documents
+"""
+    # terms order by sub-metric asc + include full-match regex
+    o["dsl_aggs_terms_order"] = """
+SELECT lang AS key, count(*)::BIGINT AS doc_count,
+       round(avg(n_chars), 6) AS avg_len
+FROM documents
+WHERE lang IS NOT NULL AND regexp_full_match(lang, '[a-f].*')
+GROUP BY lang ORDER BY avg_len ASC, lang ASC LIMIT 3
+"""
+    # top_hits: the 2 longest docs of every lang bucket (rank window)
+    o["dsl_aggs_top_hits"] = """
+SELECT doc_id, lang, n_chars, hit_rank FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS hit_rank
+  FROM documents WHERE lang IS NOT NULL)
+WHERE hit_rank <= 2
+"""
+    # fixed_interval 12h: epoch-aligned buckets of the runtime timestamp
+    o["dsl_aggs_fixed_interval"] = """
+WITH t AS (SELECT TIMESTAMP '2024-01-01'
+                  + to_days((n_chars % 28)::INT) AS ts FROM documents)
+SELECT to_timestamp(floor(epoch(ts) / 43200) * 43200) AS bucket,
+       count(*)::BIGINT AS doc_count
+FROM t GROUP BY 1 ORDER BY 1
+"""
+    # min_doc_count 0: every 100-wide bucket of extended_bounds [0, 1200]
+    o["dsl_aggs_empty_fill"] = """
+WITH spine AS (SELECT unnest(generate_series(0, 1200, 100))::DOUBLE AS bucket),
+b AS (SELECT (floor(n_chars / 100.0) * 100)::DOUBLE AS bucket,
+             count(*)::BIGINT AS doc_count
+      FROM documents GROUP BY 1)
+SELECT s.bucket, coalesce(b.doc_count, 0)::BIGINT AS doc_count
+FROM spine s LEFT JOIN b USING (bucket) ORDER BY s.bucket
 """
     # batched _explain of the data-stream top-10: per-(doc, term) BM25 parts
     o["explain_hits"] = f"""

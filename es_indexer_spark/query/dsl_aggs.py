@@ -375,7 +375,7 @@ def _split_children(children: dict) -> tuple[list, list, list]:
             metrics.append((cname, fam, cnode[fam]))
         elif fam in _PIPELINE_FAMILIES:
             pipelines.append((cname, fam, cnode[fam]))
-        elif fam == "terms":
+        elif fam in ("terms", "top_hits"):
             buckets.append((cname, fam, cnode))
         else:
             raise ValueError(f"unsupported sub-aggregation family: {fam!r}")
@@ -466,6 +466,18 @@ def _conditional_buckets(
     return row.selectExpr(stack_expr).orderBy("_ord").drop("_ord")
 
 
+_FIXED_UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def _fixed_interval_seconds(spec_val: str) -> int:
+    m = re.fullmatch(r"(\d+)(ms|s|m|h|d)", str(spec_val))
+    if not m or m.group(2) == "ms":
+        raise ValueError(
+            f"fixed_interval {spec_val!r}: supported units are s/m/h/d"
+        )
+    return int(m.group(1)) * _FIXED_UNIT_SECONDS[m.group(2)]
+
+
 def _bucket_key(fam: str, spec: dict) -> Column:
     if fam == "histogram":
         interval = float(spec["interval"])
@@ -474,10 +486,57 @@ def _bucket_key(fam: str, spec: dict) -> Column:
         return (
             F.floor(F.col(spec["field"]) / F.lit(interval)) * F.lit(interval)
         ).alias("bucket")
+    if spec.get("fixed_interval") is not None:
+        # ES fixed_interval: epoch-aligned constant-width buckets (calendar
+        # rules don't apply) — floor(epoch / width) * width, pure column math
+        secs = _fixed_interval_seconds(spec["fixed_interval"])
+        return F.timestamp_seconds(
+            F.floor(F.unix_timestamp(F.col(spec["field"])) / F.lit(secs))
+            * F.lit(secs)
+        ).alias("bucket")
     interval = str(spec.get("calendar_interval", spec.get("interval", "month")))
     if interval not in _INTERVALS:
         raise ValueError(f"date_histogram interval must be one of {_INTERVALS}")
     return F.date_trunc(interval, F.col(spec["field"])).alias("bucket")
+
+
+def _bucket_spine(df: DataFrame, fam: str, spec: dict) -> DataFrame:
+    """min_doc_count=0 empty-bucket fill: every bucket between the
+    extended_bounds, generated closed-form with ``sequence`` (one literal
+    row exploded — never a scan) and LEFT-joined by the histogram branch.
+    ES requires extended_bounds to emit buckets outside the data range; we
+    require it for the fill itself so the spine never depends on a separate
+    min/max pass over the data."""
+    eb = spec.get("extended_bounds")
+    if not isinstance(eb, dict) or "min" not in eb or "max" not in eb:
+        raise ValueError(
+            "min_doc_count: 0 needs extended_bounds {min, max} — the empty-"
+            "bucket spine must be closed-form, not a second data pass"
+        )
+    one = df.sparkSession.range(1)
+    if fam == "histogram":
+        interval = float(spec["interval"])
+        lo = float(eb["min"]) // interval * interval
+        hi = float(eb["max"]) // interval * interval
+        n = int((hi - lo) / interval) + 1
+        return df.sparkSession.range(n).select(
+            (F.lit(lo) + F.col("id") * F.lit(interval)).alias("bucket")
+        )
+    if spec.get("fixed_interval") is not None:
+        secs = _fixed_interval_seconds(spec["fixed_interval"])
+        lo = (f"timestamp_seconds(floor(unix_timestamp(timestamp'{eb['min']}')"
+              f" / {secs}) * {secs})")
+        hi = (f"timestamp_seconds(floor(unix_timestamp(timestamp'{eb['max']}')"
+              f" / {secs}) * {secs})")
+        seq = F.expr(f"sequence({lo}, {hi}, interval {secs} second)")
+    else:
+        unit = str(spec.get("calendar_interval", spec.get("interval", "month")))
+        seq = F.expr(
+            f"sequence(date_trunc('{unit}', timestamp'{eb['min']}'), "
+            f"date_trunc('{unit}', timestamp'{eb['max']}'), "
+            f"interval 1 {unit})"
+        )
+    return one.select(F.explode(seq).alias("bucket"))
 
 
 def _apply_pipelines(buckets: DataFrame, pipelines: list) -> DataFrame:
@@ -689,6 +748,32 @@ def _compile_agg(df: DataFrame, name: str, node: dict, exact: bool) -> DataFrame
                 "pipeline sub-aggs need a histogram/date_histogram parent"
             )
         if bucket_children:
+            th = [b for b in bucket_children if b[1] == "top_hits"]
+            if fam == "terms" and len(bucket_children) == 1 and th \
+                    and not metrics:
+                # ES top_hits sub-agg: the top-n DOCUMENTS of every bucket —
+                # one rank window partitioned by the bucket, never a global
+                # sort (aggs.top_hits_by_bucket)
+                from es_indexer_spark.query import aggs as A
+
+                _cn, _cf, cnode = th[0]
+                hspec = cnode["top_hits"]
+                sort = hspec.get("sort")
+                if isinstance(sort, list):
+                    sort = sort[0] if sort else None
+                if not isinstance(sort, dict) or len(sort) != 1:
+                    raise ValueError(
+                        "top_hits needs sort: [{field: asc|desc}] (ES's "
+                        "index-order default is shard-dependent)"
+                    )
+                scol, sdir = next(iter(sort.items()))
+                desc = (sdir.get("order", "asc") if isinstance(sdir, dict)
+                        else str(sdir)) == "desc"
+                return A.top_hits_by_bucket(
+                    df.filter(F.col(spec["field"]).isNotNull()),
+                    spec["field"], scol, n=int(hspec.get("size", 3)),
+                    descending=desc, tiebreak_col="docid",
+                )
             raise ValueError("bucket nesting under terms is not supported — "
                              "use a histogram parent with a terms child")
         size = int(spec.get("size", 10))
@@ -697,14 +782,41 @@ def _compile_agg(df: DataFrame, name: str, node: dict, exact: bool) -> DataFrame
             key = F.col(spec["field"])
             if spec.get("missing") is not None:
                 key = F.coalesce(key, F.lit(spec["missing"]))
-            out = (
-                df.filter(key.isNotNull())
-                .groupBy(key.alias("key"))
-                .agg(F.count(F.lit(1)).alias("doc_count"), *mexprs)
-                .orderBy(F.desc("doc_count"), F.asc("key"))
-                .limit(size)
+            grouped = df.filter(key.isNotNull())
+            # ES include/exclude: a FULL-match regex or an exact-value list,
+            # applied to the key before bucketing (same scan, pushed where
+            # the source supports it)
+            inc, exc = spec.get("include"), spec.get("exclude")
+            for pat, neg in ((inc, False), (exc, True)):
+                if pat is None:
+                    continue
+                if isinstance(pat, list):
+                    cond = key.isin(list(pat))
+                else:
+                    cond = key.cast("string").rlike(f"^(?:{pat})$")
+                grouped = grouped.filter(~cond if neg else cond)
+            out = grouped.groupBy(key.alias("key")).agg(
+                F.count(F.lit(1)).alias("doc_count"), *mexprs
             )
-            return out
+            # ES order option: _count (default desc), _key, or a metric
+            # sub-agg's name ("name.stat" for multi-valued families maps to
+            # the flattened name_stat column); key asc always tiebreaks
+            order = spec.get("order")
+            if order is None:
+                order = {"_count": "desc"}
+            if not isinstance(order, dict) or len(order) != 1:
+                raise ValueError("terms order must be one {path: asc|desc}")
+            opath, odir = next(iter(order.items()))
+            ocol = {"_count": "doc_count", "_key": "key"}.get(
+                opath, opath.replace(".", "_"))
+            if ocol not in out.columns:
+                raise ValueError(
+                    f"terms order path {opath!r} is not _count/_key or a "
+                    "metric sub-aggregation of this terms agg"
+                )
+            primary = F.asc(ocol) if str(odir) == "asc" else F.desc(ocol)
+            tiebreak = [] if ocol == "key" else [F.asc("key")]
+            return out.orderBy(primary, *tiebreak).limit(size)
         terms = spec.get("terms")
         if not isinstance(terms, list) or not terms:
             raise ValueError("multi_terms needs a terms list of {field} entries")
@@ -761,6 +873,19 @@ def _compile_agg(df: DataFrame, name: str, node: dict, exact: bool) -> DataFrame
         mdc = int(spec.get("min_doc_count", 1))
         if mdc > 1:
             out = out.filter(F.col("doc_count") >= mdc)
+        elif mdc == 0:
+            # ES min_doc_count: 0 — every bucket in extended_bounds appears,
+            # empty ones with doc_count 0 (metrics stay NULL, like ES's
+            # null-valued sub-aggs on empty buckets). The spine is a
+            # closed-form literal sequence broadcast-joined to the reduced
+            # bucket table — bucket-count-sized, never a data pass.
+            spine = _bucket_spine(df, fam, spec)
+            out = (
+                spine.join(out, "bucket", "left")
+                .withColumn("doc_count",
+                            F.coalesce(F.col("doc_count"), F.lit(0)))
+                .orderBy("bucket")
+            )
         return _apply_pipelines(out, pipelines)
 
     if pipelines or bucket_children:

@@ -355,3 +355,94 @@ def test_sibling_pipelines(spark, agg_index):
     with pytest.raises(ValueError, match="not a sibling"):
         aggregations(spark, agg_index, {"size": 0, "aggs": {
             "b": {"max_bucket": {"buckets_path": "nope>_count"}}}})
+
+
+def test_terms_order_include_exclude(spark, agg_index):
+    pdf = _pdf(spark, agg_index)
+    # order by a metric sub-agg asc
+    out = aggregations(spark, agg_index, {"size": 0, "aggs": {
+        "langs": {"terms": {"field": "lang", "size": 3,
+                            "order": {"avg_len": "asc"}},
+                  "aggs": {"avg_len": {"avg": {"field": "n_chars"}}}},
+    }})["langs"].toPandas()
+    want = (
+        pdf.groupby("lang")["n_chars"].mean().round(6)
+        .reset_index(name="avg_len").sort_values(["avg_len", "lang"]).head(3)
+    )
+    assert list(out["key"]) == list(want["lang"])
+    # order by _key desc
+    out2 = aggregations(spark, agg_index, {"size": 0, "aggs": {
+        "langs": {"terms": {"field": "lang", "size": 2,
+                            "order": {"_key": "desc"}}},
+    }})["langs"].toPandas()
+    assert list(out2["key"]) == sorted(pdf["lang"].unique())[::-1][:2]
+    # include regex (full match) + exclude list
+    out3 = aggregations(spark, agg_index, {"size": 0, "aggs": {
+        "langs": {"terms": {"field": "lang", "size": 10,
+                            "include": "e.*", "exclude": ["es"]}},
+    }})["langs"].toPandas()
+    assert set(out3["key"]) == {
+        v for v in pdf["lang"].unique() if v.startswith("e") and v != "es"}
+    with pytest.raises(ValueError, match="order path"):
+        aggregations(spark, agg_index, {"size": 0, "aggs": {
+            "langs": {"terms": {"field": "lang", "order": {"nope": "asc"}}}}})
+
+
+def test_top_hits_under_terms(spark, agg_index):
+    from es_indexer_spark.query import aggs as A
+    from es_indexer_spark.query.aggs import index_docs
+
+    out = aggregations(spark, agg_index, {"size": 0, "aggs": {
+        "by_lang": {"terms": {"field": "lang"},
+                    "aggs": {"best": {"top_hits": {
+                        "size": 2, "sort": [{"n_chars": "desc"}]}}}},
+    }})["by_lang"]
+    want = A.top_hits_by_bucket(
+        index_docs(spark, agg_index), "lang", "n_chars",
+        n=2, descending=True, tiebreak_col="docid",
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, want.collect())) and out.count() > 0
+
+
+def test_date_histogram_fixed_interval_and_empty_fill(spark, agg_index):
+    # fixed_interval: epoch-aligned 12h buckets over the runtime ts
+    out = aggregations(spark, agg_index, {"size": 0, "runtime_mappings": RT,
+        "aggs": {"h12": {"date_histogram": {
+            "field": "ts", "fixed_interval": "12h"}}},
+    })["h12"].toPandas()
+    pdf = _pdf(spark, agg_index)
+    days = pdf["n_chars"] % 28
+    # ts = Jan 1 + d days exactly at midnight → every 12h bucket is the
+    # day's first half; bucket count == distinct days
+    assert len(out) == days.nunique()
+    assert int(out["doc_count"].sum()) == len(pdf)
+    # min_doc_count 0 + extended_bounds fills the gaps (every second 12h
+    # bucket is empty) and extends past the data range
+    filled = aggregations(spark, agg_index, {"size": 0, "runtime_mappings": RT,
+        "aggs": {"h12": {"date_histogram": {
+            "field": "ts", "fixed_interval": "12h", "min_doc_count": 0,
+            "extended_bounds": {"min": "2024-01-01 00:00:00",
+                                 "max": "2024-01-30 00:00:00"}}}},
+    })["h12"].toPandas()
+    assert len(filled) == 59  # 29 days * 2 + the final midnight bucket
+    assert int(filled["doc_count"].sum()) == len(pdf)
+    assert (filled["doc_count"] == 0).sum() == 59 - days.nunique()
+    with pytest.raises(ValueError, match="extended_bounds"):
+        aggregations(spark, agg_index, {"size": 0, "runtime_mappings": RT,
+            "aggs": {"h": {"date_histogram": {
+                "field": "ts", "fixed_interval": "12h",
+                "min_doc_count": 0}}}})
+
+
+def test_numeric_histogram_empty_fill(spark, agg_index):
+    pdf = _pdf(spark, agg_index)
+    out = aggregations(spark, agg_index, {"size": 0, "aggs": {
+        "h": {"histogram": {"field": "n_chars", "interval": 100,
+                            "min_doc_count": 0,
+                            "extended_bounds": {"min": 0, "max": 1500}}},
+    }})["h"].toPandas()
+    assert len(out) == 16  # 0..1500 step 100
+    got = dict(zip(out["bucket"], out["doc_count"]))
+    for b in range(0, 1600, 100):
+        assert got[float(b)] == int(((pdf["n_chars"] // 100) * 100 == b).sum())
