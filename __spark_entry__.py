@@ -1087,6 +1087,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsl_aggs_empty_fill"] = _dsl_aggs_empty_fill
 
+    # round 5j: ES SQL ungrouped metric aggregates + exact COUNT(DISTINCT)
+    def _sql_count_distinct(spark, sf):
+        from es_indexer_spark.query.essql import sql_query
+
+        return sql_query(
+            spark, _index_root(spark, sf),
+            "SELECT COUNT(DISTINCT source) AS ns, COUNT(*) AS n, "
+            "AVG(n_chars) AS a, MAX(n_chars) AS mx FROM idx "
+            "WHERE n_chars > 100",
+        )
+
+    q["sql_count_distinct"] = _sql_count_distinct
+
     # round 5c: ES intervals query (query/intervals.py) — minimal-interval
     # algebra with the filter rules; phrase_tf = minimal-interval count
     def _intervals(spec: dict):
@@ -3684,6 +3697,12 @@ WITH t AS (SELECT TIMESTAMP '2024-01-01'
 SELECT to_timestamp(floor(epoch(ts) / 43200) * 43200) AS bucket,
        count(*)::BIGINT AS doc_count
 FROM t GROUP BY 1 ORDER BY 1
+"""
+    # ES SQL ungrouped aggregates: one row, exact COUNT(DISTINCT)
+    o["sql_count_distinct"] = """
+SELECT count(DISTINCT source)::BIGINT AS ns, count(*)::BIGINT AS n,
+       round(avg(n_chars), 6) AS a, max(n_chars)::BIGINT AS mx
+FROM documents WHERE n_chars > 100
 """
     # min_doc_count 0: every 100-wide bucket of extended_bounds [0, 1200]
     o["dsl_aggs_empty_fill"] = """

@@ -378,6 +378,31 @@ def _lower_where(tree) -> tuple[list, list, list]:
 _AGG_FNS = ("COUNT", "AVG", "SUM", "MIN", "MAX")
 
 
+def _agg_nodes(agg_items: list[dict]) -> tuple[dict, str | None]:
+    """SELECT aggregate items → (named metric-agg nodes for the dsl_aggs
+    half, COUNT(*) output alias or None). COUNT(col) = ES value_count;
+    COUNT(DISTINCT col) = cardinality (exact — SQL semantics, so sql_query
+    runs the aggs half with exact=True, never the HLL sketch)."""
+    subaggs: dict = {}
+    count_alias = None
+    for it in agg_items:
+        if it["fn"] == "COUNT" and it["col"] == "*":
+            count_alias = it["alias"] or "count"
+        elif it["fn"] == "COUNT":
+            subaggs[it["alias"] or f"count_{it['col']}"] = {
+                "value_count": {"field": it["col"]}
+            }
+        elif it["fn"] == "COUNT_DISTINCT":
+            subaggs[it["alias"] or f"count_distinct_{it['col']}"] = {
+                "cardinality": {"field": it["col"]}
+            }
+        else:
+            subaggs[it["alias"] or f"{it['fn'].lower()}_{it['col']}"] = {
+                it["fn"].lower(): {"field": it["col"]}
+            }
+    return subaggs, count_alias
+
+
 def _sql_literal(v) -> str:
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
@@ -394,6 +419,8 @@ def _having_ref(p: _P, agg_items: list[dict], group_by: list[str]) -> str:
     up = w.upper()
     if up in _AGG_FNS and p.peek() == ("op", "("):
         p.next()
+        if up == "COUNT" and p.kw("DISTINCT"):
+            up = "COUNT_DISTINCT"
         arg = p.next()
         if arg == ("op", "*"):
             if up != "COUNT":
@@ -475,6 +502,8 @@ def translate_sql(sql: str) -> dict:
                 p.peek() == ("op", "("):
             fn = tok[1].upper()
             p.next()
+            if fn == "COUNT" and p.kw("DISTINCT"):
+                fn = "COUNT_DISTINCT"
             arg_tok = p.next()
             if arg_tok == ("op", "*"):
                 if fn != "COUNT":
@@ -582,19 +611,7 @@ def translate_sql(sql: str) -> dict:
         if bad:
             raise ValueError(f"column {bad[0]!r} is neither grouped nor "
                              "aggregated")
-        subaggs: dict = {}
-        count_alias = None
-        for it in agg_items:
-            if it["fn"] == "COUNT" and it["col"] == "*":
-                count_alias = it["alias"] or "count"
-            elif it["fn"] == "COUNT":
-                subaggs[it["alias"] or f"count_{it['col']}"] = {
-                    "value_count": {"field": it["col"]}
-                }
-            else:
-                subaggs[it["alias"] or f"{it['fn'].lower()}_{it['col']}"] = {
-                    it["fn"].lower(): {"field": it["col"]}
-                }
+        subaggs, count_alias = _agg_nodes(agg_items)
         if len(group_by) == 1:
             g: dict = {"terms": {"field": group_by[0], "size": 65536}}
         else:
@@ -611,11 +628,16 @@ def translate_sql(sql: str) -> dict:
         }
         return body
     if agg_items:
-        # ungrouped aggregate: SELECT COUNT(*) = the _count API
+        if select_cols or want_score or star:
+            raise ValueError(
+                "an ungrouped aggregate SELECT cannot mix in plain columns "
+                "— add a GROUP BY"
+            )
+        # ungrouped SELECT COUNT(*) alone = the _count API (map-combined
+        # count, no aggs machinery)
         if (
             len(agg_items) == 1 and agg_items[0]["fn"] == "COUNT"
-            and agg_items[0]["col"] == "*" and not select_cols
-            and not want_score and not star
+            and agg_items[0]["col"] == "*"
         ):
             body["_sql_meta"] = {
                 "count_only": agg_items[0]["alias"] or "count",
@@ -623,10 +645,18 @@ def translate_sql(sql: str) -> dict:
                 "score": False,
             }
             return body
-        raise ValueError(
-            "ungrouped aggregates support SELECT COUNT(*) only — metric "
-            "aggregates need a GROUP BY column"
-        )
+        # general ungrouped aggregates (COUNT(col) / COUNT(DISTINCT col) /
+        # AVG / SUM / MIN / MAX [+ COUNT(*)]): each lowers to one metric agg
+        # over the match set; sql_query cross-joins the 1-row frames
+        subaggs, count_alias = _agg_nodes(agg_items)
+        if count_alias is not None:
+            subaggs[count_alias] = {"value_count": {"field": "docid"}}
+        body = {"query": qnode, "size": 0, "aggs": subaggs}
+        body["_sql_meta"] = {
+            "group_by": None, "ungrouped": list(subaggs),
+            "select": [], "star": False, "score": False,
+        }
+        return body
     if sort and sort != ["_score"]:
         body["sort"] = sort
     if star:
@@ -663,10 +693,22 @@ def sql_query(
         return count_query(spark, index_root, body, lang=lang).select(
             F.col("count").alias(meta["count_only"])
         )
+    if meta.get("ungrouped"):
+        # ungrouped metric aggregates: one 1-row frame per aggregate,
+        # cross-joined into the single SQL result row (exact=True — SQL
+        # COUNT(DISTINCT) is exact, never the HLL sketch)
+        from functools import reduce
+
+        from es_indexer_spark.query.dsl_aggs import aggregations
+
+        frames = aggregations(spark, index_root, body, lang=lang, exact=True)
+        return reduce(DataFrame.crossJoin,
+                      [frames[n] for n in meta["ungrouped"]])
     if meta.get("group_by"):
         from es_indexer_spark.query.dsl_aggs import aggregations
 
-        frame = aggregations(spark, index_root, body, lang=lang)["g"]
+        frame = aggregations(spark, index_root, body, lang=lang,
+                             exact=True)["g"]
         gcols = meta["group_by"]
         if len(gcols) == 1:
             frame = frame.withColumnRenamed("key", gcols[0])

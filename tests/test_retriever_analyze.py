@@ -604,3 +604,31 @@ def test_sql_having_execution(spark, r_index, documents):
         .orderBy(F.desc("n"), F.asc("lang"), F.asc("n_chars")).limit(5).collect()
     )
     assert got3 == [(r["lang"], r["n_chars"], r["n"]) for r in brute3] and got3
+
+
+def test_sql_count_distinct_and_ungrouped_metrics(spark, r_index, documents):
+    from es_indexer_spark.query.essql import sql_query
+
+    row = sql_query(
+        spark, r_index,
+        "SELECT COUNT(DISTINCT lang) AS nl, AVG(n_chars) AS a, COUNT(*) AS n "
+        "FROM idx WHERE n_chars > 100",
+    ).collect()[0]
+    sub = documents.filter(F.col("n_chars") > 100)
+    assert row["nl"] == sub.select("lang").distinct().count()
+    assert abs(row["a"] - round(sub.agg(F.avg("n_chars")).collect()[0][0], 6)) < 1e-9
+    assert row["n"] == sub.count()
+    # grouped COUNT(DISTINCT) is exact (cardinality with exact=True)
+    got = [(r["lang"], r["ns"]) for r in sql_query(
+        spark, r_index,
+        "SELECT lang, COUNT(DISTINCT n_chars) AS ns FROM idx "
+        "GROUP BY lang ORDER BY lang LIMIT 50",
+    ).collect()]
+    brute = (
+        documents.groupBy("lang")
+        .agg(F.count_distinct("n_chars").alias("ns"))
+        .orderBy("lang").collect()
+    )
+    assert got == [(r["lang"], r["ns"]) for r in brute] and got
+    with pytest.raises(ValueError, match="cannot mix in plain columns"):
+        sql_query(spark, r_index, "SELECT lang, COUNT(DISTINCT n_chars) FROM idx")
