@@ -471,11 +471,25 @@ _FIXED_UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
 
 def _fixed_interval_seconds(spec_val: str) -> int:
     m = re.fullmatch(r"(\d+)(ms|s|m|h|d)", str(spec_val))
-    if not m or m.group(2) == "ms":
+    if not m or m.group(2) == "ms" or int(m.group(1)) == 0:
         raise ValueError(
-            f"fixed_interval {spec_val!r}: supported units are s/m/h/d"
+            f"fixed_interval {spec_val!r}: a positive count of s/m/h/d"
         )
     return int(m.group(1)) * _FIXED_UNIT_SECONDS[m.group(2)]
+
+
+_TS_LITERAL_RE = re.compile(
+    r"\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?)?"
+)
+
+
+def _ts_literal(v) -> str:
+    """A bounds value as a safe Spark timestamp literal (the value lands
+    inside an expr string — validate the shape, never interpolate raw)."""
+    s = str(v)
+    if not _TS_LITERAL_RE.fullmatch(s):
+        raise ValueError(f"not a date/timestamp literal: {v!r}")
+    return f"timestamp'{s}'"
 
 
 def _bucket_key(fam: str, spec: dict) -> Column:
@@ -522,18 +536,22 @@ def _bucket_spine(df: DataFrame, fam: str, spec: dict) -> DataFrame:
         return df.sparkSession.range(n).select(
             (F.lit(lo) + F.col("id") * F.lit(interval)).alias("bucket")
         )
+    lo_ts, hi_ts = _ts_literal(eb["min"]), _ts_literal(eb["max"])
     if spec.get("fixed_interval") is not None:
         secs = _fixed_interval_seconds(spec["fixed_interval"])
-        lo = (f"timestamp_seconds(floor(unix_timestamp(timestamp'{eb['min']}')"
+        lo = (f"timestamp_seconds(floor(unix_timestamp({lo_ts})"
               f" / {secs}) * {secs})")
-        hi = (f"timestamp_seconds(floor(unix_timestamp(timestamp'{eb['max']}')"
+        hi = (f"timestamp_seconds(floor(unix_timestamp({hi_ts})"
               f" / {secs}) * {secs})")
         seq = F.expr(f"sequence({lo}, {hi}, interval {secs} second)")
     else:
         unit = str(spec.get("calendar_interval", spec.get("interval", "month")))
+        if unit not in _INTERVALS:
+            raise ValueError(
+                f"date_histogram interval must be one of {_INTERVALS}")
         seq = F.expr(
-            f"sequence(date_trunc('{unit}', timestamp'{eb['min']}'), "
-            f"date_trunc('{unit}', timestamp'{eb['max']}'), "
+            f"sequence(date_trunc('{unit}', {lo_ts}), "
+            f"date_trunc('{unit}', {hi_ts}), "
             f"interval 1 {unit})"
         )
     return one.select(F.explode(seq).alias("bucket"))
