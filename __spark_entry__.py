@@ -1100,6 +1100,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sql_count_distinct"] = _sql_count_distinct
 
+    # round 5j: geo bucket families through the JSON aggs body (runtime
+    # lon/lat columns — no geo_point type; same convention as the metric
+    # geo families)
+    def _dsl_aggs_geo_rings(spark, sf):
+        from es_indexer_spark.query.dsl_aggs import aggregations
+
+        return aggregations(spark, _index_root(spark, sf), {
+            "size": 0,
+            "runtime_mappings": {
+                "lon": {"type": "double",
+                        "script": "(n_chars % 360) - 180.0"},
+                "lat": {"type": "double",
+                        "script": "(n_chars % 160) - 80.0"},
+            },
+            "aggs": {"rings": {"geo_distance": {
+                "lon_field": "lon", "lat_field": "lat",
+                "origin": {"lon": 0.0, "lat": 0.0},
+                "ranges": [{"to": 3000}, {"from": 3000, "to": 8000},
+                           {"from": 8000}],
+            }}},
+        })["rings"]
+
+    q["dsl_aggs_geo_rings"] = _dsl_aggs_geo_rings
+
+    # round 5j: date_histogram offset — shifted 1-day grid (+6h)
+    def _dsl_aggs_dh_offset(spark, sf):
+        from es_indexer_spark.query.dsl_aggs import aggregations
+
+        return aggregations(spark, _index_root(spark, sf), {
+            "size": 0,
+            "runtime_mappings": {"ts": {
+                "type": "date",
+                "script": "timestamp'2024-01-01' + "
+                          "make_interval(0,0,0,n_chars % 28,0,0,0)",
+            }},
+            "aggs": {"days": {"date_histogram": {
+                "field": "ts", "fixed_interval": "1d", "offset": "+6h"}}},
+        })["days"]
+
+    q["dsl_aggs_dh_offset"] = _dsl_aggs_dh_offset
+
     # round 5c: ES intervals query (query/intervals.py) — minimal-interval
     # algebra with the filter rules; phrase_tf = minimal-interval count
     def _intervals(spec: dict):
@@ -3695,6 +3736,30 @@ WHERE hit_rank <= 2
 WITH t AS (SELECT TIMESTAMP '2024-01-01'
                   + to_days((n_chars % 28)::INT) AS ts FROM documents)
 SELECT to_timestamp(floor(epoch(ts) / 43200) * 43200) AS bucket,
+       count(*)::BIGINT AS doc_count
+FROM t GROUP BY 1 ORDER BY 1
+"""
+    # geo_distance rings via the JSON body over runtime lon/lat columns
+    o["dsl_aggs_geo_rings"] = """
+WITH pts AS (SELECT (n_chars % 360) - 180.0 AS lon,
+                    (n_chars % 160) - 80.0 AS lat FROM documents),
+d AS (SELECT 2.0 * 6371.0088 * asin(sqrt(least(1.0,
+        pow(sin(radians(lat::DOUBLE) / 2), 2)
+        + cos(radians(lat::DOUBLE)) * pow(sin(radians(lon::DOUBLE) / 2), 2)
+      ))) AS dist FROM pts),
+a AS (SELECT sum(CASE WHEN dist < 3000.0 THEN 1 ELSE 0 END)::BIGINT AS b0,
+             sum(CASE WHEN dist >= 3000.0 AND dist < 8000.0 THEN 1 ELSE 0 END)::BIGINT AS b1,
+             sum(CASE WHEN dist >= 8000.0 THEN 1 ELSE 0 END)::BIGINT AS b2
+      FROM d)
+SELECT unnest(['*-3000', '3000-8000', '8000-*']) AS key,
+       unnest([b0, b1, b2]) AS doc_count
+FROM a
+"""
+    # date_histogram fixed 1d grid shifted +6h: bucket = floor((epoch-6h)/1d)*1d+6h
+    o["dsl_aggs_dh_offset"] = """
+WITH t AS (SELECT TIMESTAMP '2024-01-01'
+                  + to_days((n_chars % 28)::INT) AS ts FROM documents)
+SELECT to_timestamp(floor((epoch(ts) - 21600) / 86400) * 86400 + 21600) AS bucket,
        count(*)::BIGINT AS doc_count
 FROM t GROUP BY 1 ORDER BY 1
 """

@@ -504,7 +504,29 @@ def _fetch_fields(
     src_spec = body.get("_source")
     fields = body.get("fields")
     want: list[str] | None = None
-    if isinstance(src_spec, list):
+    if isinstance(src_spec, dict):
+        # ES _source filtering: includes/excludes glob patterns over the
+        # stored columns (resolved against the docs schema — pure metadata)
+        import fnmatch
+        import os as _os2
+
+        from es_indexer_spark.index import catalog as _cat2
+
+        inc = src_spec.get("includes", ["*"])
+        exc = src_spec.get("excludes", [])
+        inc = [inc] if isinstance(inc, str) else [str(x) for x in inc]
+        exc = [exc] if isinstance(exc, str) else [str(x) for x in exc]
+        cols = [
+            c for c in spark.read.parquet(
+                _os2.path.join(_cat2.resolve(index_root), "docs")).columns
+            if c != "docid"
+        ]
+        want = [
+            c for c in cols
+            if any(fnmatch.fnmatchcase(c, p) for p in inc)
+            and not any(fnmatch.fnmatchcase(c, p) for p in exc)
+        ]
+    elif isinstance(src_spec, list):
         want = [str(f) for f in src_spec]
     elif src_spec is True:
         want = ["*"]

@@ -78,7 +78,8 @@ _PIPELINE_FAMILIES = (
 _BUCKET_FAMILIES = (
     "terms", "multi_terms", "histogram", "date_histogram", "range",
     "filters", "missing", "filter", "composite", "rare_terms", "date_range",
-    "adjacency_matrix", "auto_date_histogram",
+    "adjacency_matrix", "auto_date_histogram", "geotile_grid",
+    "geohash_grid", "geo_distance",
 )
 # multi-row / multi-pass metric families: top-level only (their frames are
 # not (name, expression) pairs, so they cannot ride inside a bucket groupBy)
@@ -492,26 +493,49 @@ def _ts_literal(v) -> str:
     return f"timestamp'{s}'"
 
 
+def _date_offset_seconds(spec_val) -> int:
+    m = re.fullmatch(r"([+-]?)(\d+)(s|m|h|d)", str(spec_val))
+    if not m:
+        raise ValueError(
+            f"date_histogram offset {spec_val!r}: expected ±<n><s|m|h|d>"
+        )
+    sign = -1 if m.group(1) == "-" else 1
+    return sign * int(m.group(2)) * _FIXED_UNIT_SECONDS[m.group(3)]
+
+
 def _bucket_key(fam: str, spec: dict) -> Column:
     if fam == "histogram":
         interval = float(spec["interval"])
         if not interval > 0:
             raise ValueError("histogram interval must be > 0")
+        # ES offset: shift the bucket grid, not the values — bucket =
+        # floor((x - offset) / interval) * interval + offset
+        off = float(spec.get("offset", 0.0))
         return (
-            F.floor(F.col(spec["field"]) / F.lit(interval)) * F.lit(interval)
+            F.floor((F.col(spec["field"]) - F.lit(off)) / F.lit(interval))
+            * F.lit(interval) + F.lit(off)
         ).alias("bucket")
+    off = _date_offset_seconds(spec["offset"]) if spec.get("offset") else 0
+    c = F.col(spec["field"])
     if spec.get("fixed_interval") is not None:
         # ES fixed_interval: epoch-aligned constant-width buckets (calendar
         # rules don't apply) — floor(epoch / width) * width, pure column math
         secs = _fixed_interval_seconds(spec["fixed_interval"])
         return F.timestamp_seconds(
-            F.floor(F.unix_timestamp(F.col(spec["field"])) / F.lit(secs))
-            * F.lit(secs)
+            F.floor((F.unix_timestamp(c) - F.lit(off)) / F.lit(secs))
+            * F.lit(secs) + F.lit(off)
         ).alias("bucket")
     interval = str(spec.get("calendar_interval", spec.get("interval", "month")))
     if interval not in _INTERVALS:
         raise ValueError(f"date_histogram interval must be one of {_INTERVALS}")
-    return F.date_trunc(interval, F.col(spec["field"])).alias("bucket")
+    trunc = F.date_trunc(
+        interval, F.timestamp_seconds(F.unix_timestamp(c) - F.lit(off))
+    ) if off else F.date_trunc(interval, c)
+    if off:
+        return F.timestamp_seconds(
+            F.unix_timestamp(trunc) + F.lit(off)
+        ).alias("bucket")
+    return trunc.alias("bucket")
 
 
 def _bucket_spine(df: DataFrame, fam: str, spec: dict) -> DataFrame:
@@ -526,6 +550,11 @@ def _bucket_spine(df: DataFrame, fam: str, spec: dict) -> DataFrame:
         raise ValueError(
             "min_doc_count: 0 needs extended_bounds {min, max} — the empty-"
             "bucket spine must be closed-form, not a second data pass"
+        )
+    if spec.get("offset"):
+        raise ValueError(
+            "min_doc_count: 0 with a bucket offset is not supported — the "
+            "spine would need the same shifted grid; drop one of the two"
         )
     one = df.sparkSession.range(1)
     if fam == "histogram":
@@ -756,6 +785,37 @@ def _compile_agg(df: DataFrame, name: str, node: dict, exact: bool) -> DataFrame
             )
         return A.auto_date_histogram(
             df, spec["field"], buckets=int(spec.get("buckets", 10))
+        )
+
+    if fam in ("geotile_grid", "geohash_grid", "geo_distance"):
+        # geo bucket families over a (lon, lat) column pair — same no-
+        # geo_point-type convention as the geo metric families (lon_field /
+        # lat_field keys; runtime_mappings can synthesize them)
+        from es_indexer_spark.query import aggs as A
+
+        if children:
+            raise ValueError(f"{fam} supports no sub-aggregations")
+        lon = spec.get("lon_field", "lon")
+        lat = spec.get("lat_field", "lat")
+        if fam == "geo_distance":
+            origin = spec.get("origin")
+            if not (isinstance(origin, dict)
+                    and "lon" in origin and "lat" in origin):
+                raise ValueError("geo_distance needs origin {lon, lat}")
+            ranges = spec.get("ranges")
+            if not ranges:
+                raise ValueError("geo_distance needs a ranges list")
+            return A.geo_distance_agg(
+                df, float(origin["lon"]), float(origin["lat"]),
+                [(r.get("from"), r.get("to")) for r in ranges],
+                lon_col=lon, lat_col=lat,
+            )
+        fn = A.geotile_grid if fam == "geotile_grid" else A.geohash_grid
+        return fn(
+            df, lon, lat,
+            precision=int(spec.get("precision",
+                                   7 if fam == "geotile_grid" else 5)),
+            size=int(spec.get("size", 10)),
         )
 
     metrics, pipelines, bucket_children = _split_children(children)

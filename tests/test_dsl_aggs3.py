@@ -446,3 +446,67 @@ def test_numeric_histogram_empty_fill(spark, agg_index):
     got = dict(zip(out["bucket"], out["doc_count"]))
     for b in range(0, 1600, 100):
         assert got[float(b)] == int(((pdf["n_chars"] // 100) * 100 == b).sum())
+
+
+def test_histogram_offset_grids(spark, agg_index):
+    pdf = _pdf(spark, agg_index)
+    out = aggregations(spark, agg_index, {"size": 0, "aggs": {
+        "h": {"histogram": {"field": "n_chars", "interval": 100,
+                            "offset": 50}},
+    }})["h"].toPandas()
+    want = ((pdf["n_chars"] - 50) // 100 * 100 + 50).value_counts().sort_index()
+    assert list(out["bucket"]) == [float(b) for b in want.index]
+    assert list(out["doc_count"]) == list(want.values)
+    # date offset: +6h shifts the 12h grid
+    out2 = aggregations(spark, agg_index, {"size": 0, "runtime_mappings": RT,
+        "aggs": {"h": {"date_histogram": {
+            "field": "ts", "fixed_interval": "1d", "offset": "+6h"}}},
+    })["h"].toPandas()
+    # every ts is at midnight -> lands in the PREVIOUS day's 06:00 bucket
+    assert all(str(b).endswith("06:00:00") for b in out2["bucket"])
+    assert int(out2["doc_count"].sum()) == len(pdf)
+    with pytest.raises(ValueError, match="offset"):
+        aggregations(spark, agg_index, {"size": 0, "runtime_mappings": RT,
+            "aggs": {"h": {"date_histogram": {
+                "field": "ts", "fixed_interval": "1d", "offset": "+6x"}}}})
+
+
+def test_geo_grid_buckets_json(spark, agg_index):
+    from es_indexer_spark.query import aggs as A
+    from es_indexer_spark.query.aggs import index_docs
+    from es_indexer_spark.query.dsl_aggs import with_runtime_fields
+
+    docs = with_runtime_fields(index_docs(spark, agg_index), RT)
+    base = {"size": 0, "runtime_mappings": RT}
+    got = aggregations(spark, agg_index, {**base, "aggs": {
+        "tiles": {"geotile_grid": {"lon_field": "lon", "lat_field": "lat",
+                                    "precision": 4}}}})["tiles"]
+    want = A.geotile_grid(docs, "lon", "lat", precision=4)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    got2 = aggregations(spark, agg_index, {**base, "aggs": {
+        "gh": {"geohash_grid": {"lon_field": "lon", "lat_field": "lat",
+                                 "precision": 2}}}})["gh"]
+    want2 = A.geohash_grid(docs, "lon", "lat", precision=2)
+    assert [tuple(r) for r in got2.collect()] == [tuple(r) for r in want2.collect()]
+    got3 = aggregations(spark, agg_index, {**base, "aggs": {
+        "rings": {"geo_distance": {
+            "lon_field": "lon", "lat_field": "lat",
+            "origin": {"lon": 0.0, "lat": 0.0},
+            "ranges": [{"to": 5000}, {"from": 5000}]}}}})["rings"]
+    want3 = A.geo_distance_agg(docs, 0.0, 0.0, [(None, 5000), (5000, None)],
+                                lon_col="lon", lat_col="lat")
+    assert [tuple(r) for r in got3.collect()] == [tuple(r) for r in want3.collect()]
+
+
+def test_source_includes_excludes(spark, agg_index):
+    from es_indexer_spark.query.dsl import search
+
+    out = search(spark, agg_index, {
+        "query": {"match": {"text": "data"}},
+        "size": 5,
+        "_source": {"includes": ["lang", "n_*"], "excludes": ["n_chars"]},
+    })
+    cols = set(out.columns)
+    assert "lang" in cols and "n_chars" not in cols
+    assert "source" not in cols  # not included
+    assert out.count() == 5
