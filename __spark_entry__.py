@@ -1141,6 +1141,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsl_aggs_dh_offset"] = _dsl_aggs_dh_offset
 
+    # round 5j: post_filter — hits restricted (same pushed filter set),
+    # scores untouched; aggs (a separate call here) never see it
+    def _dsl_post_filter(spark, sf):
+        from es_indexer_spark.query.dsl import search
+
+        return search(spark, _index_root(spark, sf), {
+            "query": {"match": {"text": "data stream"}},
+            "post_filter": {"term": {"lang": "fr"}},
+            "docvalue_fields": ["lang"],
+            "size": 10,
+        }).select(
+            F.col("docid").alias("doc_id"), "lang",
+            F.round("score", 4).alias("score"),
+        )
+
+    q["dsl_post_filter"] = _dsl_post_filter
+
     # round 5c: ES intervals query (query/intervals.py) — minimal-interval
     # algebra with the filter rules; phrase_tf = minimal-interval count
     def _intervals(spec: dict):
@@ -3738,6 +3755,15 @@ WITH t AS (SELECT TIMESTAMP '2024-01-01'
 SELECT to_timestamp(floor(epoch(ts) / 43200) * 43200) AS bucket,
        count(*)::BIGINT AS doc_count
 FROM t GROUP BY 1 ORDER BY 1
+"""
+    # post_filter: BM25 of 'data stream', hits where lang = fr, scores raw
+    o["dsl_post_filter"] = f"""
+{_BM25_PREAMBLE},
+{_RAW_DS}
+SELECT r.doc_id, d.lang, round(r.score_raw::DOUBLE, 4) AS score
+FROM raw r JOIN documents d USING (doc_id)
+WHERE d.lang = 'fr'
+ORDER BY r.score_raw DESC, r.doc_id ASC LIMIT 10
 """
     # geo_distance rings via the JSON body over runtime lon/lat columns
     o["dsl_aggs_geo_rings"] = """

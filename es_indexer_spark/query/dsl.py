@@ -502,7 +502,9 @@ def _fetch_fields(
     ``"*"`` returns every stored column; default (no section) keeps the
     hits frame as-is (ids + scores)."""
     src_spec = body.get("_source")
-    fields = body.get("fields")
+    # docvalue_fields is columnar retrieval in ES; every stored column here
+    # IS columnar (parquet), so it merges with the fields section
+    fields = _as_list(body.get("fields")) + _as_list(body.get("docvalue_fields"))
     want: list[str] | None = None
     if isinstance(src_spec, dict):
         # ES _source filtering: includes/excludes glob patterns over the
@@ -741,6 +743,21 @@ def search(
     from_ = int(body.get("from", 0))
     knn_spec = body.get("knn")
     qnode = body.get("query")
+    if body.get("post_filter") is not None:
+        # ES post_filter: restricts the HITS but never the aggregations —
+        # and the aggs half is a separate call in this engine
+        # (dsl_aggs.aggregations ignores post_filter by construction), so
+        # for the hits it conjoins as one more filter-context clause in the
+        # SAME scan set. ES applies it before pagination; so does this.
+        if qnode is None:
+            qnode = {"bool": {"filter": [body["post_filter"]]}}
+        elif next(iter(qnode)) == "bool":
+            b = dict(qnode["bool"])
+            b["filter"] = _as_list(b.get("filter")) + [body["post_filter"]]
+            qnode = {"bool": b}
+        else:
+            qnode = {"bool": {"must": [qnode],
+                              "filter": [body["post_filter"]]}}
     if qnode is None and knn_spec is None:
         qnode = {"match_all": {}}
 

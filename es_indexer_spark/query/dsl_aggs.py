@@ -876,6 +876,9 @@ def _compile_agg(df: DataFrame, name: str, node: dict, exact: bool) -> DataFrame
             out = grouped.groupBy(key.alias("key")).agg(
                 F.count(F.lit(1)).alias("doc_count"), *mexprs
             )
+            mdc = int(spec.get("min_doc_count", 1))
+            if mdc > 1:
+                out = out.filter(F.col("doc_count") >= mdc)
             # ES order option: _count (default desc), _key, or a metric
             # sub-agg's name ("name.stat" for multi-valued families maps to
             # the flattened name_stat column); key asc always tiebreaks

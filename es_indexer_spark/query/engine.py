@@ -1028,7 +1028,12 @@ def fetch_docs(spark: SparkSession, index_root: str, topk_df: DataFrame) -> Data
     vdir = catalog.resolve(index_root)
     hits = topk_df.collect()
     if not hits:
-        return spark.createDataFrame([], topk_df.schema)
+        # keep the JOINED schema on an empty page — downstream field
+        # selection (_source/fields) must resolve the doc columns either way
+        docs = spark.read.parquet(os.path.join(vdir, "docs"))
+        return spark.createDataFrame([], topk_df.schema).join(
+            docs, "docid", "left"
+        )
     ids = sorted({r["docid"] for r in hits})
     docs = spark.read.parquet(os.path.join(vdir, "docs")).filter(
         F.col("docid").isin(ids)

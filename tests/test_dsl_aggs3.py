@@ -510,3 +510,39 @@ def test_source_includes_excludes(spark, agg_index):
     assert "lang" in cols and "n_chars" not in cols
     assert "source" not in cols  # not included
     assert out.count() == 5
+
+
+def test_post_filter_and_docvalue_fields(spark, agg_index):
+    from es_indexer_spark.query.dsl import search
+
+    base = {"query": {"match": {"text": "data"}}, "size": 1000}
+    plain = search(spark, agg_index, base)
+    pf = search(spark, agg_index, {
+        **base,
+        "post_filter": {"term": {"lang": "en"}},
+        "docvalue_fields": ["lang"],
+    })
+    rows = pf.collect()
+    assert all(r["lang"] == "en" for r in rows) and rows
+    # scores untouched: post_filter is filter context
+    base_scores = {r["docid"]: r["score"] for r in plain.collect()}
+    assert all(abs(r["score"] - base_scores[r["docid"]]) < 1e-9 for r in rows)
+    assert len(rows) < len(base_scores)
+    # post_filter alone (match_all hits, filtered)
+    only = search(spark, agg_index, {
+        "post_filter": {"range": {"n_chars": {"gte": 900}}}, "size": 10000,
+        "docvalue_fields": ["n_chars"],
+    })
+    pdf = _pdf(spark, agg_index)
+    assert only.count() == int((pdf["n_chars"] >= 900).sum())
+
+
+def test_terms_min_doc_count(spark, agg_index):
+    pdf = _pdf(spark, agg_index)
+    vc = pdf["source"].value_counts()
+    thresh = int(vc.median())
+    out = aggregations(spark, agg_index, {"size": 0, "aggs": {
+        "src": {"terms": {"field": "source", "size": 100,
+                          "min_doc_count": thresh + 1}}},
+    })["src"].toPandas()
+    assert set(out["key"]) == set(vc[vc > thresh].index)
