@@ -1158,6 +1158,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsl_post_filter"] = _dsl_post_filter
 
+    # round 5j: script_fields — per-hit computed values (Catalyst expr in
+    # the Painless slot over the fetched doc row, page-sized evaluation)
+    def _dsl_script_fields(spark, sf):
+        from es_indexer_spark.query.dsl import search
+
+        return search(spark, _index_root(spark, sf), {
+            "query": {"match": {"text": "data stream"}},
+            "size": 10,
+            "stored_fields": ["lang"],
+            "script_fields": {"kchars": {"script": {
+                "source": "round(cast(n_chars as double) / 1000.0, 3)"}}},
+        }).select(
+            F.col("docid").alias("doc_id"), "lang", "kchars",
+            F.round("score", 4).alias("score"),
+        )
+
+    q["dsl_script_fields"] = _dsl_script_fields
+
     # round 5c: ES intervals query (query/intervals.py) — minimal-interval
     # algebra with the filter rules; phrase_tf = minimal-interval count
     def _intervals(spec: dict):
@@ -3755,6 +3773,17 @@ WITH t AS (SELECT TIMESTAMP '2024-01-01'
 SELECT to_timestamp(floor(epoch(ts) / 43200) * 43200) AS bucket,
        count(*)::BIGINT AS doc_count
 FROM t GROUP BY 1 ORDER BY 1
+"""
+    # script_fields: computed kchars over the data-stream top-10
+    o["dsl_script_fields"] = f"""
+{_BM25_PREAMBLE},
+{_RAW_DS},
+top AS (SELECT doc_id, score_raw FROM raw
+        ORDER BY score_raw DESC, doc_id ASC LIMIT 10)
+SELECT t.doc_id, d.lang, round(d.n_chars::DOUBLE / 1000.0, 3) AS kchars,
+       round(t.score_raw::DOUBLE, 4) AS score
+FROM top t JOIN documents d USING (doc_id)
+ORDER BY t.score_raw DESC, t.doc_id ASC
 """
     # post_filter: BM25 of 'data stream', hits where lang = fr, scores raw
     o["dsl_post_filter"] = f"""

@@ -502,9 +502,15 @@ def _fetch_fields(
     ``"*"`` returns every stored column; default (no section) keeps the
     hits frame as-is (ids + scores)."""
     src_spec = body.get("_source")
-    # docvalue_fields is columnar retrieval in ES; every stored column here
-    # IS columnar (parquet), so it merges with the fields section
-    fields = _as_list(body.get("fields")) + _as_list(body.get("docvalue_fields"))
+    # docvalue_fields / stored_fields are columnar vs row retrieval in ES;
+    # every stored column here IS columnar (parquet), so both merge with
+    # the fields section
+    fields = (
+        _as_list(body.get("fields"))
+        + _as_list(body.get("docvalue_fields"))
+        + [f for f in _as_list(body.get("stored_fields")) if f != "_none_"]
+    )
+    script_fields = body.get("script_fields") or {}
     want: list[str] | None = None
     if isinstance(src_spec, dict):
         # ES _source filtering: includes/excludes glob patterns over the
@@ -536,7 +542,7 @@ def _fetch_fields(
         want = (want or []) + [
             str(f["field"] if isinstance(f, dict) else f) for f in fields
         ]
-    if not want:
+    if not want and not script_fields:
         return out
     import os as _os
 
@@ -545,6 +551,7 @@ def _fetch_fields(
 
     vdir = _cat.resolve(index_root)
     doc_cols = spark.read.parquet(_os.path.join(vdir, "docs")).columns
+    want = want or []
     if "*" in want:
         want = [c for c in doc_cols if c != "docid"]
     want = [c for c in want if c in doc_cols]  # ES: unmapped names absent
@@ -557,6 +564,19 @@ def _fetch_fields(
     )
     fetched = fetch_docs(spark, index_root, pre)
     keep = list(pre.columns) + [c for c in want if c not in pre.columns]
+    # ES script_fields: per-hit computed values — the Painless slot takes a
+    # Catalyst SQL expression over the full fetched doc row (same
+    # translation stance as runtime_mappings / script_score), evaluated on
+    # the ≤k-row page only
+    from pyspark.sql import functions as F
+
+    for name, sspec in script_fields.items():
+        script = sspec.get("script") if isinstance(sspec, dict) else sspec
+        src = script.get("source") if isinstance(script, dict) else script
+        if not src:
+            raise ValueError(f"script_fields {name!r} needs script.source")
+        fetched = fetched.withColumn(name, F.expr(str(src)))
+        keep.append(name)
     return fetched.select(*keep)
 
 

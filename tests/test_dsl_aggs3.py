@@ -546,3 +546,28 @@ def test_terms_min_doc_count(spark, agg_index):
                           "min_doc_count": thresh + 1}}},
     })["src"].toPandas()
     assert set(out["key"]) == set(vc[vc > thresh].index)
+
+
+def test_script_fields_and_stored_fields(spark, agg_index):
+    from es_indexer_spark.query.dsl import search
+
+    out = search(spark, agg_index, {
+        "query": {"match": {"text": "data"}},
+        "size": 5,
+        "stored_fields": ["lang"],
+        "script_fields": {"kchars": {"script": {
+            "source": "round(cast(n_chars as double) / 1000.0, 3)"}}},
+    })
+    rows = out.collect()
+    assert {"lang", "kchars"} <= set(out.columns) and len(rows) == 5
+    # script field computed from a doc column NOT otherwise requested
+    full = search(spark, agg_index, {
+        "query": {"match": {"text": "data"}}, "size": 5,
+        "_source": ["n_chars"],
+    }).collect()
+    by_id = {r["docid"]: r["n_chars"] for r in full}
+    assert all(abs(r["kchars"] - round(by_id[r["docid"]] / 1000.0, 3)) < 1e-9
+               for r in rows)
+    with pytest.raises(ValueError, match="script.source"):
+        search(spark, agg_index, {"query": {"match": {"text": "data"}},
+                                   "script_fields": {"x": {}}})
