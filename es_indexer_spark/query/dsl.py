@@ -718,6 +718,44 @@ def _finish(
     return out.offset(from_) if from_ else out
 
 
+# every body section search() dispatches (aggs keys included: they get the
+# pointer-to-aggregations error, not "unknown")
+_KNOWN_BODY_KEYS = frozenset((
+    "query", "knn", "retriever", "aggs", "aggregations", "size", "from",
+    "sort", "search_after", "min_score", "_source", "fields",
+    "docvalue_fields", "stored_fields", "script_fields", "highlight",
+    "collapse", "suggest", "rescore", "explain", "track_total_hits",
+    "post_filter", "runtime_mappings",
+))
+# ES body keys this engine deliberately does not implement — raise with the
+# reason, never silently ignore (same contract as unknown query kinds)
+_UNSUPPORTED_BODY_KEYS = {
+    "profile": "use .explain()/tools/plan_audit.py — Spark's plan IS the profile",
+    "terminate_after": "per-shard early termination is approximate by design "
+                       "in ES; use size/track_total_hits bounds instead",
+    "timeout": "no partial-result mode — cancel the Spark job instead",
+    "indices_boost": "one index per call — boost at the query level",
+    "seq_no_primary_term": "no per-doc seq_no; versions are index generations",
+    "version": "no per-doc versions; versions are index generations",
+    "track_scores": "scores are always computed on the sort path already",
+    "stats": "use the Spark UI / metrics sink for request tagging",
+}
+
+
+def _check_body_keys(body: dict) -> None:
+    for k in body:
+        if k in _KNOWN_BODY_KEYS:
+            continue
+        if k in _UNSUPPORTED_BODY_KEYS:
+            raise ValueError(
+                f"body key {k!r} is not supported: {_UNSUPPORTED_BODY_KEYS[k]}"
+            )
+        raise ValueError(
+            f"unknown body key {k!r} (supported: "
+            f"{', '.join(sorted(_KNOWN_BODY_KEYS))})"
+        )
+
+
 def search(
     spark: SparkSession,
     index_root: str,
@@ -753,6 +791,7 @@ def search(
 
     if not isinstance(body, dict):
         raise ValueError("body must be a dict (the parsed JSON request)")
+    _check_body_keys(body)
     if body.get("aggs") or body.get("aggregations"):
         raise ValueError(
             "body has an aggs section — run it with dsl_aggs.aggregations() "

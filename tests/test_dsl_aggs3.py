@@ -571,3 +571,15 @@ def test_script_fields_and_stored_fields(spark, agg_index):
     with pytest.raises(ValueError, match="script.source"):
         search(spark, agg_index, {"query": {"match": {"text": "data"}},
                                    "script_fields": {"x": {}}})
+
+
+def test_unknown_and_unsupported_body_keys_raise(spark, agg_index):
+    from es_indexer_spark.query.dsl import search
+
+    with pytest.raises(ValueError, match="unknown body key"):
+        search(spark, agg_index, {"query": {"match_all": {}}, "sizee": 5})
+    with pytest.raises(ValueError, match="plan IS the profile"):
+        search(spark, agg_index, {"query": {"match_all": {}}, "profile": True})
+    with pytest.raises(ValueError, match="terminate_after"):
+        search(spark, agg_index,
+               {"query": {"match_all": {}}, "terminate_after": 100})
