@@ -363,6 +363,19 @@ def main() -> None:
 
     timed("q_dsl_aggs", _dsl_aggs_run)
 
+    # round-5j: SQL OR/NOT over stored fields — the single-scan
+    # script-filter lowering (never a composed union)
+    from es_indexer_spark.query.essql import sql_query
+
+    timed(
+        "q_sql_or",
+        lambda: sql_query(
+            spark, idx_root,
+            "SELECT lang FROM idx WHERE (lang = 'python' OR doc_len > 400) "
+            "AND NOT lang = 'go' ORDER BY docid LIMIT 100",
+        ).collect(),
+    )
+
     def _scroll3():
         with Scroll(spark, idx_root, "index query score", page_size=10) as sc:
             return [sc.next_page().collect() for _ in range(3)]
