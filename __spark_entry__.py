@@ -1087,6 +1087,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsl_aggs_empty_fill"] = _dsl_aggs_empty_fill
 
+    # round 5 continuation: bucket child under a terms parent (the everyday
+    # two-level facet) — two hash aggs over the same scan + a bounded
+    # per-parent rank window, flattened one row per (parent, child)
+    def _dsl_aggs_nested_terms(spark, sf):
+        from es_indexer_spark.query.dsl_aggs import aggregations
+
+        return aggregations(spark, _index_root(spark, sf), {
+            "size": 0,
+            "aggs": {"by_lang": {
+                "terms": {"field": "lang", "size": 3},
+                "aggs": {
+                    "total_len": {"sum": {"field": "n_chars"}},
+                    "by_src": {
+                        "terms": {"field": "source", "size": 2},
+                        "aggs": {"avg_len": {"avg": {"field": "n_chars"}}},
+                    },
+                },
+            }},
+        })["by_lang"]
+
+    q["dsl_aggs_nested_terms"] = _dsl_aggs_nested_terms
+
     # round 5j: ES SQL ungrouped metric aggregates + exact COUNT(DISTINCT)
     def _sql_count_distinct(spark, sf):
         from es_indexer_spark.query.essql import sql_query
@@ -3765,6 +3787,27 @@ SELECT doc_id, lang, n_chars, hit_rank FROM (
                             ORDER BY n_chars DESC, doc_id ASC) AS hit_rank
   FROM documents WHERE lang IS NOT NULL)
 WHERE hit_rank <= 2
+"""
+    # nested terms facet: top-3 langs (count desc), each with its top-2
+    # sources (count desc) + per-pair avg — parent frame join + rank window
+    o["dsl_aggs_nested_terms"] = """
+WITH p AS (
+  SELECT lang, count(*)::BIGINT AS parent_doc_count,
+         round(sum(n_chars), 6)::BIGINT AS total_len
+  FROM documents WHERE lang IS NOT NULL
+  GROUP BY lang ORDER BY parent_doc_count DESC, lang ASC LIMIT 3),
+c AS (
+  SELECT lang, source, doc_count, avg_len,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY doc_count DESC, source ASC) AS rn
+  FROM (SELECT lang, source, count(*)::BIGINT AS doc_count,
+               round(avg(n_chars), 6) AS avg_len
+        FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        GROUP BY lang, source))
+SELECT p.lang AS key, p.parent_doc_count, p.total_len,
+       c.source AS child_key, c.doc_count, c.avg_len
+FROM p JOIN c USING (lang) WHERE c.rn <= 2
+ORDER BY parent_doc_count DESC, key ASC, doc_count DESC, child_key ASC
 """
     # fixed_interval 12h: epoch-aligned buckets of the runtime timestamp
     o["dsl_aggs_fixed_interval"] = """

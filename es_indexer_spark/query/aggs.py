@@ -42,7 +42,7 @@ from __future__ import annotations
 import os
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from es_indexer_spark.index import catalog
 
@@ -193,6 +193,7 @@ def composite_agg(
     sources: Sequence[str],
     size: int = 10,
     after: Sequence | None = None,
+    metric_exprs: Sequence[Column] | None = None,
 ) -> DataFrame:
     """ES ``composite`` aggregation: bucket on a key tuple, returned in key
     order, paginated with ``after`` (the last bucket key of the previous
@@ -210,8 +211,10 @@ def composite_agg(
     # after-tuple would null out the comparison and silently end pagination.)
     for s in sources:
         df = df.filter(F.col(s).isNotNull())
+    # metric_exprs: already-aliased metric sub-aggregation columns — they
+    # ride the same partial+final hash agg, so children cost no extra pass
     out = df.groupBy(*[F.col(s) for s in sources]).agg(
-        F.count("*").alias("doc_count")
+        F.count("*").alias("doc_count"), *(metric_exprs or [])
     )
     if after is not None:
         if len(after) != len(sources):

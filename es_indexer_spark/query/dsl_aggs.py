@@ -41,7 +41,11 @@ ES semantics reproduced:
   ``bucket_script`` / ``bucket_selector`` / ``bucket_sort``, applied in
   request order like ES;
 - one level of bucket-in-bucket nesting: a ``terms`` child under a
-  ``histogram``/``date_histogram`` parent (per-parent top-``size`` buckets).
+  ``histogram``/``date_histogram`` parent (per-parent top-``size``
+  buckets), and under a ``terms`` parent a ``terms`` /``histogram``/
+  ``date_histogram`` child (two hash aggs over the same scan + a bounded
+  per-parent window — ``_terms_nested_bucket``); ``composite`` takes
+  metric children on its paginated buckets.
 
 Spark-first shape — this is why the module exists rather than a loop over
 the per-family functions in :mod:`es_indexer_spark.query.aggs`: a bucket
@@ -188,6 +192,18 @@ def _src(field: str, cond: Column | None) -> Column:
     return F.when(cond, c) if cond is not None else c
 
 
+def _top_metrics_sort(spec: dict) -> tuple[str, str]:
+    """(sort_col, "asc"|"desc") from a top_metrics ``sort`` option."""
+    sspec = spec.get("sort")
+    if isinstance(sspec, str):
+        return sspec, "asc"
+    if isinstance(sspec, dict) and len(sspec) == 1:
+        sort_col, o = next(iter(sspec.items()))
+        order = o.get("order", "asc") if isinstance(o, dict) else str(o)
+        return sort_col, order
+    raise ValueError("top_metrics needs sort: {field: asc|desc}")
+
+
 def _metric_pairs(
     name: str,
     fam: str,
@@ -221,17 +237,10 @@ def _metric_pairs(
         # aggs.top_metrics_agg function for that)
         if int(spec.get("size", 1)) != 1:
             raise ValueError(
-                "top_metrics size > 1 in the aggs body is not supported — "
-                "use aggs.top_metrics_agg for the windowed variant"
+                "top_metrics size > 1 rides top-level only (a TakeOrdered) "
+                "— under a bucket agg use size 1, or aggs.top_metrics_agg"
             )
-        sspec = spec.get("sort")
-        if isinstance(sspec, str):
-            sort_col, order = sspec, "asc"
-        elif isinstance(sspec, dict) and len(sspec) == 1:
-            sort_col, o = next(iter(sspec.items()))
-            order = o.get("order", "asc") if isinstance(o, dict) else str(o)
-        else:
-            raise ValueError("top_metrics needs sort: {field: asc|desc}")
+        sort_col, order = _top_metrics_sort(spec)
         mlist = spec.get("metrics") or []
         if isinstance(mlist, dict):
             mlist = [mlist]
@@ -252,8 +261,9 @@ def _metric_pairs(
         # the direct function)
         if spec.get("wrap_longitude"):
             raise ValueError(
-                "geo_bounds wrap_longitude in the aggs body is not supported "
-                "— use aggs.geo_bounds for the antimeridian-aware variant"
+                "geo_bounds wrap_longitude rides top-level only (it needs a "
+                "post-aggregation projection) — under a bucket agg drop it, "
+                "or use aggs.geo_bounds per bucket subset"
             )
         lon = _src(spec.get("lon_field", "lon"), cond).cast("double")
         lat = _src(spec.get("lat_field", "lat"), cond).cast("double")
@@ -376,7 +386,7 @@ def _split_children(children: dict) -> tuple[list, list, list]:
             metrics.append((cname, fam, cnode[fam]))
         elif fam in _PIPELINE_FAMILIES:
             pipelines.append((cname, fam, cnode[fam]))
-        elif fam in ("terms", "top_hits"):
+        elif fam in ("terms", "top_hits", "histogram", "date_histogram"):
             buckets.append((cname, fam, cnode))
         else:
             raise ValueError(f"unsupported sub-aggregation family: {fam!r}")
@@ -551,38 +561,51 @@ def _bucket_spine(df: DataFrame, fam: str, spec: dict) -> DataFrame:
             "min_doc_count: 0 needs extended_bounds {min, max} — the empty-"
             "bucket spine must be closed-form, not a second data pass"
         )
-    if spec.get("offset"):
-        raise ValueError(
-            "min_doc_count: 0 with a bucket offset is not supported — the "
-            "spine would need the same shifted grid; drop one of the two"
-        )
     one = df.sparkSession.range(1)
     if fam == "histogram":
+        # offset shifts the grid exactly like _bucket_key: the spine must
+        # land on the same shifted boundaries or the left join misses
         interval = float(spec["interval"])
-        lo = float(eb["min"]) // interval * interval
-        hi = float(eb["max"]) // interval * interval
+        off = float(spec.get("offset", 0.0))
+        lo = (float(eb["min"]) - off) // interval * interval + off
+        hi = (float(eb["max"]) - off) // interval * interval + off
         n = int((hi - lo) / interval) + 1
         return df.sparkSession.range(n).select(
             (F.lit(lo) + F.col("id") * F.lit(interval)).alias("bucket")
         )
+    off = _date_offset_seconds(spec["offset"]) if spec.get("offset") else 0
     lo_ts, hi_ts = _ts_literal(eb["min"]), _ts_literal(eb["max"])
     if spec.get("fixed_interval") is not None:
         secs = _fixed_interval_seconds(spec["fixed_interval"])
-        lo = (f"timestamp_seconds(floor(unix_timestamp({lo_ts})"
-              f" / {secs}) * {secs})")
-        hi = (f"timestamp_seconds(floor(unix_timestamp({hi_ts})"
-              f" / {secs}) * {secs})")
+        lo = (f"timestamp_seconds(floor((unix_timestamp({lo_ts}) - {off})"
+              f" / {secs}) * {secs} + {off})")
+        hi = (f"timestamp_seconds(floor((unix_timestamp({hi_ts}) - {off})"
+              f" / {secs}) * {secs} + {off})")
         seq = F.expr(f"sequence({lo}, {hi}, interval {secs} second)")
-    else:
-        unit = str(spec.get("calendar_interval", spec.get("interval", "month")))
-        if unit not in _INTERVALS:
-            raise ValueError(
-                f"date_histogram interval must be one of {_INTERVALS}")
+        return one.select(F.explode(seq).alias("bucket"))
+    unit = str(spec.get("calendar_interval", spec.get("interval", "month")))
+    if unit not in _INTERVALS:
+        raise ValueError(
+            f"date_histogram interval must be one of {_INTERVALS}")
+    if off:
+        # same shift-trunc-unshift as _bucket_key (plain arithmetic — an
+        # `interval` literal would not take a signed variable)
         seq = F.expr(
-            f"sequence(date_trunc('{unit}', {lo_ts}), "
-            f"date_trunc('{unit}', {hi_ts}), "
+            f"sequence("
+            f"date_trunc('{unit}', timestamp_seconds(unix_timestamp({lo_ts}) - {off})), "
+            f"date_trunc('{unit}', timestamp_seconds(unix_timestamp({hi_ts}) - {off})), "
             f"interval 1 {unit})"
         )
+        return one.select(F.explode(seq).alias("__b")).select(
+            F.timestamp_seconds(
+                F.unix_timestamp(F.col("__b")) + F.lit(off)
+            ).alias("bucket")
+        )
+    seq = F.expr(
+        f"sequence(date_trunc('{unit}', {lo_ts}), "
+        f"date_trunc('{unit}', {hi_ts}), "
+        f"interval 1 {unit})"
+    )
     return one.select(F.explode(seq).alias("bucket"))
 
 
@@ -679,6 +702,103 @@ def _frame_metric(df: DataFrame, fam: str, spec: dict, exact: bool) -> DataFrame
     return A.matrix_stats_agg(df, fields)
 
 
+def _terms_nested_bucket(
+    df: DataFrame, spec: dict, parent_metrics: list,
+    child: tuple, exact: bool,
+) -> DataFrame:
+    """One bucket agg nested under a ``terms`` parent — ES's everyday
+    two-level facet ("per lang, top sources" / "per repo, monthly counts").
+
+    Two hash aggs over the same pushed scan, zero driver collects:
+
+    1. the parent's own top-``size`` bucket frame (the exact single-level
+       terms path, order/include/exclude/metrics included) — bounded at
+       ``size`` rows;
+    2. one composite-key groupBy on (parent key, child key) over the same
+       match frame, inner-joined to the surviving parent buckets
+       (broadcast — that side is ``size`` rows), then, for a terms child,
+       a bounded per-parent rank window for the child's top-``size``.
+
+    The flattened frame is one row per (parent, child) bucket: parent
+    ``key`` + ``parent_doc_count`` (+ parent metric columns), child
+    ``child_key`` (terms) / ``bucket`` (histogram family) + ``doc_count``
+    + child metric columns. The inner join keeps pass 2's agg output
+    size-bounded even under unbounded parent cardinality."""
+    cname, cfam, cnode = child
+    cspec = cnode[cfam]
+    cmetrics, cpipes, cbuckets = _split_children(
+        cnode.get("aggs") or cnode.get("aggregations") or {})
+    if cpipes or cbuckets:
+        raise ValueError(
+            "a bucket child under a terms parent supports metric sub-aggs "
+            "only (one level of bucket nesting)")
+    parent_node: dict = {"terms": spec}
+    if parent_metrics:
+        parent_node["aggs"] = {n: {f: s} for n, f, s in parent_metrics}
+    parent = _compile_agg(df, "parent", parent_node, exact) \
+        .withColumnRenamed("doc_count", "parent_doc_count")
+    pkey = F.col(spec["field"])
+    if spec.get("missing") is not None:
+        pkey = F.coalesce(pkey, F.lit(spec["missing"]))
+    cmex = [e for m in cmetrics
+            for e in _metric_exprs(m[0], m[1], m[2], exact=exact)]
+    base = df
+    if cfam == "terms":
+        base = base.filter(F.col(cspec["field"]).isNotNull())
+        ck = F.col(cspec["field"]).alias("child_key")
+        ckn = "child_key"
+    else:
+        if int(cspec.get("min_doc_count", 1)) == 0:
+            raise ValueError(
+                "min_doc_count: 0 under a terms parent is not supported — "
+                "the empty-bucket spine is per-parent; fill client-side")
+        ck = _bucket_key(cfam, cspec)
+        ckn = "bucket"
+    comp = (
+        base.groupBy(pkey.alias("key"), ck)
+        .agg(F.count(F.lit(1)).alias("doc_count"), *cmex)
+        .join(F.broadcast(parent), "key")
+    )
+    mdc = int(cspec.get("min_doc_count", 1))
+    if mdc > 1:
+        comp = comp.filter(F.col("doc_count") >= mdc)
+    if cfam == "terms":
+        csize = int(cspec.get("size", 10))
+        w = Window.partitionBy("key").orderBy(
+            F.desc("doc_count"), F.asc("child_key"))
+        comp = (
+            comp.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= csize)
+            .drop("__rn")
+        )
+    # re-apply the parent's order rule (the join loses the frame order),
+    # then the child order within each parent bucket
+    order = spec.get("order") or {"_count": "desc"}
+    if not isinstance(order, dict) or len(order) != 1:
+        raise ValueError("terms order must be one {path: asc|desc}")
+    opath, odir = next(iter(order.items()))
+    ocol = {"_count": "parent_doc_count", "_key": "key"}.get(
+        opath, opath.replace(".", "_"))
+    ob = [F.asc(ocol) if str(odir) == "asc" else F.desc(ocol)]
+    if ocol != "key":
+        ob.append(F.asc("key"))
+    if cfam == "terms":
+        ob += [F.desc("doc_count"), F.asc("child_key")]
+    else:
+        ob.append(F.asc("bucket"))
+    parent_extra = [c for c in parent.columns
+                    if c not in ("key", "parent_doc_count")]
+    child_extra = [
+        c for c in comp.columns
+        if c not in {"key", ckn, "doc_count", "parent_doc_count",
+                     *parent_extra}
+    ]
+    return comp.select(
+        "key", "parent_doc_count", *parent_extra, ckn, "doc_count",
+        *child_extra,
+    ).orderBy(*ob)
+
+
 def _compile_agg(df: DataFrame, name: str, node: dict, exact: bool) -> DataFrame:
     fams = [k for k in node if k not in ("aggs", "aggregations", "meta")]
     if len(fams) != 1:
@@ -690,6 +810,35 @@ def _compile_agg(df: DataFrame, name: str, node: dict, exact: bool) -> DataFrame
     if fam in _METRIC_FAMILIES:
         if children:
             raise ValueError(f"metric aggregation {name!r} cannot nest aggs")
+        if fam == "geo_bounds" and spec.get("wrap_longitude"):
+            # top-level only: the antimeridian pick is a post-aggregation
+            # projection over the 6-extreme state (aggs.geo_bounds)
+            from es_indexer_spark.query import aggs as A
+
+            return A.geo_bounds(
+                df, spec.get("lon_field", "lon"),
+                spec.get("lat_field", "lat"), wrap_longitude=True,
+            ).toDF(f"{name}_top", f"{name}_bottom",
+                   f"{name}_left", f"{name}_right")
+        if fam == "top_metrics" and int(spec.get("size", 1)) > 1:
+            # top-level only: size docs by sort extremity — a TakeOrdered,
+            # never a full sort (aggs.top_metrics_agg); docid tiebreak for
+            # a replay-stable result where ES is shard-order-dependent
+            from es_indexer_spark.query import aggs as A
+
+            sort_col, order = _top_metrics_sort(spec)
+            mlist = spec.get("metrics") or []
+            if isinstance(mlist, dict):
+                mlist = [mlist]
+            if not mlist:
+                raise ValueError("top_metrics needs a metrics list of {field}")
+            return A.top_metrics_agg(
+                df, sort_col,
+                # the sort column leads the result; don't select it twice
+                [m["field"] for m in mlist if m["field"] != sort_col],
+                size=int(spec["size"]), asc=(order != "desc"),
+                tiebreak=("docid",) if "docid" in df.columns else (),
+            )
         return df.agg(*_metric_exprs(name, fam, spec, exact=exact))
     if fam in _FRAME_METRICS:
         if children:
@@ -718,10 +867,11 @@ def _compile_agg(df: DataFrame, name: str, node: dict, exact: bool) -> DataFrame
         from es_indexer_spark.query import aggs as A
         from es_indexer_spark.query.dsl import _one
 
-        if children:
+        cmetrics, cpipes, cbuckets = _split_children(children)
+        if cpipes or cbuckets:
             raise ValueError(
-                "composite sub-aggregations are not supported — page the "
-                "buckets, then aggregate per page"
+                "composite sub-aggregations must be metrics — bucket/"
+                "pipeline children need a terms/histogram parent"
             )
         sources = spec.get("sources")
         if not isinstance(sources, list) or not sources:
@@ -745,7 +895,11 @@ def _compile_agg(df: DataFrame, name: str, node: dict, exact: bool) -> DataFrame
                 raise ValueError(f"composite after is missing {missing[0]!r}")
             after_vals = [after[n] for n in names]
         return A.composite_agg(
-            df, fields, size=int(spec.get("size", 10)), after=after_vals
+            df, fields, size=int(spec.get("size", 10)), after=after_vals,
+            metric_exprs=[
+                e for m in cmetrics
+                for e in _metric_exprs(m[0], m[1], m[2], exact=exact)
+            ],
         )
 
     if fam == "rare_terms":
@@ -852,8 +1006,14 @@ def _compile_agg(df: DataFrame, name: str, node: dict, exact: bool) -> DataFrame
                     spec["field"], scol, n=int(hspec.get("size", 3)),
                     descending=desc, tiebreak_col="docid",
                 )
-            raise ValueError("bucket nesting under terms is not supported — "
-                             "use a histogram parent with a terms child")
+            if fam == "terms" and len(bucket_children) == 1 \
+                    and bucket_children[0][1] in (
+                        "terms", "histogram", "date_histogram"):
+                return _terms_nested_bucket(
+                    df, spec, metrics, bucket_children[0], exact)
+            raise ValueError(
+                "bucket nesting under terms supports exactly one terms/"
+                "histogram/date_histogram child (or a lone top_hits)")
         size = int(spec.get("size", 10))
         mexprs = [e for m in metrics for e in _metric_exprs(m[0], m[1], m[2], exact=exact)]
         if fam == "terms":
@@ -923,6 +1083,11 @@ def _compile_agg(df: DataFrame, name: str, node: dict, exact: bool) -> DataFrame
                     "histogram parent"
                 )
             cname, _cfam, cnode = bucket_children[0]
+            if _cfam != "terms":
+                raise ValueError(
+                    f"a {_cfam} child under a histogram parent is not "
+                    "supported — nest terms, or invert the nesting"
+                )
             cspec = cnode["terms"]
             csize = int(cspec.get("size", 10))
             cmetrics, cpipes, cbuckets = _split_children(

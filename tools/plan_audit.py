@@ -910,6 +910,33 @@ def main() -> int:
         ],
     ))
 
+    # 38d. round 5 continuation: bucket child under a terms parent — the
+    # size-bounded parent bucket frame broadcasts into the composite-key
+    # agg, the child top-size is a per-parent rank window, and no driver
+    # collect sits between the two passes
+    p = formatted(dsl_aggregations(spark, root, {
+        "size": 0,
+        "aggs": {"by_lang": {
+            "terms": {"field": "lang", "size": 3},
+            "aggs": {"by_src": {"terms": {"field": "source", "size": 2}}},
+        }},
+    })["by_lang"])
+    sections.append((
+        "terms>terms nested facet: broadcast parent frame + rank window",
+        p,
+        [
+            ("parent bucket frame joins in as a broadcast (size-bounded side)",
+             "BroadcastExchange" in p or "BroadcastHashJoin" in p
+             or "BroadcastNestedLoopJoin" in p),
+            ("two passes over the docs store, not three",
+             len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 2),
+            ("per-parent child top-size is a rank window", "Window" in p),
+            ("partial+final hash aggregation on both passes",
+             p.count("HashAggregate") >= 4),
+            ("no Python in the path", "EvalPython" not in p),
+        ],
+    ))
+
     # 38. round 5i: retriever.rrf over two standard legs — each leg keeps
     # its own distributed top-window (TakeOrdered), the two single-partition
     # rank windows are request-sized by construction, fusion is ONE hash agg
