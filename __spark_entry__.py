@@ -1335,6 +1335,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["highlight_phrase"] = _highlight_phrase
+
+    # round 5 continuation: number_of_fragments=2 — window 2 re-runs the
+    # lazy prefix capture on the text AFTER window 1 (fragments array)
+    def _highlight_multi(spark, sf):
+        from es_indexer_spark.query.highlight import highlight
+
+        return highlight(
+            spark, _index_root(spark, sf), _docs(spark, sf), "doc_id", "text",
+            "spark join window", k=10, fragment_size=120,
+            number_of_fragments=2,
+        ).select(
+            F.col("docid").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+            F.array_join("fragments", "\x1e").alias("fragments"),
+        )
+
+    q["highlight_multi"] = _highlight_multi
     q["suggest_prefix"] = lambda spark, sf: suggest_prefix(
         spark, _index_root(spark, sf), "d", k=10
     )
@@ -4642,6 +4659,33 @@ SELECT t.doc_id, t.score,
                 160),
          '(?i){_HLPAT}', '<em>\\1</em>', 'g') AS fragment
 FROM topk t JOIN documents d USING (doc_id)
+"""
+    # two-fragment highlight: window 2 = the same lazy-prefix rule over the
+    # text AFTER window 1; fragments joined with chr(30) on both sides
+    o["highlight_multi"] = f"""
+{_BM25_PREAMBLE},
+{_RAW_JSW},
+topk AS (SELECT doc_id, round(score_raw::DOUBLE, 4) AS score
+         FROM raw ORDER BY score_raw DESC, doc_id ASC LIMIT 10),
+w1 AS (SELECT t.doc_id, t.score, d.text,
+              greatest(1, length(regexp_extract(d.text, '(?i)^([\\s\\S]*?){_HLPAT}', 1)) + 1 - 60) AS s1
+       FROM topk t JOIN documents d USING (doc_id)),
+w2 AS (SELECT doc_id, score, text,
+              regexp_replace(substr(text, s1::INT, 120), '(?i){_HLPAT}', '<em>\\1</em>', 'g') AS f1,
+              substr(text, (s1 + 120)::INT) AS rem
+       FROM w1),
+w3 AS (SELECT doc_id, score, f1,
+              CASE WHEN regexp_matches(rem, '(?i){_HLPAT}') THEN
+                regexp_replace(
+                  substr(rem,
+                         greatest(1, length(regexp_extract(rem, '(?i)^([\\s\\S]*?){_HLPAT}', 1)) + 1 - 60)::INT,
+                         120),
+                  '(?i){_HLPAT}', '<em>\\1</em>', 'g')
+              END AS f2
+       FROM w2)
+SELECT doc_id, score,
+       array_to_string(list_filter([f1, f2], x -> x IS NOT NULL), chr(30)) AS fragments
+FROM w3
 """
     # phrase highlighting: phrase_match top-10 + the whole-phrase regex
     # (tokens joined by the analyzer's split class), tagged as one unit

@@ -641,11 +641,25 @@ def _finish(
             for txt in _texts(qnode)
             for t in tokenize_one(txt, stats["tokenizer"], lang=lang)
         })
+        # ES nests options per field under highlight.fields; the index has
+        # one content field, so a single fields entry merges over the
+        # top-level options (per-field wins, ES's own precedence)
+        hopts = dict(hl)
+        hfields = hl.get("fields")
+        if isinstance(hfields, dict):
+            if len(hfields) != 1:
+                raise ValueError(
+                    "highlight.fields supports exactly one field (the "
+                    "indexed content field)"
+                )
+            hopts.update(next(iter(hfields.values())) or {})
         out = highlight_hits(
             out, src_df, src_id_col, src_text_col, terms,
-            fragment_size=int(hl.get("fragment_size", 160)),
-            pre_tag=(hl.get("pre_tags") or ["<em>"])[0],
-            post_tag=(hl.get("post_tags") or ["</em>"])[0],
+            fragment_size=int(hopts.get("fragment_size", 160)),
+            pre_tag=(hopts.get("pre_tags") or ["<em>"])[0],
+            post_tag=(hopts.get("post_tags") or ["</em>"])[0],
+            number_of_fragments=int(hopts.get("number_of_fragments", 1)),
+            no_match_size=int(hopts.get("no_match_size", 0)),
         )
     if body.get("explain"):
         # ES explain=true: every hit carries its score breakdown. One batched

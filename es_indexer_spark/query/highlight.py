@@ -61,6 +61,8 @@ def highlight_hits(
     pre_tag: str = "<em>",
     post_tag: str = "</em>",
     pattern_body: str | None = None,
+    number_of_fragments: int = 1,
+    no_match_size: int = 0,
 ) -> DataFrame:
     """(docid, score, fragment) for scored ``hits`` against source text.
 
@@ -68,13 +70,57 @@ def highlight_hits(
     the first whole-word query-term match, with every in-window match wrapped
     in the tags. ``pattern_body`` overrides the per-term alternation (the
     phrase highlighter passes a whole-phrase body; it must contain exactly
-    one capture group)."""
+    one capture group).
+
+    ES fragment-count options, all still pure column algebra (no UDF):
+
+    - ``number_of_fragments > 1`` returns a ``fragments`` ``array<string>``
+      column instead of ``fragment``: window i+1 re-runs the same lazy
+      prefix capture on the text AFTER window i (a bounded expression
+      chain — the option is capped at 10, ES's practical range), nulls
+      compacted away, so a doc with fewer matches gets fewer fragments;
+    - ``number_of_fragments == 0`` = ES "no fragmenting": one ``fragment``
+      holding the WHOLE field with every match tagged;
+    - ``no_match_size > 0``: a hit whose text has no term match (possible
+      when the caller's hits come from a filter/knn leg, not this pattern)
+      yields the leading ``no_match_size`` chars untagged instead of the
+      default head-window fragment."""
     body = pattern_body if pattern_body is not None else _pattern_body(terms)
     pat = "(?i)" + body
     pos_pat = r"(?i)^([\s\S]*?)" + body
-    pos = F.length(F.regexp_extract(F.col(text_col), pos_pat, 1)) + F.lit(1)
-    start = F.greatest(F.lit(1), pos - F.lit(fragment_size // 2))
-    frag = F.substring(F.col(text_col), start, fragment_size)
+    tag = pre_tag + "$1" + post_tag
+    text = F.col(text_col)
+    if number_of_fragments == 0:
+        frag_col = F.regexp_replace(text, pat, tag).alias("fragment")
+    elif number_of_fragments == 1:
+        pos = F.length(F.regexp_extract(text, pos_pat, 1)) + F.lit(1)
+        start = F.greatest(F.lit(1), pos - F.lit(fragment_size // 2))
+        frag = F.regexp_replace(
+            F.substring(text, start, fragment_size), pat, tag)
+        if no_match_size > 0:
+            frag = F.when(text.rlike(pat), frag).otherwise(
+                F.substring(text, 1, no_match_size))
+        frag_col = frag.alias("fragment")
+    else:
+        if number_of_fragments > 10:
+            raise ValueError("number_of_fragments is capped at 10")
+        frags, rem = [], text
+        for _ in range(number_of_fragments):
+            has = rem.rlike(pat)
+            pos = F.length(F.regexp_extract(rem, pos_pat, 1)) + F.lit(1)
+            start = F.greatest(F.lit(1), pos - F.lit(fragment_size // 2))
+            frags.append(F.when(has, F.regexp_replace(
+                F.substring(rem, start, fragment_size), pat, tag)))
+            # everything after this window; length(rem) always covers the
+            # tail and keeps the arithmetic clamped (no int overflow)
+            rem = F.when(has, F.substring(
+                rem, start + F.lit(fragment_size), F.length(rem))
+            ).otherwise(F.lit(""))
+        arr = F.array_compact(F.array(*frags))
+        if no_match_size > 0:
+            arr = F.when(text.rlike(pat), arr).otherwise(
+                F.array(F.substring(text, 1, no_match_size)))
+        frag_col = arr.alias("fragments")
     # alias the hit columns so a source table that itself has docid/score
     # (e.g. the engine's own docs store) never makes the select ambiguous
     lit_hits = F.broadcast(
@@ -87,9 +133,7 @@ def highlight_hits(
         .select(
             F.col("__hit_docid").alias("docid"),
             F.col("__hit_score").alias("score"),
-            F.regexp_replace(frag, pat, pre_tag + "$1" + post_tag).alias(
-                "fragment"
-            ),
+            frag_col,
         )
         .orderBy(F.desc("score"), F.asc("docid"))
     )
@@ -107,6 +151,8 @@ def highlight(
     fragment_size: int = 160,
     pre_tag: str = "<em>",
     post_tag: str = "</em>",
+    number_of_fragments: int = 1,
+    no_match_size: int = 0,
     lang: str | None = None,
 ) -> DataFrame:
     """BM25 top-k with highlighted fragments: run the ranked engine, then
@@ -118,6 +164,7 @@ def highlight(
     return highlight_hits(
         hits, src, id_col, text_col, terms,
         fragment_size=fragment_size, pre_tag=pre_tag, post_tag=post_tag,
+        number_of_fragments=number_of_fragments, no_match_size=no_match_size,
     )
 
 
