@@ -306,6 +306,44 @@ FROM u ORDER BY ({combine}) DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _multifield_cross_sql(query_terms: list[str], tie: float, k: int) -> str:
+    """ES multi_match type=cross_fields oracle: term-centric — every field
+    scores a term with the BLENDED idf (max df across fields, Lucene
+    BlendedTermQuery), per-term dis-max of the boosted per-field
+    contributions (+ tie_breaker × rest), winners summed per doc."""
+    tl = ", ".join(f"'{t}'" for t in query_terms)
+
+    def prep(name: str, arr: str) -> str:
+        return f"""
+t_{name} AS (SELECT doc_id, unnest({arr}) AS term FROM fx),
+tf_{name} AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM t_{name}
+              WHERE term IN ({tl}) GROUP BY 1, 2),
+dl_{name} AS (SELECT doc_id, len({arr})::DOUBLE AS dl FROM fx),
+st_{name} AS (SELECT ((SELECT COALESCE(sum(dl), 0) FROM dl_{name}) / (SELECT n FROM nn))::DOUBLE AS avgdl),
+df_{name} AS (SELECT term, count(*)::DOUBLE AS df FROM tf_{name} GROUP BY 1)"""
+
+    return f"""
+WITH toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+               FROM documents),
+fx AS (SELECT doc_id, t AS tx, t[1:8] AS ti FROM toksl),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),{prep("text", "tx")},{prep("title", "ti")},
+dfb AS (SELECT term, greatest(COALESCE(a.df, 0), COALESCE(b.df, 0)) AS df
+        FROM df_text a FULL OUTER JOIN df_title b USING (term)),
+idfb AS (SELECT term, ln(1 + ((SELECT n FROM nn) - df + 0.5) / (df + 0.5)) AS idf FROM dfb),
+c_text AS (SELECT tf.doc_id, tf.term,
+                  1.0 * i.idf * tf.tf * {K1 + 1} / (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / (SELECT avgdl FROM st_text))) AS s
+           FROM tf_text tf JOIN idfb i USING (term) JOIN dl_text dl USING (doc_id)),
+c_title AS (SELECT tf.doc_id, tf.term,
+                   2.0 * i.idf * tf.tf * {K1 + 1} / (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / (SELECT avgdl FROM st_title))) AS s
+            FROM tf_title tf JOIN idfb i USING (term) JOIN dl_title dl USING (doc_id)),
+j AS (SELECT doc_id, term, COALESCE(a.s, 0) AS s1, COALESCE(b.s, 0) AS s2
+      FROM c_text a FULL OUTER JOIN c_title b USING (doc_id, term)),
+pt AS (SELECT doc_id, greatest(s1, s2) + {tie} * (s1 + s2 - greatest(s1, s2)) AS s FROM j)
+SELECT doc_id, round(sum(s)::DOUBLE, 4) AS score
+FROM pt GROUP BY 1 ORDER BY sum(s) DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _bool_sql(
     must: list[str],
     should: list[str] = (),
@@ -2420,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multi_match_most"] = _multi("most_fields", "data stream")
     q["multi_match_best"] = _multi("best_fields", "customer batch", tie=0.3)
+    q["multi_match_cross"] = _multi("cross_fields", "data stream", tie=0.3)
 
     # ---- event-time windowed agg (streaming §2.10 surface, batch-checkable) ------
     def _windowed(spark, sf):
@@ -4588,6 +4627,7 @@ FROM pf CROSS JOIN st CROSS JOIN idf WHERE ptf > 0
 """
     o["multi_match_most"] = _multifield_sql(["data", "stream"], "most_fields", 0.0)
     o["multi_match_best"] = _multifield_sql(["batch", "customer"], "best_fields", 0.3)
+    o["multi_match_cross"] = _multifield_cross_sql(["data", "stream"], 0.3, 10)
     o["bm25_with_meta"] = f"""
 {_BM25_PREAMBLE},
 {_RAW_JSW},

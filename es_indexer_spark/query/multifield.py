@@ -81,7 +81,11 @@ def _multi_shard_scorer(
     """applyInPandas per-shard combiner. ``field_params`` maps field ->
     (idfs, avgdl, k1, b, boost). Per-field BM25 totals are computed exactly
     like the single-field scorer, then combined sum (most_fields) or
-    dis-max + tie_breaker (best_fields).
+    dis-max + tie_breaker (best_fields). ``cross_fields`` is term-centric
+    instead: per TERM, dis-max the boosted per-field doc contributions
+    (computed with the caller's BLENDED idf — Lucene BlendedTermQuery's
+    max-df statistics), then sum the per-term winners; tie_breaker applies
+    within each term group as in ES.
 
     ``tomb_local``: (field, docid) rows cogrouped in for fields whose delete
     set rides distributed (those fields carry None in ``tombs``); per-field
@@ -98,7 +102,7 @@ def _multi_shard_scorer(
         if tomb_local is not None and len(tomb_local):
             for f, gg in tomb_local.groupby("field", sort=False):
                 local[f] = np.unique(gg["docid"].to_numpy(dtype=np.int64))
-        per_field: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        per_ft: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
         for (field, term), gg in pdf.groupby(["field", "term"], sort=False):
             idfs, avgdl, k1, b, _boost = field_params[field]
             if term not in idfs:
@@ -123,31 +127,55 @@ def _multi_shard_scorer(
                 d_parts.append(d64)
             if not d_parts:
                 continue
-            dd, cc = per_field.get(field, (None, None))
+            dd, cc = per_ft.get((field, term), (None, None))
             d_new = np.concatenate(d_parts)
             c_new = np.concatenate(c_parts)
-            per_field[field] = (
+            per_ft[(field, term)] = (
                 (d_new, c_new)
                 if dd is None
                 else (np.concatenate([dd, d_new]), np.concatenate([cc, c_new]))
             )
-        if not per_field:
+        if not per_ft:
             return empty
-        # per-field totals, boost applied
-        totals: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-        for field, (dd, cc) in per_field.items():
+
+        def _totals(pairs):
+            """[(docids, contribs)] -> (unique docids, boosted sums)."""
+            dd = np.concatenate([d for d, _ in pairs])
+            cc = np.concatenate([c for _, c in pairs])
             uniq, inv = np.unique(dd, return_inverse=True)
-            boost = field_params[field][4]
-            totals[field] = (uniq, np.bincount(inv, weights=cc) * boost)
-        union = np.unique(np.concatenate([u for u, _ in totals.values()]))
-        mat = np.zeros((len(totals), union.size), dtype=np.float64)
-        for i, (uniq, s) in enumerate(totals.values()):
-            mat[i, np.searchsorted(union, uniq)] = s
-        if match_type == "most_fields":
-            scores = mat.sum(axis=0)
-        else:  # best_fields: dis-max + tie_breaker * the rest
+            return uniq, np.bincount(inv, weights=cc)
+
+        def _dismax(totals):
+            """[(uniq, scores)] -> per-doc max + tie_breaker * rest."""
+            union = np.unique(np.concatenate([u for u, _ in totals]))
+            mat = np.zeros((len(totals), union.size), dtype=np.float64)
+            for i, (uniq, s) in enumerate(totals):
+                mat[i, np.searchsorted(union, uniq)] = s
             best = mat.max(axis=0)
-            scores = best + tie_breaker * (mat.sum(axis=0) - best)
+            return union, best + tie_breaker * (mat.sum(axis=0) - best)
+
+        if match_type == "cross_fields":
+            # per term: dis-max the boosted per-field contributions; then
+            # the per-term winners sum like bool clauses
+            term_parts = []
+            for term in {t for _f, t in per_ft}:
+                totals_t = [
+                    (u, s * field_params[f][4])
+                    for (f, t), pair in per_ft.items() if t == term
+                    for u, s in [_totals([pair])]
+                ]
+                term_parts.append(_dismax(totals_t))
+            union, scores = _totals(term_parts)
+        else:
+            fields_here = {f for f, _t in per_ft}
+            totals = []
+            for f in fields_here:
+                u, s = _totals([p for (ff, _t), p in per_ft.items() if ff == f])
+                totals.append((u, s * field_params[f][4]))
+            if match_type == "most_fields":
+                union, scores = _totals(totals)
+            else:  # best_fields: dis-max + tie_breaker * the rest
+                union, scores = _dismax(totals)
         if union.size > k:
             order = np.lexsort((union, -scores))[:k]
         else:
@@ -434,15 +462,20 @@ def multi_match(
     synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Top-k (docid, score) of ``query`` across the boosted fields of a
-    ``build_multi_index`` layout. ``match_type``: ``most_fields`` (sum) or
-    ``best_fields`` (dis-max with ``tie_breaker``). ``synonyms``: search-time
+    ``build_multi_index`` layout. ``match_type``: ``most_fields`` (sum),
+    ``best_fields`` (dis-max with ``tie_breaker``), or ``cross_fields``
+    (term-centric: every field scores each term with the BLENDED idf —
+    Lucene BlendedTermQuery's max-df-across-fields statistic — and the
+    per-term dis-max winners sum like bool clauses; the "treat the fields
+    as one big field" semantics ES documents). ``synonyms``: search-time
     acronym→expansion rules, applied per field through that field's analysis
     chain — the same semantics as the single-field engine's ``topk``."""
-    if match_type not in ("most_fields", "best_fields"):
+    if match_type not in ("most_fields", "best_fields", "cross_fields"):
         raise ValueError(f"unknown match_type: {match_type}")
     from es_indexer_spark.query.engine import _dict_df, _load_blocks, _tomb_mode
 
     field_params: dict[str, tuple] = {}
+    raw_dfs: dict[str, tuple[dict[str, float], int]] = {}
     tombs: dict[str, np.ndarray | None] = {}
     tomb_parts: list[DataFrame] = []  # distributed-mode fields' delete sets
     shard_sizes = set()
@@ -471,12 +504,14 @@ def multi_match(
         )
         if not dict_rows:
             continue
-        idfs = {
-            r["term"]: lucene_idf(stats["n_docs"], r["df"]) for r in dict_rows
-        }
+        dfs_f = {r["term"]: float(r["df"]) for r in dict_rows}
+        # per-field idf (Lucene per-field statistics); cross_fields
+        # overwrites these with the blended idf after the loop
+        idfs = {t: lucene_idf(stats["n_docs"], d) for t, d in dfs_f.items()}
         field_params[field] = (
             idfs, stats["avgdl"], stats["k1"], stats["b"], float(boost)
         )
+        raw_dfs[field] = (dfs_f, int(stats["n_docs"]))
         tomb_arr, tomb_sh = _tomb_mode(spark, vdir, int(stats["shard_size"]))
         tombs[field] = tomb_arr
         if tomb_sh is not None:
@@ -498,6 +533,20 @@ def multi_match(
         )
     if not parts:
         return spark.createDataFrame([], _SCORE_SCHEMA)
+    if match_type == "cross_fields":
+        # blended statistics (Lucene BlendedTermQuery): every field scores
+        # a term with idf from the MAX df across fields — "one big field"
+        df_star: dict[str, float] = {}
+        n_star = 0
+        for dfs_f, n_f in raw_dfs.values():
+            n_star = max(n_star, n_f)
+            for t, d in dfs_f.items():
+                df_star[t] = max(df_star.get(t, 0.0), d)
+        blend = {t: lucene_idf(n_star, d) for t, d in df_star.items()}
+        for field, (idfs, avgdl, k1, b, boost) in field_params.items():
+            field_params[field] = (
+                {t: blend[t] for t in idfs}, avgdl, k1, b, boost
+            )
     blocks = parts[0]
     for p in parts[1:]:
         blocks = blocks.unionByName(p)

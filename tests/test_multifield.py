@@ -165,7 +165,7 @@ def test_absent_everywhere_empty(spark, multi_index):
 def test_unknown_match_type_raises(spark, multi_index):
     root, _ = multi_index
     with pytest.raises(ValueError, match="match_type"):
-        multi_match(spark, root, "data", boosts=BOOSTS, match_type="cross_fields")
+        multi_match(spark, root, "data", boosts=BOOSTS, match_type="phrase")
 
 
 def test_shard_misalignment_rejected(spark, documents, tmp_path_factory):
@@ -194,3 +194,81 @@ def test_multi_match_synonym_expansion(spark, multi_index):
     )
     exp = _run(spark, root, "join window", boosts=BOOSTS)
     assert got and got == exp
+
+
+# ------------------------------------------------ cross_fields (round 5k)
+
+
+def _brute_cross(field_toks, query, boosts, tie=0.0, k=10):
+    """Term-centric reference: blended idf (max df across fields, Lucene
+    BlendedTermQuery), per-term dis-max of boosted per-field contributions,
+    winners summed."""
+    qterms = sorted(set(tokenize_one(query, "standard")))
+    n = max(len(t) for t in field_toks.values())
+    avgdl = {f: sum(len(t) for t in toks.values()) / len(toks)
+             for f, toks in field_toks.items()}
+    out = {}
+    for term in qterms:
+        df_star = max(
+            sum(1 for t in toks.values() if term in t)
+            for toks in field_toks.values()
+        )
+        if df_star == 0:
+            continue
+        idf = math.log(1 + (n - df_star + 0.5) / (df_star + 0.5))
+        docs = set().union(*(
+            {d for d, t in toks.items() if term in t}
+            for toks in field_toks.values()
+        ))
+        for d in docs:
+            vals = []
+            for f, toks in field_toks.items():
+                tf = float(toks[d].count(term))
+                if tf:
+                    dl = float(len(toks[d]))
+                    vals.append(
+                        boosts[f] * idf * tf * (K1 + 1)
+                        / (tf + K1 * (1 - B + B * dl / avgdl[f]))
+                    )
+            s = max(vals) + tie * (sum(vals) - max(vals))
+            out[d] = out.get(d, 0.0) + s
+    res = sorted(out.items(), key=lambda x: (-x[1], x[0]))
+    return res[:k]
+
+
+def test_cross_fields_matches_brute(spark, multi_index):
+    root, field_toks = multi_index
+    got = _run(
+        spark, root, "data stream", boosts=BOOSTS,
+        match_type="cross_fields", k=15,
+    )
+    _assert_same(got, _brute_cross(field_toks, "data stream", BOOSTS, k=15))
+
+
+def test_cross_fields_tie_breaker(spark, multi_index):
+    root, field_toks = multi_index
+    got = _run(
+        spark, root, "customer batch window", boosts=BOOSTS,
+        match_type="cross_fields", tie_breaker=0.4, k=15,
+    )
+    _assert_same(
+        got,
+        _brute_cross(field_toks, "customer batch window", BOOSTS, 0.4, 15),
+    )
+
+
+def test_cross_fields_single_field_is_plain_engine(spark, multi_index):
+    """One field: blending degenerates to the field's own statistics, so
+    cross_fields == the single-field ranked engine exactly."""
+    root, _ = multi_index
+    got = _run(
+        spark, root, "data stream", boosts={"text": 1.0},
+        match_type="cross_fields",
+    )
+    want = [
+        (r["docid"], r["score"])
+        for r in topk(
+            spark, f"{root}/field_text", "data stream", k=10
+        ).collect()
+    ]
+    _assert_same(got, want)
