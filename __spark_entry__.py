@@ -134,7 +134,10 @@ def _multi_root(spark: SparkSession, sf_dir: str) -> str:
     need = True
     try:
         vdir = catalog.resolve(os.path.join(root, "field_title"))
-        need = catalog.read_stats(vdir)["n_docs"] != docs.count()
+        st = catalog.read_stats(vdir)
+        # positions required since the multi_match phrase types landed —
+        # stale position-less caches rebuild once
+        need = st["n_docs"] != docs.count() or not st.get("positions")
     except (FileNotFoundError, KeyError):
         need = True
     if need:
@@ -146,6 +149,7 @@ def _multi_root(spark: SparkSession, sf_dir: str) -> str:
             spark, docs, root,
             fields={"title": "title", "text": "text"}, id_col="doc_id",
             shard_size=256, n_buckets=8, n_ckpt_batches=2, resume=False,
+            store_positions=True,
         )
     _BUILT.add(root)
     return root
@@ -2460,6 +2464,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multi_match_best"] = _multi("best_fields", "customer batch", tie=0.3)
     q["multi_match_cross"] = _multi("cross_fields", "data stream", tie=0.3)
 
+    # multi_match type=phrase: the positional phrase engine per field,
+    # boosted dis-max + tie_breaker combine in one hash agg
+    def _multi_phrase(spark, sf):
+        from es_indexer_spark.query.multifield import multi_match_phrase
+
+        return multi_match_phrase(
+            spark, _multi_root(spark, sf), "data stream",
+            boosts={"title": 2.0, "text": 1.0}, k=10, tie_breaker=0.3,
+        ).select(
+            F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+
+    q["multi_match_phrase"] = _multi_phrase
+
     # ---- event-time windowed agg (streaming §2.10 surface, batch-checkable) ------
     def _windowed(spark, sf):
         from es_indexer_spark.streaming import windowed_event_counts
@@ -4628,6 +4646,43 @@ FROM pf CROSS JOIN st CROSS JOIN idf WHERE ptf > 0
     o["multi_match_most"] = _multifield_sql(["data", "stream"], "most_fields", 0.0)
     o["multi_match_best"] = _multifield_sql(["batch", "customer"], "best_fields", 0.3)
     o["multi_match_cross"] = _multifield_cross_sql(["data", "stream"], 0.3, 10)
+    # multi_match type=phrase: per-field PhraseQuery score (Σidf ×
+    # tfnorm(phrase_tf)), boosted dis-max + 0.3 tie_breaker
+    o["multi_match_phrase"] = """
+WITH toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+               FROM documents),
+fx AS (SELECT doc_id, t AS tx, t[1:8] AS ti FROM toksl),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+pf_text AS (SELECT doc_id, len(tx)::DOUBLE AS dl,
+            len([i for i in range(1, len(tx)) if tx[i] = 'data' AND tx[i+1] = 'stream'])::DOUBLE AS ptf
+            FROM fx),
+st_text AS (SELECT ((SELECT sum(dl) FROM pf_text) / (SELECT n FROM nn))::DOUBLE AS avgdl,
+            (SELECT count(*) FROM fx WHERE list_contains(tx, 'data'))::DOUBLE AS df1,
+            (SELECT count(*) FROM fx WHERE list_contains(tx, 'stream'))::DOUBLE AS df2),
+s_text AS (SELECT doc_id,
+           1.0 * (ln(1 + ((SELECT n FROM nn) - st.df1 + 0.5) / (st.df1 + 0.5))
+                + ln(1 + ((SELECT n FROM nn) - st.df2 + 0.5) / (st.df2 + 0.5)))
+           * ptf * 2.2 / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)) AS s
+           FROM pf_text CROSS JOIN st_text st WHERE ptf > 0),
+pf_title AS (SELECT doc_id, len(ti)::DOUBLE AS dl,
+             len([i for i in range(1, len(ti)) if ti[i] = 'data' AND ti[i+1] = 'stream'])::DOUBLE AS ptf
+             FROM fx),
+st_title AS (SELECT ((SELECT sum(dl) FROM pf_title) / (SELECT n FROM nn))::DOUBLE AS avgdl,
+             (SELECT count(*) FROM fx WHERE list_contains(ti, 'data'))::DOUBLE AS df1,
+             (SELECT count(*) FROM fx WHERE list_contains(ti, 'stream'))::DOUBLE AS df2),
+s_title AS (SELECT doc_id,
+            2.0 * (ln(1 + ((SELECT n FROM nn) - st.df1 + 0.5) / (st.df1 + 0.5))
+                 + ln(1 + ((SELECT n FROM nn) - st.df2 + 0.5) / (st.df2 + 0.5)))
+            * ptf * 2.2 / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)) AS s
+            FROM pf_title CROSS JOIN st_title st WHERE ptf > 0),
+u AS (SELECT doc_id, COALESCE(a.s, 0) AS s1, COALESCE(b.s, 0) AS s2
+      FROM s_text a FULL OUTER JOIN s_title b USING (doc_id))
+SELECT doc_id,
+       round((greatest(s1, s2) + 0.3 * (s1 + s2 - greatest(s1, s2)))::DOUBLE, 4) AS score
+FROM u
+ORDER BY (greatest(s1, s2) + 0.3 * (s1 + s2 - greatest(s1, s2))) DESC, doc_id ASC
+LIMIT 10
+"""
     o["bm25_with_meta"] = f"""
 {_BM25_PREAMBLE},
 {_RAW_JSW},

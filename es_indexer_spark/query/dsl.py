@@ -1429,6 +1429,18 @@ def search(
                 spark, index_root, str(v["query"]), k=size + from_,
                 max_expansions=int(v.get("max_expansions", 50)), lang=lang,
             )
+        elif mt in ("phrase", "phrase_prefix"):
+            from es_indexer_spark.query.multifield import multi_match_phrase
+
+            out = multi_match_phrase(
+                spark, index_root, str(v["query"]),
+                boosts=_parse_fields_boosts(v.get("fields") or []),
+                k=size + from_,
+                tie_breaker=float(v.get("tie_breaker", 0.0)),
+                prefix=(mt == "phrase_prefix"),
+                slop=int(v.get("slop", 0)),
+                max_expansions=int(v.get("max_expansions", 50)), lang=lang,
+            )
         else:
             out = multi_match(
                 spark, index_root, str(v["query"]),

@@ -568,3 +568,59 @@ def multi_match(
             lambda pdf: scorer(pdf), _SCORE_SCHEMA
         )
     return scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+
+def multi_match_phrase(
+    spark: SparkSession,
+    root: str,
+    query: str,
+    *,
+    boosts: dict[str, float],
+    k: int | None = 10,
+    tie_breaker: float = 0.0,
+    prefix: bool = False,
+    slop: int = 0,
+    max_expansions: int = 50,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``multi_match`` ``type: phrase`` / ``phrase_prefix``: ES runs a
+    ``match_phrase``(_prefix) per field inside a dis_max — here the
+    positional phrase engine runs per sub-index (each must be built with
+    ``store_positions=True``) and the boosted per-field scores combine
+    dis-max + ``tie_breaker`` in ONE hash agg over the unioned per-field
+    frames. No scan beyond the per-field phrase jobs, no driver collect;
+    the per-field top sets are complete (``k=None``) so the dis-max never
+    misses a doc that ranks only in the other field."""
+    from es_indexer_spark.query.phrase import match_phrase_prefix, phrase_match
+
+    parts = []
+    for field, boost in boosts.items():
+        sub = field_dir(root, field)
+        if prefix:
+            df = match_phrase_prefix(
+                spark, sub, query, k=None,
+                max_expansions=max_expansions, lang=lang,
+            )
+        else:
+            df = phrase_match(spark, sub, query, k=None, slop=slop, lang=lang)
+        parts.append(
+            df.select(
+                "docid", (F.col("score") * F.lit(float(boost))).alias("s")
+            )
+        )
+    if not parts:
+        return spark.createDataFrame([], _SCORE_SCHEMA)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    agg = u.groupBy("docid").agg(
+        F.max("s").alias("__mx"), F.sum("s").alias("__sm")
+    )
+    score = F.col("__mx") + F.lit(float(tie_breaker)) * (
+        F.col("__sm") - F.col("__mx")
+    )
+    out = (
+        agg.select("docid", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+    )
+    return out if k is None else out.limit(k)

@@ -272,3 +272,96 @@ def test_cross_fields_single_field_is_plain_engine(spark, multi_index):
         ).collect()
     ]
     _assert_same(got, want)
+
+
+# ------------------------------------ multi_match phrase types (round 5k)
+
+
+@pytest.fixture(scope="module")
+def multi_index_pos(spark, documents, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx_multi_pos"))
+    build_multi_index(
+        spark, _with_title(documents), root,
+        fields={"title": "title", "text": "text"},
+        id_col="doc_id", shard_size=100, n_buckets=8, n_ckpt_batches=2,
+        store_positions=True,
+    )
+    return root
+
+
+def _combine_dismax(per_field, boosts, tie):
+    out = {}
+    for f, scores in per_field.items():
+        for d, s in scores.items():
+            out.setdefault(d, []).append(boosts[f] * s)
+    res = [
+        (d, max(v) + tie * (sum(v) - max(v))) for d, v in out.items()
+    ]
+    res.sort(key=lambda x: (-x[1], x[0]))
+    return res
+
+
+def test_multi_match_phrase_combines_per_field_engines(spark, multi_index_pos):
+    from es_indexer_spark.query.multifield import field_dir, multi_match_phrase
+    from es_indexer_spark.query.phrase import phrase_match
+
+    got = [
+        (r["docid"], r["score"])
+        for r in multi_match_phrase(
+            spark, multi_index_pos, "data stream", boosts=BOOSTS,
+            k=15, tie_breaker=0.3,
+        ).collect()
+    ]
+    per_field = {
+        f: {
+            r["docid"]: r["score"]
+            for r in phrase_match(
+                spark, field_dir(multi_index_pos, f), "data stream", k=None
+            ).collect()
+        }
+        for f in BOOSTS
+    }
+    exp = _combine_dismax(per_field, BOOSTS, 0.3)[:15]
+    assert got == [(d, pytest.approx(s)) for d, s in exp]
+    assert got  # the phrase occurs in this corpus
+
+
+def test_multi_match_phrase_prefix_and_single_field(spark, multi_index_pos):
+    from es_indexer_spark.query.multifield import field_dir, multi_match_phrase
+    from es_indexer_spark.query.phrase import match_phrase_prefix
+
+    got = [
+        (r["docid"], r["score"])
+        for r in multi_match_phrase(
+            spark, multi_index_pos, "data str", boosts={"text": 1.0},
+            k=10, prefix=True,
+        ).collect()
+    ]
+    want = [
+        (r["docid"], r["score"])
+        for r in match_phrase_prefix(
+            spark, field_dir(multi_index_pos, "text"), "data str", k=10
+        ).collect()
+    ]
+    assert got == want and got
+
+
+def test_multi_match_phrase_dsl_dispatch(spark, multi_index_pos):
+    from es_indexer_spark.query.dsl import search
+    from es_indexer_spark.query.multifield import multi_match_phrase
+
+    body = {"query": {"multi_match": {
+        "query": "data stream", "type": "phrase",
+        "fields": ["title^2", "text"], "tie_breaker": 0.3}}, "size": 8}
+    got = [
+        (r["docid"], r["score"])
+        for r in search(spark, multi_index_pos, body).collect()
+    ]
+    want = [
+        (r["docid"], r["score"])
+        for r in multi_match_phrase(
+            spark, multi_index_pos, "data stream", boosts=BOOSTS,
+            k=8, tie_breaker=0.3,
+        ).collect()
+    ]
+    assert got == want
