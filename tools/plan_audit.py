@@ -268,6 +268,51 @@ def main() -> int:
         ],
     ))
 
+    # 13b. multi_match cross_fields: IDENTICAL plan shape to 13 — blending
+    # only changes the idf constants baked into the Arrow combiner, so the
+    # term-centric variant must not add a stage, join, or shuffle
+    p = formatted(multi_match(
+        spark, mroot, "data stream", boosts={"title": 2.0, "text": 1.0},
+        k=10, match_type="cross_fields", tie_breaker=0.3,
+    ))
+    sections.append((
+        "multi_match cross_fields (blended idf, same one-Arrow-stage plan)",
+        p,
+        [
+            ("per-field scans unioned", "Union" in p),
+            ("single shard shuffle", len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1),
+            ("single Arrow stage (no cross-field join)",
+             len(re.findall(r"^\(\d+\) FlatMapGroupsInPandas", p, re.M)) == 1
+             and "SortMergeJoin" not in p and "BroadcastHashJoin" not in p),
+            ("no cartesian anywhere", "CartesianProduct" not in p
+             and "BroadcastNestedLoopJoin" not in p),
+        ],
+    ))
+
+    # 13c. multi_match type=phrase: one positional phrase stage per field,
+    # dis-max combine is ONE partial+final hash agg over the union — no
+    # join between the field frames
+    from es_indexer_spark.query.multifield import multi_match_phrase
+
+    p = formatted(multi_match_phrase(
+        spark, mroot, "data stream", boosts={"title": 2.0, "text": 1.0},
+        k=10, tie_breaker=0.3,
+    ))
+    sections.append((
+        "multi_match phrase (per-field phrase engines -> one dis-max agg)",
+        p,
+        [
+            ("per-field frames unioned", "Union" in p),
+            ("one phrase Arrow stage per field",
+             len(re.findall(r"^\(\d+\) FlatMapGroupsInPandas", p, re.M)) == 2),
+            ("dis-max combine is a partial+final hash agg",
+             "partial_max" in p and p.count("HashAggregate") >= 2),
+            ("no join between the field frames",
+             "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+             and "CartesianProduct" not in p),
+        ],
+    ))
+
     # 14. connected-components round: edges x labels shuffle join + map-side
     # combined min agg — no cartesian, partial aggregation present
     from es_indexer_spark.ops.dedup import connected_components
