@@ -2381,6 +2381,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["collapse_by_field"] = _collapse
     q["function_score"] = _fscore
 
+    # collapse + inner_hits: the top-5 group winners, each expanded with up
+    # to 2 further group hits (hit_rank 1 = the winner, ES includes it)
+    def _collapse_inner(spark, sf):
+        from es_indexer_spark.query.engine import collapse_topk
+
+        return collapse_topk(
+            spark, _index_root(spark, sf), "spark join window", "lang",
+            k=5, inner_hits=2,
+        ).select(
+            F.col("docid").alias("doc_id"), "lang",
+            F.round("score", 4).alias("score"), "hit_rank",
+        )
+
+    q["collapse_inner"] = _collapse_inner
+
     # ---- ES rank_feature / distance_feature / pinned (round-5 batch 3) ------------
     def _rank_feature(spark, sf):
         from es_indexer_spark.query.engine import rank_feature_topk
@@ -4504,6 +4519,21 @@ rk AS (SELECT doc_id, lang, s,
        FROM r6)
 SELECT doc_id, lang, round(s::DOUBLE, 4) AS score
 FROM rk WHERE rn = 1 ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+    # collapse inner_hits: the 5 group winners broadcast back into the
+    # ranked frame, rows hit_rank <= 3 (winner + 2 expansions)
+    o["collapse_inner"] = f"""
+{_BM25_PREAMBLE},
+{_RAW_JSW},
+r6 AS (SELECT raw.doc_id, d.lang, round(raw.score_raw, 6) AS s
+       FROM raw JOIN documents d USING (doc_id)),
+rk AS (SELECT doc_id, lang, s,
+              row_number() OVER (PARTITION BY lang ORDER BY s DESC, doc_id ASC) AS rn
+       FROM r6),
+winners AS (SELECT lang FROM rk WHERE rn = 1 ORDER BY s DESC, doc_id ASC LIMIT 5)
+SELECT rk.doc_id, rk.lang, round(rk.s::DOUBLE, 4) AS score, rk.rn AS hit_rank
+FROM rk JOIN winners USING (lang)
+WHERE rk.rn <= 3
 """
     # function_score field_value_factor: bm25 * ln(1 + n_chars), rounded at 6
     # before ranking (same rule)

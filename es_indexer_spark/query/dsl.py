@@ -1613,9 +1613,14 @@ def search(
             mspec = _field_query(fspec)
         from es_indexer_spark.query.engine import collapse_topk
 
+        # collapse.inner_hits: the per-group expansion rides along with a
+        # hit_rank column (ES default size 3); flattened rows instead of
+        # the nested inner_hits envelope
+        ih = body["collapse"].get("inner_hits") or {}
         out = collapse_topk(
             spark, index_root, str(mspec["query"]), cfield,
             k=size + from_, lang=lang,
+            inner_hits=int(ih.get("size", 3)) if ih else 0,
         )
     if body.get("rescore") is not None:
         # the native rescorer is the phrase-window form: a match main query

@@ -1267,10 +1267,19 @@ def collapse_topk(
     k: int = 10,
     *,
     lang: str | None = None,
+    inner_hits: int = 0,
 ) -> DataFrame:
     """ES ``collapse``: the ranked search result reduced to the single best
     hit per distinct value of a stored field (the portal's dedupe-by-source
     result shape), ranked by score. Returns (docid, <field>, score).
+
+    ``inner_hits > 0`` = ES's collapse ``inner_hits`` section, flattened:
+    for each of the top-``k`` group WINNERS, up to ``inner_hits`` further
+    hits of that group ride along with a ``hit_rank`` column (1 = the
+    winner, ES includes it in the expanded view too); rows order by the
+    winner's score desc, then group, then ``hit_rank``. The group set is
+    ``k`` rows, so it broadcast-joins back into the ranked frame — the
+    expansion never re-scores or re-scans.
 
     Execution: the pure-should bool evaluation (≡ the ranked engine,
     pytest-pinned) produces every match WITHOUT a global sort (k=None), the
@@ -1291,12 +1300,27 @@ def collapse_topk(
     w = Window.partitionBy(collapse_field).orderBy(
         F.desc("score"), F.asc("docid")
     )
-    return (
-        j.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+    ranked = j.withColumn("_rn", F.row_number().over(w))
+    winners = (
+        ranked.filter(F.col("_rn") == 1)
         .drop("_rn")
         .orderBy(F.desc("score"), F.asc("docid"))
         .limit(k)
+    )
+    if inner_hits <= 0:
+        return winners
+    groups = winners.select(
+        F.col(collapse_field),
+        F.col("score").alias("__gscore"),
+    )
+    return (
+        ranked.filter(F.col("_rn") <= int(inner_hits) + 1)
+        .withColumnRenamed("_rn", "hit_rank")
+        .join(F.broadcast(groups), collapse_field)
+        .orderBy(
+            F.desc("__gscore"), F.asc(collapse_field), F.asc("hit_rank")
+        )
+        .select("docid", collapse_field, "score", "hit_rank")
     )
 
 

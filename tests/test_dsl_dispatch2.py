@@ -694,3 +694,35 @@ def test_dis_max_phrase_leg_vs_table(spark, d2_index):
     assert [d for d, _ in got] == [d for d, _ in top]
     for (gd, gs), (wd, ws) in zip(got, top):
         assert gs == pytest.approx(ws, abs=2e-6)
+
+
+def test_collapse_inner_hits(spark, d2_index):
+    """collapse.inner_hits: each top-k group winner expands with up to
+    `size` further hits of its group, hit_rank 1 = the winner; the winner
+    rows must equal the plain collapse result."""
+    from es_indexer_spark.query.dsl import search
+    from es_indexer_spark.query.engine import collapse_topk
+
+    body = {"query": {"match": {"text": "data stream"}},
+            "collapse": {"field": "lang", "inner_hits": {"size": 2}},
+            "size": 4}
+    out = search(spark, d2_index, body).collect()
+    assert {"docid", "lang", "score", "hit_rank"} <= set(out[0].asDict())
+    assert all(1 <= r["hit_rank"] <= 3 for r in out)
+    winners = [(r["docid"], r["lang"], r["score"]) for r in out
+               if r["hit_rank"] == 1]
+    plain = [
+        (r["docid"], r["lang"], r["score"])
+        for r in collapse_topk(spark, d2_index, "data stream", "lang",
+                               k=4).collect()
+    ]
+    assert winners == plain
+    # within each group ranks are contiguous from 1 and scores non-increasing
+    by_group: dict = {}
+    for r in out:
+        by_group.setdefault(r["lang"], []).append((r["hit_rank"], r["score"]))
+    for rows in by_group.values():
+        ranks = [x for x, _ in rows]
+        assert ranks == list(range(1, len(rows) + 1))
+        scores = [s for _, s in rows]
+        assert scores == sorted(scores, reverse=True)
