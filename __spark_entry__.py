@@ -2396,6 +2396,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["collapse_inner"] = _collapse_inner
 
+    # function_score functions ARRAY: gauss decay + filtered weight,
+    # score_mode sum clamped by max_boost, boost_mode multiply
+    def _fscore_fns(spark, sf):
+        from es_indexer_spark.query.compound import function_score_functions
+
+        return function_score_functions(
+            spark, _index_root(spark, sf), "spark join window",
+            [{"gauss": {"n_chars": {"origin": 500, "scale": 300}}},
+             {"filter": {"term": {"lang": "en"}}, "weight": 2.0}],
+            k=10, score_mode="sum", max_boost=2.5,
+        ).select(
+            F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+
+    q["function_score_fns"] = _fscore_fns
+
     # ---- ES rank_feature / distance_feature / pinned (round-5 batch 3) ------------
     def _rank_feature(spark, sf):
         from es_indexer_spark.query.engine import rank_feature_topk
@@ -4534,6 +4550,21 @@ winners AS (SELECT lang FROM rk WHERE rn = 1 ORDER BY s DESC, doc_id ASC LIMIT 5
 SELECT rk.doc_id, rk.lang, round(rk.s::DOUBLE, 4) AS score, rk.rn AS hit_rank
 FROM rk JOIN winners USING (lang)
 WHERE rk.rn <= 3
+"""
+    # function_score functions array: bm25 * least(gauss(n_chars; 500, 300)
+    # + 2.0*[lang='en'], 2.5), rounded at 6 before ranking
+    o["function_score_fns"] = f"""
+{_BM25_PREAMBLE},
+{_RAW_JSW},
+f AS (SELECT raw.doc_id,
+             round(raw.score_raw * least(
+               exp(-(pow(abs(d.n_chars - 500), 2))
+                   / (2 * (-(300.0 * 300.0) / (2 * ln(0.5)))))
+               + (CASE WHEN d.lang = 'en' THEN 2.0 ELSE 0.0 END),
+               2.5), 6) AS s
+      FROM raw JOIN documents d USING (doc_id))
+SELECT doc_id, round(s::DOUBLE, 4) AS score
+FROM f ORDER BY s DESC, doc_id ASC LIMIT 10
 """
     # function_score field_value_factor: bm25 * ln(1 + n_chars), rounded at 6
     # before ranking (same rule)

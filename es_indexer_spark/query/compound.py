@@ -41,9 +41,10 @@ pass, no cross join, no driver state.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from es_indexer_spark.index import catalog
 from es_indexer_spark.query.boolean import bool_query
@@ -271,3 +272,177 @@ def match_bool_prefix(
     if k is None:
         return out
     return out.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+
+def function_score_functions(
+    spark: SparkSession,
+    index_root: str,
+    query: str | DataFrame,
+    functions: list[dict],
+    *,
+    k: int = 10,
+    score_mode: str = "multiply",
+    boost_mode: str = "multiply",
+    max_boost: float | None = None,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``function_score`` with a ``functions`` ARRAY — the general form
+    (the single-function ``field_value_factor`` shortcut lives in
+    ``engine.function_score_topk``). Supported function kinds, each
+    optionally gated by a ``filter`` (a stored-field leaf: term / terms /
+    range / exists — compiled to a Catalyst predicate) and scaled by
+    ``weight`` (a bare ``{"weight": w, "filter": ...}`` entry scores w,
+    exactly ES):
+
+    - ``field_value_factor``: modifier(factor * coalesce(field, missing));
+    - ``random_score``: deterministic per-doc uniform [0, 1) from
+      xxhash64(docid, seed) — reproducible where ES's is shard-dependent;
+    - ``gauss`` / ``exp`` / ``linear`` decay over a NUMERIC stored field
+      ``{field: {origin, scale, offset: 0, decay: 0.5}}`` with the
+      published ES formulas (sigma^2 = -scale^2 / (2 ln decay), etc.).
+
+    Functions whose filter does not match are EXCLUDED from the
+    combination (ES semantics, not factor-1); if none match the function
+    score is the neutral 1.0. ``score_mode`` combines the matching
+    functions (multiply default / sum / avg / max / min / first),
+    ``max_boost`` clamps the result, ``boost_mode`` combines with the
+    query score (multiply default / sum / replace / max / min / avg).
+
+    One pass: every match (k=None, no global sort) joins the referenced
+    stored fields once; all function math is whole-stage-codegen column
+    algebra (the array-combine is an ``aggregate`` over a compacted
+    array literal — no UDF); scores round at 6 before ranking (the
+    engine-wide ulp-stability rule), ties by docid."""
+    import os
+
+    from es_indexer_spark.index import catalog
+    from es_indexer_spark.query.boolean import bool_query
+    from es_indexer_spark.query.dsl_aggs import _leaf_cond
+
+    if score_mode not in ("multiply", "sum", "avg", "max", "min", "first"):
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    if boost_mode not in ("multiply", "sum", "replace", "max", "min", "avg"):
+        raise ValueError(f"unknown boost_mode {boost_mode!r}")
+    hits = (
+        query.select("docid", "score") if isinstance(query, DataFrame)
+        else bool_query(spark, index_root, should=[query], k=None, lang=lang)
+    )
+    vdir = catalog.resolve(index_root)
+    docs = spark.read.parquet(os.path.join(vdir, "docs"))
+
+    def _decay_value(kind: str, spec: dict) -> Column:
+        (field, p), = spec.items()
+        origin = float(p["origin"])
+        scale = float(p["scale"])
+        offset = float(p.get("offset", 0.0))
+        decay = float(p.get("decay", 0.5))
+        if not (0.0 < decay < 1.0) or scale <= 0:
+            raise ValueError("decay needs 0 < decay < 1 and scale > 0")
+        dist = F.greatest(
+            F.lit(0.0),
+            F.abs(F.col(field).cast("double") - F.lit(origin)) - F.lit(offset),
+        )
+        if kind == "gauss":
+            sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+            return F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+        if kind == "exp":
+            lam = math.log(decay) / scale
+            return F.exp(F.lit(lam) * dist)
+        s = scale / (1.0 - decay)
+        return F.greatest(F.lit(0.0), (F.lit(s) - dist) / F.lit(s))
+
+    vals: list[Column] = []
+    need_fields: set[str] = set()
+
+    def _filter_fields(node: dict) -> set[str]:
+        from es_indexer_spark.query.dsl import _one
+
+        kind, v = _one(node, "function filter")
+        if kind == "exists":
+            return {str(v["field"])}
+        fname, _spec = _one(v, kind)
+        return {str(fname)}
+
+    for fn in functions:
+        if "field_value_factor" in fn:
+            fvf = fn["field_value_factor"]
+            x = F.coalesce(
+                F.col(fvf["field"]).cast("double"),
+                F.lit(float(fvf.get("missing", 1.0))),
+            ) * F.lit(float(fvf.get("factor", 1.0)))
+            need_fields.add(str(fvf["field"]))
+            mod = str(fvf.get("modifier", "none"))
+            v = {
+                "none": x,
+                "ln1p": F.log(F.lit(1.0) + x),
+                "log1p": F.log10(F.lit(1.0) + x),
+                "sqrt": F.sqrt(x),
+                "square": x * x,
+            }.get(mod)
+            if v is None:
+                raise ValueError(f"unknown field_value_factor modifier {mod!r}")
+        elif "random_score" in fn:
+            rs = fn["random_score"] or {}
+            seed = int(rs.get("seed", 0))
+            v = (
+                F.pmod(F.xxhash64(F.col("docid"), F.lit(seed)), F.lit(1 << 30))
+                .cast("double") / F.lit(float(1 << 30))
+            )
+        elif "gauss" in fn:
+            need_fields.update(fn["gauss"].keys())
+            v = _decay_value("gauss", fn["gauss"])
+        elif "exp" in fn:
+            need_fields.update(fn["exp"].keys())
+            v = _decay_value("exp", fn["exp"])
+        elif "linear" in fn:
+            need_fields.update(fn["linear"].keys())
+            v = _decay_value("linear", fn["linear"])
+        else:
+            v = F.lit(1.0)
+        if fn.get("weight") is not None:
+            v = v * F.lit(float(fn["weight"]))
+        if fn.get("filter") is not None:
+            need_fields.update(_filter_fields(fn["filter"]))
+            v = F.when(_leaf_cond(fn["filter"]), v)
+        vals.append(v)
+
+    missing_cols = sorted(need_fields - set(docs.columns))
+    if missing_cols:
+        raise ValueError(
+            f"function_score references unstored fields {missing_cols} — "
+            "store them as meta_cols at build time"
+        )
+    j = hits.join(docs.select("docid", *sorted(need_fields)), "docid")
+    nn = F.filter(F.array(*vals), lambda x: x.isNotNull())
+    if score_mode == "multiply":
+        comb = F.aggregate(nn, F.lit(1.0), lambda acc, x: acc * x)
+    elif score_mode == "sum":
+        comb = F.aggregate(nn, F.lit(0.0), lambda acc, x: acc + x)
+    elif score_mode == "avg":
+        comb = (
+            F.aggregate(nn, F.lit(0.0), lambda acc, x: acc + x)
+            / F.size(nn).cast("double")
+        )
+    elif score_mode == "max":
+        comb = F.array_max(nn)
+    elif score_mode == "min":
+        comb = F.array_min(nn)
+    else:  # first: request order, like ES's first_function
+        comb = F.element_at(nn, 1)
+    fscore = F.when(F.size(nn) == 0, F.lit(1.0)).otherwise(comb)
+    if max_boost is not None:
+        fscore = F.least(fscore, F.lit(float(max_boost)))
+    base = F.col("score")
+    combined = {
+        "multiply": base * fscore,
+        "sum": base + fscore,
+        "replace": fscore,
+        "max": F.greatest(base, fscore),
+        "min": F.least(base, fscore),
+        "avg": (base + fscore) / F.lit(2.0),
+    }[boost_mode]
+    return (
+        j.select("docid", F.round(combined, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+    )

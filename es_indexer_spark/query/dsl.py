@@ -1263,18 +1263,45 @@ def search(
             if "query" not in mspec:
                 _fn, fspec = _one(mspec, "match")
                 mspec = _field_query(fspec)
-        fvf = v.get("field_value_factor")
-        if fvf is None:
-            raise ValueError("function_score supports field_value_factor")
-        fsq = mspec["query"]
-        out = function_score_topk(
-            spark, index_root,
-            fsq if not isinstance(fsq, str) else str(fsq), fvf["field"],
-            k=size + from_, factor=float(fvf.get("factor", 1.0)),
-            modifier=str(fvf.get("modifier", "ln1p")),
-            boost_mode=str(v.get("boost_mode", "multiply")),
-            missing=float(fvf.get("missing", 1.0)), lang=lang,
-        )
+        if v.get("functions") is not None:
+            # the general functions-array form: weight+filter entries,
+            # field_value_factor, deterministic random_score, and the
+            # gauss/exp/linear decay family with score_mode / boost_mode /
+            # max_boost (query/compound.py function_score_functions)
+            from es_indexer_spark.query.compound import (
+                function_score_functions,
+            )
+
+            fsq = mspec["query"]
+            out = function_score_functions(
+                spark, index_root,
+                fsq if not isinstance(fsq, str) else str(fsq),
+                list(v["functions"]), k=size + from_,
+                score_mode=str(v.get("score_mode", "multiply")),
+                boost_mode=str(v.get("boost_mode", "multiply")),
+                max_boost=(
+                    float(v["max_boost"])
+                    if v.get("max_boost") is not None else None
+                ),
+                lang=lang,
+            )
+            fvf = None
+        elif v.get("field_value_factor") is None:
+            raise ValueError(
+                "function_score needs field_value_factor or a functions array"
+            )
+        else:
+            fvf = v["field_value_factor"]
+        if fvf is not None:
+            fsq = mspec["query"]
+            out = function_score_topk(
+                spark, index_root,
+                fsq if not isinstance(fsq, str) else str(fsq), fvf["field"],
+                k=size + from_, factor=float(fvf.get("factor", 1.0)),
+                modifier=str(fvf.get("modifier", "ln1p")),
+                boost_mode=str(v.get("boost_mode", "multiply")),
+                missing=float(fvf.get("missing", 1.0)), lang=lang,
+            )
     elif kind == "script_score":
         from es_indexer_spark.query.engine import script_score_topk
 
