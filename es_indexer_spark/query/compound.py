@@ -274,6 +274,30 @@ def match_bool_prefix(
     return out.orderBy(F.desc("score"), F.asc("docid")).limit(k)
 
 
+_DURATION_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+_DISTANCE_METERS = {"m": 1.0, "km": 1000.0, "mi": 1609.344}
+
+
+def _duration_seconds(v) -> float:
+    """ES duration literal ("7d", "12h", ...) -> seconds."""
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+(?:\.\d+)?)(s|m|h|d|w)", str(v))
+    if not m:
+        raise ValueError(f"bad duration {v!r}: expected <n><s|m|h|d|w>")
+    return float(m.group(1)) * _DURATION_SECONDS[m.group(2)]
+
+
+def _geo_distance_meters(v) -> float:
+    """ES distance literal ("100km", "500m", "10mi") -> meters."""
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+(?:\.\d+)?)(km|mi|m)", str(v))
+    if not m:
+        raise ValueError(f"bad distance {v!r}: expected <n><m|km|mi>")
+    return float(m.group(1)) * _DISTANCE_METERS[m.group(2)]
+
+
 def function_score_functions(
     spark: SparkSession,
     index_root: str,
@@ -297,9 +321,15 @@ def function_score_functions(
     - ``field_value_factor``: modifier(factor * coalesce(field, missing));
     - ``random_score``: deterministic per-doc uniform [0, 1) from
       xxhash64(docid, seed) — reproducible where ES's is shard-dependent;
-    - ``gauss`` / ``exp`` / ``linear`` decay over a NUMERIC stored field
+    - ``gauss`` / ``exp`` / ``linear`` decay
       ``{field: {origin, scale, offset: 0, decay: 0.5}}`` with the
-      published ES formulas (sigma^2 = -scale^2 / (2 ln decay), etc.).
+      published ES formulas (sigma^2 = -scale^2 / (2 ln decay), etc.) in
+      three origin modes: NUMERIC (plain numbers), DATE (origin a
+      timestamp literal — pass an explicit instant, never "now", so
+      replays stay deterministic — with "7d"-style duration scale/offset;
+      the recency-boost shape), and GEO (origin ``{lat, lon}`` with
+      "100km"-style distance scale/offset; the field names the LON column
+      and ``lat_field`` its latitude pair, haversine meters).
 
     Functions whose filter does not match are EXCLUDED from the
     combination (ES semantics, not factor-1); if none match the function
@@ -332,16 +362,45 @@ def function_score_functions(
 
     def _decay_value(kind: str, spec: dict) -> Column:
         (field, p), = spec.items()
-        origin = float(p["origin"])
-        scale = float(p["scale"])
-        offset = float(p.get("offset", 0.0))
+        origin = p["origin"]
         decay = float(p.get("decay", 0.5))
-        if not (0.0 < decay < 1.0) or scale <= 0:
-            raise ValueError("decay needs 0 < decay < 1 and scale > 0")
-        dist = F.greatest(
-            F.lit(0.0),
-            F.abs(F.col(field).cast("double") - F.lit(origin)) - F.lit(offset),
-        )
+        if not (0.0 < decay < 1.0):
+            raise ValueError("decay needs 0 < decay < 1")
+        if isinstance(origin, dict):
+            # geo decay: origin {lat, lon}, the field names the LON column
+            # and `lat_field` its latitude pair (the package's no-geo_point
+            # column convention); scale/offset are "100km"-style distances,
+            # dist is haversine meters
+            scale = _geo_distance_meters(p["scale"])
+            offset = _geo_distance_meters(p.get("offset", "0m"))
+            lat_col = F.col(str(p.get("lat_field", "lat"))).cast("double")
+            lon_col = F.col(field).cast("double")
+            need_fields.add(str(p.get("lat_field", "lat")))
+            rad = math.pi / 180.0
+            dlat = (lat_col - F.lit(float(origin["lat"]))) * F.lit(rad)
+            dlon = (lon_col - F.lit(float(origin["lon"]))) * F.lit(rad)
+            a = (
+                F.sin(dlat / 2) * F.sin(dlat / 2)
+                + F.cos(F.lit(float(origin["lat"]) * rad)) * F.cos(lat_col * F.lit(rad))
+                * F.sin(dlon / 2) * F.sin(dlon / 2)
+            )
+            raw_dist = F.lit(2.0 * 6371000.0) * F.asin(F.sqrt(a))
+        elif isinstance(origin, str):
+            # date decay (recency boosting): origin a timestamp literal,
+            # scale/offset "7d"-style durations, dist in seconds
+            scale = _duration_seconds(p["scale"])
+            offset = _duration_seconds(p.get("offset", "0s"))
+            raw_dist = F.abs(
+                F.unix_timestamp(F.col(field)).cast("double")
+                - F.unix_timestamp(F.lit(origin)).cast("double")
+            )
+        else:
+            scale = float(p["scale"])
+            offset = float(p.get("offset", 0.0))
+            raw_dist = F.abs(F.col(field).cast("double") - F.lit(float(origin)))
+        if scale <= 0:
+            raise ValueError("decay needs scale > 0")
+        dist = F.greatest(F.lit(0.0), raw_dist - F.lit(offset))
         if kind == "gauss":
             sigma2 = -(scale * scale) / (2.0 * math.log(decay))
             return F.exp(-(dist * dist) / F.lit(2.0 * sigma2))

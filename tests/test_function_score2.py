@@ -169,3 +169,94 @@ def test_unstored_field_raises(spark, fs_index):
     with pytest.raises(ValueError, match="unstored fields"):
         _got(spark, root,
              [{"gauss": {"nope": {"origin": 0, "scale": 10}}}])
+
+
+def test_date_decay_recency(spark, documents, tmp_path_factory):
+    """Date-origin gauss: the recency-boost shape, replayed in python over
+    a runtime-derived timestamp column stored as meta."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path_factory.mktemp("idx_fs_date"))
+    docs = documents.withColumn(
+        "ts", F.expr(
+            "timestamp'2024-01-01' + make_interval(0,0,0,n_chars % 28,0,0,0)")
+    )
+    build_index(
+        spark, docs, root, content_col="text", id_col="doc_id",
+        meta_cols=("n_chars", "ts"), tokenizer="standard",
+        n_buckets=8, shard_size=100, n_ckpt_batches=2,
+    )
+    base = {
+        r["docid"]: r["score"]
+        for r in bool_query(spark, root, should=[Q], k=None).collect()
+    }
+    import datetime as dt
+
+    tss = {
+        r["docid"]: r["ts"]
+        for r in spark.read.parquet(catalog.resolve(root) + "/docs")
+        .select("docid", "ts").collect()
+    }
+    got = [
+        (r["docid"], r["score"])
+        for r in function_score_functions(
+            spark, root, Q,
+            [{"gauss": {"ts": {"origin": "2024-01-15 00:00:00",
+                               "scale": "7d", "offset": "1d"}}}],
+        ).collect()
+    ]
+    origin = dt.datetime(2024, 1, 15)
+    want = _rank({
+        d: s * _gauss(abs((tss[d] - origin).total_seconds()), 0.0,
+                      7 * 86400.0, offset=86400.0)
+        for d, s in base.items()
+    })
+    assert got == [(d, pytest.approx(s)) for d, s in want]
+
+
+def test_geo_decay_haversine(spark, documents, tmp_path_factory):
+    """Geo-origin exp decay over (lon, lat) meta columns vs a python
+    haversine replay."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path_factory.mktemp("idx_fs_geo"))
+    docs = documents.withColumn(
+        "lon", F.expr("(n_chars % 360) - 180.0")
+    ).withColumn("lat", F.expr("(n_chars % 160) - 80.0"))
+    build_index(
+        spark, docs, root, content_col="text", id_col="doc_id",
+        meta_cols=("lon", "lat"), tokenizer="standard",
+        n_buckets=8, shard_size=100, n_ckpt_batches=2,
+    )
+    base = {
+        r["docid"]: r["score"]
+        for r in bool_query(spark, root, should=[Q], k=None).collect()
+    }
+    pts = {
+        r["docid"]: (float(r["lon"]), float(r["lat"]))
+        for r in spark.read.parquet(catalog.resolve(root) + "/docs")
+        .select("docid", "lon", "lat").collect()
+    }
+    got = [
+        (r["docid"], r["score"])
+        for r in function_score_functions(
+            spark, root, Q,
+            [{"exp": {"lon": {"origin": {"lat": 10.0, "lon": 20.0},
+                              "scale": "2000km", "lat_field": "lat",
+                              "decay": 0.4}}}],
+        ).collect()
+    ]
+
+    def hav(lon, lat):
+        rad = math.pi / 180.0
+        dlat, dlon = (lat - 10.0) * rad, (lon - 20.0) * rad
+        a = (math.sin(dlat / 2) ** 2
+             + math.cos(10.0 * rad) * math.cos(lat * rad)
+             * math.sin(dlon / 2) ** 2)
+        return 2 * 6371000.0 * math.asin(math.sqrt(a))
+
+    lam = math.log(0.4) / 2_000_000.0
+    want = _rank({
+        d: s * math.exp(lam * hav(*pts[d])) for d, s in base.items()
+    })
+    assert got == [(d, pytest.approx(s)) for d, s in want]
