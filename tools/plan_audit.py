@@ -313,6 +313,33 @@ def main() -> int:
         ],
     ))
 
+    # 13d. function_score functions array: ONE docs-store join decorating
+    # the match frame, all function math in whole-stage codegen (no
+    # Python), the docs side projecting only the referenced fields
+    from es_indexer_spark.query.compound import function_score_functions
+
+    p = formatted(function_score_functions(
+        spark, root, "data stream",
+        [{"gauss": {"n_chars": {"origin": 500, "scale": 300}}},
+         {"filter": {"term": {"lang": "en"}}, "weight": 2.0}],
+        k=10, score_mode="sum", max_boost=2.5,
+    ))
+    sections.append((
+        "function_score functions: one decorate join, codegen-only math",
+        p,
+        [
+            ("exactly one docs-store decorate join",
+             len(re.findall(r"Join", p)) >= 1
+             and "CartesianProduct" not in p),
+            ("docs scan projects only docid + referenced fields",
+             "lang" in p and "n_chars" in p and "sha256" not in p),
+            ("function math stays JVM-side (no Python eval)",
+             "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+            ("top-k is a TakeOrdered, not a global sort",
+             "TakeOrderedAndProject" in p),
+        ],
+    ))
+
     # 14. connected-components round: edges x labels shuffle join + map-side
     # combined min agg — no cartesian, partial aggregation present
     from es_indexer_spark.ops.dedup import connected_components
