@@ -1630,22 +1630,26 @@ def search(
         # materialization) — the match-query shape ES clients send
         cfield = str(body["collapse"]["field"])
         if kind != "match":
-            raise ValueError(
-                "collapse supports a match main query — other shapes: call "
-                "query/engine.py collapse_topk (or window the hits yourself)"
-            )
-        mspec = _field_query(v)
-        if "query" not in mspec:
-            _fn, fspec = _one(mspec, "match")
-            mspec = _field_query(fspec)
+            # any bool-expressible main query collapses: its full match
+            # frame feeds the rank window through the composed-sub-query
+            # seam (round 5k)
+            mspec = {"query": _subquery_scores(spark, index_root, qnode,
+                                               lang)}
+        else:
+            mspec = _field_query(v)
+            if "query" not in mspec:
+                _fn, fspec = _one(mspec, "match")
+                mspec = _field_query(fspec)
         from es_indexer_spark.query.engine import collapse_topk
 
         # collapse.inner_hits: the per-group expansion rides along with a
         # hit_rank column (ES default size 3); flattened rows instead of
         # the nested inner_hits envelope
         ih = body["collapse"].get("inner_hits") or {}
+        cq = mspec["query"]
         out = collapse_topk(
-            spark, index_root, str(mspec["query"]), cfield,
+            spark, index_root,
+            cq if not isinstance(cq, str) else str(cq), cfield,
             k=size + from_, lang=lang,
             inner_hits=int(ih.get("size", 3)) if ih else 0,
         )

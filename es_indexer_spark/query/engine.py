@@ -1262,7 +1262,7 @@ def rescore_phrase(
 def collapse_topk(
     spark: SparkSession,
     index_root: str,
-    query: str,
+    query: str | DataFrame,
     collapse_field: str,
     k: int = 10,
     *,
@@ -1292,7 +1292,12 @@ def collapse_topk(
     from pyspark.sql import Window
 
     vdir = catalog.resolve(index_root)
-    hits = bool_query(spark, index_root, should=[query], k=None, lang=lang)
+    # a DataFrame query is a pre-scored (docid, score) match frame — the
+    # DSL's composed-sub-query seam (any bool-expressible query collapses)
+    hits = (
+        query.select("docid", "score") if isinstance(query, DataFrame)
+        else bool_query(spark, index_root, should=[query], k=None, lang=lang)
+    )
     docs = spark.read.parquet(os.path.join(vdir, "docs")).select(
         "docid", collapse_field
     )

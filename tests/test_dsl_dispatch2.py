@@ -572,9 +572,12 @@ def test_collapse_section_dispatch(spark, d2_index):
     # one hit per lang
     langs = [r["lang"] for r in got.collect()]
     assert len(langs) == len(set(langs)) and langs
-    with pytest.raises(ValueError, match="collapse supports a match"):
-        search(spark, d2_index, {"query": {"term": {"lang": "en"}},
-                                 "collapse": {"field": "lang"}})
+    # round 5k: non-match main queries collapse too (composed-sub-query
+    # seam) — a range query collapses its match set to one winner per lang
+    t = search(spark, d2_index, {"query": {"range": {"n_chars": {"gte": 300}}},
+                                 "collapse": {"field": "lang"}}).collect()
+    tl = [r["lang"] for r in t]
+    assert tl and len(tl) == len(set(tl))
 
 
 def test_suggest_section_dispatch(spark, d2_index):
@@ -726,3 +729,24 @@ def test_collapse_inner_hits(spark, d2_index):
         assert ranks == list(range(1, len(rows) + 1))
         scores = [s for _, s in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_collapse_bool_main_query(spark, d2_index):
+    """collapse over a NON-match main query (bool): the full match frame
+    feeds the rank window through the composed-sub-query seam."""
+    from es_indexer_spark.query.boolean import bool_query
+    from es_indexer_spark.query.dsl import search
+    from es_indexer_spark.query.engine import collapse_topk
+
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "data"}}],
+        "should": [{"match": {"text": "stream"}}],
+    }}, "collapse": {"field": "lang"}, "size": 5}
+    got = [(r["docid"], r["lang"], r["score"])
+           for r in search(spark, d2_index, body).collect()]
+    frame = bool_query(spark, d2_index, must=["data"], should=["stream"],
+                       k=None)
+    want = [(r["docid"], r["lang"], r["score"])
+            for r in collapse_topk(spark, d2_index, frame, "lang",
+                                   k=5).collect()]
+    assert got == want and got
