@@ -614,12 +614,17 @@ def _finish(
             match / match_phrase / term texts (bool walks its scoring and
             filter clauses — ES highlights every matched term)."""
             nk, nv = _one(node, "highlight query")
-            if nk in ("match", "match_phrase"):
+            if nk in ("match", "match_phrase", "match_phrase_prefix",
+                      "match_bool_prefix"):
                 sp = _field_query(nv)
                 if "query" not in sp:
                     _f, fs2 = _one(sp, nk)
                     sp = _field_query(fs2)
                 return [str(sp["query"])]
+            if nk in ("multi_match", "combined_fields"):
+                # the raw query text; every analyzed term highlights
+                # (ES's unified highlighter is analysis-based too)
+                return [str(nv["query"])]
             if nk == "term":
                 _f, tv = _one(nv, "term")
                 return [str(tv["value"] if isinstance(tv, dict) else tv)]
@@ -628,12 +633,15 @@ def _finish(
                 for sect in ("must", "should", "filter"):
                     for c in _as_list(nv.get(sect)):
                         ck, _cv = _one(c, f"bool.{sect}")
-                        if ck in ("match", "match_phrase", "term"):
+                        if ck in ("match", "match_phrase",
+                                  "match_phrase_prefix", "match_bool_prefix",
+                                  "multi_match", "combined_fields", "term"):
                             out2.extend(_texts(c))
                 return out2
             raise ValueError(
-                "highlight supports match / match_phrase / term / bool "
-                f"queries, got {nk!r}"
+                "highlight supports match(+phrase/bool prefix) / "
+                "multi_match / combined_fields / term / bool queries, "
+                f"got {nk!r}"
             )
 
         terms = sorted({
@@ -1659,27 +1667,34 @@ def search(
         rs = body["rescore"]
         rq = (rs.get("query") or {})
         rnode = rq.get("rescore_query")
-        if kind != "match" or rnode is None:
+        if rnode is None:
             raise ValueError(
-                "rescore supports a match main query with a match_phrase "
-                "rescore_query (the native phrase-window rescorer) — other "
-                "shapes: call query/engine.py rescore_phrase directly"
+                "rescore needs query.rescore_query (a match_phrase — the "
+                "native phrase-window rescorer)"
             )
         rkind, rv = _one(rnode, "rescore_query")
         if rkind != "match_phrase":
             raise ValueError(
                 f"rescore_query supports match_phrase, got {rkind!r}"
             )
-        mspec = _field_query(v)
-        if "query" not in mspec:
-            _fn, fspec = _one(mspec, "match")
-            mspec = _field_query(fspec)
+        if kind != "match":
+            # any bool-expressible main query rescopes: its full match
+            # frame supplies the window (composed-sub-query seam, round 5k)
+            mspec = {"query": _subquery_scores(spark, index_root, qnode,
+                                               lang)}
+        else:
+            mspec = _field_query(v)
+            if "query" not in mspec:
+                _fn, fspec = _one(mspec, "match")
+                mspec = _field_query(fspec)
         _fn, ps = _one(rv, "match_phrase")
         ps = _field_query(ps)
         from es_indexer_spark.query.engine import rescore_phrase
 
+        rqv = mspec["query"]
         out = rescore_phrase(
-            spark, index_root, str(mspec["query"]), str(ps["query"]),
+            spark, index_root,
+            rqv if not isinstance(rqv, str) else str(rqv), str(ps["query"]),
             k=size + from_,
             window_size=int(rs.get("window_size", 10)),
             query_weight=float(rq.get("query_weight", 1.0)),

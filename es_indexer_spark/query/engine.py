@@ -1208,7 +1208,7 @@ def more_like_this(
 def rescore_phrase(
     spark: SparkSession,
     index_root: str,
-    query: str,
+    query: str | DataFrame,
     phrase: str,
     k: int = 10,
     *,
@@ -1235,7 +1235,19 @@ def rescore_phrase(
 
     vdir = catalog.resolve(index_root)
     shard_size = int(catalog.read_stats(vdir)["shard_size"])
-    base_rows = topk(spark, index_root, query, k=window_size, lang=lang).collect()
+    # a DataFrame query is a pre-scored (docid, score) frame — the DSL's
+    # composed-sub-query seam; the window cut is the same top-window_size
+    if isinstance(query, DataFrame):
+        base_rows = (
+            query.select("docid", "score")
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(window_size)
+            .collect()
+        )
+    else:
+        base_rows = topk(
+            spark, index_root, query, k=window_size, lang=lang
+        ).collect()
     if not base_rows:
         return spark.createDataFrame([], _SCORE_SCHEMA)
     ids = [int(r["docid"]) for r in base_rows]

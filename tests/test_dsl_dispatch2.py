@@ -360,10 +360,15 @@ def test_rescore_body_lowers_to_rescore_phrase(spark, d2_index):
 
 
 def test_rescore_body_unsupported_shape_raises(spark, d2_index):
-    with pytest.raises(ValueError, match="rescore"):
-        search(spark, d2_index, {"query": {"term": {"lang": "en"}},
+    # a missing rescore_query still raises by name; non-match MAIN queries
+    # are supported since round 5k (composed-sub-query window)
+    with pytest.raises(ValueError, match="rescore_query"):
+        search(spark, d2_index, {"query": {"match": {"text": "data"}},
+                                 "rescore": {"query": {}}})
+    with pytest.raises(ValueError, match="match_phrase"):
+        search(spark, d2_index, {"query": {"match": {"text": "data"}},
                                  "rescore": {"query": {"rescore_query": {
-                                     "match_phrase": {"text": "x y"}}}}})
+                                     "term": {"text": "x"}}}}})
 
 
 def test_msearch_batch_path_rank_identical(spark, d2_index):
@@ -750,3 +755,41 @@ def test_collapse_bool_main_query(spark, d2_index):
             for r in collapse_topk(spark, d2_index, frame, "lang",
                                    k=5).collect()]
     assert got == want and got
+
+
+def test_rescore_bool_main_query(spark, d2_index):
+    """rescore over a NON-match main query: the bool frame supplies the
+    window through the composed-sub-query seam."""
+    from es_indexer_spark.query.boolean import bool_query
+    from es_indexer_spark.query.dsl import search
+    from es_indexer_spark.query.engine import rescore_phrase
+
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "data"}}],
+        "should": [{"match": {"text": "stream"}}],
+    }}, "rescore": {
+        "window_size": 20,
+        "query": {"rescore_query": {"match_phrase": {"text": "data stream"}},
+                  "rescore_query_weight": 2.0},
+    }, "size": 8}
+    got = [(r["docid"], r["score"])
+           for r in search(spark, d2_index, body).collect()]
+    frame = bool_query(spark, d2_index, must=["data"], should=["stream"],
+                       k=None)
+    want = [(r["docid"], r["score"])
+            for r in rescore_phrase(spark, d2_index, frame, "data stream",
+                                    k=8, window_size=20,
+                                    rescore_query_weight=2.0).collect()]
+    assert got == want and got
+
+
+def test_highlight_phrase_prefix_and_multi_kinds(spark, d2_index, documents):
+    """highlight collects the query text of match_phrase_prefix (and the
+    multi_match shape) — every analyzed term tags."""
+    from es_indexer_spark.query.dsl import search
+
+    body = {"query": {"match_phrase_prefix": {"text": "data str"}},
+            "size": 4,
+            "highlight": {"fragment_size": 80}}
+    out = search(spark, d2_index, body, src_df=documents).collect()
+    assert out and all("<em>" in r["fragment"] for r in out)
