@@ -978,10 +978,10 @@ def search(
             matches = bool_query(spark, index_root, k=None, lang=lang,
                                  filter_exists=[str(v["field"])])
         else:
-            raise ValueError(
-                "sort supports match/match_all/bool/match_phrase/term/"
-                f"range/exists queries, got {kind!r}"
-            )
+            # any other bool-expressible kind: its full (k=None) match
+            # frame through the composed-sub-query seam (round 5k) —
+            # kinds the evaluator cannot express still raise by name there
+            matches = _subquery_scores(spark, index_root, qnode, lang)
         sort = []
         for s in _as_list(body["sort"]):
             if isinstance(s, str):

@@ -793,3 +793,22 @@ def test_highlight_phrase_prefix_and_multi_kinds(spark, d2_index, documents):
             "highlight": {"fragment_size": 80}}
     out = search(spark, d2_index, body, src_df=documents).collect()
     assert out and all("<em>" in r["fragment"] for r in out)
+
+
+def test_sort_over_wildcard_main_query(spark, d2_index):
+    """sort over a previously-rejected main-query kind (wildcard): the
+    full match frame feeds the sort selection through the composed-
+    sub-query seam."""
+    from es_indexer_spark.index import catalog
+    from es_indexer_spark.query.dsl import _subquery_scores, search
+
+    qnode = {"wildcard": {"text": {"value": "stre*"}}}
+    body = {"query": qnode, "sort": [{"n_chars": "desc"}], "size": 6}
+    got = [(r["docid"], r["n_chars"]) for r in
+           search(spark, d2_index, body).collect()]
+    frame = _subquery_scores(spark, d2_index, qnode, None)
+    docs = spark.read.parquet(catalog.resolve(d2_index) + "/docs")
+    j = frame.join(docs.select("docid", "n_chars"), "docid")
+    want = [(r["docid"], r["n_chars"]) for r in
+            j.orderBy(F.desc("n_chars"), F.asc("docid")).limit(6).collect()]
+    assert got == want and len(got) == 6
