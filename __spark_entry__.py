@@ -3,8 +3,8 @@
 ``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
 training-data operators (dedup / similarity / text stats / multimodal) and the
 reference scalar-transform surface (ops/mapper.py); ``oracle_sql()`` gives the
-DuckDB-runnable ANSI-SQL equivalent for EVERY entry (239 entries as of round
-5i — no rows-only entries since round 2). Column names and rounding are
+DuckDB-runnable ANSI-SQL equivalent for EVERY entry (265 entries as of the round-5k
+continuation — no rows-only entries since round 2). Column names and rounding are
 matched pairwise so the driver's order-insensitive value-hash compares equal.
 
 Ops whose scale-path hashing isn't ANSI-SQL-expressible are parameterized into
